@@ -3,36 +3,56 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual query surface lives in
+``mints_wind_data_ingestion_spark.plans`` (one Query per operator from
+SURVEY.md §2, each carrying its oracle SQL); this module just adapts the
+registry to the driver's three-function contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from mints_wind_data_ingestion_spark.plans import REGISTRY  # noqa: E402
+from mints_wind_data_ingestion_spark.session import configure  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Latest-wins dedup per 3 h observation bucket per component — the
+    reference pipeline's core semantics (SURVEY.md §7 Phase 0).
+    """
+    configure(spark)
+    return REGISTRY["flagship_latest_by_bucket"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(q):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return q.build(spark, sf_dir)
+
+        run.__doc__ = q.doc
+        return run
+
+    return {name: _wrap(q) for name, q in sorted(REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Equivalent ANSI SQL per query, runnable by DuckDB on the same
+    parquet tables. Queries without an oracle (non-SQL-expressible)
+    are omitted → driver records a rows-only check."""
+    return {name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle}

@@ -1,0 +1,109 @@
+"""Text-analysis expression library (SURVEY.md §2.11 extension surface).
+
+Everything is built-in-function composition (JVM-side, codegen'd): token
+counting, length/punctuation quality stats, n-gram shingling, rolling-hash
+fingerprints, stopword-ratio language scoring. No Python UDFs — at 100 TB
+these run inside whole-stage codegen over the `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "char_shingles",
+    "punct_ratio",
+    "digit_ratio",
+    "whitespace_ratio",
+    "avg_word_len",
+    "stopword_ratio",
+    "fingerprint64",
+]
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic — deliberately minimal; a real deployment broadcasts a
+#: fuller dimension table (J5 pattern).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>; empty strings removed."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (for MinHash / Jaccard dedup).
+
+    Pure array expressions: slide a window over the token array with
+    transform + slice; no UDF.
+    """
+    toks = tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles over the lowercased text."""
+    col = F.lower(F.col(text) if isinstance(text, str) else text)
+    k = F.length(col) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(col, i, n))
+
+
+def _ratio(matched_len: Column, total: Column) -> Column:
+    return F.when(total > 0, matched_len / total).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    kept = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return _ratio(kept, F.length(col))
+
+
+def digit_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    kept = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    return _ratio(kept, F.length(col))
+
+
+def whitespace_ratio(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    kept = F.length(F.regexp_replace(col, r"[^\s]", ""))
+    return _ratio(kept, F.length(col))
+
+
+def avg_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang` — the language-ID
+    heuristic scores each candidate language and takes the argmax."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit document fingerprint (xxhash64) — cheap identity for exact
+    dedup joins; sha2-256 is the collision-safe variant (operators.dedup)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(col)

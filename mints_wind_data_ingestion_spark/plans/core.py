@@ -1,0 +1,391 @@
+"""Core reference-parity queries (SURVEY.md §2.1-§2.8).
+
+Each query maps a reference operator onto the driver testdata
+(FIXTURES.md §B: `events.ts` ↔ recorded_time, `events.event_type` ↔
+parameterNumber U/V analog, `events.value` ↔ grid-cell value,
+`events.props` ↔ header jsonb). TPC-H-ish tables drive the generic
+relational surface.
+
+Scale notes are attached per query; the common posture: aggregations are
+hash-aggregates with map-side partial combine, dimension joins broadcast
+the small side, top-k never globally sorts (TakeOrderedAndProject), and
+all double reductions run through DECIMAL then cast back so results are
+bit-stable regardless of partition count or accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.time import bucket_3h, bucket_6h, fmt_recorded_time
+from .registry import query, tables
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracle dialect)
+# ---------------------------------------------------------------------------
+
+#: timezone-free epoch bucketing — identical semantics to
+#: functions.time.bucket() on the Spark side.
+_DUCK_BUCKET_3H = (
+    "TIMESTAMP '1970-01-01' + to_seconds(CAST(floor(epoch(ts)/10800)*10800 AS BIGINT))"
+)
+_DUCK_BUCKET_6H = (
+    "TIMESTAMP '1970-01-01' + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT))"
+)
+
+
+def _dsum(col: str) -> F.Column:
+    """Deterministic sum of a double column: exact DECIMAL accumulation,
+    one final rounding to DOUBLE. Bit-stable under any partitioning."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# flagship — Phase 0 slice (SURVEY.md §7): latest wind field per bucket
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_latest_by_bucket",
+    oracle=f"""
+    SELECT bucket_ts, event_type, event_id, ts, value
+    FROM (SELECT *, {_DUCK_BUCKET_3H} AS bucket_ts FROM events)
+    QUALIFY row_number() OVER (
+        PARTITION BY bucket_ts, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("A1", "C2", "F3"),
+)
+def flagship_latest_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins dedup per 3 h observation bucket per component —
+    the reference's core question (converter.py:129 bucketing +
+    converter.py:96-104 latest-wins upsert), events-table analog.
+
+    Spark shape: single hash-aggregate with `max_by` over a
+    (ts, event_id) total order — partial aggregation map-side, ONE
+    shuffle on the group keys, no window sort. At 100 TB this beats the
+    row_number() formulation (which must sort every partition); the
+    oracle uses row_number only because it reads better in SQL.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(F.col("event_id"), F.col("ts"), F.col("value"))
+    return (
+        ev.withColumn("bucket_ts", bucket_3h("ts"))
+        .groupBy("bucket_ts", "event_type")
+        .agg(F.max_by(payload, ordering).alias("latest"))
+        .select(
+            "bucket_ts",
+            "event_type",
+            F.col("latest.event_id").alias("event_id"),
+            F.col("latest.ts").alias("ts"),
+            F.col("latest.value").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters / projections (F1-F5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_conjunctive_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity < 10 AND l_discount >= 0.05
+    """,
+    tags=("F1", "F2"),
+)
+def f1_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality/range predicate + projection — the grib2json
+    record filter `--fp 2 --fs 103 --fv 10.0` (converter.py:49-53).
+
+    All three predicates push down to the parquet scan (PushedFilters)
+    and only 5 of 11 columns are read (ReadSchema) — the Spark analog of
+    the decoder evaluating filters before materializing data arrays.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") < 10)
+            & (F.col("l_discount") >= 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "f3_computed_columns",
+    oracle=f"""
+    SELECT event_id, ts,
+           {_DUCK_BUCKET_3H} AS bucket_3h,
+           {_DUCK_BUCKET_6H} AS bucket_6h,
+           strftime(ts, '%Y-%m-%d %H:00:00') || '+00' AS recorded_time_text
+    FROM events
+    """,
+    tags=("F3", "C1", "C2", "C4"),
+)
+def f3_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-column enrichment (converter.py:63-69): 3 h observation
+    bucket, 6 h run-cycle bucket, and the reference's exact
+    'YYYY-MM-DD HH:00:00+00' text form — one narrow projection, zero
+    shuffles, fully codegen'd."""
+    ev = tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        "ts",
+        bucket_3h("ts").alias("bucket_3h"),
+        bucket_6h("ts").alias("bucket_6h"),
+        fmt_recorded_time("ts").alias("recorded_time_text"),
+    )
+
+
+@query(
+    "f5_retention_window",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    """,
+    tags=("F5", "C7"),
+)
+def f5_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day retention predicate (deleteOld.py:9), anchored on max(ts)
+    for determinism instead of now().
+
+    The anchor is a scalar subquery → broadcast; on a date-partitioned
+    table this predicate is partition pruning, not a scan-filter.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.join(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_uv_component_join",
+    oracle=f"""
+    WITH latest AS (
+        SELECT bucket_ts, user_id, event_type, value
+        FROM (SELECT *, {_DUCK_BUCKET_3H} AS bucket_ts FROM events
+              WHERE event_type IN ('click', 'view'))
+        QUALIFY row_number() OVER (
+            PARTITION BY bucket_ts, user_id, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT u.bucket_ts, u.user_id,
+           u.value AS u_value, v.value AS v_value,
+           sqrt(u.value * u.value + v.value * v.value) AS magnitude
+    FROM latest u JOIN latest v
+      ON u.bucket_ts = v.bucket_ts AND u.user_id = v.user_id
+    WHERE u.event_type = 'click' AND v.event_type = 'view'
+    """,
+    tags=("J1", "J2", "C14", "A1"),
+)
+def j1_uv_component_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U⋈V component alignment (converter.py:88 + §1.2): pair the latest
+    'click' (U) and 'view' (V) value per (3 h bucket, user) and derive the
+    vector magnitude — the wind-speed computation (C14).
+
+    Spark shape: one pass builds BOTH components via conditional
+    max_by aggregation — no self-join at all. The naive plan (dedup,
+    then U-side join V-side) scans and shuffles events twice; this
+    formulation is one scan + one shuffle, and the join disappears.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    filtered = ev.filter(F.col("event_type").isin("click", "view"))
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    pick = lambda t: F.max_by(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("value")),
+        F.when(F.col("event_type") == t, ordering),
+    )
+    return (
+        filtered.withColumn("bucket_ts", bucket_3h("ts"))
+        .groupBy("bucket_ts", "user_id")
+        .agg(pick("click").alias("u_value"), pick("view").alias("v_value"))
+        .filter(F.col("u_value").isNotNull() & F.col("v_value").isNotNull())
+        .select(
+            "bucket_ts",
+            "user_id",
+            "u_value",
+            "v_value",
+            F.sqrt(F.col("u_value") * F.col("u_value") + F.col("v_value") * F.col("v_value")).alias(
+                "magnitude"
+            ),
+        )
+    )
+
+
+@query(
+    "j5_dim_enrichment",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS customer_cnt,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("J5", "A2"),
+)
+def j5_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code→name dimension enrichment (grib2json --names, SURVEY.md J5):
+    broadcast-hash-join the fact against two tiny dims, then aggregate.
+
+    Both dims are explicitly broadcast — at 100 TB the customer side
+    never shuffles for the join; the only shuffle is the final
+    aggregation on (region, nation), which partial-aggregates map-side
+    first.
+    """
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customer_cnt"),
+            _dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation / sort / top-k (A2, A3/O1, grid stats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "agg", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate (TPC-H Q1 shape) — the 'grid statistics'
+    class of SURVEY.md §2.4: wide scan → hash aggregate on a tiny key
+    space.
+
+    Scale: predicate pushes to parquet; partial aggregation reduces each
+    map task to ≤6 rows before the single shuffle; DECIMAL accumulation
+    makes the sums independent of partition order.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a2_bucket_counts",
+    oracle=f"""
+    SELECT {_DUCK_BUCKET_6H} AS bucket_ts,
+           count(*) AS event_cnt,
+           count(DISTINCT user_id) AS user_cnt
+    FROM events GROUP BY 1
+    """,
+    tags=("A2", "C1"),
+)
+def a2_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence/count check per run-cycle bucket (converter.py:161
+    `len(check_data_json)` generalized): count + distinct count.
+
+    count(DISTINCT) expands to a two-phase aggregate; with AQE the
+    partial phase coalesces. For approximate pipelines at 100 TB,
+    `approx_count_distinct` (HLL) trades exactness for one phase.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("bucket_ts", bucket_6h("ts"))
+        .groupBy("bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.countDistinct("user_id").alias("user_cnt"),
+        )
+    )
+
+
+@query(
+    "a3_argmax_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    """,
+    tags=("A3", "O1", "A1"),
+)
+def a3_argmax_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match selection over an ordered candidate set
+    (converter.py:134-181: newest available file wins) — per-key argmax
+    as one hash aggregate (`max_by`), not a window sort."""
+    orders = tables(spark, sf_dir)["orders"]
+    ordering = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    payload = F.struct("o_orderkey", "o_totalprice", "o_orderdate")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max_by(payload, ordering).alias("best"))
+        .select("o_custkey", "best.o_orderkey", "best.o_totalprice", "best.o_orderdate")
+    )
+
+
+@query(
+    "o1_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("O1", "topk"),
+)
+def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered scan with early termination (converter.py:134-181):
+    global top-k. Spark plans this as TakeOrderedAndProject — each
+    partition keeps a k-heap, the driver merges k×partitions rows;
+    no global sort ever materializes."""
+    orders = tables(spark, sf_dir)["orders"]
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(10)
+    )

@@ -1,0 +1,65 @@
+"""Query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 is exposed here as a named Query:
+a PySpark plan builder plus (where SQL-expressible) the equivalent ANSI
+SQL string the DuckDB oracle runs on the same parquet tables. The driver
+contract (``__spark_entry__.py``) and the test suite both consume this
+registry, so "implemented" always means "differentially verified".
+
+Determinism rules every query follows (the oracle check is an
+order-insensitive VALUE HASH, so results must be bit-stable):
+
+- double-typed reductions (sum/avg) go through DECIMAL so accumulation
+  order cannot perturb low bits;
+- every top-k / argmax has a total order (unique tiebreaker column);
+- nothing depends on now() — temporal anchors derive from the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_tables
+
+__all__ = ["Query", "REGISTRY", "query", "tables"]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, Query] = {}
+
+_table_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Memoized testdata loading (parquet footers read once per session+dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _table_cache:
+        _table_cache[key] = load_tables(spark, sf_dir)
+    return _table_cache[key]
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a query builder under `name` with its oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(
+            name=name,
+            build=fn,
+            oracle=oracle.strip() if oracle else None,
+            doc=(fn.__doc__ or "").strip(),
+            tags=tuple(tags),
+        )
+        return fn
+
+    return deco

@@ -1,0 +1,122 @@
+"""Explicit schemas (SURVEY.md §1.4: declared, never inferred).
+
+WIND_HEADER / WIND_RECORD mirror the decoded-JSON boundary of the
+reference (grib2json output enriched at converter.py:63-69; observed
+shape data/u_comp.json:1, full field list FIXTURES.md §A1). The engine
+is schema-on-write: a malformed record becomes NULL fields, not a silent
+dict mutation (converter.py:60-61 trusts blindly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["WIND_HEADER", "WIND_RECORD", "WIND_TABLE", "TESTDATA_TABLES"]
+
+
+def _f(name: str, dtype) -> StructField:
+    return StructField(name, dtype, nullable=True)
+
+
+#: GRIB2 metadata header — 48 keys, typed (reference: opaque jsonb,
+#: dbwindsetup.sql:7).
+WIND_HEADER = StructType(
+    [
+        # identity / provenance
+        _f("discipline", IntegerType()),
+        _f("disciplineName", StringType()),
+        _f("gribEdition", IntegerType()),
+        _f("gribLength", IntegerType()),
+        _f("center", IntegerType()),
+        _f("centerName", StringType()),
+        _f("subcenter", IntegerType()),
+        _f("significanceOfRT", IntegerType()),
+        _f("significanceOfRTName", StringType()),
+        _f("refTime", StringType()),  # "2020-08-12T06:00:00.000Z"
+        _f("forecastTime", IntegerType()),
+        _f("productStatus", IntegerType()),
+        _f("productStatusName", StringType()),
+        _f("productType", IntegerType()),
+        _f("productTypeName", StringType()),
+        _f("productDefinitionTemplate", IntegerType()),
+        _f("productDefinitionTemplateName", StringType()),
+        _f("genProcessType", IntegerType()),
+        _f("genProcessTypeName", StringType()),
+        # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)
+        _f("parameterCategory", IntegerType()),
+        _f("parameterCategoryName", StringType()),
+        _f("parameterNumber", IntegerType()),  # 2 = U, 3 = V
+        _f("parameterNumberName", StringType()),
+        _f("parameterUnit", StringType()),
+        _f("surface1Type", IntegerType()),  # 103 = height above ground
+        _f("surface1TypeName", StringType()),
+        _f("surface1Value", DoubleType()),  # 10.0 m
+        _f("surface2Type", IntegerType()),
+        _f("surface2TypeName", StringType()),
+        _f("surface2Value", DoubleType()),
+        # grid geometry (index → lat/lon mapping, SURVEY.md §1.2)
+        _f("gridDefinitionTemplate", IntegerType()),
+        _f("gridDefinitionTemplateName", StringType()),
+        _f("gridUnits", StringType()),
+        _f("numberPoints", IntegerType()),  # 65160
+        _f("nx", IntegerType()),  # 360
+        _f("ny", IntegerType()),  # 181
+        _f("la1", DoubleType()),  # 90.0 (north)
+        _f("la2", DoubleType()),
+        _f("lo1", DoubleType()),
+        _f("lo2", DoubleType()),
+        _f("dx", DoubleType()),
+        _f("dy", DoubleType()),
+        _f("basicAngle", IntegerType()),
+        _f("scanMode", IntegerType()),  # 0: lon fastest W→E, rows N→S
+        _f("resolution", IntegerType()),
+        _f("shape", IntegerType()),
+        _f("shapeName", StringType()),
+        _f("winds", StringType()),  # "true" (string in fixture)
+    ]
+)
+
+#: One decoded wind-component record (header + bucketed obs ts + raster).
+WIND_RECORD = StructType(
+    [
+        _f("header", WIND_HEADER),
+        _f("recordedTime", StringType()),  # "2020-08-12 12:00:00+00" (converter.py:67)
+        _f("data", ArrayType(FloatType())),
+    ]
+)
+
+#: Native engine layout of the wind table (FIXTURES.md §A2): typed
+#: columns instead of jsonb, parquet partitioned by to_date(recorded_time).
+WIND_TABLE = StructType(
+    [
+        _f("recorded_time", TimestampType()),
+        _f("param", IntegerType()),  # 2 = U, 3 = V
+        _f("ref_time", TimestampType()),
+        _f("forecast_hours", IntegerType()),
+        _f("header", WIND_HEADER),
+        _f("data", ArrayType(FloatType())),
+    ]
+)
+
+#: Names of the driver-generated testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

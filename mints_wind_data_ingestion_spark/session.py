@@ -1,0 +1,79 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution posture. Everything here is
+chosen for the 100 TB design point and merely *tested* on local[N]:
+
+- AQE on (runtime re-planning: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion) — the single most important knob for a
+  1000-executor cluster where static estimates are wrong.
+- UTC session timezone — all reference timestamp semantics are UTC
+  (SURVEY.md §2.8 C6/C9); also makes Spark's instant-typed timestamps
+  line up with DuckDB's naive-UTC parquet view in the oracle checks.
+- Arrow enabled — every Python-boundary crossing (createDataFrame,
+  toPandas, pandas UDFs) is Arrow-batched, never pickled row-at-a-time.
+- shuffle.partitions sized from the env; at cluster scale this would be
+  2-3× total cores (AQE coalesces the excess), on local[32] the default
+  of 32 avoids tiny-task overhead at sf≤0.1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "configure"]
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply session-level conf we depend on to an externally-built session.
+
+    The driver hands ``entry()``/``queries()`` a SparkSession we did not
+    build; runtime-settable confs (timezone, AQE, Arrow) are applied here
+    so query semantics don't depend on who constructed the session.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # the driver testdata stores events.ts as TIMESTAMP(NANOS) which the
+    # vectorized parquet reader rejects; read as long and convert
+    # (sources.tables normalizes back to TimestampType at µs precision).
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def get_spark(app_name: str = "windflow", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    local[N] for tests/bench; on a real cluster the same builder picks up
+    master/executor settings from spark-submit and only the SQL conf here
+    applies.
+    """
+    cpus = _cpus()
+    shuffle = shuffle_partitions if shuffle_partitions is not None else max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return configure(builder.getOrCreate())

@@ -1,0 +1,32 @@
+"""DuckDB-oracle differential tests over the whole query registry —
+the local mirror of the driver's t2 gate (SURVEY.md §5 strategy #1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+from .compare import assert_results_match
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    sdf = q.build(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    if q.oracle is None:
+        # rows-only check (non-SQL-expressible op): plan executes, sane schema
+        assert len(spark_cols) > 0
+        return
+
+    rel = duck.sql(q.oracle)
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+    assert_results_match(spark_cols, spark_rows, duck_cols, duck_rows, name)
+
+
+def test_registry_nonempty():
+    assert len(REGISTRY) >= 1
