@@ -1,0 +1,675 @@
+"""Relational-surface queries: windows, set ops, semi/anti joins, JSON,
+grouping sets, as-of + range joins, upsert merge, discovery top-1
+(SURVEY.md §2.3-§2.8 + the 'absent in reference, mandated anyway' rows).
+
+Determinism contract (registry docstring) applies: decimal-backed double
+reductions, total orders everywhere, anchors derived from data not now().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.time import bucket_3h, bucket_6h
+from .registry import query, tables
+
+# ---------------------------------------------------------------------------
+# filters (F4) + reference upsert decision (F6/F7/J3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f4_exact_timestamp",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts = (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+    """,
+    tags=("F4",),
+)
+def f4_exact_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-timestamp point lookup (converter.py:98,157): equality on a
+    scalar-subquery anchor. On a partitioned table this prunes to one
+    partition; the anchor side is a 1-row broadcast."""
+    ev = tables(spark, sf_dir)["events"]
+    anchor = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts").alias("mx"))
+    return (
+        ev.join(F.broadcast(anchor), F.col("ts") == F.col("mx"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+_STORED_BATCH_CTE = """
+    WITH halves AS (
+        SELECT *,
+               TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(ts)/10800)*10800 AS BIGINT)) AS bucket_ts,
+               CASE WHEN event_id % 2 = 0 THEN 'stored' ELSE 'batch' END AS side
+        FROM events
+    ),
+    latest AS (
+        SELECT side, bucket_ts, event_type, event_id, ts, value
+        FROM halves
+        QUALIFY row_number() OVER (
+            PARTITION BY side, bucket_ts, event_type
+            ORDER BY ts DESC, event_id DESC) = 1
+    )
+"""
+
+
+@query(
+    "f7_staleness_decision",
+    oracle=_STORED_BATCH_CTE
+    + """
+    SELECT coalesce(s.bucket_ts, b.bucket_ts) AS bucket_ts,
+           coalesce(s.event_type, b.event_type) AS event_type,
+           CASE WHEN s.event_id IS NULL THEN 'insert'
+                WHEN b.event_id IS NULL THEN 'keep'
+                WHEN b.ts > s.ts THEN 'replace'
+                ELSE 'skip' END AS action
+    FROM (SELECT * FROM latest WHERE side = 'stored') s
+    FULL OUTER JOIN (SELECT * FROM latest WHERE side = 'batch') b
+      ON s.bucket_ts = b.bucket_ts AND s.event_type = b.event_type
+    """,
+    tags=("F6", "F7", "J3"),
+)
+def f7_staleness_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's insert-vs-upsert-vs-skip decision
+    (converter.py:160-171): probe the incoming batch against the stored
+    table and classify each key. Events split by parity model
+    stored-vs-new; version = event ts (the refTime analog).
+
+    Spark shape: ONE scan — the stored/batch split and both latest-wins
+    reductions happen inside a single conditional aggregation, then a
+    self-free comparison; no second read of the fact, no join at all.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    side = F.when(F.col("event_id") % 2 == 0, "stored").otherwise("batch")
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    pick = lambda s, c: F.max_by(  # noqa: E731
+        F.when(F.col("side") == s, F.col(c)), F.when(F.col("side") == s, ordering)
+    )
+    agg = (
+        ev.withColumn("bucket_ts", bucket_3h("ts"))
+        .withColumn("side", side)
+        .groupBy("bucket_ts", "event_type")
+        .agg(
+            pick("stored", "ts").alias("stored_ts"),
+            pick("stored", "event_id").alias("stored_id"),
+            pick("batch", "ts").alias("batch_ts"),
+            pick("batch", "event_id").alias("batch_id"),
+        )
+    )
+    action = (
+        F.when(F.col("stored_id").isNull(), "insert")
+        .when(F.col("batch_id").isNull(), "keep")
+        .when(F.col("batch_ts") > F.col("stored_ts"), "replace")
+        .otherwise("skip")
+    )
+    return agg.select("bucket_ts", "event_type", action.alias("action"))
+
+
+@query(
+    "j4_upsert_merge",
+    oracle=_STORED_BATCH_CTE
+    + """
+    SELECT bucket_ts, event_type, event_id, ts, value
+    FROM latest
+    QUALIFY row_number() OVER (
+        PARTITION BY bucket_ts, event_type
+        ORDER BY ts DESC, CASE side WHEN 'stored' THEN 1 ELSE 0 END DESC,
+                 event_id DESC) = 1
+    """,
+    tags=("J4", "T3", "A1"),
+)
+def j4_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE (converter.py:96-104): the materialized state
+    after applying the batch to the stored table — newer version
+    replaces, equal-or-older is skipped (stored wins ties, matching the
+    reference's `<` staleness test).
+
+    Spark shape: union-free — one conditional aggregation computes both
+    sides' winners and the merge in a single shuffle. The same semantics
+    back the `operators.upsert.merge_latest_wins` library function used
+    by the streaming foreachBatch sink.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    side_pri = F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)  # stored=1 wins ties
+    ordering = F.struct(F.col("ts"), side_pri.alias("pri"), F.col("event_id"))
+    payload = F.struct("event_id", "ts", "value")
+    return (
+        ev.withColumn("bucket_ts", bucket_3h("ts"))
+        .groupBy("bucket_ts", "event_type")
+        .agg(F.max_by(payload, ordering).alias("w"))
+        .select("bucket_ts", "event_type", "w.event_id", "w.ts", "w.value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_ranking",
+    oracle="""
+    SELECT event_id, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_no,
+           rank()       OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_dense_rank
+    FROM events
+    """,
+    tags=("W", "rank"),
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions: arrival sequence (total order → stable
+    row_number) and value ranking (ties share rank). One shuffle on
+    user_id serves all three — same partition spec, Catalyst collapses
+    the Window nodes."""
+    ev = tables(spark, sf_dir)["events"]
+    by_arrival = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    by_value = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(by_arrival).alias("seq_no"),
+        F.rank().over(by_value).alias("value_rank"),
+        F.dense_rank().over(by_value).alias("value_dense_rank"),
+    )
+
+
+@query(
+    "w2_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta,
+           CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W", "lag"),
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over per-user event streams: previous/next
+    value, delta, inter-event gap — the session-analysis primitives the
+    events table exists to exercise."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_sec"),
+    )
+
+
+@query(
+    "w3_running_agg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_sum,
+           count(*) OVER w AS running_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W", "frame"),
+)
+def w3_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregate over a rows frame. DECIMAL accumulation so
+    the running sum is exact at every prefix (a double running sum would
+    drift differently per engine)."""
+    ev = tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+    )
+
+
+@query(
+    "w4_trailing_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS trailing_1h_cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trailing_1h_sum
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("W", "range-frame"),
+)
+def w4_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h range frame per user (the 'recent activity' primitive
+    behind rate limiting / monitoring). Range frames are keyed on epoch
+    seconds — engine-portable and skew-free.
+
+    NOTE: rows at the same ts_sec share the same frame in RANGE mode, so
+    results are deterministic even with intra-second ties.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    ev = ev.withColumn("ts_sec", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("trailing_1h_cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("trailing_1h_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (§2.7) + semi/anti joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_components",
+    oracle=f"""
+    SELECT bucket_ts, event_type, event_id, value FROM (
+        SELECT *, TIMESTAMP '1970-01-01'
+            + to_seconds(CAST(floor(epoch(ts)/10800)*10800 AS BIGINT)) AS bucket_ts
+        FROM events)
+    WHERE event_type = 'click'
+    UNION ALL
+    SELECT bucket_ts, event_type, event_id, value FROM (
+        SELECT *, TIMESTAMP '1970-01-01'
+            + to_seconds(CAST(floor(epoch(ts)/10800)*10800 AS BIGINT)) AS bucket_ts
+        FROM events)
+    WHERE event_type = 'view'
+    """,
+    tags=("U1",),
+)
+def u1_union_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of the two component streams (converter.py:88: V
+    appended to U). unionByName is a zero-shuffle plan concatenation."""
+    ev = tables(spark, sf_dir)["events"]
+    proj = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            bucket_3h("ts").alias("bucket_ts"), "event_type", "event_id", "value"
+        )
+    )
+    return proj("click").unionByName(proj("view"))
+
+
+@query(
+    "set_intersect_except",
+    oracle="""
+    SELECT user_id, 'both_click_and_error' AS membership
+    FROM (SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT user_id, 'view_but_never_purchase' AS membership
+    FROM (SELECT user_id FROM events WHERE event_type = 'view'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+    tags=("set",),
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (distinct), labeled and unioned.
+    Both compile to aggregate + semi/anti-join under AQE — no sort."""
+    ev = tables(spark, sf_dir)["events"]
+    users = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    both = (
+        users("click").intersect(users("error")).withColumn("membership", F.lit("both_click_and_error"))
+    )
+    never = (
+        users("view").subtract(users("purchase"))
+        .withColumn("membership", F.lit("view_but_never_purchase"))
+    )
+    return both.unionByName(never)
+
+
+@query(
+    "j_semi_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, 'has_order' AS status
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, 'no_order' AS status
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "semi", "anti"),
+)
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins — the declarative form of the
+    reference's existence gate (F6, converter.py:161) and upsert prelude
+    (J4). The orders side reduces to distinct keys before the join."""
+    t = tables(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    has = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").withColumn(
+        "status", F.lit("has_order")
+    )
+    not_has = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").withColumn(
+        "status", F.lit("no_order")
+    )
+    return has.select("c_custkey", "c_name", "status").unionByName(
+        not_has.select("c_custkey", "c_name", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON ops (C10/C11) — props is the header-jsonb analog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c11_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("C10", "C11", "json"),
+)
+def c11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation over the header-jsonb analog
+    (converter.py:110-111,163: json round-tripping of `header`).
+
+    `get_json_object` is JVM-side Jackson — fine for ad-hoc paths; a
+    hot-path engine would `from_json` once into a typed struct column
+    (the wind pipeline does exactly that, schemas.WIND_HEADER).
+    """
+    ev = tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k.cast("decimal(18,4)")).cast("double").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-dim aggregation: rollup / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_rollup",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS customer_cnt,
+           grouping(r.r_name) + 2 * grouping(n.n_name) AS grouping_id
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (region → nation → grand
+    total) with GROUPING markers disambiguating subtotal NULLs. Spark
+    expands rollup before the hash aggregate — still one shuffle."""
+    t = tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        F.count(F.lit(1)).alias("customer_cnt"),
+        (F.grouping("region_name") + F.grouping("nation_name") * 2).alias("grouping_id"),
+    )
+
+
+@query(
+    "a_distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("distinct",),
+)
+def a_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates — exact distinct as a hash aggregate with map-side
+    partial dedup (each task emits its local distincts before the
+    shuffle)."""
+    return tables(spark, sf_dir)["events"].select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# as-of join + range join (absent in reference, mandated by §2.3 last row)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j_asof_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id, e.user_id, e.ts, c.value AS last_click_value
+    FROM errs e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks the most recent click value at
+    or before it, per user (the time-series alignment primitive Spark
+    lacks natively).
+
+    Spark shape: union the two streams tagged, one window pass with
+    `last(ignorenulls)` — a single shuffle on user_id, linear in input,
+    no range-join explosion. The DuckDB oracle uses its native ASOF
+    JOIN, making this a cross-engine semantic check of the union trick.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by(F.col("value"), F.col("event_id")).alias("click_value"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+                "click_value", F.lit(0).alias("tag"))
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("double").alias("click_value"), F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(errs)
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "last_click_value")
+    )
+
+
+@query(
+    "j_range_windows",
+    oracle="""
+    WITH bounds AS (
+        SELECT TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(min(ts))/21600)*21600 AS BIGINT)) AS lo,
+               max(ts) AS hi
+        FROM events
+    ),
+    wins AS (
+        SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end
+        FROM bounds, LATERAL unnest(generate_series(lo, hi, INTERVAL 3 HOUR)) AS g(w_start)
+    )
+    SELECT w.w_start, w.w_end, count(*) AS event_cnt,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM wins w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.w_start, w.w_end
+    """,
+    tags=("join", "range", "T2"),
+)
+def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation as a range join: 6 h windows sliding
+    3 h (each event lands in exactly 2) — the batch formulation of T2.
+
+    Spark shape: the window dimension is generated with `sequence` from
+    a 1-row aggregate and BROADCAST; the range join is then a broadcast
+    nested-loop whose inner side is ~dozens of rows — at 100 TB the fact
+    table never shuffles. (Structured Streaming's `window()` does the
+    same thing natively; this query is the operator's batch twin.)
+    """
+    ev = tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.min("ts")) / 21600) * 21600
+        ).alias("lo"),
+        F.max("ts").alias("hi"),
+    )
+    wins = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 3 HOURS"))).alias("w_start")
+    ).select("w_start", (F.col("w_start") + F.expr("INTERVAL 6 HOURS")).alias("w_end"))
+    return (
+        F.broadcast(wins)
+        .join(ev, (ev.ts >= F.col("w_start")) & (ev.ts < F.col("w_end")))
+        .groupBy("w_start", "w_end")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# discovery (A3/O1): the backtracking candidate search, declaratively
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a3_discovery_candidates",
+    oracle="""
+    WITH anchor AS (
+        SELECT TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(max(ts))/21600)*21600 AS BIGINT)) AS newest
+        FROM events
+    ),
+    cands AS (
+        SELECT CAST(newest - to_seconds(21600 * i) AS TIMESTAMP) AS run_ts,
+               i AS rank
+        FROM anchor, LATERAL unnest(range(0, 40)) AS r(i)
+    )
+    SELECT rank, run_ts,
+           'gfs.' || strftime(run_ts, '%Y%m%d') || '/' || strftime(run_ts, '%H')
+               || '/atmos/gfs.t' || strftime(run_ts, '%H')
+               || 'z.pgrb2.1p00.f' || format('{:03d}', 3) AS url_path
+    FROM cands
+    """,
+    tags=("A3", "O1", "C4", "C8"),
+)
+def a3_discovery_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backtracking candidate generator (converter.py:134-227): 40
+    6-h run timestamps newest→oldest from the freshest bucket, each with
+    its GFS URL path (converter.py:136-137 pattern).
+
+    The reference's 34-line hand-rolled calendar rollback (with its
+    century-leap-year bug, converter.py:204) collapses to `sequence` on
+    real timestamps — proleptic-Gregorian arithmetic for free. Bug fixed
+    by construction, divergence noted in SURVEY.md §7.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    anchor = ev.agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.max("ts")) / 21600) * 21600
+        ).alias("newest")
+    )
+    cands = anchor.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.col("newest") - F.make_interval(hours=i * F.lit(6)),
+            )
+        ).alias("rank", "run_ts")
+    )
+    url = F.concat(
+        F.lit("gfs."),
+        F.date_format("run_ts", "yyyyMMdd"),
+        F.lit("/"),
+        F.date_format("run_ts", "HH"),
+        F.lit("/atmos/gfs.t"),
+        F.date_format("run_ts", "HH"),
+        F.lit("z.pgrb2.1p00.f"),
+        F.format_string("%03d", F.lit(3)),
+    )
+    return cands.select("rank", "run_ts", url.alias("url_path"))
+
+
+@query(
+    "o1_discovery_top1",
+    oracle="""
+    WITH anchor AS (
+        SELECT TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(max(ts))/21600)*21600 AS BIGINT)) AS newest
+        FROM events
+    ),
+    cands AS (
+        SELECT CAST(newest - to_seconds(21600 * i) AS TIMESTAMP) AS run_ts, i AS rank
+        FROM anchor, LATERAL unnest(range(0, 40)) AS r(i)
+    ),
+    available AS (
+        SELECT DISTINCT TIMESTAMP '1970-01-01'
+                 + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)) AS run_ts
+        FROM events WHERE event_type = 'purchase' AND value > 0.9
+    )
+    SELECT c.rank, c.run_ts
+    FROM cands c JOIN available a ON c.run_ts = a.run_ts
+    ORDER BY c.rank LIMIT 1
+    """,
+    tags=("A3", "O1"),
+)
+def o1_discovery_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match selection (converter.py:134-181): newest candidate
+    run for which matching data exists — candidates semi-joined against
+    availability, min-rank wins. The ≤40-probe retry loop becomes one
+    top-1 plan; `limit(1)` short-circuits like the reference's early
+    return (F8)."""
+    ev = tables(spark, sf_dir)["events"]
+    anchor = ev.agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.max("ts")) / 21600) * 21600
+        ).alias("newest")
+    )
+    cands = anchor.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.col("newest") - F.make_interval(hours=i * F.lit(6)),
+            )
+        ).alias("rank", "run_ts")
+    )
+    available = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 0.9))
+        .select(bucket_6h("ts").alias("run_ts"))
+        .distinct()
+    )
+    return (
+        F.broadcast(cands)
+        .join(available, "run_ts", "left_semi")
+        .orderBy("rank")
+        .select("rank", "run_ts")
+        .limit(1)
+    )
