@@ -1,0 +1,64 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Execution is measured with the `noop` sink — full plan execution on the
+cluster side, no driver-side materialization cost in the number. Each
+query gets one untimed warm-up-free run; the flagship runs first once to
+absorb JVM/codegen warmup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mints_wind_data_ingestion_spark.plans import REGISTRY  # noqa: E402
+from mints_wind_data_ingestion_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("windflow-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup (not timed)
+    REGISTRY["flagship_latest_by_bucket"].build(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].build(spark, sf_dir)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run pays Janino codegen + JIT
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
