@@ -1,0 +1,127 @@
+"""GRIB2 binary source → decoded wind records (SURVEY.md §2.10 X1).
+
+The reference shells out to a vendored JVM tool per file
+(converter.py:49-53: os.system grib2json). The Spark-native shape is:
+
+    spark.read.format("binaryFile").load(landing_dir)   # (path, content)
+      .mapInPandas(decode_batch, schema=WIND_RECORD+path)
+
+— one row in (a GRIB2 file), many rows out (one per selected GRIB
+record), decoded executor-side in Arrow batches, with the record filter
+(parameterNumber/surface) applied inside the decoder exactly like the
+reference's --fp/--fs/--fv pushdown.
+
+The actual GRIB2 bit-unpacking needs cfgrib/pygrib which this container
+doesn't ship, so `decode_grib2` is a clearly-marked stub; the Spark-side
+plumbing (binaryFile scan, Arrow batching, UDTF schema, filter
+semantics) is real and tested via `fake_decoder`, and the decoded-JSON
+boundary (sources.wind_json) is the production-parity path the
+reference itself uses for its fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..schemas import WIND_RECORD
+
+__all__ = ["DECODED_SCHEMA", "decode_grib2", "fake_decoder", "read_grib_dir"]
+
+#: output schema of the decode UDTF: source path + the wind record
+DECODED_SCHEMA = StructType(
+    [StructField("source_path", StringType()), *WIND_RECORD.fields]
+)
+
+#: record-selection predicate of converter.py:49-53 (10 m U/V wind)
+SELECT_PARAMS = {"parameterNumbers": (2, 3), "surface1Type": 103, "surface1Value": 10.0}
+
+
+def decode_grib2(content: bytes) -> list[dict]:
+    """Decode one GRIB2 file into wind-record dicts.
+
+    STUB: real decoding requires cfgrib/pygrib (not available in this
+    environment). The function signature and record shape are the
+    production contract; see fake_decoder for the tested stand-in.
+    """
+    raise NotImplementedError(
+        "GRIB2 bit-unpacking needs cfgrib/pygrib; install one and implement "
+        "decode_grib2 (header → WIND_HEADER fields, values → data array, "
+        "filtered to SELECT_PARAMS)."
+    )
+
+
+def fake_decoder(nx: int = 4, ny: int = 3) -> Callable[[bytes], list[dict]]:
+    """Deterministic decode stand-in for tests: derives a tiny grid from
+    the byte content so plumbing (schema, batching, multi-record output)
+    is exercised with verifiable values."""
+
+    def decode(content: bytes) -> list[dict]:
+        seed = sum(content) % 97
+        n = nx * ny
+        out = []
+        for param in (2, 3):
+            out.append(
+                {
+                    "header": {
+                        "parameterNumber": param,
+                        "surface1Type": 103,
+                        "surface1Value": 10.0,
+                        "nx": nx,
+                        "ny": ny,
+                        "numberPoints": n,
+                        "la1": 90.0,
+                        "lo1": 0.0,
+                        "dx": 1.0,
+                        "dy": 1.0,
+                        "scanMode": 0,
+                        "refTime": "2020-08-12T06:00:00.000Z",
+                        "forecastTime": 6,
+                    },
+                    "recordedTime": "2020-08-12 12:00:00+00",
+                    "data": [float((seed + param * 10 + i) % 100) for i in range(n)],
+                }
+            )
+        return out
+
+    return decode
+
+
+def read_grib_dir(
+    spark: SparkSession,
+    landing_dir: str,
+    decoder: Callable[[bytes], list[dict]] | None = None,
+) -> DataFrame:
+    """binaryFile scan + vectorized decode UDTF over a GRIB landing dir.
+
+    Partitioning: binaryFile assigns whole files to tasks; with many
+    ~80 KB GRIB files per batch (BASELINE.md) the scan parallelizes per
+    file. Decoding happens in Arrow-batched pandas iterators — the
+    canonical 'shell-out tool becomes a UDTF' move (SURVEY.md §2.10 X1).
+    """
+    decode = decoder or decode_grib2
+    binary = spark.read.format("binaryFile").load(landing_dir)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in decode(bytes(content)):
+                    rows.append(
+                        {
+                            "source_path": path,
+                            "header": rec["header"],
+                            "recordedTime": rec["recordedTime"],
+                            "data": rec["data"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["source_path", "header", "recordedTime", "data"]
+            )
+
+    return binary.select("path", "content").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )
