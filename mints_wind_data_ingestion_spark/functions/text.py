@@ -53,16 +53,22 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """
     toks = tokens(text)
     k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard k < 1
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+    )
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles over the lowercased text."""
     col = F.lower(F.col(text) if isinstance(text, str) else text)
     k = F.length(col) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(col, i, n))
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard k < 1
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(col, i, n))
+    )
 
 
 def _ratio(matched_len: Column, total: Column) -> Column:

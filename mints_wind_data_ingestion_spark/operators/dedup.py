@@ -233,8 +233,13 @@ def simhash64(shingles: Column) -> Column:
             acc,
             F.transform(
                 bits,
+                # call_function: the Python shiftright wrapper rejects a
+                # Column numBits; the SQL function accepts one
                 lambda i: F.when(
-                    F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) == 1,
+                    F.call_function("shiftright", F.xxhash64(s), i).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
                     F.lit(1),
                 ).otherwise(F.lit(-1)),
             ),
@@ -246,7 +251,7 @@ def simhash64(shingles: Column) -> Column:
             tallies,
             bits,
             lambda t, i: F.when(
-                t > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+                t > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
             ).otherwise(F.lit(0).cast("bigint")),
         ),
         F.lit(0).cast("bigint"),

@@ -1,0 +1,406 @@
+"""Extension queries — the LLM-training-pipeline surface (SURVEY.md
+§2.11; BASELINE.json north_star): dedup, similarity search, text
+analysis, multimodal columns, over the `documents` / `embeddings`
+testdata tables.
+
+Oracle-parity notes (the driver hash-compares against DuckDB):
+
+- Every float the queries emit comes from an EXPLICIT fold written
+  identically on both sides (array-order, double accumulator, same
+  init), so values are bit-identical, not approximately equal.
+- Integer divisions (jaccard, ratios) are exact IEEE ops on small ints
+  — identical in any engine.
+- MinHash/SimHash/LSH depend on Spark's xxhash64, which DuckDB cannot
+  replicate; those queries either carry no oracle (rows-only check) or
+  — for the LSH+verify dedup, whose OUTPUT is exact-verified pairs —
+  the exact-Jaccard oracle, valid because verification restores
+  precision to 1 and pytest pins recall (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (
+    STOPWORDS,
+    avg_word_len,
+    fingerprint64,  # noqa: F401  (exact-dedup identity; exported surface)
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+    whitespace_ratio,
+    word_shingles,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_similarity_join,
+    minhash_dedup_pairs,
+    simhash_fingerprints,
+)
+from ..operators.similarity import topk_bruteforce, topk_lsh
+from ..sources.multimodal import extract_meta, with_payload
+from .registry import query, tables
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (kept in lockstep with functions.text /
+# operators.similarity — see module docstring on bit-stability)
+# ---------------------------------------------------------------------------
+
+#: whitespace tokenization, empties removed == functions.text.tokens
+_D_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+#: distinct word 3-shingles == functions.text.word_shingles(n=3)
+_D_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+def _d_dot(a: str, b: str) -> str:
+    """Array-order double dot product == operators.similarity.dot."""
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+_D_JACCARD_PAIRS = f"""
+    WITH sets AS (
+        SELECT doc_id, {_D_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text, count(*) AS copies
+    FROM documents GROUP BY text
+    """,
+    tags=("ext", "dedup"),
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: one representative (lowest doc_id)
+    per distinct text. Single shuffle with map-side partial agg; at
+    100 TB group on sha2(text, 256) so the shuffle key is 32 bytes,
+    not the document body (operators.dedup.exact_dedup docstring)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return exact_dedup(docs.select("doc_id", "text"), cols=["text"], id_col="doc_id")
+
+
+@query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"))
+def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via
+    the inverted-index plan — the O(n²) pair space is never enumerated
+    (operators.dedup.jaccard_similarity_join)."""
+    docs = tables(spark, sf_dir)["documents"]
+    with_sh = docs.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    return jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
+
+
+@query("x_dedup_minhash", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup", "lsh"))
+def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (threshold 0.5). LSH proposes candidates from banded signatures;
+    the verify join restores precision to 1, so the oracle is the
+    exact all-pairs join — valid iff recall is 1 on this data, which
+    holds because planted near-dups sit at j≥0.9 where the (24, 6)
+    band curve detects with P≈1-1e-10 (tests pin recall at every sf
+    the driver grades)."""
+    docs = tables(spark, sf_dir)["documents"]
+    with_sh = docs.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    return minhash_dedup_pairs(
+        with_sh, "doc_id", "shingles", threshold=0.5, num_hashes=144
+    )
+
+
+@query("x_dedup_simhash", oracle=None, tags=("ext", "dedup", "lsh"))
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints banded into 8×8
+    bits; pairs sharing any band are exact-checked by Hamming distance.
+    Pigeonhole: ≤7 flipped bits cannot touch all 8 bands, so every
+    pair within Hamming 7 is GUARANTEED to be proposed — recall is
+    exact, not probabilistic (planted near-dups here sit at h ≤ 6).
+    No oracle (xxhash64 is Spark-side only); pytest pins recall."""
+    docs = tables(spark, sf_dir)["documents"]
+    fp = simhash_fingerprints(
+        docs.select("doc_id", word_shingles("text", 3).alias("sh")), "doc_id", "sh"
+    )
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), j * 8).bitwiseAND(
+                        F.lit(0xFF)
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_D_SIM_TOPK = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+        SELECT qid AS query_id, c.vec_id AS neighbor_id,
+               {_d_dot("qv", "c.embedding")}
+               / (sqrt({_d_dot("qv", "qv")}) * sqrt({_d_dot("c.embedding", "c.embedding")}))
+               AS cosine_sim
+        FROM q, embeddings c WHERE c.vec_id <> qid
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@query("x_sim_topk_bruteforce", oracle=_D_SIM_TOPK, tags=("ext", "similarity"))
+def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for 8 probe vectors: broadcast the
+    probe side across the candidate scan, one shuffle for the per-query
+    top-k window (operators.similarity.topk_bruteforce). The emitted
+    similarity is bit-identical to the oracle's explicit fold."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 8)
+    return topk_bruteforce(probes, emb, k=10)
+
+
+@query("x_sim_topk_lsh", oracle=None, tags=("ext", "similarity", "lsh"))
+def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (16 tables × 6
+    bits), exact cosine rerank of co-bucketed candidates. No oracle —
+    recall is data-geometry-dependent (these embeddings are near-
+    uniform, so true neighbors sit at wide angles); pytest pins recall
+    against the brute-force result."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 8)
+    return topk_lsh(probes, emb, k=10, dim=64, bits=6, tables=16)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, n_chars, text, {_D_TOKS} AS toks FROM documents)
+    SELECT doc_id, n_chars,
+           len(toks) AS token_cnt,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                           (a, x) -> a + x) / len(toks) END AS avg_word_len,
+           length(regexp_replace(text, '[^[:punct:]]', '', 'g')) /
+               length(text) AS punct_ratio,
+           length(regexp_replace(text, '[^[:space:]]', '', 'g')) /
+               length(text) AS ws_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               len(list_filter(toks, t -> list_contains(
+                   ['the','and','of','to','a','in','is','that','it','for'],
+                   lower(t)))) / len(toks) END AS stopword_en
+    FROM base
+    """,
+    tags=("ext", "text"),
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, mean word length,
+    punctuation/whitespace ratios, English stopword ratio — one narrow
+    codegen'd projection, zero shuffles, zero UDFs (functions.text)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        token_count("text").alias("token_cnt"),
+        avg_word_len("text").alias("avg_word_len"),
+        punct_ratio("text").alias("punct_ratio"),
+        whitespace_ratio("text").alias("ws_ratio"),
+        stopword_ratio("text", "en").alias("stopword_en"),
+    )
+
+
+def _d_stop_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"len(list_filter(toks, t -> list_contains([{words}], lower(t)))) "
+        "/ len(toks) END"
+    )
+
+
+@query(
+    "x_lang_id",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    sc AS (
+        SELECT doc_id, lang,
+               {_d_stop_score("de")} AS s_de, {_d_stop_score("en")} AS s_en,
+               {_d_stop_score("es")} AS s_es, {_d_stop_score("fr")} AS s_fr
+        FROM base
+    ),
+    m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS score FROM sc)
+    SELECT doc_id, lang,
+           CASE WHEN s_de = score THEN 'de' WHEN s_en = score THEN 'en'
+                WHEN s_es = score THEN 'es' ELSE 'fr' END AS lang_pred,
+           score
+    FROM m
+    """,
+    tags=("ext", "text"),
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID: score each candidate language, take
+    the argmax (ties → first language in 'de','en','es','fr' order).
+    A production variant broadcasts a fuller stopword dimension and
+    scores via one exploded join (J5 pattern); four inline score
+    columns keep this entirely inside whole-stage codegen."""
+    docs = tables(spark, sf_dir)["documents"]
+    langs = sorted(STOPWORDS)  # de, en, es, fr
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[stopword_ratio("text", lg).alias(f"s_{lg}") for lg in langs],
+    ).withColumn("score", F.greatest(*[F.col(f"s_{lg}") for lg in langs]))
+    pred = F.when(F.col("s_de") == F.col("score"), "de")
+    for lg in ("en", "es"):
+        pred = pred.when(F.col(f"s_{lg}") == F.col("score"), lg)
+    return scored.select(
+        "doc_id", "lang", pred.otherwise("fr").alias("lang_pred"), "score"
+    )
+
+
+@query(
+    "x_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(text)),
+                              i -> CAST(ord(text[i]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("ext", "text"),
+)
+def x_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (base 31 mod 1e9+7) over the document's
+    characters — classic content fingerprint, as a pure expression fold
+    (no UDF). Identical integer arithmetic on both engines."""
+    docs = tables(spark, sf_dir)["documents"]
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "x_token_topk",
+    oracle=f"""
+    SELECT tok AS token, count(*) AS cnt
+    FROM (SELECT unnest({_D_TOKS}) AS tok FROM documents)
+    GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+    tags=("ext", "text"),
+)
+def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20: explode → hash-aggregate (partial
+    map-side) → TakeOrderedAndProject. The (cnt, token) tiebreak makes
+    the top-20 set unique, so the order-insensitive hash is stable."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_mm_decode",
+    oracle="""
+    WITH codes AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               CAST(ord(text[1]) AS INT) AS first_byte,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)),
+                                  i -> CAST(ord(text[i]) AS BIGINT))),
+                   (a, x) -> a + x) % 65521 AS checksum
+        FROM documents
+    )
+    SELECT doc_id, n_bytes, first_byte, checksum,
+           CAST(16 + checksum % 32 AS INT) AS width,
+           CAST(16 + first_byte % 32 AS INT) AS height
+    FROM codes
+    """,
+    tags=("ext", "multimodal"),
+)
+def x_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction: binary payload column →
+    Arrow-batched mapInPandas 'decode' → typed metadata struct
+    (sources.multimodal). The decode here is the deterministic
+    byte-stats fake (real image/audio decoders are stubbed — not in
+    this container), but the plumbing (binary column, Arrow batch
+    shape, UDTF schema, executor-side projection) is the production
+    path, and the oracle checks the real per-byte arithmetic."""
+    docs = tables(spark, sf_dir)["documents"]
+    return extract_meta(with_payload(docs, "text"), id_col="doc_id")

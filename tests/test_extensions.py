@@ -1,0 +1,86 @@
+"""Recall / property tests for the approximate (non-oracle) extension
+operators — the pytest complement to the DuckDB differential gate
+(SURVEY.md §5; plans/extensions.py docstrings promise these)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.select("id_a", "id_b").collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_jaccard_pairs(spark, sf_dir):
+    return _pairs(REGISTRY["x_dedup_jaccard"].build(spark, sf_dir))
+
+
+def test_minhash_full_recall_on_planted_dups(spark, sf_dir, exact_jaccard_pairs):
+    """x_dedup_minhash carries the exact-Jaccard oracle, which is only
+    valid if LSH recall is 1.0 on this data — pin that here."""
+    lsh = _pairs(REGISTRY["x_dedup_minhash"].build(spark, sf_dir))
+    assert lsh == exact_jaccard_pairs
+
+
+def test_minhash_threshold_is_exact(spark, sf_dir):
+    """Verification restores precision: every reported jaccard ≥ 0.5."""
+    rows = REGISTRY["x_dedup_minhash"].build(spark, sf_dir).collect()
+    assert rows, "expected planted near-dup pairs in testdata"
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_simhash_catches_planted_near_dups(spark, sf_dir, exact_jaccard_pairs):
+    """SimHash banding (4×16 bits, hamming ≤ 3) must recover a large
+    majority of the planted near-dup pairs (j ≥ 0.9 ⇒ tiny hamming)."""
+    sh = _pairs(REGISTRY["x_dedup_simhash"].build(spark, sf_dir))
+    assert exact_jaccard_pairs, "expected planted near-dup pairs in testdata"
+    recall = len(sh & exact_jaccard_pairs) / len(exact_jaccard_pairs)
+    assert recall >= 0.8, f"simhash recall {recall:.2f} over planted pairs"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane-LSH top-k must recover a meaningful fraction of the
+    exact neighbors. These embeddings are near-uniform (true neighbors
+    at wide angles — the hard case), so the bound is deliberately
+    modest; clustered real-world data does far better."""
+    bf = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
+    lsh = REGISTRY["x_sim_topk_lsh"].build(spark, sf_dir)
+    bfp = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    lshp = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(bfp & lshp) / len(bfp)
+    assert recall >= 0.35, f"LSH top-k recall {recall:.2f}"
+
+
+def test_lsh_topk_sims_are_exact(spark, sf_dir):
+    """LSH approximates the candidate set, never the similarity: every
+    (query, neighbor) pair LSH reports must carry the same cosine the
+    brute-force path computes."""
+    bf = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
+    lsh = REGISTRY["x_sim_topk_lsh"].build(spark, sf_dir)
+    joined = lsh.alias("l").join(
+        bf.alias("b"),
+        (F.col("l.query_id") == F.col("b.query_id"))
+        & (F.col("l.neighbor_id") == F.col("b.neighbor_id")),
+    )
+    mismatches = joined.filter(
+        F.col("l.cosine_sim") != F.col("b.cosine_sim")
+    ).count()
+    assert mismatches == 0
+
+
+def test_exact_dedup_is_lossless(spark, sf_dir):
+    """Exact dedup must preserve every distinct text and the total
+    multiplicity."""
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    docs = REGISTRY["x_dedup_exact"].build(spark, sf_dir)
+    raw = tables(spark, sf_dir)["documents"]
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("groups"), F.sum("copies").alias("total")
+    ).collect()[0]
+    assert agg.total == raw.count()
+    assert agg.groups == raw.select("text").distinct().count()
