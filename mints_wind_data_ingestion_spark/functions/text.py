@@ -16,6 +16,7 @@ __all__ = [
     "token_count",
     "word_shingles",
     "char_shingles",
+    "shingle_docs_pandas",
     "punct_ratio",
     "digit_ratio",
     "whitespace_ratio",
@@ -106,6 +107,49 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def shingle_docs_pandas(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "shingles",
+):
+    """Bulk word-n-gram shingling via Arrow-batched `mapInPandas` —
+    the measured fast path for corpus-scale dedup pipelines.
+
+    Rationale (bench, sf0.1, local[32]): Spark's higher-order array
+    functions (`transform`/`filter`/`aggregate`) are CodegenFallback —
+    evaluated by the interpreter per element — so the expression form
+    (`word_shingles`) costs ~4.7 s to produce postings for 5 000 docs
+    where this Arrow-vectorized version costs ~1.1 s. Python here is
+    NOT the slow path; the interpreted HOF is. Use `word_shingles`
+    when embedding shingles inside a larger single-pass projection;
+    use this for bulk (explode-bound) pipelines.
+
+    Output: (id_col, out) with the shingle MULTISET (duplicates kept,
+    order = text order) — identical semantics to `word_shingles`;
+    callers needing set semantics apply `array_distinct`.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField(out, ArrayType(StringType()))]
+    )
+
+    def batches(it):
+        for pdf in it:
+            shingles = []
+            for t in pdf[text_col]:
+                toks = t.split()
+                shingles.append(
+                    [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, out: shingles})
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)
 
 
 def fingerprint64(text: Column | str) -> Column:

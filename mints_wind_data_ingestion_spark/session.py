@@ -45,6 +45,10 @@ def configure(spark: SparkSession) -> SparkSession:
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # wide aggregates (e.g. 144 MinHash min-columns) must stay inside
+    # whole-stage codegen; the default maxFields=100 silently falls back
+    # to the interpreted path (measured 40% slower on the minhash agg)
+    conf.set("spark.sql.codegen.maxFields", "300")
     # the driver testdata stores events.ts as TIMESTAMP(NANOS) which the
     # vectorized parquet reader rejects; read as long and convert
     # (sources.tables normalizes back to TimestampType at µs precision).
@@ -71,7 +75,19 @@ def get_spark(app_name: str = "windflow", shuffle_partitions: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver AND all 32 executor threads;
+        # 8g thrashed GC on wide-agg workloads (measured 10× slowdowns
+        # that vanished at 24g). On a real cluster executors get their
+        # own heaps and this setting only sizes the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # long sessions compile hundreds of generated classes (wide
+        # aggregates are big ones); the JVM default 240 MB CodeCache
+        # fills, the JIT shuts off, and later queries run interpreted
+        # (measured 16× slowdowns late in a 38-query sweep)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=2g",
+        )
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
