@@ -248,6 +248,94 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_lsh(probes, emb, k=10, dim=64, bits=6, tables=16)
 
 
+_D_EMB_NEARDUP = f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt({_d_dot("embedding", "embedding")}) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_d_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(c, 6) AS cosine_sim
+    FROM scored WHERE c >= 0.4
+"""
+
+
+@query("x_dedup_embedding", oracle=_D_EMB_NEARDUP, tags=("ext", "dedup", "similarity"))
+def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4): the dense
+    twin of the shingle dedups — every pair of vectors whose cosine
+    clears the threshold, id_a < id_b.
+
+    Dense all-pairs scoring is BLAS, not a row join
+    (operators.similarity.cosine_pairs_blockwise): the right side is
+    normalized once and broadcast, the left side streams through
+    mapInPandas, each Arrow batch scored with one matmul. Emitted
+    similarities are rounded to 6 decimals by the blockwise contract
+    (BLAS vs sequential-fold accumulation differ by ~1 ulp) and the
+    oracle rounds identically.
+    """
+    from ..operators.similarity import cosine_pairs_blockwise
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    return cosine_pairs_blockwise(
+        emb, "vec_id", "embedding", threshold=0.4, round_to=6
+    )
+
+
+_D_GRID_STATS = """
+    WITH cells AS (
+        SELECT label,
+               CAST(floor((i - 1) / 8) AS BIGINT) AS lat_band,
+               CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, generate_series(1, 64) t(i)
+    )
+    SELECT label, lat_band,
+           count(*) AS cell_cnt,
+           min(v) AS vmin,
+           max(v) AS vmax,
+           sum(CAST(floor(v * 1000000) AS BIGINT)) / count(*) / 1000000 AS vavg_q
+    FROM cells GROUP BY label, lat_band
+"""
+
+
+@query("x_grid_stats", oracle=_D_GRID_STATS, tags=("ext", "grid", "wind"))
+def x_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid statistics over raster arrays — SURVEY.md §2.4's implied
+    consumer-side aggregation (min/max/avg per lat band for the viz
+    color scale), exercised here with embeddings as stand-in 8×8
+    rasters and `label` as the per-time key; the wind path is identical
+    with data=65k floats and C13's lat(i) = 90 − ⌊i/360⌋.
+
+    posexplode → hash aggregate with map-side partials: the 64×
+    row multiplication never crosses a shuffle un-aggregated. The mean
+    is computed over ×10⁶-quantized integers so accumulation is exact
+    and order-independent (float sums would differ bit-wise between
+    engines and partitionings); min/max are order-insensitive already.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "value")
+    ).select(
+        "label",
+        F.floor(F.col("pos") / 8).alias("lat_band"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return cells.groupBy("label", "lat_band").agg(
+        F.count(F.lit(1)).alias("cell_cnt"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        (
+            F.sum(F.floor(F.col("v") * 1000000).cast("bigint"))
+            / F.count(F.lit(1))
+            / 1000000
+        ).alias("vavg_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,251 @@
+"""Reference-parity tests for the wind pipeline (SURVEY.md §5 tests
+#2-#4): fixture-shaped ingestion, latest-wins upsert semantics, the
+streaming wrapper end-to-end, grid math, discovery, and retention.
+
+Fixture records are synthesized in the exact decoded-JSON shape of the
+reference's committed outputs (data/wind_data.json — a JSON array of
+{header, recordedTime, data}; see FIXTURES.md §A1). Values are tiny
+(3×2 grids) so assertions are hand-checkable.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.functions.wind import (
+    cell_lat,
+    cell_lon,
+    direction_deg,
+    explode_grid,
+    speed,
+)
+from mints_wind_data_ingestion_spark.operators.discovery import (
+    candidates,
+    freshest_available,
+)
+from mints_wind_data_ingestion_spark.operators.retention import (
+    expired_partitions,
+    retain_recent,
+)
+from mints_wind_data_ingestion_spark.operators.upsert import merge_latest_wins
+from mints_wind_data_ingestion_spark.sources.wind_json import (
+    read_wind_json,
+    to_wind_table,
+)
+from mints_wind_data_ingestion_spark.streaming.pipeline import run_ingest_stream
+
+
+def _record(param: int, recorded: str, ref: str, data: list[float]) -> dict:
+    """A wind-component record in the reference's decoded-JSON shape
+    (only the fields the pipeline reads; the rest of the 48-key header
+    is legitimately absent → NULL under schema-on-write)."""
+    return {
+        "header": {
+            "parameterNumber": param,
+            "refTime": ref,
+            "forecastTime": 6,
+            "surface1Type": 103,
+            "surface1Value": 10.0,
+            "nx": 3,
+            "ny": 2,
+            "numberPoints": 6,
+            "la1": 90.0,
+            "lo1": 0.0,
+            "dx": 1.0,
+            "dy": 1.0,
+            "scanMode": 0,
+        },
+        "recordedTime": recorded,
+        "data": data,
+    }
+
+
+U1 = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+V1 = [0.5, 1.5, 2.5, 3.5, 4.5, 5.5]
+
+
+def _write_batch(path: str, records: list[dict]) -> None:
+    with open(path, "w") as fo:
+        json.dump(records, fo)
+
+
+@pytest.fixture()
+def batch1(tmp_path):
+    p = str(tmp_path / "batch1.json")
+    _write_batch(
+        p,
+        [
+            _record(2, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", U1),
+            _record(3, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", V1),
+        ],
+    )
+    return p
+
+
+def test_wind_json_parse(spark, batch1):
+    """S3 + F3 parity: schema-on-write read, both reference timestamp
+    encodings parse, filter/join keys lifted from the header."""
+    tbl = to_wind_table(read_wind_json(spark, batch1))
+    rows = {r.param: r for r in tbl.collect()}
+    assert set(rows) == {2, 3}
+    u = rows[2]
+    assert str(u.recorded_time) == "2020-08-12 12:00:00"
+    assert str(u.ref_time) == "2020-08-12 06:00:00"
+    assert u.forecast_hours == 6
+    assert u.header.surface1Type == 103
+    assert u.data == U1
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "k string, param int, ref int, payload string")
+
+
+def test_merge_latest_wins_semantics(spark):
+    """J4/F7: newer version replaces, equal-or-older keeps stored
+    (strict `<` staleness test of converter.py:163-167)."""
+    stored = _tbl(spark, [("t1", 2, 6, "old-u"), ("t1", 3, 6, "old-v")])
+    batch = _tbl(
+        spark,
+        [
+            ("t1", 2, 12, "new-u"),  # newer → replace
+            ("t1", 3, 6, "dup-v"),  # equal → stored wins
+            ("t2", 2, 0, "ins-u"),  # absent key → insert
+        ],
+    )
+    out = {
+        (r.k, r.param): r.payload
+        for r in merge_latest_wins(
+            stored, batch, keys=["k", "param"], version="ref"
+        ).collect()
+    }
+    assert out == {
+        ("t1", 2): "new-u",
+        ("t1", 3): "old-v",
+        ("t2", 2): "ins-u",
+    }
+
+
+def test_merge_latest_wins_idempotent(spark):
+    """§5 test 4: applying the same batch twice equals applying once."""
+    stored = _tbl(spark, [("t1", 2, 6, "a")])
+    batch = _tbl(spark, [("t1", 2, 12, "b"), ("t2", 3, 6, "c")])
+    once = merge_latest_wins(stored, batch, keys=["k", "param"], version="ref")
+    twice = merge_latest_wins(once, batch, keys=["k", "param"], version="ref")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_streaming_ingest_latest_wins(spark, tmp_path):
+    """T1/T3/T6 end-to-end: availableNow micro-batches through
+    foreachBatch merge; a later file with a newer forecast run replaces
+    the stored batch, an equal-or-older one is a no-op."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "wind_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(
+        str(landing / "b1.json"),
+        [
+            _record(2, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", U1),
+            _record(3, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", V1),
+        ],
+    )
+    run_ingest_stream(spark, str(landing), table, ckpt).awaitTermination(120)
+    t1 = spark.read.parquet(table)
+    assert t1.count() == 2
+    assert {str(r.ref_time) for r in t1.collect()} == {"2020-08-12 06:00:00"}
+
+    # newer run for the same bucket → replace; stale V record → no-op
+    u2 = [x + 10 for x in U1]
+    _write_batch(
+        str(landing / "b2.json"),
+        [
+            _record(2, "2020-08-12 12:00:00+00", "2020-08-12T12:00:00.000Z", u2),
+            _record(3, "2020-08-12 12:00:00+00", "2020-08-12T00:00:00.000Z", V1),
+        ],
+    )
+    run_ingest_stream(spark, str(landing), table, ckpt).awaitTermination(120)
+    t2 = {r.param: r for r in spark.read.parquet(table).collect()}
+    assert len(t2) == 2
+    assert str(t2[2].ref_time) == "2020-08-12 12:00:00" and t2[2].data == u2
+    assert str(t2[3].ref_time) == "2020-08-12 06:00:00" and t2[3].data == V1
+
+    # replay with no new files → unchanged (checkpoint skips old ones)
+    run_ingest_stream(spark, str(landing), table, ckpt).awaitTermination(120)
+    t3 = {r.param: str(r.ref_time) for r in spark.read.parquet(table).collect()}
+    assert t3 == {2: "2020-08-12 12:00:00", 3: "2020-08-12 06:00:00"}
+
+
+def test_grid_explode_and_vector_math(spark, batch1):
+    """C13/C14/J2: index→lat/lon for scanMode 0, per-cell U⋈V zip,
+    speed and meteorological direction."""
+    tbl = to_wind_table(read_wind_json(spark, batch1))
+    # nx=3: idx 0..5 → lat 90,90,90,89,89,89; lon 0,1,2,0,1,2
+    cells = (
+        explode_grid(tbl.filter(F.col("param") == 2), "data")
+        .withColumn("lat", cell_lat(F.col("idx"), nx=3))
+        .withColumn("lon", cell_lon(F.col("idx"), nx=3))
+    )
+    got = {r.idx: (r.lat, r.lon, r.value) for r in cells.collect()}
+    assert got[0] == (90.0, 0.0, 1.0)
+    assert got[4] == (89.0, 1.0, 5.0)
+
+    u = tbl.filter(F.col("param") == 2).select("recorded_time", "data")
+    v = tbl.filter(F.col("param") == 3).select(
+        "recorded_time", F.col("data").alias("vdata")
+    )
+    paired = (
+        u.join(v, "recorded_time")
+        .select(F.posexplode(F.arrays_zip("data", "vdata")).alias("idx", "uv"))
+        .select(
+            "idx",
+            speed(F.col("uv.data"), F.col("uv.vdata")).alias("spd"),
+            direction_deg(F.col("uv.data"), F.col("uv.vdata")).alias("dir"),
+        )
+    )
+    rows = {r.idx: r for r in paired.collect()}
+    assert rows[0].spd == pytest.approx(math.hypot(1.0, 0.5))
+    # u>0, v>0 → wind FROM the south-west: 180 < dir < 270
+    assert 180 < rows[0].dir < 270
+
+
+def test_discovery_candidates_and_top1(spark):
+    """A3/O1: declarative backtracking — 40 ranked 6 h run candidates,
+    semi-join against availability, top-1 by recency. Includes the
+    reference-bug fix: forecast offset advances as runs recede
+    (converter.py:132 kept it frozen)."""
+    cands = candidates(spark, "2020-02-29 13:45:00")  # leap day on purpose
+    rows = {r.rank: r for r in cands.collect()}
+    assert len(rows) == 40
+    assert str(rows[0].run_ts) == "2020-02-29 12:00:00"
+    assert rows[0].forecast_hours == 0  # obs bucket 12:00 − run 12:00
+    assert str(rows[1].run_ts) == "2020-02-29 06:00:00"
+    assert rows[1].forecast_hours == 6  # offset ADVANCES (bug fix)
+    assert str(rows[4].run_ts) == "2020-02-28 12:00:00"  # leap-day rollback
+    assert rows[0].url_path == "gfs.20200229/12/atmos/gfs.t12z.pgrb2.1p00.f000"
+
+    avail = spark.createDataFrame(
+        [("2020-02-29 00:00:00",), ("2020-02-28 18:00:00",)], "run_ts string"
+    ).select(F.col("run_ts").cast("timestamp"))
+    best = freshest_available(cands, avail).collect()
+    assert len(best) == 1
+    assert str(best[0].run_ts) == "2020-02-29 00:00:00"  # newest available
+
+
+def test_retention_window(spark):
+    """F5/S7: logical retention filter + the partition list a
+    maintenance job would drop."""
+    df = spark.createDataFrame(
+        [("2020-08-12 12:00:00",), ("2020-08-06 00:00:00",), ("2020-08-01 00:00:00",)],
+        "recorded_time string",
+    ).select(F.col("recorded_time").cast("timestamp"))
+    anchor = F.lit("2020-08-12 12:00:00").cast("timestamp")
+    kept = retain_recent(df, anchor=anchor)
+    assert kept.count() == 2
+    dropped = expired_partitions(df, anchor=anchor)
+    assert [str(r.partition_date) for r in dropped.collect()] == ["2020-08-01"]
