@@ -62,11 +62,15 @@ def flagship_latest_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's core question (converter.py:129 bucketing +
     converter.py:96-104 latest-wins upsert), events-table analog.
 
-    Spark shape: single hash-aggregate with `max_by` over a
-    (ts, event_id) total order — partial aggregation map-side, ONE
-    shuffle on the group keys, no window sort. At 100 TB this beats the
-    row_number() formulation (which must sort every partition); the
-    oracle uses row_number only because it reads better in SQL.
+    Spark shape: one aggregate with `max_by` over a (ts, event_id)
+    total order — partial aggregation map-side, ONE shuffle carrying
+    only per-partition winners. (The physical operator is
+    SortAggregate, not HashAggregate — struct-typed buffers aren't
+    hash-aggregable — but the partial/final split is what matters:
+    the shuffle stays ≤|groups| rows per partition.) At 100 TB this
+    beats the row_number() formulation, which shuffles EVERY row into
+    a Window sort; the oracle uses row_number only because it reads
+    better in SQL. Plan shape pinned by tests/test_plans.py.
     """
     ev = tables(spark, sf_dir)["events"]
     ordering = F.struct(F.col("ts"), F.col("event_id"))
@@ -311,6 +315,60 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("J5", "A2", "O1", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join analytics (TPC-H Q3 shape): selective dimension
+    filter → fact join → aggregate → top-k. The join-planning stress
+    query of the bench set.
+
+    Scale shape: the filtered customer side broadcasts (hash join, no
+    fact shuffle); orders⋈lineitem is the one real shuffle pair and AQE
+    re-plans it if the filtered orders side turns out broadcastable;
+    both date predicates push to the parquet scans; the final top-10 is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    DECIMAL-backed revenue keeps the hash order-insensitive.
+    """
+    t = tables(spark, sf_dir)
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
     )
 
 

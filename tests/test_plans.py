@@ -1,0 +1,91 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations the reference
+hand-rolls must appear in OUR plans as Catalyst features — pushed
+filters, pruned schemas, broadcast joins, partial aggregation, heap-based
+top-k. These tests pin the plan SHAPE so a refactor that silently
+de-optimizes a query fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    """F1: predicates reach the parquet scan; only referenced columns
+    are read (the engine-side analog of grib2json's --fp/--fs/--fv +
+    --data flags, SURVEY.md §4)."""
+    p = plan(spark, sf_dir, "f1_conjunctive_filter")
+    assert "PushedFilters:" in p
+    assert "l_returnflag" in p.split("PushedFilters:")[1].splitlines()[0]
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema  # unreferenced → pruned
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """J5: both dims broadcast — the fact side never shuffles for the
+    join; no sort-merge join anywhere in the plan."""
+    import re
+
+    p = plan(spark, sf_dir, "j5_dim_enrichment")
+    # formatted mode lists each node once in the tree and once in the
+    # details — count distinct node headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q3_join_strategy(spark, sf_dir):
+    """Q3: filtered customer broadcasts; final top-10 is
+    TakeOrderedAndProject (per-partition heaps), never a global Sort."""
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """Q1: hash aggregation combines map-side before the single
+    shuffle (partial + final HashAggregate pair)."""
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+    assert "Functions [4]" in p or "partial" in p.lower()
+
+
+def test_topk_is_heap_not_sort(spark, sf_dir):
+    """O1: global top-k plans as TakeOrderedAndProject — no full sort
+    ever materializes (converter.py:134-181's early termination)."""
+    p = plan(spark, sf_dir, "o1_topk_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    """Flagship: max_by aggregation needs exactly ONE exchange on the
+    group keys, with a PARTIAL aggregate before it — only per-partition
+    winners cross the wire. (Spark plans max_by-over-struct as
+    SortAggregate — struct buffers aren't hash-aggregable — but the
+    partial/final split is what matters at scale.) The row_number
+    formulation would instead shuffle every input row into a Window."""
+    import re
+
+    p = plan(spark, sf_dir, "flagship_latest_by_bucket")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Window" not in p
+    assert len(re.findall(r"\(\d+\) \w*Aggregate", p)) == 2  # partial + final
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    """Nested/wide columns not referenced (the json props blob) stay
+    out of the scan schema for queries that don't touch them."""
+    p = plan(spark, sf_dir, "a2_bucket_counts")
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema
