@@ -510,3 +510,48 @@ def x_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, and the oracle checks the real per-byte arithmetic."""
     docs = tables(spark, sf_dir)["documents"]
     return extract_meta(with_payload(docs, "text"), id_col="doc_id")
+
+
+@query(
+    "x_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS bpe_cnt,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS ws_cnt
+    FROM documents
+    """,
+    tags=("ext", "text", "tokens"),
+)
+def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star text surface): whitespace
+    tokens and a BPE-ish pre-tokenizer regex (letter runs | digit runs
+    | single non-alnum symbol — the split shape GPT-2-family BPE
+    applies before merges). Pure regexp_extract_all, codegen'd; the
+    pattern uses only constructs with identical semantics in Java
+    regex and RE2, so the oracle is exact."""
+    docs = tables(spark, sf_dir)["documents"]
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("bpe_cnt"),
+        token_count("text").alias("ws_cnt"),
+    )
+
+
+@query("x_approx_distinct", oracle=None, tags=("ext", "sketch"))
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type next to
+    the exact count — the sketch path for 100 TB cardinality work
+    (one pass, fixed memory, mergeable across partitions; exact
+    count(DISTINCT) is a two-phase shuffle of every distinct value).
+    No oracle: HLL estimates are implementation-specific; pytest pins
+    relative error ≤ 5% against the exact column."""
+    ev = tables(spark, sf_dir)["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -673,3 +673,80 @@ def o1_discovery_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "run_ts")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# session windows (T2 'absent' class) + cube (§2.4 'absent' class)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w5_session_windows",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 45 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 45 MINUTE AS s_end,
+           count(*) AS event_cnt
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("T2", "window", "session"),
+)
+def w5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (45 min inactivity gap) per user — the streaming
+    'absent' class of SURVEY.md §2.9, as a batch query. Spark's native
+    session_window merges events with delta ≤ gap and stamps
+    end = last_event + gap (verified empirically); the oracle is the
+    classic gaps-and-islands rewrite with the same strictness
+    (new session iff delta > gap).
+
+    Scale: session_window aggregation shuffles once on user_id, then
+    merges sessions within each partition — the same shape Structured
+    Streaming uses for stateful session aggregation with watermarks.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.session_window("ts", "45 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "event_cnt",
+        )
+    )
+
+
+@query(
+    "a_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("A2", "cube"),
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — Spark expands the cube BEFORE the shuffle (each input row
+    feeds 4 partial aggregates map-side), so it's still one exchange.
+    Complements a_rollup (hierarchical sets)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )

@@ -1,0 +1,113 @@
+"""Sinks (SURVEY.md §2.1 S4/S6/S7/S8): the write path.
+
+The reference writes row-at-a-time psycopg2 INSERTs with one commit per
+row and a non-atomic DELETE+INSERT upsert (converter.py:98-117). Here
+every sink is set-oriented:
+
+- `write_wind_table`: date-partitioned parquet with dynamic partition
+  overwrite — replacing a batch rewrites only the touched partitions
+  (the scalable DELETE+INSERT), and readers prune on the partition
+  column (retention/as-of predicates never scan aged data).
+- `write_json_fixtures`: the reference's JSON file sink (S4), kept for
+  fixture parity.
+- `write_jdbc`: the Postgres-parity sink — set-oriented JDBC batches,
+  one transaction per partition instead of per row. Gated: no database
+  ships in this environment, so it is exercised only when a DSN is
+  supplied (`SPARK_GRAFT_JDBC_URL`).
+- `create_wind_table_sql`: S8's DDL, expressed for Spark SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_wind_table",
+    "write_json_fixtures",
+    "write_jdbc",
+    "create_wind_table_sql",
+]
+
+
+def write_wind_table(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "recorded_time",
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned parquet sink with dynamic partition overwrite.
+
+    Partitioning by `to_date(ts_col)` keeps partition count bounded
+    (one per day — 7 live partitions under the retention policy) while
+    making both the retention delete (S7) and exact-timestamp lookups
+    (F4) partition-pruned. `overwrite` + dynamic mode only rewrites
+    partitions present in `df` — the atomic replacement for the
+    reference's DELETE-then-INSERT pair.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("__date", F.to_date(F.col(ts_col)))
+        .write.mode(mode)
+        .partitionBy("__date")
+        .parquet(path)
+    )
+
+
+def write_json_fixtures(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """S4 parity: JSON file sink. `single_file` coalesces to one output
+    part (fixture-sized data only — never at scale)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    table: str,
+    url: str | None = None,
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> bool:
+    """S6 parity: set-oriented JDBC sink (vs the reference's one
+    INSERT + COMMIT per row, converter.py:114-115).
+
+    Executors write partitions concurrently, `batchsize` rows per
+    round-trip, one transaction per partition. Returns False (no-op)
+    when no DSN is configured — this container ships no database; the
+    call-shape is the production contract.
+    """
+    dsn = url or os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if not dsn:
+        return False
+    (
+        df.write.format("jdbc")
+        .option("url", dsn)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+        .save()
+    )
+    return True
+
+
+def create_wind_table_sql(name: str = "wind_data", location: str | None = None) -> str:
+    """S8 parity: the reference's DDL (dbwindsetup.sql:5-9 — timestamptz
+    + two jsonb blobs) re-expressed as a typed, partitioned Spark table."""
+    loc = f" LOCATION '{location}'" if location else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {name} ("
+        "recorded_time TIMESTAMP, param INT, ref_time TIMESTAMP, "
+        "forecast_hours INT, header STRUCT<parameterNumber: INT, refTime: STRING>, "
+        "data ARRAY<FLOAT>, __date DATE) USING parquet PARTITIONED BY (__date)"
+        f"{loc}"
+    )
+
+
+def register_wind_table(spark: SparkSession, name: str, location: str) -> None:
+    """Create + register the partitioned wind table in the catalog and
+    discover existing partitions (MSCK)."""
+    spark.sql(create_wind_table_sql(name, location))
+    spark.sql(f"MSCK REPAIR TABLE {name}")

@@ -84,3 +84,12 @@ def test_exact_dedup_is_lossless(spark, sf_dir):
     ).collect()[0]
     assert agg.total == raw.count()
     assert agg.groups == raw.select("text").distinct().count()
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """x_approx_distinct promises ≤5% relative error vs the exact
+    column (HLL++ at rsd=0.02)."""
+    rows = REGISTRY["x_approx_distinct"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) / r.exact_users <= 0.05
