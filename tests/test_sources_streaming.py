@@ -137,3 +137,78 @@ def test_discovery_century_edges(spark):
     runs = [str(r.run_ts) for r in c2100]
     assert not any(t.startswith("2100-02-29") for t in runs)
     assert any(t.startswith("2100-02-28") for t in runs)
+
+
+def test_stateful_latest_version_decisions(spark, tmp_path):
+    """applyInPandasWithState: per-key winning version lives in
+    CHECKPOINTED operator state across restarts — batch 2's newer U
+    run emits `replace`, its stale V emits nothing, all without any
+    store lookup (the reference re-queried Postgres per run)."""
+    import json
+
+    from mints_wind_data_ingestion_spark.schemas import WIND_RECORD
+    from mints_wind_data_ingestion_spark.sources.wind_json import to_wind_table
+    from mints_wind_data_ingestion_spark.streaming.stateful import (
+        latest_version_decisions,
+    )
+    from tests.test_wind_pipeline import U1, V1, _record, _write_batch
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "decisions")
+
+    def run_once(run_tag: str):
+        raw = (
+            spark.readStream.schema(WIND_RECORD)
+            .option("multiLine", "true")
+            .json(str(landing))
+        )
+        decisions = latest_version_decisions(
+            to_wind_table(raw).select("recorded_time", "param", "ref_time")
+        )
+
+        def sink(batch, epoch_id):
+            import pyspark.sql.functions as SF
+
+            batch.withColumn("run_tag", SF.lit(run_tag)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            decisions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r.param, r.decision, str(r.ref_time))
+            for r in spark.read.parquet(out)
+            .filter(F.col("run_tag") == run_tag)
+            .collect()
+        ]
+
+    _write_batch(
+        str(landing / "b1.json"),
+        [
+            _record(2, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", U1),
+            _record(3, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", V1),
+        ],
+    )
+    first = run_once("dec_run1")
+    assert sorted((p, d) for p, d, _ in first) == [(2, 0), (3, 0)]  # inserts
+
+    _write_batch(
+        str(landing / "b2.json"),
+        [
+            # newer U run → replace; stale V run → silence
+            _record(2, "2020-08-12 12:00:00+00", "2020-08-12T12:00:00.000Z", U1),
+            _record(3, "2020-08-12 12:00:00+00", "2020-08-12T00:00:00.000Z", V1),
+        ],
+    )
+    # fresh query, same checkpoint: state carries across the restart
+    second = run_once("dec_run2")
+    assert [(p, d) for p, d, _ in second] == [(2, 1)]  # one replace, V silent
