@@ -1,3 +1,3 @@
-from . import dedup, discovery, retention, similarity, upsert  # noqa: F401
+from . import dedup, discovery, retention, similarity, skew, upsert  # noqa: F401
 
-__all__ = ["upsert", "retention", "discovery", "dedup", "similarity"]
+__all__ = ["upsert", "retention", "discovery", "dedup", "similarity", "skew"]

@@ -39,6 +39,8 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_pairs_blockwise",
+    "train_ivf_centroids",
+    "topk_ivf",
     "topk_bruteforce",
     "hyperplane_buckets",
     "topk_lsh",
@@ -173,6 +175,132 @@ def cosine_pairs_blockwise(
             )
 
     return df.mapInPandas(batches, "id_a long, id_b long, cosine_sim double")
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+):
+    """Train an IVF coarse quantizer: k-means centroids over (a sample
+    of) the corpus, driver-side numpy Lloyd iterations.
+
+    Deterministic: seeds are the `n_cells` sample vectors at evenly
+    spaced ranks of the id-sorted sample (no RNG), and Lloyd updates
+    are order-independent means. At corpus scale the sample cap keeps
+    the driver pull bounded (train on ≤`sample` vectors; quality of a
+    coarse quantizer saturates quickly with sample size).
+
+    Returns an L2-normalized (n_cells × dim) float64 numpy array.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    seeds = X[np.linspace(0, len(X) - 1, n_cells, dtype=int)]
+    C = seeds.copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def _assign_cells_pandas(
+    df: DataFrame, centroids, nprobe: int, out_id: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell) rows: each vector paired with its `nprobe`
+    nearest coarse cells. Arrow-batched numpy matmul + argpartition —
+    centroid scoring is dense linear algebra, same rationale as
+    `cosine_pairs_blockwise` (a 16×64-literal expression tree would
+    blow past JIT method limits and run interpreted)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(out_id, df.schema[0].dataType),
+            StructField("__v", ArrayType(FloatType())),
+            StructField("cell", IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        for p in it:
+            X = np.array(p[vec_col].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ centroids.T
+            top = np.argsort(-S, axis=1)[:, :nprobe].astype("int32")
+            ids = p.iloc[:, 0].to_numpy()
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, nprobe),
+                    "__v": [v for v in p[vec_col] for _ in range(nprobe)],
+                    "cell": top.ravel(),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index: candidates are
+    assigned to their nearest coarse cell; each query probes its
+    `nprobe` nearest cells; exact cosine reranks within the probed
+    cells. Same output schema as `topk_bruteforce`.
+
+    The inverted-file shape: the candidate side shuffles ONCE on
+    cell id (the 'index build'), queries fan out nprobe ways, and the
+    join is a plain equi-join on the cell — per-query work drops from
+    N to ~N·nprobe/n_cells. Recall/latency tunes with (n_cells,
+    nprobe): nprobe = n_cells degenerates to exact brute force.
+    """
+    c_assign = _assign_cells_pandas(
+        candidates.select(id_col, vec_col), centroids, 1, "neighbor_id", vec_col
+    ).withColumnRenamed("__v", "__cv")
+    q_probe = _assign_cells_pandas(
+        queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
+    ).withColumnRenamed("__v", "__qv")
+    scored = (
+        q_probe.join(c_assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
 
 
 def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> list[list[float]]:

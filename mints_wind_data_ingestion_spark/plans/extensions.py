@@ -555,3 +555,23 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query("x_sim_topk_ivf", oracle=None, tags=("ext", "similarity", "ivf"))
+def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index (16 coarse cells, probe 8):
+    deterministic k-means quantizer trained driver-side on a bounded
+    sample, Arrow-batched cell assignment (dense scoring is numpy, same
+    rationale as the blockwise dedup), equi-join on cell, exact cosine
+    rerank. The third ANN strategy next to brute force (exact baseline)
+    and hyperplane LSH — IVF trades a small training step for
+    data-adaptive cells, which beats data-oblivious hyperplanes when
+    the corpus is clustered. No oracle (cell boundaries are
+    implementation detail); pytest pins recall vs brute force and that
+    reported similarities are exact."""
+    from ..operators.similarity import topk_ivf, train_ivf_centroids
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    centroids = train_ivf_centroids(emb, n_cells=16, iters=5)
+    probes = emb.filter(F.col("vec_id") < 8)
+    return topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8)

@@ -93,3 +93,16 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) / r.exact_users <= 0.05
+
+
+def test_ivf_topk_recall_and_exact_sims(spark, sf_dir):
+    """IVF (16 cells, probe 8 → ~50% of the corpus scanned) must beat
+    the modest LSH bound on this near-uniform data, and its reported
+    similarities must be exactly the brute-force values."""
+    bf = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
+    ivf = REGISTRY["x_sim_topk_ivf"].build(spark, sf_dir)
+    bfp = {(r.query_id, r.neighbor_id): r.cosine_sim for r in bf.collect()}
+    ivfp = {(r.query_id, r.neighbor_id): r.cosine_sim for r in ivf.collect()}
+    hits = set(bfp) & set(ivfp)
+    assert len(hits) / len(bfp) >= 0.5
+    assert all(bfp[k] == ivfp[k] for k in hits)

@@ -249,3 +249,28 @@ def test_retention_window(spark):
     assert kept.count() == 2
     dropped = expired_partitions(df, anchor=anchor)
     assert [str(r.partition_date) for r in dropped.collect()] == ["2020-08-01"]
+
+
+def test_salted_join_equivalence(spark):
+    """Salted join must equal the plain join on skewed data (one key
+    holding 90% of rows)."""
+    from mints_wind_data_ingestion_spark.operators.skew import (
+        salted_agg_count,
+        salted_join,
+    )
+
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k950", 2), ("cold", 3)], "k string, rv int"
+    )
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = salted_join(left, right, "k").groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    counts = {r.k: r.cnt for r in salted_agg_count(left, "k").collect()}
+    assert counts["hot"] == 900 and len(counts) == 101
