@@ -750,3 +750,38 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "a_pivot_types",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01'
+               + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)) AS bucket_ts,
+           count(*) FILTER (event_type = 'click') AS click_cnt,
+           count(*) FILTER (event_type = 'view') AS view_cnt,
+           count(*) FILTER (event_type = 'purchase') AS purchase_cnt
+    FROM events GROUP BY 1
+    """,
+    tags=("A2", "pivot"),
+)
+def a_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per 6 h bucket, one count column per event type.
+
+    Uses an EXPLICIT value list — `.pivot(col, values)` without values
+    triggers a driver-side distinct collection (an extra job and a
+    nondeterministic column order); with the list it compiles to plain
+    conditional aggregation, one shuffle, map-side partials.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("bucket_ts", bucket_6h("ts"))
+        .groupBy("bucket_ts")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "bucket_ts",
+            F.coalesce("click", F.lit(0)).alias("click_cnt"),
+            F.coalesce("view", F.lit(0)).alias("view_cnt"),
+            F.coalesce("purchase", F.lit(0)).alias("purchase_cnt"),
+        )
+    )
