@@ -271,12 +271,13 @@ def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears the threshold, id_a < id_b.
 
     Dense all-pairs scoring is BLAS, not a row join
-    (operators.similarity.cosine_pairs_blockwise): the right side is
-    normalized once and broadcast, the left side streams through
-    mapInPandas, each Arrow batch scored with one matmul. Emitted
-    similarities are rounded to 6 decimals by the blockwise contract
-    (BLAS vs sequential-fold accumulation differ by ~1 ulp) and the
-    oracle rounds identically.
+    (operators.similarity.cosine_pairs_blockwise): rows hash into
+    blocks, every block pair becomes one applyInPandas group scored by
+    a single dgemm — fully distributed, nothing pulled to the driver,
+    executor memory bounded by two blocks. Emitted similarities are
+    rounded to 6 decimals by the blockwise contract (BLAS vs
+    sequential-fold accumulation differ by ~1 ulp) and the oracle
+    rounds identically.
     """
     from ..operators.similarity import cosine_pairs_blockwise
 
