@@ -28,6 +28,40 @@ from ..operators.upsert import merge_latest_wins
 __all__ = ["run_ingest_stream", "stream_windowed_counts"]
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _recover_table(spark: SparkSession, table_path: str) -> None:
+    """If a previous swap crashed between `live → bak` and `tmp → live`,
+    the live path is missing but the backup is intact — restore it.
+    Every epoch (and any reader using this helper) self-heals first."""
+    fs, jvm = _hadoop_fs(spark, table_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    live, bak = P(table_path), P(table_path + "__prev.bak")
+    if not fs.exists(live) and fs.exists(bak):
+        fs.rename(bak, live)
+
+
+def _swap_in(spark: SparkSession, tmp_path: str, table_path: str) -> None:
+    """Publish a fully-written temp table at `table_path` via two
+    renames. The merged output is durable on disk BEFORE the live path
+    is touched, so no reader-recomputation can ever chase deleted
+    source files, and a crash at any point leaves either the old table
+    (live or at __prev.bak) or the new one — never neither."""
+    fs, jvm = _hadoop_fs(spark, table_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    live, bak, tmp = P(table_path), P(table_path + "__prev.bak"), P(tmp_path)
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if fs.exists(live):
+        fs.rename(live, bak)
+    fs.rename(tmp, live)
+    fs.delete(bak, True)
+
+
 def run_ingest_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -53,6 +87,7 @@ def run_ingest_stream(
 
     def merge_epoch(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
+        _recover_table(s, table_path)  # self-heal a crashed prior swap
         try:
             stored = s.read.parquet(table_path)
         except Exception:  # first epoch: table does not exist yet
@@ -66,12 +101,16 @@ def run_ingest_stream(
             )
         else:
             merged = incoming
-        # rewrite via temp path is unnecessary under dynamic partition
-        # overwrite keyed on date; small fixture tables just overwrite.
-        merged.persist()
-        merged.count()
-        merged.write.mode("overwrite").parquet(table_path)
-        merged.unpersist()
+        # Crash-safe publish: the merge (which READS table_path) is
+        # fully materialized to a temp dir first, then swapped in via
+        # renames — never overwrite the path a plan is reading (a
+        # cache eviction mid-overwrite would recompute against deleted
+        # files), and never a window where no complete table exists.
+        # At warehouse scale the same contract comes from dynamic
+        # partition overwrite on date partitions (sinks.write_merged).
+        tmp_path = f"{table_path}__epoch{epoch_id}.tmp"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        _swap_in(s, tmp_path, table_path)
 
     writer = (
         records.writeStream.outputMode("update")

@@ -181,6 +181,48 @@ def test_streaming_ingest_latest_wins(spark, tmp_path):
     assert t3 == {2: "2020-08-12 12:00:00", 3: "2020-08-12 06:00:00"}
 
 
+def test_streaming_merge_is_crash_safe(spark, tmp_path):
+    """The epoch merge must never overwrite the path it reads: the
+    merged table is fully written to a temp dir, then published by
+    renames (live → __prev.bak, tmp → live, drop bak). A crash between
+    the two renames leaves the old table at the backup path — the next
+    epoch (or any reader calling _recover_table) restores it."""
+    import os
+
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        _recover_table,
+        _swap_in,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "wind_table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        str(landing / "b1.json"),
+        [_record(2, "2020-08-12 12:00:00+00", "2020-08-12T06:00:00.000Z", U1)],
+    )
+    run_ingest_stream(spark, str(landing), table, ckpt).awaitTermination(120)
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+
+    # no temp/backup litter after a healthy epoch
+    assert not os.path.exists(table + "__prev.bak")
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+
+    # simulate the worst crash point: live renamed away, tmp not yet in
+    os.rename(table, table + "__prev.bak")
+    _recover_table(spark, table)
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == before
+
+    # publishing a new table via the swap keeps old state until the new
+    # one is durable
+    newer = spark.read.parquet(table).withColumn("param", F.col("param") + 100)
+    newer.write.parquet(str(tmp_path / "next.tmp"))
+    _swap_in(spark, str(tmp_path / "next.tmp"), table)
+    assert {r.param for r in spark.read.parquet(table).collect()} == {102}
+    assert not os.path.exists(table + "__prev.bak")
+
+
 def test_grid_explode_and_vector_math(spark, batch1):
     """C13/C14/J2: index→lat/lon for scanMode 0, per-cell U⋈V zip,
     speed and meteorological direction."""
