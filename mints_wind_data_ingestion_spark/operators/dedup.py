@@ -144,7 +144,6 @@ def lsh_candidate_pairs(
     sharp threshold around (1/b)^(1/r) ≈ 0.59. The self-join shuffles
     on (band, band_hash): only co-bucketed docs meet, never O(n²).
     """
-    width = bands * rows_per_band
     buckets = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -168,7 +167,7 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-    ), width
+    )
 
 
 def jaccard_similarity_join(
@@ -448,9 +447,17 @@ def simhash_fingerprints(
     output bit j is set iff more than half the shingle hashes set bit
     j (2·c_j > n ⟺ the ±1 tally is positive). No per-shingle array
     allocation, and the shuffle carries 65 longs per (partition, doc).
+
+    Empty/NULL arrays follow simhash64 exactly: explode drops them
+    from the posting list, and the left join back to the doc table
+    restores the id with simhash 0 (empty array — no tally, no bit
+    set) or NULL (NULL array). Without this, explode_outer's
+    xxhash64(NULL) row would give every empty doc the same non-zero
+    fingerprint and pair them all at Hamming 0.
     """
-    posting = docs.select(
-        F.col(id_col), F.explode_outer(F.col(shingle_col)).alias("__s")
+    base = docs.select(F.col(id_col), F.col(shingle_col).alias("__arr"))
+    posting = base.select(
+        id_col, F.explode(F.col("__arr")).alias("__s")
     ).select(id_col, F.xxhash64("__s").alias("__h"))
     cnts = [
         F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
@@ -465,4 +472,10 @@ def simhash_fingerprints(
         for j in range(64)
     ]
     sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    fp = agg.select(F.col(id_col), sim.alias("__sim"))
+    return base.join(fp, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__arr").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(F.coalesce(F.col("__sim"), F.lit(0).cast("bigint")))
+        .alias("simhash"),
+    )

@@ -32,7 +32,20 @@ def salted_join(
     key ÷ salt. Worth it iff the hot key dominates a partition —
     measure first; for dimension-sized right sides prefer a plain
     broadcast join (no shuffle at all).
+
+    Only left-preserving join types are legal: the right side is
+    replicated `salt` times, so right/full outer would emit each
+    unmatched right row `salt` times and right_anti/semi would match
+    against replicas — silently wrong. Restricted to
+    {inner, left, left_outer, left_semi, left_anti}.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only "
+            f"({sorted(allowed)}); got {how!r} — the replicated right "
+            f"side would duplicate unmatched right rows"
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

@@ -316,3 +316,59 @@ def test_salted_join_equivalence(spark):
 
     counts = {r.k: r.cnt for r in salted_agg_count(left, "k").collect()}
     assert counts["hot"] == 900 and len(counts) == 101
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    """The right side is replicated `salt` times, so right/full outer
+    would emit each unmatched right row `salt` times — reject loudly
+    instead of returning silently wrong results."""
+    import pytest as _pytest
+
+    from mints_wind_data_ingestion_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([("a", 1)], "k string, lv int")
+    right = spark.createDataFrame([("a", 2), ("b", 3)], "k string, rv int")
+    for bad in ("right", "right_outer", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, "k", how=bad)
+    # left-preserving types still work
+    assert salted_join(left, right, "k", how="left_anti").count() == 0
+    assert salted_join(left, right, "k", how="left_semi").count() == 1
+
+
+def test_simhash_fingerprints_match_simhash64(spark):
+    """The scalable explode+sum fingerprint plan must be bit-identical
+    to the per-row simhash64 expression — including the edge cases:
+    empty array → 0 (no tally, no bit set), NULL array → NULL. The
+    explode_outer bug class (xxhash64(NULL) giving every empty doc the
+    same non-zero fingerprint, pairing them all at Hamming 0) stays
+    dead."""
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        simhash64,
+        simhash_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["the", "quick", "brown", "fox"]),
+            (2, ["the", "quick", "brown", "fax"]),
+            (3, ["completely", "different", "tokens"]),
+            (4, []),  # empty: simhash64 -> 0
+            (5, []),  # second empty: must NOT pair with 4 at hamming 0 via a fake fingerprint
+            (6, None),  # NULL array: simhash64 -> NULL
+            (7, ["single"]),
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    expr = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", simhash64(F.col("shingles")).alias("s")
+        ).collect()
+    }
+    plan = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, "doc_id", "shingles").collect()
+    }
+    assert expr == plan
+    assert plan[4] == 0 and plan[5] == 0 and plan[6] is None
