@@ -11,12 +11,13 @@ record), decoded executor-side in Arrow batches, with the record filter
 (parameterNumber/surface) applied inside the decoder exactly like the
 reference's --fp/--fs/--fv pushdown.
 
-The actual GRIB2 bit-unpacking needs cfgrib/pygrib which this container
-doesn't ship, so `decode_grib2` is a clearly-marked stub; the Spark-side
-plumbing (binaryFile scan, Arrow batching, UDTF schema, filter
-semantics) is real and tested via `fake_decoder`, and the decoded-JSON
-boundary (sources.wind_json) is the production-parity path the
-reference itself uses for its fixtures.
+The GRIB2 bit-unpacking is real: `grib2codec` implements the WMO
+spec's sections 0-8 for the template family GFS wind extracts use
+(lat/lon grid 3.0, point-in-time product 4.0, simple packing 5.0,
+optional bitmap), numpy-vectorized, round-tripped in tests against
+the reference's own golden field (data/u_comp.json, 65 160 points).
+`fake_decoder` remains as a unit-test helper for plumbing tests that
+don't want to construct binary fixtures.
 """
 
 from __future__ import annotations
@@ -41,17 +42,26 @@ SELECT_PARAMS = {"parameterNumbers": (2, 3), "surface1Type": 103, "surface1Value
 
 
 def decode_grib2(content: bytes) -> list[dict]:
-    """Decode one GRIB2 file into wind-record dicts.
+    """Decode one GRIB2 file into wind-record dicts, filtered to the
+    reference's record selection (converter.py:49-53: --fp 2/3
+    --fs 103 --fv 10.0 — 10 m U/V wind).
 
-    STUB: real decoding requires cfgrib/pygrib (not available in this
-    environment). The function signature and record shape are the
-    production contract; see fake_decoder for the tested stand-in.
-    """
-    raise NotImplementedError(
-        "GRIB2 bit-unpacking needs cfgrib/pygrib; install one and implement "
-        "decode_grib2 (header → WIND_HEADER fields, values → data array, "
-        "filtered to SELECT_PARAMS)."
-    )
+    Bit-unpacking via grib2codec (pure Python + numpy, WMO spec);
+    `recordedTime` is None here — the reference derives it from the
+    cron tick AFTER decoding (converter.py:63-69), so enrichment
+    belongs to the caller, exactly as in the JSON-boundary path."""
+    from .grib2codec import decode_grib2_bytes
+
+    out = []
+    for rec in decode_grib2_bytes(content):
+        h = rec["header"]
+        if (
+            h["parameterNumber"] in SELECT_PARAMS["parameterNumbers"]
+            and h["surface1Type"] == SELECT_PARAMS["surface1Type"]
+            and h["surface1Value"] == SELECT_PARAMS["surface1Value"]
+        ):
+            out.append({**rec, "recordedTime": None})
+    return out
 
 
 def fake_decoder(nx: int = 4, ny: int = 3) -> Callable[[bytes], list[dict]]:
@@ -114,7 +124,7 @@ def read_grib_dir(
                         {
                             "source_path": path,
                             "header": rec["header"],
-                            "recordedTime": rec["recordedTime"],
+                            "recordedTime": rec.get("recordedTime"),
                             "data": rec["data"],
                         }
                     )

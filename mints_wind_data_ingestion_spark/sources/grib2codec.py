@@ -1,0 +1,348 @@
+"""Pure-Python GRIB2 codec — the real bit-unpacking behind S2/X1.
+
+The reference decodes GFS GRIB2 by shelling out to a vendored JVM tool
+(converter.py:49-53, grib2json); its golden output (data/u_comp.json)
+pins the header key set and value semantics this codec reproduces.
+Implemented from the public WMO GRIB2 specification (FM 92, sections
+0-8) for the template family GFS wind extracts use:
+
+- section 3 template 3.0  (latitude/longitude grid)
+- section 4 template 4.0  (analysis/forecast at a point in time)
+- section 5 template 5.0  (grid-point simple packing)
+- section 6 bitmap indicator 255 (no bitmap) or 0 (bitmap present)
+
+Decoding is numpy-vectorized (unpackbits + matmul — no per-point
+Python loop), so a 65 k-point GFS field unpacks in ~1 ms and the
+executor-side cost inside the mapInPandas UDTF stays negligible
+against the I/O. The encoder exists so tests can build REAL binary
+fixtures (and round-trip the reference's golden field) without
+network access; it doubles as a GRIB2 writer for the sink surface.
+
+Simple packing contract (WMO regulation 92.9.4):
+
+    value = (R + X * 2**E) / 10**D
+
+with R the IEEE-754 float32 reference value, X the nbits-wide unsigned
+packed integer, E/D the binary/decimal scale factors (sign-magnitude
+16-bit ints in the wire format).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from datetime import datetime, timezone
+
+import numpy as np
+
+__all__ = ["decode_grib2_bytes", "encode_grib2_message", "encode_grib2_file"]
+
+# --- code-table names grib2json emits (the subset our fixtures use; an
+# --- unknown code decodes with name=None, never an error)
+_CENTER = {7: "US National Weather Service - NCEP(WMC)"}
+_DISCIPLINE = {0: "Meteorological products"}
+_CATEGORY = {(0, 2): "Momentum"}
+_PARAMETER = {
+    (0, 2, 2): ("U-component_of_wind", "m.s-1"),
+    (0, 2, 3): ("V-component_of_wind", "m.s-1"),
+}
+_SURFACE = {
+    103: "Specified height level above ground",
+    255: "Missing",
+}
+_SIGNIFICANCE_RT = {1: "Start of forecast"}
+_PRODUCT_STATUS = {0: "Operational products"}
+_PRODUCT_TYPE = {1: "Forecast products"}
+_PDT_NAME = {0: "Analysis/forecast at horizontal level/layer at a point in time"}
+_GEN_PROCESS = {2: "Forecast"}
+_GDT_NAME = {0: "Latitude_Longitude"}
+_SHAPE = {6: "Earth spherical with radius of 6,371,229.0 m"}
+
+
+def _u(b: bytes, o: int, n: int) -> int:
+    return int.from_bytes(b[o : o + n], "big")
+
+
+def _s(b: bytes, o: int, n: int) -> int:
+    """GRIB2 signed integers are sign-and-magnitude, not two's
+    complement: the top bit is the sign, the rest the magnitude."""
+    v = _u(b, o, n)
+    sign = 1 << (8 * n - 1)
+    return -(v ^ sign) if v & sign else v
+
+
+def _put_s(v: int, n: int) -> bytes:
+    sign = 1 << (8 * n - 1)
+    return ((sign | -v) if v < 0 else v).to_bytes(n, "big")
+
+
+def _deg(b: bytes, o: int) -> float:
+    """Signed microdegrees → degrees."""
+    return _s(b, o, 4) / 1e6
+
+
+def _put_deg(v: float) -> bytes:
+    return _put_s(round(v * 1e6), 4)
+
+
+def _unpack_values(
+    packed: bytes, n: int, nbits: int, ref: float, e: int, d: int
+) -> np.ndarray:
+    if nbits == 0:  # constant field: every value is the reference
+        x = np.zeros(n, dtype=np.int64)
+    else:
+        bits = np.unpackbits(np.frombuffer(packed, dtype=np.uint8))
+        bits = bits[: n * nbits].reshape(n, nbits).astype(np.int64)
+        x = bits @ (1 << np.arange(nbits - 1, -1, -1, dtype=np.int64))
+    return ((ref + x * math.ldexp(1.0, e)) / 10.0**d).astype(np.float32)
+
+
+def _pack_values(
+    values: np.ndarray, nbits: int, d: int
+) -> tuple[bytes, float, int, int, int]:
+    """Quantize to simple packing with binary scale 0: returns
+    (packed bits, reference value as stored float32, E=0, D=d, nbits).
+    nbits widens automatically if the scaled range does not fit."""
+    scaled = np.asarray(values, dtype=np.float64) * 10.0**d
+    ref = np.float32(scaled.min())  # stored as float32 — quantize with it
+    x = np.rint(scaled - float(ref)).astype(np.int64)
+    x = np.maximum(x, 0)
+    if x.max() == 0:  # constant field: spec packs zero bits per point
+        return b"", float(ref), 0, d, 0
+    nbits = max(nbits, int(x.max()).bit_length())
+    out = np.zeros((len(x), nbits), dtype=np.uint8)
+    for j in range(nbits):  # nbits ≤ ~32 columns, vectorized over rows
+        out[:, j] = (x >> (nbits - 1 - j)) & 1
+    return np.packbits(out.reshape(-1)).tobytes(), float(ref), 0, d, nbits
+
+
+def decode_grib2_bytes(content: bytes) -> list[dict]:
+    """Decode every message in a GRIB2 file into grib2json-shaped
+    records: {"header": {...}, "data": [float32 values...]}.
+
+    Header keys mirror the reference's golden fixture
+    (data/u_comp.json) — numeric codes plus the human-readable *Name
+    fields grib2json adds. Raises ValueError on a non-GRIB2 payload or
+    an unsupported template (only the GFS wind family is in scope)."""
+    records: list[dict] = []
+    pos = 0
+    while pos < len(content):
+        if content[pos : pos + 4] != b"GRIB":
+            raise ValueError(f"not a GRIB message at offset {pos}")
+        edition = content[pos + 7]
+        if edition != 2:
+            raise ValueError(f"GRIB edition {edition} unsupported (GRIB2 only)")
+        msg_len = _u(content, pos + 8, 8)
+        msg = content[pos : pos + msg_len]
+        if msg[-4:] != b"7777":
+            raise ValueError("GRIB message missing 7777 end section")
+        discipline = msg[6]
+
+        # walk sections; templates 3.0/4.0/5.0 carry one field per message
+        sec: dict[int, tuple[int, int]] = {}
+        o = 16
+        while o < msg_len - 4:
+            slen, snum = _u(msg, o, 4), msg[o + 4]
+            sec[snum] = (o, slen)
+            o += slen
+
+        o1 = sec[1][0]
+        ref_time = datetime(
+            _u(msg, o1 + 12, 2), msg[o1 + 14], msg[o1 + 15],
+            msg[o1 + 16], msg[o1 + 17], msg[o1 + 18], tzinfo=timezone.utc,
+        )
+
+        o3, slen3 = sec[3]
+        gdt = _u(msg, o3 + 12, 2)
+        if gdt != 0:
+            raise ValueError(f"grid definition template 3.{gdt} unsupported")
+        n_points = _u(msg, o3 + 6, 4)
+        resolution = msg[o3 + 54]
+
+        o4 = sec[4]
+        pdt = _u(msg, o4[0] + 7, 2)
+        if pdt != 0:
+            raise ValueError(f"product definition template 4.{pdt} unsupported")
+        o4 = o4[0]
+        category, number = msg[o4 + 9], msg[o4 + 10]
+        s1t, s1f, s1v = msg[o4 + 22], _s(msg, o4 + 23, 1), _u(msg, o4 + 24, 4)
+        s2t, s2f, s2v = msg[o4 + 28], _s(msg, o4 + 29, 1), _u(msg, o4 + 30, 4)
+
+        o5 = sec[5][0]
+        drt = _u(msg, o5 + 9, 2)
+        if drt != 0:
+            raise ValueError(f"data representation template 5.{drt} unsupported")
+        ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
+        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        nbits = msg[o5 + 19]
+
+        o6, slen6 = sec[6]
+        bitmap_ind = msg[o6 + 5]
+        if bitmap_ind not in (0, 255):
+            raise ValueError(f"bitmap indicator {bitmap_ind} unsupported")
+
+        o7, slen7 = sec[7]
+        n_packed = _u(msg, o5 + 5, 4)  # points actually packed (≠ grid under bitmap)
+        vals = _unpack_values(msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d)
+        if bitmap_ind == 0:
+            present = np.unpackbits(
+                np.frombuffer(msg[o6 + 6 : o6 + slen6], dtype=np.uint8)
+            )[:n_points].astype(bool)
+            full = np.full(n_points, np.nan, dtype=np.float32)
+            full[present] = vals
+            vals = full
+
+        pname, punit = _PARAMETER.get((discipline, category, number), (None, None))
+        header = {
+            "discipline": discipline,
+            "disciplineName": _DISCIPLINE.get(discipline),
+            "gribEdition": 2,
+            "gribLength": msg_len,
+            "center": _u(msg, o1 + 5, 2),
+            "centerName": _CENTER.get(_u(msg, o1 + 5, 2)),
+            "subcenter": _u(msg, o1 + 7, 2),
+            "significanceOfRT": msg[o1 + 11],
+            "significanceOfRTName": _SIGNIFICANCE_RT.get(msg[o1 + 11]),
+            "refTime": ref_time.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+            "forecastTime": _s(msg, o4 + 18, 4),
+            "productStatus": msg[o1 + 19],
+            "productStatusName": _PRODUCT_STATUS.get(msg[o1 + 19]),
+            "productType": msg[o1 + 20],
+            "productTypeName": _PRODUCT_TYPE.get(msg[o1 + 20]),
+            "productDefinitionTemplate": pdt,
+            "productDefinitionTemplateName": _PDT_NAME.get(pdt),
+            "genProcessType": msg[o4 + 11],
+            "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
+            "parameterCategory": category,
+            "parameterCategoryName": _CATEGORY.get((discipline, category)),
+            "parameterNumber": number,
+            "parameterNumberName": pname,
+            "parameterUnit": punit,
+            "surface1Type": s1t,
+            "surface1TypeName": _SURFACE.get(s1t),
+            "surface1Value": float(s1v) / 10.0**s1f,
+            "surface2Type": s2t,
+            "surface2TypeName": _SURFACE.get(s2t),
+            "surface2Value": 0.0 if s2t == 255 else float(s2v) / 10.0**s2f,
+            "gridDefinitionTemplate": gdt,
+            "gridDefinitionTemplateName": _GDT_NAME.get(gdt),
+            "gridUnits": "degrees",
+            "numberPoints": n_points,
+            "nx": _u(msg, o3 + 30, 4),
+            "ny": _u(msg, o3 + 34, 4),
+            "la1": _deg(msg, o3 + 46),
+            "lo1": _deg(msg, o3 + 50),
+            "la2": _deg(msg, o3 + 55),
+            "lo2": _deg(msg, o3 + 59),
+            "dx": _deg(msg, o3 + 63),
+            "dy": _deg(msg, o3 + 67),
+            "basicAngle": _u(msg, o3 + 38, 4),
+            "scanMode": msg[o3 + 71],
+            "resolution": resolution,
+            "shape": msg[o3 + 14],
+            "shapeName": _SHAPE.get(msg[o3 + 14]),
+            # flag table 3.3 bit 5: u/v relative to east/north ("true")
+            # vs the grid axes — grib2json's `winds` field
+            "winds": "true" if not resolution & 0x08 else "grid",
+        }
+        records.append({"header": header, "data": [float(v) for v in vals]})
+        pos += msg_len
+    return records
+
+
+def encode_grib2_message(
+    values,
+    *,
+    parameter_number: int,
+    parameter_category: int = 2,
+    discipline: int = 0,
+    center: int = 7,
+    subcenter: int = 0,
+    ref_time: datetime,
+    forecast_hours: int = 6,
+    surface1_type: int = 103,
+    surface1_value: float = 10.0,
+    nx: int,
+    ny: int,
+    la1: float = 90.0,
+    lo1: float = 0.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+    scan_mode: int = 0,
+    nbits: int = 12,
+    decimal_scale: int = 2,
+) -> bytes:
+    """Encode one field as a GRIB2 message (templates 3.0/4.0/5.0,
+    simple packing, no bitmap). la2/lo2 derive from the grid shape the
+    way scanMode 0 lays it out (rows N→S, lon W→E)."""
+    values = np.asarray(values, dtype=np.float64)
+    n = values.size
+    if n != nx * ny:
+        raise ValueError(f"{n} values for a {nx}x{ny} grid")
+    la2, lo2 = la1 - dy * (ny - 1), lo1 + dx * (nx - 1)
+
+    packed, ref, e, d, nbits_used = _pack_values(values, nbits, decimal_scale)
+
+    s1 = (
+        b"\x01"
+        + center.to_bytes(2, "big")
+        + subcenter.to_bytes(2, "big")
+        + bytes([2, 1, 1])  # master table 2, local table 1, significance 1
+        + ref_time.year.to_bytes(2, "big")
+        + bytes([ref_time.month, ref_time.day, ref_time.hour,
+                 ref_time.minute, ref_time.second])
+        + bytes([0, 1])  # productStatus 0, productType 1
+    )
+    s3 = (
+        b"\x03\x00"
+        + n.to_bytes(4, "big")
+        + bytes([0, 0])
+        + (0).to_bytes(2, "big")  # template 3.0
+        + bytes([6])  # shape of earth
+        + bytes([0]) + (0).to_bytes(4, "big")  # radius scale/value
+        + bytes([0]) + (0).to_bytes(4, "big")  # major axis
+        + bytes([0]) + (0).to_bytes(4, "big")  # minor axis
+        + nx.to_bytes(4, "big")
+        + ny.to_bytes(4, "big")
+        + (0).to_bytes(4, "big")  # basic angle
+        + (0).to_bytes(4, "big")  # subdivisions
+        + _put_deg(la1) + _put_deg(lo1)
+        + bytes([48])  # resolution/component flags (di, dj given)
+        + _put_deg(la2) + _put_deg(lo2)
+        + _put_deg(dx) + _put_deg(dy)
+        + bytes([scan_mode])
+    )
+    s4 = (
+        b"\x04"
+        + (0).to_bytes(2, "big")  # NV
+        + (0).to_bytes(2, "big")  # template 4.0
+        + bytes([parameter_category, parameter_number, 2, 0, 96])
+        + (0).to_bytes(2, "big") + bytes([0])  # cutoff
+        + bytes([1])  # time unit: hour
+        + _put_s(forecast_hours, 4)
+        + bytes([surface1_type, 0])
+        + round(surface1_value).to_bytes(4, "big")
+        + bytes([255, 0]) + (0).to_bytes(4, "big")  # surface 2 missing
+    )
+    s5 = (
+        b"\x05"
+        + n.to_bytes(4, "big")
+        + (0).to_bytes(2, "big")  # template 5.0
+        + struct.pack(">f", ref)
+        + _put_s(e, 2) + _put_s(d, 2)
+        + bytes([nbits_used, 0])
+    )
+    s6 = b"\x06" + bytes([255])
+    s7 = b"\x07" + packed
+
+    body = b"".join(
+        (len(s) + 4).to_bytes(4, "big") + s for s in (s1, s3, s4, s5, s6, s7)
+    )
+    total = 16 + len(body) + 4
+    s0 = b"GRIB" + bytes([0, 0, discipline, 2]) + total.to_bytes(8, "big")
+    return s0 + body + b"7777"
+
+
+def encode_grib2_file(messages: list[bytes]) -> bytes:
+    """A GRIB2 file is messages back-to-back — no container framing."""
+    return b"".join(messages)

@@ -25,24 +25,124 @@ from mints_wind_data_ingestion_spark.sources.wind_json import to_wind_table
 from mints_wind_data_ingestion_spark.streaming.pipeline import stream_windowed_counts
 
 
+def _encode_uv_file(nx=4, ny=3, shift=0.0, extra_param=None) -> bytes:
+    """Build a REAL GRIB2 file: 10 m U and V wind messages (simple
+    packing), optionally plus a record the --fp filter must drop."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        encode_grib2_file,
+        encode_grib2_message,
+    )
+
+    rt = dt.datetime(2020, 8, 12, 6, tzinfo=dt.timezone.utc)
+    n = nx * ny
+    msgs = [
+        encode_grib2_message(
+            [round(p * 10 + i * 0.25 + shift, 2) for i in range(n)],
+            parameter_number=p, ref_time=rt, nx=nx, ny=ny,
+        )
+        for p in (2, 3)
+    ]
+    if extra_param is not None:
+        msgs.append(
+            encode_grib2_message(
+                [1.0] * n, parameter_number=extra_param, ref_time=rt,
+                nx=nx, ny=ny, surface1_type=1, surface1_value=0.0,
+            )
+        )
+    return encode_grib2_file(msgs)
+
+
 def test_grib_binaryfile_decode(spark, tmp_path):
-    """X1: binaryFile scan → Arrow-batched decode UDTF, one file in,
-    many records out, schema-checked."""
-    for i, body in enumerate((b"grib-one", b"grib-two-longer")):
-        (tmp_path / f"f{i}.grb2").write_bytes(body)
-    decoded = read_grib_dir(spark, str(tmp_path), decoder=fake_decoder(nx=4, ny=3))
+    """X1/S2 end-to-end with REAL GRIB2 binary: binaryFile scan →
+    Arrow-batched decode UDTF (grib2codec bit-unpacking), one file in,
+    many records out, record filter applied like grib2json --fp/--fs/
+    --fv, schema-checked."""
+    (tmp_path / "f0.grb2").write_bytes(_encode_uv_file(shift=0.0, extra_param=7))
+    (tmp_path / "f1.grb2").write_bytes(_encode_uv_file(shift=5.0))
+    decoded = read_grib_dir(spark, str(tmp_path))  # default = real decoder
     rows = decoded.collect()
-    assert len(rows) == 4  # 2 files × (U, V)
+    assert len(rows) == 4  # 2 files × (U, V); param 7 filtered out
     by_key = {(os.path.basename(r.source_path), r.header.parameterNumber): r for r in rows}
     assert set(k[1] for k in by_key) == {2, 3}
     r = by_key[("f0.grb2", 2)]
     assert r.header.numberPoints == 12 and len(r.data) == 12
-    # deterministic fake: value = (sum(bytes) % 97 + param*10 + i) % 100
-    seed = sum(b"grib-one") % 97
-    assert r.data[0] == float((seed + 20) % 100)
+    assert r.header.surface1Type == 103 and r.header.surface1Value == 10.0
+    assert r.header.refTime == "2020-08-12T06:00:00.000Z"
+    assert r.data[0] == pytest.approx(20.0, abs=1e-6)
+    assert by_key[("f1.grb2", 3)].data[2] == pytest.approx(35.5, abs=1e-6)
     # downstream normalization works on decoded output unchanged
     tbl = to_wind_table(decoded.drop("source_path"))
     assert {x.param for x in tbl.collect()} == {2, 3}
+
+
+def test_grib_plumbing_with_fake_decoder(spark, tmp_path):
+    """Unit-test helper path: fake_decoder exercises the UDTF plumbing
+    (batching, multi-record output, schema) without binary fixtures."""
+    (tmp_path / "f0.grb2").write_bytes(b"grib-one")
+    decoded = read_grib_dir(spark, str(tmp_path), decoder=fake_decoder(nx=4, ny=3))
+    rows = decoded.collect()
+    assert len(rows) == 2
+    seed = sum(b"grib-one") % 97
+    r = {x.header.parameterNumber: x for x in rows}[2]
+    assert r.data[0] == float((seed + 20) % 100)
+
+
+def test_grib2_codec_golden_field_roundtrip():
+    """The codec reproduces the reference's own golden decode: the
+    65,160-point GFS U field from data/u_comp.json re-encoded at
+    decimal scale 6 and decoded back matches the grib2json output
+    within half a quantization step, and every header key grib2json
+    emitted decodes identically (gribLength aside — we re-packed at a
+    different precision than NCEP's original file)."""
+    import json
+
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+    )
+
+    g = json.load(open("/root/reference/data/u_comp.json"))[0]
+    h, data = g["header"], np.asarray(g["data"], dtype=np.float64)
+    msg = encode_grib2_message(
+        data,
+        parameter_number=h["parameterNumber"],
+        ref_time=dt.datetime(2020, 8, 12, 6, tzinfo=dt.timezone.utc),
+        forecast_hours=h["forecastTime"],
+        nx=h["nx"], ny=h["ny"], la1=h["la1"], lo1=h["lo1"],
+        dx=h["dx"], dy=h["dy"], decimal_scale=6,
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    assert np.abs(np.asarray(rec["data"]) - data).max() <= 1e-6
+    diffs = {k: v for k, v in h.items() if rec["header"].get(k) != v}
+    assert set(diffs) == {"gribLength"}
+
+
+def test_grib2_codec_edge_cases():
+    """Constant fields pack to 0 bits; sign-magnitude scale factors and
+    negative values survive; multi-message files decode in order."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_file,
+        encode_grib2_message,
+    )
+
+    rt = dt.datetime(2021, 2, 28, 18, tzinfo=dt.timezone.utc)
+    const = encode_grib2_message([7.25] * 6, parameter_number=2, ref_time=rt, nx=3, ny=2)
+    neg = encode_grib2_message(
+        [-40.5, -0.25, 0.0, 12.75, 99.99, -99.99],
+        parameter_number=3, ref_time=rt, nx=3, ny=2,
+    )
+    recs = decode_grib2_bytes(encode_grib2_file([const, neg]))
+    assert [r["header"]["parameterNumber"] for r in recs] == [2, 3]
+    assert recs[0]["data"] == [pytest.approx(7.25)] * 6
+    assert np.allclose(
+        recs[1]["data"], [-40.5, -0.25, 0.0, 12.75, 99.99, -99.99], atol=1e-5
+    )
+    assert recs[1]["header"]["refTime"] == "2021-02-28T18:00:00.000Z"
 
 
 def test_streaming_windowed_counts(spark, tmp_path, sf_dir):
