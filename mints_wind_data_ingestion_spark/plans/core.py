@@ -373,6 +373,130 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("J5", "A2", "bench"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join (TPC-H Q5 shape): local-supplier revenue per nation
+    — the deepest join-planning stress in the bench set, including the
+    non-key equality c_nationkey = s_nationkey that correlates two
+    dimension branches.
+
+    Scale shape: region⋈nation⋈supplier collapses into one broadcast
+    dimension (supplier is dimension-sized at any SF; nation/region are
+    tiny); lineitem⋈orders is the one shuffle pair on orderkey, then
+    one shuffle on custkey joins customer; the local-supplier equality
+    is evaluated as a post-join filter on broadcast-side columns, never
+    a shuffle key. Date predicate pushes to the orders scan. DECIMAL
+    accumulation keeps the hash order-insensitive.
+    """
+    t = tables(spark, sf_dir)
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+            OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J5", "A2"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H Q7 shape): the same dimension
+    table joined twice under different roles, with a disjunctive
+    cross-branch predicate.
+
+    Scale shape: nation broadcasts twice (aliased n1/n2); the
+    nation-name filters are pushed INTO each broadcast side before the
+    join — the disjunction then only pairs the two surviving names, so
+    the fact side is pre-filtered by two broadcast semi-join-like hash
+    joins rather than scanned into a blowup. lineitem⋈orders and
+    ⋈customer are the two fact shuffles; year() is a codegen'd scalar.
+    """
+    t = tables(spark, sf_dir)
+    pair = ("NATION_20", "NATION_11")
+    n1 = t["nation"].filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@query(
     "a2_bucket_counts",
     oracle=f"""
     SELECT {_DUCK_BUCKET_6H} AS bucket_ts,

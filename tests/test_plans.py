@@ -52,6 +52,33 @@ def test_q3_join_strategy(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_q5_join_strategy(spark, sf_dir):
+    """Q5 (six-way): the region⋈nation⋈supplier dimension branch rides
+    entirely on broadcasts, so the fact pipeline shuffles only twice —
+    lineitem⋈orders on orderkey and ⋈customer on custkey. Pin: ≥3
+    broadcast joins, and the date predicate pushed to the orders scan."""
+    import re
+
+    p = plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3
+    pushed = [
+        line for line in p.splitlines() if "PushedFilters:" in line and "o_orderdate" in line
+    ]
+    assert pushed, "orders date range must push to the parquet scan"
+
+
+def test_q7_join_strategy(spark, sf_dir):
+    """Q7: nation broadcasts twice (aliased roles) and the nation-name
+    filter is applied INSIDE each broadcast branch — the fact side is
+    reduced by two selective broadcast hash joins before any shuffle."""
+    import re
+
+    p = plan(spark, sf_dir, "q7_volume_shipping")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2
+    # the n_name IN (...) filter must sit on the nation scans, not post-join
+    assert p.count("n_name") >= 2
+
+
 def test_aggregate_is_partial_then_final(spark, sf_dir):
     """Q1: hash aggregation combines map-side before the single
     shuffle (partial + final HashAggregate pair)."""
