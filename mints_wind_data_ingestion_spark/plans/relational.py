@@ -785,3 +785,89 @@ def a_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("purchase", F.lit(0)).alias("purchase_cnt"),
         )
     )
+
+
+@query(
+    "a_unpivot_types",
+    oracle="""
+    WITH pivoted AS (
+        SELECT TIMESTAMP '1970-01-01'
+                   + to_seconds(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)) AS bucket_ts,
+               count(*) FILTER (event_type = 'click') AS click_cnt,
+               count(*) FILTER (event_type = 'view') AS view_cnt,
+               count(*) FILTER (event_type = 'purchase') AS purchase_cnt
+        FROM events GROUP BY 1
+    )
+    SELECT bucket_ts, 'click' AS event_type, click_cnt AS event_cnt FROM pivoted
+    UNION ALL
+    SELECT bucket_ts, 'view', view_cnt FROM pivoted
+    UNION ALL
+    SELECT bucket_ts, 'purchase', purchase_cnt FROM pivoted
+    """,
+    tags=("A2", "pivot"),
+)
+def a_unpivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot — the inverse of a_pivot_types: wide per-type count
+    columns stacked back to (bucket_ts, event_type, event_cnt) rows.
+
+    `DataFrame.unpivot` compiles to a single Expand node (each input
+    row fans out to one row per value column, map-side, no shuffle, no
+    UNION of self-scans) — the pivoted aggregate's one exchange stays
+    the only exchange in the plan.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    pivoted = (
+        ev.withColumn("bucket_ts", bucket_6h("ts"))
+        .groupBy("bucket_ts")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "bucket_ts",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("view", F.lit(0)).alias("view"),
+            F.coalesce("purchase", F.lit(0)).alias("purchase"),
+        )
+    )
+    return pivoted.unpivot(
+        "bucket_ts", ["click", "view", "purchase"], "event_type", "event_cnt"
+    )
+
+
+@query(
+    "udaf_weighted_median",
+    oracle="""
+    SELECT l_partkey, min(x) AS wmedian_price
+    FROM (
+        SELECT l_partkey, l_extendedprice AS x,
+               sum(l_quantity) OVER (PARTITION BY l_partkey
+                                     ORDER BY l_extendedprice
+                                     ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(l_quantity) OVER (PARTITION BY l_partkey) AS tw
+        FROM lineitem
+    )
+    WHERE cw >= tw / 2.0
+    GROUP BY l_partkey
+    """,
+    tags=("UDAF", "A2"),
+)
+def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom holistic aggregate (SURVEY.md §2.10 UDAF row): per part,
+    the lower weighted median of the extended price weighted by
+    quantity — no built-in expresses it (percentile_approx is
+    unweighted; nothing algebraic sorts a group with a running
+    weight).
+
+    functions.stats.weighted_median is a pandas Series-to-scalar
+    (GROUPED_AGG) UDF: one Arrow batch per group, numpy sort + cumsum
+    inside. Scale contract: holistic aggregates need the whole group
+    in one place, so the key must be HIGH-cardinality (2 000+ parts
+    here; at 100 TB, millions of parts → millions of small groups,
+    one shuffle on a well-distributed key). The oracle states the same
+    median with two window sums — exact equality, no interpolation.
+    """
+    from ..functions.stats import weighted_median
+
+    li = tables(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_partkey").agg(
+        weighted_median("l_extendedprice", "l_quantity").alias("wmedian_price")
+    )

@@ -110,6 +110,32 @@ def test_flagship_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) \w*Aggregate", p)) == 2  # partial + final
 
 
+def test_unpivot_is_expand_not_union(spark, sf_dir):
+    """Unpivot compiles to one map-side Expand node — not a UNION of
+    three self-scans — so the only exchanges in the plan are the
+    pivot aggregate's own pair and the input is scanned once."""
+    import re
+
+    p = plan(spark, sf_dir, "a_unpivot_types")
+    assert "Expand" in p and "Union" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # pivot agg's pair
+
+
+def test_udaf_is_arrow_grouped_agg(spark, sf_dir):
+    """The weighted-median UDAF runs as Arrow-batched
+    AggregateInPandas (Series-to-scalar), one exchange on the
+    high-cardinality group key — never a row-at-a-time Python UDF."""
+    import re
+
+    p = plan(spark, sf_dir, "udaf_weighted_median")
+    # Spark 4.1 names the node ArrowAggregatePython (AggregateInPandas
+    # in older releases) — either way, the Arrow-batched grouped path
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p
+    assert "BatchEvalPython" not in p  # the row-at-a-time path
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
 def test_events_scan_prunes_props(spark, sf_dir):
     """Nested/wide columns not referenced (the json props blob) stay
     out of the scan schema for queries that don't touch them."""
