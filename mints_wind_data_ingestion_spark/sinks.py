@@ -29,7 +29,43 @@ __all__ = [
     "write_json_fixtures",
     "write_jdbc",
     "create_wind_table_sql",
+    "write_bucketed",
 ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str,
+    buckets: int = 16,
+    single_file_per_bucket: bool = True,
+) -> None:
+    """Catalog-managed bucketed table: hash-partitioned into `buckets`
+    files by `key` at WRITE time, sorted within each bucket.
+
+    This is the zero-exchange join contract: two tables bucketed by
+    their join key with the same bucket count join with NO shuffle on
+    either side — the co-location was paid once at write. The big
+    repeated join of a warehouse (fact⋈fact on orderkey at 100 TB)
+    amortizes its shuffle across every future query; with sortBy the
+    sort-merge join skips its sorts too.
+
+    `single_file_per_bucket` repartitions by the key first (Spark's
+    repartition hash == its bucket hash, so each write task holds
+    exactly one bucket) — one pre-sorted file per bucket. Readers that
+    want to skip the merge-sort must set
+    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (since
+    3.0 Spark re-sorts by default because multi-file buckets would
+    need a merge). Bucketed tables must be catalog tables
+    (saveAsTable); plain parquet paths carry no bucket metadata.
+    """
+    writer = df.repartition(buckets, F.col(key)) if single_file_per_bucket else df
+    (
+        writer.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
 
 
 def write_wind_table(

@@ -136,6 +136,55 @@ def test_udaf_is_arrow_grouped_agg(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
 
 
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir):
+    """Co-located join: lineitem and orders written bucketed by their
+    join key (same bucket count) join with NO Exchange on either side
+    and no sort (sortBy at write, one file per bucket) — the shuffle
+    was paid once at write time, amortized over every future join.
+    This is the 100 TB contract for repeated fact⋈fact joins."""
+    import re
+
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+    from mints_wind_data_ingestion_spark.sinks import write_bucketed
+
+    t = tables(spark, sf_dir)
+    write_bucketed(t["lineitem"].select("l_orderkey", "l_quantity"),
+                   "bkt_lineitem", "l_orderkey", buckets=8)
+    write_bucketed(t["orders"].select("o_orderkey", "o_totalprice"),
+                   "bkt_orders", "o_orderkey", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the sort-merge path: at real scale neither fact side
+    # broadcasts — that is exactly the case bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # honor the write-time sortBy (since 3.0 Spark re-sorts unless told
+    # each bucket is one pre-sorted file — write_bucketed guarantees it)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        li, o = spark.table("bkt_lineitem"), spark.table("bkt_orders")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan_str = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_str
+        assert "Exchange" not in plan_str, "bucketed join must not shuffle"
+        assert not re.search(r"\bSort\b", plan_str), (
+            "sortBy + one file per bucket must let the join skip sorts"
+        )
+        assert "SelectedBucketsCount" in plan_str
+        # equivalence with the plain (shuffling) join
+        from pyspark.sql import functions as F
+
+        plain = t["lineitem"].join(
+            t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_events_scan_prunes_props(spark, sf_dir):
     """Nested/wide columns not referenced (the json props blob) stay
     out of the scan schema for queries that don't touch them."""
