@@ -25,7 +25,12 @@ from ..schemas import WIND_RECORD
 from ..sources.wind_json import to_wind_table
 from ..operators.upsert import merge_latest_wins
 
-__all__ = ["run_ingest_stream", "stream_windowed_counts"]
+__all__ = [
+    "run_ingest_stream",
+    "stream_windowed_counts",
+    "stream_dedup",
+    "stream_interval_join",
+]
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -120,6 +125,61 @@ def run_ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state (§2.9): a duplicate
+    of a key seen within the watermark delay is dropped; key state is
+    evicted once the watermark passes it.
+
+    dropDuplicatesWithinWatermark (not plain dropDuplicates, whose
+    per-key state never expires unless the event-time column is part
+    of the key) is the 100 TB-safe form: state size is bounded by the
+    key arrival rate × watermark delay, independent of stream length.
+    The at-least-once file source + this dedup = effectively-once
+    delivery without an idempotent sink.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (§2.9): right events match
+    a left event with the same key arriving in [left_ts, left_ts +
+    within].
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time skew, so Spark can evict buffered rows once the
+    watermark passes `left_ts + within` — without the time bound a
+    stream-stream join would buffer both streams forever. Columns
+    other than the key must already be disjoint (rename before
+    calling); output carries one `key` column.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
 
 
 def stream_windowed_counts(

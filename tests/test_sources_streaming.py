@@ -180,6 +180,94 @@ def test_streaming_windowed_counts(spark, tmp_path, sf_dir):
     assert got == expect and len(got) > 0
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path, sf_dir):
+    """§2.9 streaming dedup: duplicated events collapse to one row per
+    (user_id, ts) with watermark-BOUNDED state; result equals the batch
+    dropDuplicates on the same data."""
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import stream_dedup
+
+    ev = load_tables(spark, sf_dir)["events"].limit(500).select(
+        "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "dup_stream")
+    # every row twice, one file -> one micro-batch (watermark cannot
+    # advance mid-drain and misclassify replayed rows as late)
+    ev.union(ev).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        stream_dedup(stream, ["user_id", "ts"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.ts)) for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    }
+    expect = {
+        (r.user_id, str(r.ts))
+        for r in spark.read.parquet(src).dropDuplicates(["user_id", "ts"]).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path, sf_dir):
+    """§2.9 stream-stream join: views joined to purchases by the same
+    user within 30 minutes, both sides watermarked (state evictable).
+    Stream result equals the identical batch interval join."""
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].limit(3000)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), "value"
+    )
+    vsrc, bsrc = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.coalesce(1).write.parquet(vsrc)
+    buys.coalesce(1).write.parquet(bsrc)
+
+    vstream = spark.readStream.schema(spark.read.parquet(vsrc).schema).parquet(vsrc)
+    bstream = spark.readStream.schema(spark.read.parquet(bsrc).schema).parquet(bsrc)
+    q = (
+        stream_interval_join(
+            vstream, bstream, key="user_id", left_ts="view_ts", right_ts="buy_ts"
+        )
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, str(r.view_ts), str(r.buy_ts))
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    bviews, bbuys = spark.read.parquet(vsrc), spark.read.parquet(bsrc)
+    expect = {
+        (r.user_id, str(r.view_ts), str(r.buy_ts))
+        for r in bviews.alias("l")
+        .join(
+            bbuys.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.buy_ts") >= F.col("l.view_ts"))
+            & (F.col("r.buy_ts") <= F.col("l.view_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def _expected_candidates(now: dt.datetime) -> list[tuple[str, str, int]]:
     """Pure-python model of the discovery schedule: 6 h run cycles
     backwards from now, 3 h observation bucket, offset = obs − run."""
