@@ -90,6 +90,13 @@ def get_spark(app_name: str = "windflow", shuffle_partitions: int | None = None)
         )
         .config("spark.ui.enabled", "false")
     )
+    # extra jars (e.g. a JDBC driver) — must be on the classpath before
+    # the JVM starts; DriverManager never sees late-added jars
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars).config(
+            "spark.driver.extraClassPath", extra_jars.replace(",", os.pathsep)
+        )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]")
     return configure(builder.getOrCreate())

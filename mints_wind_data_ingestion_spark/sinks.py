@@ -106,26 +106,29 @@ def write_jdbc(
     url: str | None = None,
     mode: str = "append",
     batchsize: int = 10_000,
+    driver: str | None = None,
 ) -> bool:
     """S6 parity: set-oriented JDBC sink (vs the reference's one
     INSERT + COMMIT per row, converter.py:114-115).
 
     Executors write partitions concurrently, `batchsize` rows per
     round-trip, one transaction per partition. Returns False (no-op)
-    when no DSN is configured — this container ships no database; the
-    call-shape is the production contract.
+    when no DSN is configured; round-trip-tested against DuckDB over
+    JDBC when a driver jar is available (tests/test_sinks.py), the
+    same write path a Postgres DSN takes in production.
     """
     dsn = url or os.environ.get("SPARK_GRAFT_JDBC_URL")
     if not dsn:
         return False
-    (
+    w = (
         df.write.format("jdbc")
         .option("url", dsn)
         .option("dbtable", table)
         .option("batchsize", str(batchsize))
-        .mode(mode)
-        .save()
     )
+    if driver:
+        w = w.option("driver", driver)
+    w.mode(mode).save()
     return True
 
 

@@ -14,11 +14,31 @@ from mints_wind_data_ingestion_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def _find_jdbc_jar() -> str | None:
+    """A DuckDB JDBC driver jar, if one is cached on this machine —
+    lets the JDBC sink round-trip against a real database file."""
+    import glob as _glob
+
+    hits = _glob.glob(
+        os.path.expanduser("~/.cache/coursier/**/duckdb_jdbc*.jar"),
+        recursive=True,
+    )
+    return hits[0] if hits else None
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    jar = _find_jdbc_jar()
+    if jar:
+        os.environ.setdefault("SPARK_GRAFT_EXTRA_JARS", jar)
     spark = get_spark("windflow-tests")
     yield spark
+
+
+@pytest.fixture(scope="session")
+def jdbc_jar() -> str | None:
+    return _find_jdbc_jar()
 
 
 @pytest.fixture(scope="session")

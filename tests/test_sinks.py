@@ -68,3 +68,50 @@ def test_jdbc_sink_gated_without_dsn(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_JDBC_URL", raising=False)
     df = _wind_rows(spark, [("2020-08-12 12:00:00", 2, 1.0)])
     assert write_jdbc(df, "wind_data") is False
+
+
+def test_jdbc_round_trip(spark, tmp_path, jdbc_jar):
+    """S6 ungated: write through the real Spark JDBC path into a
+    DuckDB database file and read back through JDBC — the same
+    executor-side batched-INSERT code a Postgres DSN exercises in
+    production. (The table is pre-created because Spark's existence
+    probe SELECTs from it and DuckDB's 'no such table' SQLSTATE isn't
+    classified by the generic dialect.)"""
+    import pytest as _pytest
+
+    if not jdbc_jar:
+        _pytest.skip("no DuckDB JDBC driver jar cached on this machine")
+
+    url = f"jdbc:duckdb:{tmp_path}/roundtrip.db"
+    drv = "org.duckdb.DuckDBDriver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(drv)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE wind_data (recorded_time TIMESTAMP, param INT, value DOUBLE)"
+        )
+        st.close()
+    finally:
+        conn.close()
+
+    df = _wind_rows(
+        spark,
+        [("2020-08-12 12:00:00", 2, 1.0), ("2020-08-12 12:00:00", 3, -2.5)],
+    )
+    assert write_jdbc(df.coalesce(1), "wind_data", url=url, driver=drv) is True
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "wind_data")
+        .option("driver", drv)
+        .load()
+        .select(
+            F.col("recorded_time").cast("timestamp"),
+            F.col("param").cast("int"),
+            F.col("value").cast("double"),
+        )
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
