@@ -12,12 +12,16 @@ array, SURVEY.md §1.4). This module supplies the Spark-side plumbing:
   One partition in → one iterator of pandas batches out; nothing is
   collected to the driver, and the payload column is dropped on output
   so only the (small) metadata survives the shuffle boundary.
-- `decode_image` / `decode_audio` / `sample_video_frames`: the real
-  decoders. The image/audio libraries are not in this container, so
-  these raise NotImplementedError with the intended contract documented;
-  `byte_stats_meta` is the deterministic fake used by tests and the
-  registry query — same schema, same batch shape, real arithmetic on
-  the real bytes.
+- `decode_image` / `decode_audio` / `sample_video_frames`: REAL
+  decoders for the uncompressed container formats that need no
+  external library — BMP (24-bit BI_RGB) and PPM/PGM images, RIFF
+  WAV PCM audio, YUV4MPEG2 (y4m) video — parsed with struct/numpy,
+  round-tripped in tests against self-encoded fixtures. Compressed
+  codecs (JPEG/PNG, MP3/FLAC, MP4/H.264) dispatch to PIL/soundfile/
+  ffmpeg behind import-tries and raise with the contract documented
+  when the library is absent, as it is in this container.
+- `byte_stats_meta` remains the deterministic byte-level extractor
+  used by the registry query (its oracle must be SQL-expressible).
 
 Scale posture: payloads never expand in memory beyond one Arrow batch
 (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds it); the
@@ -119,35 +123,196 @@ def extract_meta(
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real image decode (PIL/opencv): not available in this container.
+def _decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed (BI_RGB) BMP: pure offset arithmetic.
+    Rows are 4-byte padded and stored bottom-up; pixels are BGR."""
+    import struct
 
-    Contract: returns {"width", "height", "mode", "pixels": ndarray}.
-    Plug into `extract_meta`'s iterator in place of `byte_stats_meta`.
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * abs(height), offset=data_off
+    ).reshape(abs(height), stride)[:, : width * 3]
+    img = rows.reshape(abs(height), width, 3)[:, :, ::-1]  # BGR → RGB
+    if height > 0:  # bottom-up storage
+        img = img[::-1]
+    return {"width": width, "height": abs(height), "mode": "RGB", "pixels": img.copy()}
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PPM (P6, RGB) / PGM (P5, grayscale): header tokens then
+    raw samples. Comments (#…) are legal between tokens."""
+    import numpy as np
+
+    def tokens(buf: bytes):
+        i = 0
+        while True:
+            while i < len(buf) and buf[i : i + 1].isspace():
+                i += 1
+            if buf[i : i + 1] == b"#":
+                while i < len(buf) and buf[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            yield buf[i:j], j + 1
+            i = j + 1
+
+    it = tokens(payload)
+    magic, _ = next(it)
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    (w, _), (h, _), (maxval, off) = next(it), next(it), next(it)
+    w, h, maxval = int(w), int(h), int(maxval)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+    return {
+        "width": w,
+        "height": h,
+        "mode": "RGB" if ch == 3 else "L",
+        "pixels": px.reshape(h, w, ch) if ch == 3 else px.reshape(h, w),
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decode → {"width", "height", "mode", "pixels": ndarray}.
+
+    BMP (24-bit BI_RGB) and binary PPM/PGM decode natively — raw
+    containers, no codec needed. Compressed formats dispatch to PIL
+    when importable; this container ships none, so they raise with the
+    contract intact. Plug into `extract_meta`'s iterator in place of
+    `byte_stats_meta` for real metadata.
     """
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not shipped in this environment; "
-        "use byte_stats_meta for the deterministic test path"
-    )
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "compressed image decode requires PIL, not shipped in this "
+            "environment; BMP/PPM/PGM decode natively"
+        ) from e
+    import numpy as np
+
+    img = Image.open(BytesIO(payload))
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "pixels": np.asarray(img),
+    }
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Real audio decode (librosa/soundfile): not available here.
+    """Audio decode → {"sample_rate", "n_channels", "n_samples",
+    "waveform": float64 ndarray in [-1, 1], shape (n_samples, ch)}.
 
-    Contract: returns {"sample_rate", "n_samples", "waveform": ndarray}.
+    RIFF WAV with integer PCM (8/16/32-bit) decodes natively by chunk
+    walk + numpy view. Compressed codecs dispatch to soundfile when
+    importable; absent here, they raise with the contract intact.
     """
-    raise NotImplementedError(
-        "audio decoding requires librosa/soundfile, not shipped in this "
-        "environment; use byte_stats_meta for the deterministic test path"
-    )
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        try:
+            from io import BytesIO
+
+            import soundfile  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError(
+                "non-WAV audio decode requires soundfile, not shipped in "
+                "this environment; RIFF PCM WAV decodes natively"
+            ) from e
+        data, sr = soundfile.read(BytesIO(payload))
+        return {
+            "sample_rate": sr,
+            "n_channels": 1 if data.ndim == 1 else data.shape[1],
+            "n_samples": data.shape[0],
+            "waveform": data,
+        }
+
+    fmt, data = None, None
+    off = 12
+    while off + 8 <= len(payload):
+        cid, size = payload[off : off + 4], struct.unpack_from("<I", payload, off + 4)[0]
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, sr, _, _, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only integer PCM supported (format={audio_format})")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+    raw = np.frombuffer(data, dtype=dtype)
+    raw = raw[: len(raw) - len(raw) % ch].reshape(-1, ch)
+    if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        wave = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        wave = raw.astype(np.float64) / float(2 ** (bits - 1))
+    return {
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_samples": wave.shape[0],
+        "waveform": wave,
+    }
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
-    """Real video frame sampling (ffmpeg/pyav): not available here.
+    """Video frame sampling → [(frame_index, Y-plane ndarray), ...]
+    for every Nth frame.
 
-    Contract: returns [(frame_index, ndarray), ...] for every Nth frame.
+    YUV4MPEG2 (.y4m) decodes natively: one ASCII header line, then
+    'FRAME…\\n'-prefixed raw 4:2:0 planes — seeking is arithmetic, so
+    sampling skips (not decodes) the in-between frames, exactly the
+    access pattern a real keyframe sampler wants. Compressed video
+    requires ffmpeg/pyav; absent here, it raises with the contract
+    intact.
     """
-    raise NotImplementedError(
-        "video decoding requires ffmpeg/pyav, not shipped in this "
-        "environment; use byte_stats_meta for the deterministic test path"
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "compressed video decode requires ffmpeg/pyav, not shipped in "
+            "this environment; YUV4MPEG2 (.y4m) decodes natively"
+        )
+    nl = payload.index(b"\n")
+    params = dict(
+        (tok[:1], tok[1:]) for tok in payload[9:nl].split() if tok
     )
+    w, h = int(params[b"W"]), int(params[b"H"])
+    frame_bytes = w * h * 3 // 2  # 4:2:0
+    out = []
+    off, idx = nl + 1, 0
+    while off < len(payload):
+        fnl = payload.index(b"\n", off)  # FRAME line (may carry params)
+        if payload[off : off + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {off}")
+        body = fnl + 1
+        if idx % every_n == 0:
+            y = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=body)
+            out.append((idx, y.reshape(h, w).copy()))
+        off = body + frame_bytes
+        idx += 1
+    return out

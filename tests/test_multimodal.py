@@ -1,0 +1,146 @@
+"""Real media decoding over Spark (SURVEY.md §2.11 multimodal):
+self-encoded uncompressed fixtures (BMP, PPM, WAV PCM, Y4M) round-trip
+through the native decoders, including end-to-end through the
+mapInPandas UDTF shape; compressed formats stay gated behind
+import-tries with the contract pinned."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from mints_wind_data_ingestion_spark.sources.multimodal import (
+    decode_audio,
+    decode_image,
+    sample_video_frames,
+)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up rows, BGR, 4-byte
+    row padding) — the inverse of _decode_bmp, for fixtures."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return f"P6\n# fixture\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """16-bit PCM RIFF WAV writer; samples shape (n, ch) int16."""
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_y4m(frames: list[np.ndarray]) -> bytes:
+    """YUV4MPEG2 writer: luma planes given, chroma planes constant."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for y in frames:
+        out.append(b"FRAME\n")
+        out.append(y.astype(np.uint8).tobytes())
+        out.append(bytes([128] * (w * h // 2)))  # U+V planes, 4:2:0
+    return b"".join(out)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    got = decode_image(encode_bmp(px))
+    assert (got["width"], got["height"], got["mode"]) == (7, 5, "RGB")
+    assert np.array_equal(got["pixels"], px)
+
+
+def test_ppm_roundtrip_exact():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    got = decode_image(encode_ppm(px))
+    assert (got["width"], got["height"], got["mode"]) == (6, 4, "RGB")
+    assert np.array_equal(got["pixels"], px)
+
+
+def test_wav_roundtrip_exact():
+    t = np.arange(800)
+    mono = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    stereo = np.stack([mono, -mono], axis=1)
+    got = decode_audio(encode_wav(stereo))
+    assert got["sample_rate"] == 8000
+    assert got["n_channels"] == 2 and got["n_samples"] == 800
+    assert np.allclose(got["waveform"] * 32768.0, stereo)
+
+
+def test_y4m_frame_sampling():
+    frames = [np.full((4, 6), i * 10, dtype=np.uint8) for i in range(10)]
+    got = sample_video_frames(encode_y4m(frames), every_n=3)
+    assert [i for i, _ in got] == [0, 3, 6, 9]
+    for i, y in got:
+        assert y.shape == (4, 6) and np.array_equal(y, frames[i])
+
+
+def test_compressed_formats_raise_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC....")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00 ftypisom....")
+
+
+def test_real_decode_through_mapinpandas(spark):
+    """End-to-end: mixed real binary payloads ride a DataFrame binary
+    column; an Arrow-batched mapInPandas dispatches on magic bytes and
+    extracts REAL metadata (decoded dimensions / sample counts)."""
+    import pandas as pd
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3) % 251
+    wav = encode_wav(np.ones((123, 1), dtype=np.int16) * 100, sample_rate=16000)
+    rows = [
+        (1, bytearray(encode_bmp(px))),
+        (2, bytearray(encode_ppm(px))),
+        (3, bytearray(wav)),
+        (4, bytearray(encode_y4m([np.zeros((2, 4), dtype=np.uint8)] * 5))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def meta(it):
+        for pdf in it:
+            recs = []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if b[:2] in (b"BM", b"P6", b"P5"):
+                    d = decode_image(b)
+                    recs.append((i, "image", d["width"], d["height"]))
+                elif b[:4] == b"RIFF":
+                    d = decode_audio(b)
+                    recs.append((i, "audio", d["sample_rate"], d["n_samples"]))
+                elif b.startswith(b"YUV4MPEG2"):
+                    fr = sample_video_frames(b, every_n=2)
+                    recs.append((i, "video", len(fr), fr[0][1].shape[1]))
+            yield pd.DataFrame(recs, columns=["doc_id", "kind", "a", "b"])
+
+    out = {
+        r.doc_id: (r.kind, r.a, r.b)
+        for r in df.mapInPandas(
+            meta, "doc_id long, kind string, a long, b long"
+        ).collect()
+    }
+    assert out == {
+        1: ("image", 3, 4),
+        2: ("image", 3, 4),
+        3: ("audio", 16000, 123),
+        4: ("video", 3, 4),  # frames 0,2,4 sampled; width 4
+    }
