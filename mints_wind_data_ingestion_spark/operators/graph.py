@@ -1,0 +1,145 @@
+"""Connected components over a pair/edge DataFrame — the clustering
+step of large-scale deduplication.
+
+Near-dup detection (MinHash-LSH, SimHash, embedding cosine — see
+`operators.dedup` / `operators.similarity`) emits PAIRS; an actual
+dedup pipeline needs CLUSTERS: the transitive closure of the pair
+graph, one representative kept per component. The reference pipeline
+has no analogue (its upsert key is exact — `converter.py:108-117`
+replaces rows by recorded_time); this operator is part of the mandated
+LLM-training-pipeline surface.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+published shuffle-native CC algorithm:
+
+- large-star: every node points its LARGER neighbors at the minimum
+  of its closed neighborhood;
+- small-star: every node points its smaller-or-equal neighbors at
+  that minimum.
+
+Each round is one groupBy + one join (two shuffles on node ids, no
+adjacency list ever materialized as an array), and the edge set
+converges in O(log² n) rounds to a star forest: every node directly
+attached to its component's minimum id. That round bound is what makes
+this viable at 100 TB — min-label flood-fill needs O(diameter) rounds,
+which on chain-shaped duplicate clusters (A≈B≈C≈…) is unbounded.
+
+Driver involvement per round is one scalar action (the convergence
+check — count of changed edges); `localCheckpoint` truncates lineage
+so round N's plan does not replay rounds 1..N-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Both directions, self-loops dropped, duplicates collapsed."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _min_neighborhood(edges: DataFrame) -> DataFrame:
+    """m(u) = min of u's closed neighborhood, from symmetric edges."""
+    return edges.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Return (node, component) where component is the minimum node id
+    in the node's connected component. Nodes appearing only in
+    self-loops (or not at all) are the caller's concern — join the
+    result back to the entity table and coalesce to the node's own id
+    (`dedup_clusters` does exactly that).
+
+    Rounds alternate large-star and small-star on the live edge set;
+    convergence = a round that changes nothing (checked with one
+    count() per round — the only driver action, a scalar).
+    """
+    e = _symmetrize(edges, src, dst).localCheckpoint()
+    for _ in range(max_rounds):
+        # large-star: for v in N(u) with v > u attach v to m(u).
+        # Keeping (u, m(u)) preserves connectivity of the star center.
+        m = _min_neighborhood(e)
+        large = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e2 = _symmetrize(large, "u", "v").localCheckpoint()
+
+        # small-star: for v in N(u) with v <= u attach v to m(u).
+        m2 = _min_neighborhood(e2)
+        small = (
+            e2.filter(F.col("v") < F.col("u"))
+            .join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e3 = _symmetrize(small, "u", "v").localCheckpoint()
+
+        # fixpoint: same edge multiset (sets, post-distinct) both rounds
+        if (
+            e3.count() == e.count()
+            and e3.exceptAll(e).isEmpty()
+        ):
+            e = e3
+            break
+        e = e3
+
+    # star forest: every edge now touches its component min.
+    return (
+        e.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+        .select(F.col("u").alias("node"), "component")
+    )
+
+
+def dedup_clusters(
+    entities: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for EVERY entity: near-dup pairs → connected
+    components → (id, cluster_id, is_representative). Singletons (no
+    pair) form their own cluster. The keep-list of a dedup pipeline is
+    `filter(is_representative)`.
+
+    The component table is tiny relative to the corpus (only entities
+    that matched a pair), so the join back is broadcast-eligible and
+    the full corpus is never shuffled.
+    """
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    return (
+        entities.select(F.col(id_col))
+        .join(F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_representative", (F.col(id_col) == F.col("cluster_id"))
+        )
+    )

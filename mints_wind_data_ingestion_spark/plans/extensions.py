@@ -576,3 +576,65 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(emb, n_cells=16, iters=5)
     probes = emb.filter(F.col("vec_id") < 8)
     return topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering — pairs → connected components → keep-list
+# ---------------------------------------------------------------------------
+
+_D_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, {_D_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM documents
+        UNION
+        SELECT r.src, e.v AS node FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT src AS doc_id,
+           min(node) AS cluster_id,
+           (src = min(node)) AS is_representative
+    FROM reach GROUP BY src
+"""
+
+
+@query("x_dedup_cluster", oracle=_D_DEDUP_CLUSTERS, tags=("ext", "dedup", "graph"))
+def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING: near-dup pairs (exact n-gram Jaccard >= 0.5,
+    the x_dedup_jaccard pair set) -> connected components via
+    alternating large-star/small-star (O(log^2 n) shuffle rounds,
+    operators.graph) -> one row per document with its cluster id
+    (component minimum) and whether it is the kept representative.
+    `filter(is_representative)` is the corpus keep-list — the step
+    that turns pair detection into an actual deduplicated dataset.
+    The DuckDB oracle computes the transitive closure with a
+    recursive CTE, so the differential check covers the full
+    pairs -> components -> representative pipeline."""
+    from ..operators.graph import dedup_clusters
+
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
+    pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
+    return dedup_clusters(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )

@@ -1,0 +1,57 @@
+"""Connected-components operator (operators.graph) — shape cases the
+differential oracle can't isolate: chains (where naive min-label
+flood-fill needs O(diameter) rounds), stars, disjoint components,
+singletons, and duplicate/reversed edge input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_cc_chain(spark):
+    # 1-2-3-4-5-6-7-8: worst case for flood fill; large/small-star
+    # collapses it in O(log^2) rounds.
+    got = _cc(spark, [(i, i + 1) for i in range(1, 8)])
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_cc_two_components_and_star(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (20, 21), (20, 22), (20, 23)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cc_duplicate_and_reversed_edges(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 2), (3, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_dedup_clusters_singletons_kept(spark):
+    ents = spark.range(1, 8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_representative)
+           for r in dedup_clusters(ents, pairs, "doc_id").collect()}
+    assert out == {
+        1: (1, True), 2: (2, True), 3: (3, True), 4: (4, True),
+        5: (2, False), 6: (2, False), 7: (7, True),
+    }
+    # keep-list = representatives: exactly one survivor per cluster
+    assert sum(1 for c, rep in out.values() if rep) == 5
+
+
+def test_cc_empty_pairs(spark):
+    ents = spark.range(3).select(F.col("id").alias("doc_id"))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_clusters(ents, empty, "doc_id")
+    assert out.filter(~F.col("is_representative")).isEmpty()
+    assert out.count() == 3
