@@ -638,3 +638,68 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling — corpus curation / domain mixing
+# ---------------------------------------------------------------------------
+
+_D_SAMPLE_HASH = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)"
+
+_D_MIXTURE = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_D_SAMPLE_HASH} <
+      CASE lang
+        WHEN 'en' THEN 'gggggg'
+        WHEN 'de' THEN 'c00000'
+        WHEN 'fr' THEN '800000'
+        WHEN 'es' THEN '600000'
+        WHEN 'zh' THEN '400000'
+      END
+"""
+
+_D_STRATIFIED = f"""
+    SELECT source, doc_id, sample_rank
+    FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_D_SAMPLE_HASH}, doc_id
+               ) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 3
+"""
+
+
+@query("x_sample_mixture", oracle=_D_MIXTURE, tags=("ext", "sampling"))
+def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture resampling (operators.sampling.mixture_sample):
+    keep en at 100%, de 75%, fr 50%, es 37.5%, zh 25% — membership a
+    pure function of md5(doc_id), so the sample is identical across
+    runs, partitionings, and engines (the oracle re-derives it). A
+    shuffle-free narrow filter: the 100 TB shape for corpus
+    rebalancing (plan pinned Exchange-free in tests/test_plans.py)."""
+    from ..operators.sampling import mixture_sample
+
+    docs = tables(spark, sf_dir)["documents"]
+    rates = {"en": 1.0, "de": 0.75, "fr": 0.5, "es": 0.375, "zh": 0.25}
+    return mixture_sample(docs, "lang", "doc_id", rates).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query("x_sample_stratified", oracle=_D_STRATIFIED, tags=("ext", "sampling"))
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-3-docs-per-source stratified sample
+    (operators.sampling.stratified_sample_exact): deterministic
+    (hash, id) order within each stratum, row_number cutoff. One
+    shuffle on the stratum key — the audit/eval-split shape; for
+    corpus-scale resampling use the rate-based mixture instead."""
+    from ..operators.sampling import stratified_sample_exact
+
+    docs = tables(spark, sf_dir)["documents"]
+    return stratified_sample_exact(docs, ["source"], "doc_id", 3).select(
+        "source", "doc_id", "sample_rank"
+    )

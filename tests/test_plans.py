@@ -191,3 +191,27 @@ def test_events_scan_prunes_props(spark, sf_dir):
     p = plan(spark, sf_dir, "a2_bucket_counts")
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema
+
+
+def test_mixture_sample_is_shuffle_free(spark, sf_dir):
+    """Corpus rebalancing must stay a narrow filter: no Exchange, no
+    window, no aggregate anywhere in the mixture-sample plan — at
+    100 TB this op streams through the scan."""
+    p = plan(spark, sf_dir, "x_sample_mixture")
+    assert "Exchange" not in p
+    assert "Window" not in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # body never read for sampling
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """Exact-k stratified sampling pays exactly one shuffle (on the
+    stratum key) AND pre-filters map-side: Spark's WindowGroupLimit
+    must appear in Partial mode before the exchange, so at most k rows
+    per stratum per task cross the wire — the property that keeps
+    exact-k viable when a stratum spans millions of rows."""
+    import re
+
+    p = plan(spark, sf_dir, "x_sample_stratified")
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "row_number(), 3, Partial" in p
