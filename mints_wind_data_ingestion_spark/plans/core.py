@@ -571,3 +571,117 @@ def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .limit(10)
     )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+    tags=("J5", "A1", "bench"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    scalar subquery `l_quantity < 0.2 * (SELECT avg(l_quantity) ...
+    WHERE l_partkey = p_partkey)` re-expressed Spark-first as a
+    pre-aggregation joined back to the fact — the standard decorrelation
+    Catalyst itself would emit, made explicit so the join sides are
+    controllable.
+
+    Scale shape: the per-part average is a map-side-combining agg on
+    l_partkey (narrow: two longs per part); the brand filter prunes
+    part BEFORE its broadcast, so the fact scan is filtered by a
+    broadcast hash join, and the avg table joins on the same partkey.
+    DECIMAL accumulation on both sums keeps the value hash stable.
+    avg is computed as decimal-sum / count rather than avg() so Spark
+    and the oracle fold bit-identically.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0)
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("J5", "A2", "O1", "bench"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): `o_orderkey IN
+    (SELECT ... HAVING sum > N)` — an aggregation-driven semi-join.
+    Spark-first the subquery IS the fact: aggregate lineitem once on
+    orderkey, filter the aggregate (HAVING), and join the survivors
+    to orders — the semi-join and the total-quantity column come from
+    the same single pass instead of TPC-H's textbook double scan.
+
+    Scale shape: one map-side-combining agg on l_orderkey; the
+    surviving "big orders" table is tiny (HAVING prunes hard), so its
+    join to orders broadcasts; customer joins on c_custkey (shuffle at
+    real scale — dimension too big to ship; AQE may still elect
+    broadcast at small SF). Top-100 with a unique tiebreaker plans as
+    TakeOrderedAndProject, never a global sort.
+    """
+    t = tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["customer"].select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .limit(100)
+    )

@@ -215,3 +215,21 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "x_sample_stratified")
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert "row_number(), 3, Partial" in p
+
+
+def test_q17_brand_filter_broadcasts(spark, sf_dir):
+    """Q17's decorrelated plan: the brand-filtered part dim reaches the
+    fact via BroadcastHashJoin, and the brand predicate is pushed into
+    the part scan — the fact table is never joined unfiltered."""
+    p = plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in p
+    pushed = p.split("PushedFilters:")
+    assert any("Brand#12" in seg.splitlines()[0] for seg in pushed[1:])
+
+
+def test_q18_topk_no_global_sort(spark, sf_dir):
+    """Q18's ORDER BY ... LIMIT 100 must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global Sort+Exchange(range)."""
+    p = plan(spark, sf_dir, "q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
