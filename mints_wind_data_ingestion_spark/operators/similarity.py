@@ -441,3 +441,42 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization of a float-vector column: returns
+    (scale, q) where scale = max|x|/127 and q[i] = floor(x[i]/scale
+    + 0.5) ∈ [-127, 127] (half-up rounding written as floor(+0.5) —
+    identical in every engine, unlike round(), whose half-way rule
+    differs between Spark doubles [half-even] and DuckDB [half-away]).
+
+    This is the storage/serving compression step of an embedding
+    pipeline: 4× smaller vectors, and int8 dot products SIMD-vectorize.
+    Pure per-row expressions — no shuffle, no UDF, composable with any
+    downstream join. The e-12 floor keeps a zero vector from dividing
+    by zero (its q is all-zero at any scale).
+    """
+    amax = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("long")
+    )
+    return scale, q
+
+
+def dequant_sq_error(vec: Column, q: Column, scale: Column) -> Column:
+    """Σ (x − q·scale)² folded in array order (deterministic double
+    accumulation, same fold contract as `dot`)."""
+    # squared via multiplication, not pow(): Math.pow is only 1-ulp
+    # accurate, so pow(d, 2.0) is not guaranteed to equal d*d bitwise
+    diffs = F.zip_with(
+        vec,
+        q,
+        lambda x, qi: (x.cast("double") - qi * scale)
+        * (x.cast("double") - qi * scale),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)

@@ -703,3 +703,88 @@ def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(docs, ["source"], "doc_id", 3).select(
         "source", "doc_id", "sample_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset profiling + embedding quantization
+# ---------------------------------------------------------------------------
+
+_D_PROFILE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM documents
+    """
+    for c in ("doc_id", "text", "lang", "source", "n_chars")
+)
+
+#: left fold with explicit double init == pyspark F.aggregate
+_D_ABS_MAX = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), "
+    "(acc, x) -> greatest(acc, x))"
+)
+
+_D_QUANTIZE = f"""
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               greatest({_D_ABS_MAX}, 1e-12) / 127.0 AS scale
+        FROM embeddings
+    ),
+    qd AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+        FROM scaled
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(q, v -> abs(v))), (a, b) -> a + b) AS q_l1,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)),
+                   i -> (CAST(embedding[i] AS DOUBLE) - q[i] * scale)
+                      * (CAST(embedding[i] AS DOUBLE) - q[i] * scale))),
+               (acc, v) -> acc + v) * 1e12 + 0.5) AS BIGINT) AS err_e12
+    FROM qd
+"""
+
+
+@query("x_profile_columns", oracle=_D_PROFILE, tags=("ext", "profile"))
+def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of `documents` (operators.profile):
+    per-column nulls, exact distincts, min/max — all five columns'
+    statistics from ONE scan (Catalyst plans the multi-distinct as one
+    Expand), unpivoted map-side with stack. The oracle recomputes each
+    column independently; matching it certifies the fused plan."""
+    from ..operators.profile import profile_columns
+
+    docs = tables(spark, sf_dir)["documents"]
+    return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@query("x_embed_quantize", oracle=_D_QUANTIZE, tags=("ext", "similarity"))
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators.similarity.quantize_int8):
+    per-vector symmetric scale, half-up rounding, plus the exact
+    reconstruction error — entirely JVM-side array expressions (no
+    UDF, no shuffle; the 100 TB shape is a streaming map over the
+    scan). Emitted as integer-quantized scalars (scale·1e9, Σ|q|,
+    err·1e12) so the differential hash pins every value bit-for-bit."""
+    from ..operators.similarity import dequant_sq_error, quantize_int8
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    scale, q = quantize_int8(F.col("embedding"))
+    emb2 = emb.select("vec_id", "embedding", scale.alias("scale"), q.alias("q"))
+    err = dequant_sq_error(F.col("embedding"), F.col("q"), F.col("scale"))
+    return emb2.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1e9) + F.lit(0.5)).alias("scale_e9"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, v: a + F.abs(v)
+        ).alias("q_l1"),
+        F.floor(err * F.lit(1e12) + F.lit(0.5)).alias("err_e12"),
+    )

@@ -233,3 +233,23 @@ def test_q18_topk_no_global_sort(spark, sf_dir):
     p = plan(spark, sf_dir, "q18_large_volume_customers")
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """Five columns' null/distinct/min/max stats from ONE table scan:
+    the multi-distinct fuses into a single Expand-based aggregate, and
+    the unpivot to long form is a map-side Generate — never five jobs
+    or five scans."""
+    import re
+
+    p = plan(spark, sf_dir, "x_profile_columns")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Expand" in p
+
+
+def test_quantize_is_narrow_jvm_only(spark, sf_dir):
+    """Int8 quantization streams through the scan: no Exchange, no
+    Python evaluation node — pure codegen'd array expressions."""
+    p = plan(spark, sf_dir, "x_embed_quantize")
+    assert "Exchange" not in p
+    assert "Python" not in p and "BatchEval" not in p
