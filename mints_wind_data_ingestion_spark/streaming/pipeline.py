@@ -30,6 +30,7 @@ __all__ = [
     "stream_windowed_counts",
     "stream_dedup",
     "stream_interval_join",
+    "run_continuous_rollup",
 ]
 
 
@@ -208,4 +209,94 @@ def stream_windowed_counts(
             "event_cnt",
             "value_sum",
         )
+    )
+
+
+def run_continuous_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema,
+    bucket: str = "6 hours",
+) -> StreamingQuery:
+    """Continuous aggregate (the hypertable-rollup pattern): maintain a
+    materialized per-(bucket, event_type) rollup of an append-only
+    event stream INCREMENTALLY — each micro-batch contributes its
+    partial aggregates, which merge ADDITIVELY into the stored rollup
+    (cnt += cnt, sum += sum). The stored table never re-scans history:
+    cost per epoch is O(batch) + O(|rollup|), not O(stream).
+
+    Additive merges are NOT naturally idempotent (replaying an epoch
+    would double-count — unlike the latest-wins upsert in
+    `run_ingest_stream`), so exactly-once is restored by epoch
+    fencing: every stored row carries `src_epoch` = the last epoch
+    that touched it; a batch whose epoch_id is ≤ the stored maximum is
+    a checkpoint replay and is skipped whole. Publish is the same
+    crash-safe temp-write + rename swap as the ingest merge.
+
+    Sums accumulate in DECIMAL so the stored value is identical no
+    matter how the stream was partitioned into micro-batches.
+    """
+    # one file per micro-batch: each landed chunk is its own epoch
+    # (availableNow still drains the whole backlog in one run)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def merge_rollup(events: DataFrame, epoch_id: int) -> None:
+        # Partial aggregation happens HERE, on the raw micro-batch — a
+        # streaming groupBy upstream of foreachBatch would be STATEFUL
+        # (each epoch emits cumulative updates), and adding cumulative
+        # rows is double-counting. foreachBatch sees a plain batch
+        # DataFrame, so this agg is over exactly this epoch's rows.
+        batch = (
+            events.groupBy(
+                F.window("ts", bucket).alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("event_cnt"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("value_sum"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"), "event_type",
+                "event_cnt", "value_sum",
+            )
+        )
+        s = batch.sparkSession
+        _recover_table(s, table_path)
+        try:
+            stored = s.read.parquet(table_path)
+        except Exception:
+            stored = None
+        if stored is not None:
+            # epoch fence: a replayed epoch must not double-count
+            last = stored.agg(F.max("src_epoch")).first()[0]
+            if last is not None and epoch_id <= last:
+                return
+        inc = batch.withColumn("src_epoch", F.lit(epoch_id).cast("long"))
+        if stored is not None:
+            merged = (
+                stored.unionByName(inc)
+                .groupBy("bucket_start", "event_type")
+                .agg(
+                    F.sum("event_cnt").alias("event_cnt"),
+                    F.sum("value_sum").cast("decimal(18,6)").alias("value_sum"),
+                    F.max("src_epoch").alias("src_epoch"),
+                )
+            )
+        else:
+            merged = inc
+        tmp_path = f"{table_path}__epoch{epoch_id}.tmp"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        _swap_in(s, tmp_path, table_path)
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_rollup)
+        .trigger(availableNow=True)
+        .start()
     )
