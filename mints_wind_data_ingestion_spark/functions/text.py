@@ -23,6 +23,9 @@ __all__ = [
     "avg_word_len",
     "stopword_ratio",
     "fingerprint64",
+    "pii_count",
+    "redact_pii",
+    "PII_PATTERNS",
 ]
 
 #: tiny per-language stopword lists for the n-gram/stopword language
@@ -157,3 +160,30 @@ def fingerprint64(text: Column | str) -> Column:
     dedup joins; sha2-256 is the collision-safe variant (operators.dedup)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.xxhash64(col)
+
+
+# --- PII redaction ---------------------------------------------------------
+
+#: engine-portable patterns (identical semantics in Java regex and
+#: RE2): plain char classes, no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-555-[0-9]{4}",
+    "ipv4": r"([0-9]{1,3}\.){3}[0-9]{1,3}",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (group-0 matches)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails → <EMAIL>, phone numbers → <PHONE>, IPv4 → <IP>,
+    applied in that fixed order (order matters: an email must not be
+    half-eaten by the IP rule first — its domain can look like a
+    dotted quad). Pure codegen'd regexp_replace chain: the 100 TB
+    shape is a streaming map, no shuffle, no UDF."""
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    return F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")

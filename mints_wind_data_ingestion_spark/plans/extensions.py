@@ -788,3 +788,115 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.floor(err * F.lit(1e12) + F.lit(0.5)).alias("err_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + context-window chunking
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic contact block derived from doc_id — the
+#: corpus itself is PII-free word soup, so both engines append the
+#: same constructed email/phone/IP to exercise the scrubber for real
+_D_CONTACT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org or ' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+    " || '-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+)
+
+_D_PII = rf"""
+    WITH enriched AS (SELECT doc_id, {_D_CONTACT} AS raw FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(raw, '[0-9]{{3}}-555-[0-9]{{4}}')) AS n_phones,
+           len(regexp_extract_all(raw, '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '[0-9]{{3}}-555-[0-9]{{4}}', '<PHONE>', 'g'),
+             '([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS redacted
+    FROM enriched
+"""
+
+_D_CHUNKS = f"""
+    WITH base AS (
+        SELECT doc_id, toks, len(toks) AS n
+        FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    ),
+    st AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, ((n - 1) // 15) * 15, 15)) AS chunk_start
+        FROM base
+    )
+    SELECT doc_id,
+           chunk_start // 15 AS chunk_id,
+           chunk_start,
+           len(toks[chunk_start + 1 : least(chunk_start + 20, n)]) AS chunk_len,
+           array_to_string(toks[chunk_start + 1 : least(chunk_start + 20, n)], ' ')
+             AS chunk_text
+    FROM st
+"""
+
+
+@query("x_pii_redact", oracle=_D_PII, tags=("ext", "text"))
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii): emails, phone
+    numbers, IPv4 addresses replaced by typed placeholders, plus
+    per-kind match counts. The corpus is PII-free by construction, so
+    a deterministic contact block derived from doc_id is appended
+    FIRST (identically in the oracle) — the differential hash then
+    certifies the scrubber on text that actually contains PII at
+    varying positions. Patterns are dialect-portable (no lookaround),
+    the whole query is a codegen'd regexp chain: no shuffle, no UDF."""
+    from ..functions.text import pii_count, redact_pii
+
+    docs = tables(spark, sf_dir)["documents"]
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or "),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 192.168."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), ((F.col("doc_id") * 3) % 256).cast("string"),
+    )
+    enriched = docs.select("doc_id", raw.alias("raw"))
+    return enriched.select(
+        "doc_id",
+        pii_count(F.col("raw"), "email").alias("n_emails"),
+        pii_count(F.col("raw"), "phone").alias("n_phones"),
+        pii_count(F.col("raw"), "ipv4").alias("n_ips"),
+        redact_pii(F.col("raw")).alias("redacted"),
+    )
+
+
+@query("x_doc_chunks", oracle=_D_CHUNKS, tags=("ext", "text"))
+def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 20-token
+    windows with stride 15 (25% overlap) — the batch-prep step that
+    turns a corpus into model-sized training samples. Chunk starts are
+    a generated sequence posexploded map-side; the slice/join are
+    array expressions — one narrow pass, rows fan out ~n_tokens/15×
+    with no shuffle, so the plan streams at any scale."""
+    docs = tables(spark, sf_dir)["documents"]
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    chunks = toked.select(
+        "doc_id", "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.expr("((n - 1) div 15) * 15"), F.lit(15))
+        ).alias("chunk_id", "chunk_start"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.size(F.slice("toks", F.col("chunk_start") + 1, F.lit(20))).alias("chunk_len"),
+        F.array_join(
+            F.slice("toks", F.col("chunk_start") + 1, F.lit(20)), " "
+        ).alias("chunk_text"),
+    )

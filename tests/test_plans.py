@@ -253,3 +253,13 @@ def test_quantize_is_narrow_jvm_only(spark, sf_dir):
     p = plan(spark, sf_dir, "x_embed_quantize")
     assert "Exchange" not in p
     assert "Python" not in p and "BatchEval" not in p
+
+
+def test_chunking_and_redaction_are_narrow(spark, sf_dir):
+    """Corpus→training-sample transforms (chunking fan-out, PII
+    scrub) must stream through the scan: Generate/regexp chains, no
+    Exchange, no Python node."""
+    for q in ("x_doc_chunks", "x_pii_redact"):
+        p = plan(spark, sf_dir, q)
+        assert "Exchange" not in p, q
+        assert "Python" not in p, q
