@@ -900,3 +900,65 @@ def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.col("chunk_start") + 1, F.lit(20)), " "
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile-threshold corpus curation
+# ---------------------------------------------------------------------------
+
+_D_QUALITY_FILTER = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_d_stop_score('en').replace('toks', f'({_D_TOKS})')} AS score
+        FROM documents
+    ),
+    counts AS (
+        SELECT score, count(*) AS c FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               sum(c) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(c) OVER () AS n
+        FROM counts
+    ),
+    thr AS (
+        SELECT min(score) AS threshold FROM cum
+        WHERE cum_n >= ceil(0.25 * n)
+    )
+    SELECT doc_id, score, threshold
+    FROM scored, thr
+    WHERE score >= threshold
+"""
+
+
+@query("x_quality_filter", oracle=_D_QUALITY_FILTER, tags=("ext", "text", "sampling"))
+def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold corpus curation: drop the bottom quartile of
+    documents by quality score (English stopword ratio — the classic
+    web-junk signal). The p25 cutoff is computed on the DISTINCT-score
+    histogram (scores are small rationals, so the cumulative pass
+    touches ~dozens of rows, not the corpus), then broadcast back as a
+    1-row dimension — no global sort of the corpus, no second full
+    shuffle. The same shape scales to any percentile rule a data-mix
+    recipe needs."""
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    scored = docs.select(
+        "doc_id", stopword_ratio("text", "en").alias("score")
+    )
+    counts = scored.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "score",
+        F.sum("c").over(wc).alias("cum_n"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    thr = cum.filter(
+        F.col("cum_n") >= F.ceil(F.lit(0.25) * F.col("n"))
+    ).agg(F.min("score").alias("threshold"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("threshold"))
+        .select("doc_id", "score", "threshold")
+    )

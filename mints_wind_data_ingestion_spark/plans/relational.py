@@ -871,3 +871,94 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_partkey").agg(
         weighted_median("l_extendedprice", "l_quantity").alias("wmedian_price")
     )
+
+
+@query(
+    "a_percentiles_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           min(CASE WHEN rn >= ceil(0.50 * n) THEN value END) AS p50,
+           min(CASE WHEN rn >= ceil(0.90 * n) THEN value END) AS p90,
+           min(CASE WHEN rn >= ceil(0.99 * n) THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def a_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 of value per event
+    type): the smallest observed value whose rank reaches ceil(p·n) —
+    always a REAL data point (no interpolation), so the result is
+    engine-exact and the differential hash bit-stable, where
+    interpolating percentile()/quantile_cont() implementations differ
+    in their blend arithmetic.
+
+    Scale shape: one shuffle on event_type + per-group sort — the
+    exact-percentile cost. At 100 TB per-key, swap in
+    approx_percentile (t-digest-style sketch, mergeable map-side, no
+    sort) and keep this as the audit path; x_approx_distinct shows
+    the same exact/sketch pairing for cardinality.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+            ).alias(name)
+            for p, name in ((0.50, "p50"), (0.90, "p90"), (0.99, "p99"))
+        ]
+    )
+
+
+@query(
+    "a_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    )
+    SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 20.0)) AS BIGINT),
+                 19) AS bin_id,
+           min(mn + least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 20.0)) AS BIGINT), 19)
+                    * ((mx - mn) / 20.0)) AS bin_lo,
+           count(*) AS n_orders
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (20 bins) of order totals: global min/max
+    in a first scalar pass, bin assignment a pure expression in the
+    second — the two-pass shape every data profiler uses when bounds
+    aren't known a priori (with fixed bounds it collapses to one
+    pass). The 1-row bounds table joins by broadcast-able cross join;
+    bin math is identical IEEE arithmetic on both engines, and the
+    max value clamps into the last bin."""
+    orders = tables(spark, sf_dir)["orders"]
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(20.0)
+    bin_id = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19).cast("bigint")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bin_id.alias("bin_id"),
+                (F.col("mn") + bin_id * width).alias("lo"))
+        .groupBy("bin_id")
+        .agg(F.min("lo").alias("bin_lo"), F.count(F.lit(1)).alias("n_orders"))
+    )
