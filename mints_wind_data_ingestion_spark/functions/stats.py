@@ -20,7 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["weighted_median"]
+__all__ = ["weighted_median", "fit_group_trend"]
 
 
 @pandas_udf("double")
@@ -36,3 +36,56 @@ def weighted_median(x: pd.Series, w: pd.Series) -> float:
     xs = x.to_numpy()[order]
     cw = w.to_numpy()[order].cumsum()
     return float(xs[cw >= cw[-1] / 2.0][0])
+
+
+def fit_group_trend(df, key: str, x_col: str, y_col: str, id_col: str):
+    """Per-group OLS trend fit + per-row residuals via applyInPandas
+    (GROUPED_MAP) — the Spark surface for "run a model per key and
+    emit row-level output". GROUPED_AGG (weighted_median above)
+    reduces a group to a scalar; this keeps the group's rows, so
+    detrending/normalization/anomaly scores come back at full
+    granularity.
+
+    Determinism contract (the DuckDB oracle mirrors it exactly): rows
+    are ordered by `id_col` inside the group, all sums are sequential
+    left-to-right float64 cumulative sums (np.cumsum — never np.sum's
+    pairwise tree), slope/intercept use the textbook closed form with
+    a zero-variance guard, and emitted values are e6/e9-quantized with
+    floor(v·10^k + 0.5).
+
+    Scale: one shuffle on `key`; each group must fit a pandas frame —
+    the same holistic contract as any per-entity model fit. 100 TB
+    posture: high-cardinality keys (millions of small groups), Arrow
+    batches, no driver involvement.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    schema = f"{key} long, {id_col} long, slope_e9 long, resid_e6 long"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        n = float(len(x))
+        sx = np.cumsum(x)[-1]
+        sy = np.cumsum(y)[-1]
+        sxy = np.cumsum(x * y)[-1]
+        sxx = np.cumsum(x * x)[-1]
+        denom = n * sxx - sx * sx
+        if denom == 0.0:
+            slope, intercept = 0.0, sy / n
+        else:
+            slope = (n * sxy - sx * sy) / denom
+            intercept = (sy - slope * sx) / n
+        resid = y - (intercept + slope * x)
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "slope_e9": np.floor(slope * 1e9 + 0.5).astype("int64"),
+                "resid_e6": np.floor(resid * 1e6 + 0.5).astype("int64"),
+            }
+        )
+
+    return df.select(key, id_col, x_col, y_col).groupBy(key).applyInPandas(fit, schema)

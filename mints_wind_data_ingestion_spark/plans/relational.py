@@ -962,3 +962,62 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin_id")
         .agg(F.min("lo").alias("bin_lo"), F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "x_group_trend_fit",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               list(epoch(ts) ORDER BY event_id) AS xs,
+               list(value ORDER BY event_id) AS ys,
+               list(event_id ORDER BY event_id) AS ids
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id, ids, xs, ys, CAST(len(xs) AS DOUBLE) AS n,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a,b) -> a+b) AS sx,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys), (a,b) -> a+b) AS sy,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, len(xs)), i -> xs[i]*ys[i])),
+              (a,b) -> a+b) AS sxy,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, len(xs)), i -> xs[i]*xs[i])),
+              (a,b) -> a+b) AS sxx
+        FROM g
+    ),
+    f AS (
+        SELECT user_id, ids, xs, ys,
+          CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+               ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS slope,
+          CASE WHEN n*sxx - sx*sx = 0 THEN sy / n
+               ELSE (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+          END AS intercept
+        FROM s
+    )
+    SELECT user_id, ids[i] AS event_id,
+           CAST(floor(slope * 1e9 + 0.5) AS BIGINT) AS slope_e9,
+           CAST(floor((ys[i] - (intercept + slope * xs[i])) * 1e6 + 0.5) AS BIGINT)
+             AS resid_e6
+    FROM f, LATERAL unnest(generate_series(1, len(ids))) AS t(i)
+    """,
+    tags=("ext", "udaf", "pandas"),
+)
+def x_group_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend fit with row-level residuals — the GROUPED_MAP
+    (applyInPandas) surface: one numpy model fit per key, output at
+    full row granularity (detrending/anomaly shape), completing the
+    §2.10 trio next to the GROUPED_AGG weighted median and the
+    applyInPandasWithState stream operator (functions.stats.
+    fit_group_trend documents the bit-determinism contract the DuckDB
+    oracle mirrors: ordered cumulative sums, closed-form slope,
+    quantized output)."""
+    from ..functions.stats import fit_group_trend
+
+    ev = tables(spark, sf_dir)["events"]
+    xev = ev.select(
+        "user_id", "event_id",
+        (F.unix_micros("ts") / F.lit(1e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return fit_group_trend(xev, "user_id", "x", "y", "event_id")

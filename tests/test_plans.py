@@ -263,3 +263,15 @@ def test_chunking_and_redaction_are_narrow(spark, sf_dir):
         p = plan(spark, sf_dir, q)
         assert "Exchange" not in p, q
         assert "Python" not in p, q
+
+
+def test_grouped_map_is_arrow_single_shuffle(spark, sf_dir):
+    """The per-group model fit runs as Arrow-batched grouped-map
+    (FlatMapGroupsInPandas), one exchange on the group key, no
+    row-at-a-time Python evaluation."""
+    import re
+
+    p = plan(spark, sf_dir, "x_group_trend_fit")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+    assert "BatchEvalPython" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
