@@ -71,6 +71,25 @@ def connected_components(
     convergence = a round that changes nothing (checked with one
     count() per round — the only driver action, a scalar).
     """
+    # Every round's groupBy/join/distinct materializes EAGERLY via
+    # localCheckpoint, so the session's shuffle.partitions applies to
+    # each of the O(log² n) rounds. Under a driver-owned session that
+    # default (200) means 200 tasks per tiny intermediate — scope the
+    # conf to the loop (restored in finally) and size it to the actual
+    # parallelism; at real scale callers size it to the edge volume.
+    sess = edges.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = sess.conf.get(key)
+    sess.conf.set(key, str(sess.sparkContext.defaultParallelism))
+    try:
+        return _cc_rounds(edges, src, dst, max_rounds)
+    finally:
+        sess.conf.set(key, old)
+
+
+def _cc_rounds(
+    edges: DataFrame, src: str, dst: str, max_rounds: int
+) -> DataFrame:
     e = _symmetrize(edges, src, dst).localCheckpoint()
     for _ in range(max_rounds):
         # large-star: for v in N(u) with v > u attach v to m(u).

@@ -962,3 +962,114 @@ def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= F.col("threshold"))
         .select("doc_id", "score", "threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline (flagship composition)
+# ---------------------------------------------------------------------------
+
+_D_CURATION = f"""
+    WITH RECURSIVE en_docs AS (
+        SELECT doc_id, text FROM documents WHERE lang = 'en'
+    ),
+    uniq AS (  -- exact dedup: keep lowest doc_id per identical text
+        SELECT min(doc_id) AS doc_id, text FROM en_docs GROUP BY text
+    ),
+    sets AS (
+        SELECT doc_id, {_D_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_D_TOKS} AS toks FROM uniq)
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS node FROM uniq
+        UNION
+        SELECT r.src, e.v AS node FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (
+        SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+    ),
+    kept AS (  -- near-dup keep-list ∩ deterministic 90% sample
+        SELECT u.doc_id, u.text
+        FROM uniq u JOIN comp c ON c.doc_id = u.doc_id
+        WHERE c.doc_id = c.cluster_id
+          AND substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 6) < 'e66666'
+    ),
+    toked AS (
+        SELECT doc_id, {_D_TOKS} AS toks FROM kept
+    ),
+    st AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(generate_series(0, ((len(toks) - 1) // 15) * 15, 15))
+                 AS chunk_start
+        FROM toked
+    )
+    SELECT doc_id, chunk_start // 15 AS chunk_id,
+           array_to_string(toks[chunk_start + 1 : least(chunk_start + 20, n)], ' ')
+             AS chunk_text
+    FROM st
+"""
+
+
+@query("x_curation_pipeline", oracle=_D_CURATION, tags=("ext", "pipeline"))
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline, composed from this
+    engine's operators as ONE declarative plan: language filter →
+    exact dedup (min-id per identical text) → near-dup clustering
+    (exact Jaccard ≥ 0.5 pairs → connected components → one
+    representative per cluster) → deterministic 90% hash sample →
+    20-token/stride-15 context-window chunking. What a training-data
+    team actually runs nightly — here differentially verified
+    END-TO-END by a single recursive-CTE oracle, so a regression in
+    any stage (or in how stages compose) flips the hash.
+
+    Scale: every stage is the bucketed/broadcast shape its standalone
+    query pins (inverted-index pair join, log-round CC, broadcast
+    component table, shuffle-free sample + chunk fan-out); the corpus
+    crosses a shuffle only where a stage's semantics require it."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.graph import dedup_clusters
+    from ..operators.sampling import hash_sample
+
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    en = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    uniq = exact_dedup(en, cols=["text"], id_col="doc_id").select("doc_id", "text")
+    with_sh = shingle_docs_pandas(uniq, "doc_id", "text", 3, out="shingles")
+    pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
+    clusters = dedup_clusters(
+        uniq.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    reps = clusters.filter(F.col("is_representative")).select("doc_id")
+    kept = hash_sample(
+        uniq.join(F.broadcast(reps), "doc_id"), id_col="doc_id", rate=0.9
+    )
+    toked = kept.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    chunks = toked.select(
+        "doc_id", "toks", "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.expr("((n - 1) div 15) * 15"), F.lit(15))
+        ).alias("chunk_id", "chunk_start"),
+    )
+    return chunks.select(
+        "doc_id", "chunk_id",
+        F.array_join(
+            F.slice("toks", F.col("chunk_start") + 1, F.lit(20)), " "
+        ).alias("chunk_text"),
+    )

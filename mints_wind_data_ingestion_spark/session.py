@@ -49,6 +49,12 @@ def configure(spark: SparkSession) -> SparkSession:
     # whole-stage codegen; the default maxFields=100 silently falls back
     # to the interpreted path (measured 40% slower on the minhash agg)
     conf.set("spark.sql.codegen.maxFields", "300")
+    # cached plans keep their pre-AQE output partitioning by default,
+    # so a .cache() below an exchange materializes at the static
+    # shuffle.partitions (200 under a driver-owned session) even with
+    # AQE on — let AQE re-partition cached plans too (the dedup
+    # posting-list caches are the multi-consumer case this hits)
+    conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     # the driver testdata stores events.ts as TIMESTAMP(NANOS) which the
     # vectorized parquet reader rejects; read as long and convert
     # (sources.tables normalizes back to TimestampType at µs precision).
