@@ -1021,3 +1021,69 @@ def x_group_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
     )
     return fit_group_trend(xev, "user_id", "x", "y", "event_id")
+
+
+@query(
+    "x_dq_checks",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name, count(*) AS n_violations
+    FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'dup_orderkeys', count(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'null_custkeys', count(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'nonpositive_price', count(*) FROM lineitem WHERE l_extendedprice <= 0
+    UNION ALL
+    SELECT 'discount_range', count(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 0.5
+    UNION ALL
+    SELECT 'future_shipdate', count(*) FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+    tags=("ext", "dq"),
+)
+def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the expectations/constraints
+    layer every ingestion runs before publishing a table): referential
+    integrity (orphan facts via anti join), key uniqueness, null
+    checks, domain ranges, and a cross-table ordering invariant —
+    each check one small aggregate, unioned into a (check, violations)
+    report.
+
+    Scale shape: the two cross-table checks are the only shuffles
+    (anti join + inner join on orderkey — co-located if the tables are
+    bucketed, sinks.write_bucketed); the scalar checks fuse into
+    single-pass aggregates over pruned scans. A 100 TB deployment runs
+    exactly this plan nightly and alerts on any n_violations > 0."""
+    t = tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    nulls = orders.filter(F.col("o_custkey").isNull())
+    nonpos = li.filter(F.col("l_extendedprice") <= 0)
+    disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))
+    future = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") < F.col("o_orderdate")
+    )
+    return (
+        one("orphan_lineitems", orphans)
+        .unionByName(one("dup_orderkeys", dups))
+        .unionByName(one("null_custkeys", nulls))
+        .unionByName(one("nonpositive_price", nonpos))
+        .unionByName(one("discount_range", disc))
+        .unionByName(one("future_shipdate", future))
+    )

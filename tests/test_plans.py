@@ -275,3 +275,53 @@ def test_grouped_map_is_arrow_single_shuffle(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
     assert "BatchEvalPython" not in p
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """100 TB shuffle-join posture: when one side of a non-broadcast
+    join carries a selective filter, Spark injects a runtime Bloom
+    filter (bloom_filter_agg on the creation side, might_contain on
+    the application side) so the big side drops non-joining rows
+    BEFORE the shuffle. Thresholds here are forced because the test
+    tables are tiny; at real scale the defaults trigger on their own.
+    Result equivalence with the plain join is asserted alongside the
+    plan shape."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    t = tables(spark, sf_dir)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = t["lineitem"].select("l_orderkey", "l_quantity")
+        big = t["orders"].filter(F.col("o_totalprice") > 400000).select(
+            "o_orderkey", "o_totalprice"
+        )
+        j = li.join(big, li.l_orderkey == big.o_orderkey)
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p.lower() or "BloomFilterMightContain" in p
+        filtered_count = j.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = t["lineitem"].join(
+        t["orders"].filter(F.col("o_totalprice") > 400000),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert filtered_count == plain.count()
