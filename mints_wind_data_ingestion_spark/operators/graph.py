@@ -87,10 +87,26 @@ def connected_components(
         sess.conf.set(key, old)
 
 
+def _edge_signature(e: DataFrame):
+    """(count, xxhash64-sum) of the edge set in ONE action — the cheap
+    per-round convergence probe. Equality of signatures is confirmed
+    with an exact set compare before stopping, so a (astronomically
+    unlikely) hash collision can only cost one extra comparison, never
+    a wrong result."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # XOR, not SUM: order-independent, collision-resistant enough
+        # for a probe, and cannot overflow under ANSI mode
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).first()
+    return row[0], row[1]
+
+
 def _cc_rounds(
     edges: DataFrame, src: str, dst: str, max_rounds: int
 ) -> DataFrame:
     e = _symmetrize(edges, src, dst).localCheckpoint()
+    sig = _edge_signature(e)
     for _ in range(max_rounds):
         # large-star: for v in N(u) with v > u attach v to m(u).
         # Keeping (u, m(u)) preserves connectivity of the star center.
@@ -103,6 +119,9 @@ def _cc_rounds(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
+        # e2 materializes: it has two consumers (m2 and the small-star
+        # join) and recomputing the large-star join for each measures
+        # slower than the extra checkpoint pass.
         e2 = _symmetrize(large, "u", "v").localCheckpoint()
 
         # small-star: for v in N(u) with v <= u attach v to m(u).
@@ -117,14 +136,11 @@ def _cc_rounds(
         )
         e3 = _symmetrize(small, "u", "v").localCheckpoint()
 
-        # fixpoint: same edge multiset (sets, post-distinct) both rounds
-        if (
-            e3.count() == e.count()
-            and e3.exceptAll(e).isEmpty()
-        ):
+        sig3 = _edge_signature(e3)
+        if sig3 == sig and e3.exceptAll(e).isEmpty():
             e = e3
             break
-        e = e3
+        e, sig = e3, sig3
 
     # star forest: every edge now touches its component min.
     return (
