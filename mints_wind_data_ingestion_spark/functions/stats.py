@@ -20,7 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["weighted_median", "fit_group_trend"]
+__all__ = ["weighted_median", "fit_group_trend", "ewma_group"]
 
 
 @pandas_udf("double")
@@ -89,3 +89,45 @@ def fit_group_trend(df, key: str, x_col: str, y_col: str, id_col: str):
         )
 
     return df.select(key, id_col, x_col, y_col).groupBy(key).applyInPandas(fit, schema)
+
+
+def ewma_group(df, key: str, order_col: str, val_col: str, alpha: float):
+    """Per-group exponentially-weighted moving average:
+    ewma_0 = x_0;  ewma_t = α·x_t + (1−α)·ewma_{t−1}
+
+    A linear RECURRENCE — the one window shape SQL window frames
+    cannot express (each row depends on the previous OUTPUT, not the
+    previous inputs). The closed form α·Σ(1−α)^(t−i)x_i exists but
+    computing it with window sums needs (1−α)^(−t) scaling that
+    overflows double for long series and pow() whose last-ulp differs
+    across engines; the sequential fold is numerically stable AND
+    engine-exact (the DuckDB oracle states it as the identical
+    list_reduce fold).
+
+    Shape: grouped-map applyInPandas, one shuffle on `key`, sequential
+    per group — inherent to the recurrence; groups stream through
+    Arrow. Output quantized e6 (floor(v·1e6 + 0.5)) for the hash gate.
+    """
+    import numpy as np
+
+    schema = f"{key} long, {order_col} long, ewma_e6 long"
+    a = float(alpha)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="stable")
+        x = pdf[val_col].to_numpy(dtype="float64")
+        out = np.empty_like(x)
+        acc = x[0]
+        out[0] = acc
+        for i in range(1, len(x)):
+            acc = a * x[i] + (1.0 - a) * acc
+            out[i] = acc
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                order_col: pdf[order_col].to_numpy(),
+                "ewma_e6": np.floor(out * 1e6 + 0.5).astype("int64"),
+            }
+        )
+
+    return df.select(key, order_col, val_col).groupBy(key).applyInPandas(fold, schema)

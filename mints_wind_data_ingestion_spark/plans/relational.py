@@ -1087,3 +1087,43 @@ def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("discount_range", disc))
         .unionByName(one("future_shipdate", future))
     )
+
+
+@query(
+    "x_ewma",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               list(value ORDER BY event_id) AS ys,
+               list(event_id ORDER BY event_id) AS ids
+        FROM events GROUP BY user_id
+    ),
+    expanded AS (
+        SELECT user_id, ids, ys,
+               unnest(generate_series(1, len(ys))) AS i
+        FROM g
+    )
+    -- each row's EWMA is the identical sequential fold over its
+    -- prefix: acc' = 0.2*x + 0.8*acc, seeded with the first element
+    SELECT user_id, ids[i] AS event_id,
+           CAST(floor(list_reduce(ys[1:i], (acc, x) -> 0.2 * x + 0.8 * acc)
+                      * 1e6 + 0.5) AS BIGINT) AS ewma_e6
+    FROM expanded
+    """,
+    tags=("ext", "pandas", "timeseries"),
+)
+def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.2) of event values — the recursive
+    time-series feature window frames cannot express (each row depends
+    on the previous OUTPUT); see functions.stats.ewma_group for why
+    the sequential fold beats the closed form at scale. The oracle
+    re-states the recurrence as DuckDB list_reduce prefix folds —
+    identical operation order, so e6-quantized outputs match
+    bit-for-bit."""
+    from ..functions.stats import ewma_group
+
+    ev = tables(spark, sf_dir)["events"]
+    return ewma_group(
+        ev.select("user_id", "event_id", "value"),
+        key="user_id", order_col="event_id", val_col="value", alpha=0.2,
+    )
