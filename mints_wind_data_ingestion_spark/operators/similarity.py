@@ -368,27 +368,49 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> list[list[float]
 
 
 def hyperplane_buckets(
-    vec: Column, dim: int, bits: int = 12, tables: int = 8, seed: int = 7
+    vec: str, dim: int, bits: int = 12, tables: int = 8, seed: int = 7
 ) -> Column:
-    """Array of `tables` bucket ids (bigint). Bucket id of table t =
+    """Array of `tables` bucket ids (bigint) for the vector COLUMN
+    NAMED `vec`. Bucket id of table t =
     the `bits` sign bits of the vector against t's hyperplanes.
 
     Cosine-LSH property: P[sign agrees on one plane] = 1 - θ/π for
     pair angle θ, so near-duplicate vectors co-bucket with high
     probability in at least one table.
     """
-    table_cols = []
+    # The 96 plane×64-dim literal tree is generated as SQL TEXT and
+    # parsed once — building it from F.lit() Column objects costs one
+    # Py4J round-trip per literal (~12k calls, measured ~9 s of pure
+    # driver time per query build; one parse is ~100 ms). The
+    # evaluated expression is EXACTLY the original `dot()` fold
+    # (zip_with + aggregate): an explicit 64-term codegen'd sum was
+    # tried and measured 25× SLOWER — 6k-term expressions blow Janino's
+    # method-size limit, killing whole-stage codegen for the entire
+    # stage, and the interpreted expression tree loses badly to the
+    # HOF fold's tight loop.
+    if isinstance(vec, Column):
+        raise TypeError(
+            "hyperplane_buckets takes the vector COLUMN NAME (the "
+            "expression is generated as SQL text); pass the name"
+        )
+    vname = vec
+    table_exprs = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, t, seed)
-        bucket = F.lit(0).cast("bigint")
+        bits_sql = []
         for j, w in enumerate(planes):
-            wlit = F.array(*[F.lit(x) for x in w])
-            bit = F.when(dot(vec, wlit) >= 0, F.lit(1).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
+            arr = ", ".join(f"{x!r}D" for x in w)
+            d = (
+                f"aggregate(zip_with(`{vname}`, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, v) -> acc + v)"
             )
-            bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
-        table_cols.append(bucket)
-    return F.array(*table_cols)
+            bits_sql.append(
+                f"shiftleft(IF({d} >= 0D, CAST(1 AS BIGINT), "
+                f"CAST(0 AS BIGINT)), {j})"
+            )
+        table_exprs.append(" | ".join(["CAST(0 AS BIGINT)", *bits_sql]))
+    return F.expr("array(" + ", ".join(table_exprs) + ")")
 
 
 def topk_lsh(
@@ -416,7 +438,7 @@ def topk_lsh(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v"),
             F.posexplode(
-                hyperplane_buckets(F.col(vec_col), dim, bits, tables, seed)
+                hyperplane_buckets(vec_col, dim, bits, tables, seed)
             ).alias("table", "bucket"),
         )
 
