@@ -30,6 +30,8 @@ __all__ = [
     "write_jdbc",
     "create_wind_table_sql",
     "write_bucketed",
+    "write_format_roundtrip",
+    "compact_table",
 ]
 
 
@@ -150,3 +152,63 @@ def register_wind_table(spark: SparkSession, name: str, location: str) -> None:
     discover existing partitions (MSCK)."""
     spark.sql(create_wind_table_sql(name, location))
     spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
+def write_format_roundtrip(
+    df: DataFrame, path: str, fmt: str, **options: str
+) -> DataFrame:
+    """Write `df` in `fmt` (csv / orc / json / parquet) and read it
+    back with the ORIGINAL schema enforced — the source-format breadth
+    surface. CSV is schema-on-read (everything arrives as strings
+    without an explicit schema, and timestamps need a pinned format);
+    ORC/parquet are self-describing columnar. The round-trip contract
+    (read-back equals input) is what the tests pin per format.
+    """
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt in ("csv", "json"):
+        # text formats default to millisecond timestamps — micros
+        # would silently truncate on the way out
+        writer = writer.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+    reader = df.sparkSession.read.format(fmt).schema(df.schema)
+    if fmt in ("csv", "json"):
+        reader = reader.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction: rewrite the parquet table at `path` into
+    `target_files` files via a crash-safe temp-write + rename swap (the
+    streaming merge's publish contract — a reader never sees a partial
+    table, and the pre-compaction table survives any crash).
+
+    The small-files problem is THE operational failure mode of
+    micro-batch ingestion at scale (every epoch lands a file per
+    partition; a month of 5-minute epochs is ~10⁵ files whose footer
+    reads dominate planning). Returns the file count before
+    compaction. Partitioned tables should compact per partition —
+    pass the partition directory as `path`.
+    """
+    from .streaming.pipeline import _swap_in
+
+    before = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact.tmp"
+    # coalesce, not repartition: no shuffle — compaction is pure IO
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    _swap_in(spark, tmp, path)
+    return len(before)

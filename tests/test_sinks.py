@@ -115,3 +115,47 @@ def test_jdbc_round_trip(spark, tmp_path, jdbc_jar):
         )
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_format_roundtrips_csv_orc_json(spark, sf_dir, tmp_path):
+    """Source-format breadth: the same table written+read through CSV
+    (schema-on-read), ORC, and JSON must round-trip exactly (parquet
+    is the native path exercised everywhere else)."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sinks import write_format_roundtrip
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .limit(500)
+    )
+    expect = sorted(map(tuple, ev.collect()))
+    for fmt in ("csv", "orc", "json"):
+        back = write_format_roundtrip(ev, str(tmp_path / f"rt_{fmt}"), fmt)
+        assert sorted(map(tuple, back.collect())) == expect, fmt
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction: a fragmented table (one file per write) collapses to
+    the target file count with identical contents, through the
+    crash-safe swap (no window without a complete table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sinks import compact_table
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value").limit(900)
+    path = str(tmp_path / "fragmented")
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    expect = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_before = compact_table(spark, path, target_files=2)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n_before >= 12 and len(files) <= 2
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == expect
