@@ -44,6 +44,8 @@ __all__ = [
     "topk_bruteforce",
     "hyperplane_buckets",
     "topk_lsh",
+    "build_ivf_index",
+    "topk_ivf_indexed",
 ]
 
 
@@ -502,3 +504,86 @@ def dequant_sq_error(vec: Column, q: Column, scale: Column) -> Column:
         * (x.cast("double") - qi * scale),
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: train the coarse quantizer once, write
+    the centroids (tiny parquet) and the cell-assigned corpus as a
+    parquet table PARTITIONED BY cell — a literal inverted file on
+    disk, one directory per cell. Index once, query many: the build's
+    single shuffle+train cost amortizes over every later probe, and
+    probing reads ONLY the probed cells' directories (dynamic
+    partition pruning — pinned in tests)."""
+    import pandas as pd
+
+    centroids = train_ivf_centroids(df, n_cells, iters, id_col, vec_col)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell": range(len(centroids)),
+                "centroid": [list(map(float, c)) for c in centroids],
+            }
+        )
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _assign_cells_pandas(
+        df.select(id_col, vec_col), centroids, 1, id_col, vec_col
+    ).withColumnRenamed("__v", vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def topk_ivf_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index (`build_ivf_index`): assign each
+    query its `nprobe` nearest cells, broadcast-join against the
+    partitioned cell table — Spark's dynamic partition pruning turns
+    the join into a scan of exactly the probed cell directories —
+    and exact-rerank. Identical results to the in-session `topk_ivf`
+    for the same centroids (pinned in tests)."""
+    import numpy as np
+
+    cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
+    cpdf = cpdf.sort_values("cell")
+    centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+
+    q_probe = _assign_cells_pandas(
+        queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
+    ).withColumnRenamed("__v", "__qv")
+    cells = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "cell",
+    )
+    scored = (
+        cells.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -156,3 +156,34 @@ def test_ivf_topk_recall_and_exact_sims(spark, sf_dir):
     hits = set(bfp) & set(ivfp)
     assert len(hits) / len(bfp) >= 0.5
     assert all(bfp[k] == ivfp[k] for k in hits)
+
+
+def test_ivf_index_persists_and_prunes(spark, sf_dir, tmp_path):
+    """Index lifecycle: build_ivf_index writes centroids + a
+    cell-partitioned inverted file; topk_ivf_indexed returns EXACTLY
+    the in-session topk_ivf results for the same quantizer, and its
+    scan is dynamically pruned to the probed cells (the partition
+    filter appears as dynamicpruning in the plan)."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        topk_ivf,
+        topk_ivf_indexed,
+        train_ivf_centroids,
+    )
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, n_cells=8, iters=4)
+
+    probes = emb.filter(F.col("vec_id") < 6)
+    got = topk_ivf_indexed(spark, idx, probes, k=5, nprobe=3)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(cell" in plan
+
+    centroids = train_ivf_centroids(emb, n_cells=8, iters=4)
+    expect = topk_ivf(probes, emb, k=5, centroids=centroids, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))

@@ -454,3 +454,38 @@ def test_continuous_rollup_incremental_and_replay_fenced(spark, tmp_path, sf_dir
     q2 = run_continuous_rollup(spark, landing, table, ckpt, schema)
     q2.awaitTermination(180)
     assert snap(spark.read.parquet(table).drop("src_epoch")) == snap(expect_df)
+
+
+def test_json_ingest_quarantines_corrupt_records(spark, tmp_path):
+    """Ingestion robustness: malformed JSON rows land in the
+    _corrupt_record column (PERMISSIVE mode) instead of failing the
+    batch — the quarantine pattern for untrusted feeds. Valid rows
+    parse fully; corrupt ones are countable/divertable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"a": 1, "b": "ok"}\n'
+        "{not json at all}\n"
+        '{"a": 2, "b": "fine"}\n'
+        '{"a": "wrong-type-but-parseable"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3 and bad.count() == 1
+    assert "{not json at all}" in bad.first()["_corrupt_record"]
