@@ -425,6 +425,7 @@ def topk_lsh(
     bits: int = 12,
     tables: int = 8,
     seed: int = 7,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH proposes candidates (equi-join on
     (table, bucket)), exact cosine reranks. Same output schema as
@@ -433,6 +434,15 @@ def topk_lsh(
 
     The join shuffles on (table, bucket) — well-distributed keys —
     and the pair space is only co-bucketed vectors, never |Q|·N.
+
+    `multiprobe=True` additionally probes, per table, every bucket at
+    Hamming distance 1 from the query's bucket (the `bits` one-bit
+    flips). A near neighbor missed by the exact bucket almost always
+    differs in exactly one close-margin plane, so 1-flip probing buys
+    the recall of many extra tables for zero extra INDEX cost — the
+    candidate side still stores `tables` entries per vector; only the
+    (tiny) query side fans out ×(bits+1). The classic
+    memory-vs-query-fanout trade of multi-probe LSH.
     """
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
@@ -445,6 +455,22 @@ def topk_lsh(
         )
 
     qb = bucketed(queries, "query_id")
+    if multiprobe:
+        # flip = -1 keeps the exact bucket; 0..bits-1 flips that bit
+        qb = (
+            qb.withColumn(
+                "__flip",
+                F.explode(F.array(*[F.lit(i) for i in range(-1, bits)])),
+            )
+            .withColumn(
+                "bucket",
+                F.expr(
+                    "IF(__flip < 0, bucket, "
+                    "bucket ^ shiftleft(CAST(1 AS BIGINT), __flip))"
+                ),
+            )
+            .drop("__flip")
+        )
     cb = bucketed(candidates, "neighbor_id")
     cand_pairs = (
         qb.join(cb, ["table", "bucket"])
