@@ -238,14 +238,20 @@ def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x_sim_topk_lsh", oracle=None, tags=("ext", "similarity", "lsh"))
 def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (16 tables × 6
-    bits), exact cosine rerank of co-bucketed candidates. No oracle —
+    """Approximate top-10 via multi-probe random-hyperplane LSH
+    (8 tables × 6 bits, 1-flip probing), exact cosine rerank of
+    co-bucketed candidates. Multi-probe reaches HIGHER recall than the
+    16-table single-probe configuration it replaced (measured 0.91 vs
+    0.59 at sf0.001) with HALF the index entries per vector — the
+    query side fans out 7×, but queries are the tiny side. No oracle —
     recall is data-geometry-dependent (these embeddings are near-
     uniform, so true neighbors sit at wide angles); pytest pins recall
     against the brute-force result."""
     emb = tables(spark, sf_dir)["embeddings"]
     probes = emb.filter(F.col("vec_id") < 8)
-    return topk_lsh(probes, emb, k=10, dim=64, bits=6, tables=16)
+    return topk_lsh(
+        probes, emb, k=10, dim=64, bits=6, tables=8, multiprobe=True
+    )
 
 
 _D_EMB_NEARDUP = f"""

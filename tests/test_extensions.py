@@ -52,7 +52,7 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     bfp = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     lshp = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
     recall = len(bfp & lshp) / len(bfp)
-    assert recall >= 0.35, f"LSH top-k recall {recall:.2f}"
+    assert recall >= 0.5, f"LSH top-k recall {recall:.2f}"
 
 
 def test_lsh_topk_sims_are_exact(spark, sf_dir):
