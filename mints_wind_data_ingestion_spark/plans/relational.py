@@ -1127,3 +1127,62 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "value"),
         key="user_id", order_col="event_id", val_col="value", alpha=0.2,
     )
+
+
+@query(
+    "w6_ntile_cume",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(4) OVER w AS quartile,
+           cume_dist() OVER w AS cume,
+           percent_rank() OVER w AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window",),
+)
+def w6_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile (equi-depth bucketing),
+    cume_dist, percent_rank per event type: the quantile-bucketing
+    complement to w1's ranking trio. Total order via (value, event_id)
+    makes every function deterministic. One shuffle on the partition
+    key, one sort per partition serves all three functions."""
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "a_grouping_sets",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n,
+           grouping(event_type) AS g_type, grouping(day) AS g_day
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+    """,
+    tags=("agg", "groupingsets"),
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube
+    specialize): per-type, per-day, and per-(type, day) counts in one
+    pass — Catalyst expands the sets map-side (one Expand node, one
+    exchange), never three scans. grouping() flags disambiguate the
+    NULLs of each set."""
+    ev = tables(spark, sf_dir)["events"].withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    ev.createOrReplaceTempView("__gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day, count(*) AS n,
+               grouping(event_type) AS g_type, grouping(day) AS g_day
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+        """
+    )
