@@ -55,3 +55,64 @@ def test_cc_empty_pairs(spark):
     out = dedup_clusters(ents, empty, "doc_id")
     assert out.filter(~F.col("is_representative")).isEmpty()
     assert out.count() == 3
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    """Connected components on a 200-node pseudo-random graph (seeded
+    LCG, ~160 edges) must agree exactly with a driver-side union-find
+    — covers component shapes (cycles, trees, isolated chains) the
+    hand-written cases don't."""
+    state, edges = 12345, []
+    for _ in range(160):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        u = state % 200
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        v = state % 200
+        if u != v:
+            edges.append((u, v))
+
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    expect = {}
+    for n in {x for e in edges for x in e}:
+        expect.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in expect.values() for n in members}
+
+    got = _cc(spark, edges)
+    assert got == want
+
+
+def test_sampling_is_partitioning_invariant(spark, sf_dir):
+    """Deterministic sampling contract: membership is a pure function
+    of the id — identical sample under any repartitioning (the
+    property that makes samples reproducible across cluster sizes and
+    engines)."""
+    from mints_wind_data_ingestion_spark.operators.sampling import (
+        hash_sample,
+        mixture_sample,
+        stratified_sample_exact,
+    )
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    docs = tables(spark, sf_dir)["documents"]
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.125}
+
+    def ids(df):
+        return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+    a, b = docs.repartition(13), docs.coalesce(1)
+    assert ids(hash_sample(a, "doc_id", 0.3)) == ids(hash_sample(b, "doc_id", 0.3))
+    assert ids(mixture_sample(a, "lang", "doc_id", rates)) == ids(
+        mixture_sample(b, "lang", "doc_id", rates)
+    )
+    assert ids(stratified_sample_exact(a, ["source"], "doc_id", 2)) == ids(
+        stratified_sample_exact(b, ["source"], "doc_id", 2)
+    )
