@@ -325,3 +325,25 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     assert filtered_count == plain.count()
+
+
+def test_join_hints_control_strategy(spark, sf_dir):
+    """Join-strategy control surface: hints override the planner's
+    default — SHUFFLE_HASH avoids the sort phase of SMJ (right choice
+    when one side is moderately small but above the broadcast
+    threshold), MERGE forces SMJ. At 100 TB picking the join physical
+    strategy per query is a first-class tuning lever."""
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    t = tables(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = t["lineitem"].select("l_orderkey", "l_quantity")
+        o = t["orders"].select("o_orderkey")
+        sh = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+        mg = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        assert "SortMergeJoin" in mg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
