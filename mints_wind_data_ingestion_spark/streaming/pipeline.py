@@ -31,6 +31,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "run_continuous_rollup",
+    "run_dedup_ingest",
 ]
 
 
@@ -297,6 +298,74 @@ def run_continuous_rollup(
         raw.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(merge_rollup)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Incremental corpus ingestion with cross-batch exact dedup: each
+    micro-batch keeps one representative per text WITHIN the batch,
+    anti-joins against the stored corpus on a content hash (never the
+    document body — the join key is 32 bytes at any corpus size), and
+    APPENDS only genuinely new documents. The streaming complement of
+    `operators.dedup.exact_dedup`: the corpus only ever grows by new
+    content, no epoch rewrites it.
+
+    Exactly-once: appends are not naturally idempotent, so each epoch
+    writes to its own subdirectory (`epoch=N`) — a replayed epoch
+    OVERWRITES its own subdir (idempotent) and no other. Readers see
+    the union of epoch subdirs; dedup correctness does not depend on
+    replay timing because a replay re-derives the same anti-join
+    against strictly-older epochs.
+    """
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        fresh = (
+            batch.withColumn("__h", F.sha2(F.col(text_col), 256))
+            .groupBy("__h")
+            .agg(
+                F.min_by(
+                    F.struct(*[c for c in batch.columns]), F.col(id_col)
+                ).alias("__doc")
+            )
+            .select("__h", "__doc.*")
+        )
+        try:
+            # anti-join against STRICTLY OLDER epochs only (partition
+            # pruning on the epoch directory column): a replayed epoch
+            # must not see its own previous output, or it would write
+            # an empty subdir and lose its documents
+            stored = (
+                s.read.parquet(corpus_path)
+                .filter(F.col("epoch") < epoch_id)
+                .select(F.sha2(F.col(text_col), 256).alias("__h"))
+            )
+            fresh = fresh.join(stored, "__h", "left_anti")
+        except Exception:
+            pass  # first epoch: no corpus yet
+        fresh.drop("__h").write.mode("overwrite").parquet(
+            f"{corpus_path}/epoch={epoch_id}"
+        )
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
         .trigger(availableNow=True)
         .start()
     )

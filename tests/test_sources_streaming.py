@@ -489,3 +489,44 @@ def test_json_ingest_quarantines_corrupt_records(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 3 and bad.count() == 1
     assert "{not json at all}" in bad.first()["_corrupt_record"]
+
+
+def test_dedup_ingest_cross_batch_and_replay(spark, tmp_path, sf_dir):
+    """Incremental corpus ingestion: cross-chunk duplicate texts are
+    appended exactly once (first-arriving epoch wins, lowest id within
+    a batch); replaying the stream with the same checkpoint leaves the
+    corpus unchanged."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import run_dedup_ingest
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    # 3 chunks; chunk 1 and 2 share some texts (re-landed duplicates)
+    chunks = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)),
+        docs.filter(F.col("doc_id") % 10 == 0),  # pure re-land
+    ]
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+    q = run_dedup_ingest(spark, landing, corpus, ckpt, schema)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(corpus)
+    n_distinct_texts = docs.select("text").distinct().count()
+    assert got.select("text").distinct().count() == n_distinct_texts
+    assert got.count() == n_distinct_texts  # exactly one copy per text
+    epochs = {r.epoch for r in got.select("epoch").distinct().collect()}
+    assert len(epochs) >= 2  # genuinely incremental, not one mega-batch
+
+    before = sorted(map(tuple, got.drop("epoch").collect()))
+    q2 = run_dedup_ingest(spark, landing, corpus, ckpt, schema)
+    q2.awaitTermination(180)
+    after = sorted(map(tuple, spark.read.parquet(corpus).drop("epoch").collect()))
+    assert after == before
