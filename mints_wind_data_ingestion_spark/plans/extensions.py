@@ -1079,3 +1079,61 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.col("chunk_start") + 1, F.lit(20)), " "
         ).alias("chunk_text"),
     )
+
+
+_D_SPLIT = f"""
+    SELECT doc_id,
+           CASE WHEN {_D_SAMPLE_HASH} < 'cccccc' THEN 'train'
+                WHEN {_D_SAMPLE_HASH} < 'e66666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+_D_OVERSAMPLE = f"""
+    SELECT doc_id, lang, copy_no
+    FROM (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'zh' THEN 4 WHEN 'es' THEN 2 ELSE 1 END AS reps
+        FROM documents
+    ), LATERAL unnest(generate_series(1, reps)) AS t(copy_no)
+"""
+
+
+@query("x_split_assign", oracle=_D_SPLIT, tags=("ext", "sampling"))
+def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by md5 hash
+    ranges): every engine, run, and partitioning assigns each document
+    the same split — the property that makes eval sets stable across
+    pipeline reruns (a random split silently leaks eval docs into
+    training whenever the corpus is re-ingested). Shuffle-free narrow
+    projection; thresholds are hex-range boundaries (0xcccccc/16^6 =
+    0.8, 0xe66666/16^6 = 0.9)."""
+    from ..operators.sampling import hash_bucket
+
+    docs = tables(spark, sf_dir)["documents"]
+    h = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(h < "cccccc", "train").when(h < "e66666", "val")
+        .otherwise("test").alias("split"),
+    )
+
+
+@query("x_oversample", oracle=_D_OVERSAMPLE, tags=("ext", "sampling"))
+def x_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by deterministic oversampling: minority
+    languages replicate (zh ×4, es ×2) via a generated copy sequence —
+    the up-sampling complement to x_sample_mixture's down-sampling.
+    posexplode of a sequence is a map-side Generate: rows fan out with
+    no shuffle and copy_no keeps replicas distinguishable (so a
+    downstream shuffle/trainer sees distinct rows, not silent dups)."""
+    docs = tables(spark, sf_dir)["documents"]
+    reps = (
+        F.when(F.col("lang") == "zh", 4)
+        .when(F.col("lang") == "es", 2)
+        .otherwise(1)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(1), reps)).alias("copy_no"),
+    )

@@ -347,3 +347,13 @@ def test_join_hints_control_strategy(spark, sf_dir):
         assert "SortMergeJoin" in mg._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q10_pushes_filters_to_both_fact_scans(spark, sf_dir):
+    """Q10's selective predicates live on two different fact tables —
+    both must reach their parquet scans as pushed filters."""
+    p = plan(spark, sf_dir, "q10_returned_items")
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_returnflag" in x for x in pushed)
+    assert any("o_orderdate" in x for x in pushed)
+    assert "TakeOrderedAndProject" in p
