@@ -1137,3 +1137,66 @@ def x_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.explode(F.sequence(F.lit(1), reps)).alias("copy_no"),
     )
+
+
+_D_NEGATIVES = f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY {_D_SAMPLE_HASH}, doc_id) - 1 AS rnk,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    fanout AS (
+        SELECT doc_id AS anchor_id, rnk, n,
+               unnest([1, 2, 3]) AS neg_no
+        FROM ranked
+    ),
+    probed AS (
+        SELECT anchor_id, neg_no,
+               (rnk + neg_no * 2654435761) % n AS neg_rnk
+        FROM fanout
+    )
+    SELECT p.anchor_id, p.neg_no, r.doc_id AS negative_id
+    FROM probed p JOIN ranked r ON r.rnk = p.neg_rnk
+    WHERE r.doc_id <> p.anchor_id
+"""
+
+
+@query("x_negative_pairs", oracle=_D_NEGATIVES, tags=("ext", "sampling"))
+def x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (the contrastive-training
+    complement to the near-dup POSITIVE pairs of x_dedup_jaccard):
+    each anchor draws 3 pseudo-random partners by jumping a
+    Fibonacci-hash stride around the hash-ordered rank ring —
+    reproducible across runs/engines, uniform, and self-pairs
+    excluded. One window pass assigns ranks, one equi-join resolves
+    ranks back to ids. At corpus scale the dense-rank ring is replaced
+    by direct hash-mod jumps over the id space (no global window);
+    this formulation keeps the oracle exact."""
+    docs = tables(spark, sf_dir)["documents"]
+    from ..operators.sampling import hash_bucket
+
+    w = Window.orderBy(hash_bucket(F.col("doc_id")), F.col("doc_id"))
+    ranked = docs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    probed = ranked.select(
+        F.col("doc_id").alias("anchor_id"), "rnk", "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("neg_no"),
+    ).select(
+        "anchor_id", "neg_no",
+        ((F.col("rnk") + F.col("neg_no") * F.lit(2654435761)) % F.col("n")).alias(
+            "neg_rnk"
+        ),
+    )
+    return (
+        probed.join(
+            ranked.select(F.col("rnk").alias("neg_rnk"),
+                          F.col("doc_id").alias("negative_id")),
+            "neg_rnk",
+        )
+        .filter(F.col("negative_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_no", "negative_id")
+    )
