@@ -32,6 +32,7 @@ __all__ = [
     "stream_interval_join",
     "run_continuous_rollup",
     "run_dedup_ingest",
+    "run_neardup_ingest",
 ]
 
 
@@ -361,6 +362,123 @@ def run_dedup_ingest(
         fresh.drop("__h").write.mode("overwrite").parquet(
             f"{corpus_path}/epoch={epoch_id}"
         )
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_neardup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 96,
+    bands: int = 16,
+    rows_per_band: int = 6,
+) -> StreamingQuery:
+    """Incremental NEAR-dup corpus ingestion — the 100 TB dedup story
+    end-to-end: each micro-batch MinHash-signs its documents, drops
+    in-batch near-dups (LSH candidates, signature-estimated jaccard ≥
+    threshold, lower id kept), then drops batch docs near-duplicate to
+    ANY stored document (banded equi-join against the stored signature
+    table — never a batch×corpus cross join), and appends survivors
+    WITH their signatures. The stored corpus only ever grows by novel
+    content, and the signature index rides along for free — no
+    re-signing of history, cost per epoch is O(batch + collisions).
+
+    Similarity here is the signature estimate (matching-minhash
+    fraction; σ ≈ 1/√k ≈ 0.1 at k=96) — the right trade for ingest
+    gating, where planted near-dups sit far above the threshold; the
+    batch path (`operators.dedup.minhash_dedup_pairs`) does exact
+    verification when pair precision matters.
+
+    Exactly-once: per-epoch subdirectories exactly as
+    `run_dedup_ingest` (replay overwrites its own subdir after
+    re-deriving the same anti-join against strictly-older epochs).
+    """
+    from ..functions.text import shingle_docs_pandas
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def est_sim(a, b):
+        matches = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+        return F.aggregate(matches, F.lit(0), lambda acc, v: acc + v) / F.size(a)
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        with_sh = shingle_docs_pandas(batch, id_col, text_col, 3, out="__sh")
+        sigs = minhash_signatures(with_sh, id_col, "__sh", num_hashes)
+        docs = batch.join(sigs, id_col).localCheckpoint()
+
+        # in-batch near-dup drop: LSH candidates, estimate, keep low id
+        cands = lsh_candidate_pairs(
+            docs.select(id_col, "signature"), id_col,
+            bands=bands, rows_per_band=rows_per_band,
+        )
+        sig_of = docs.select(
+            F.col(id_col).alias("__sid"), F.col("signature").alias("__sig")
+        )
+        dup_b = (
+            cands.join(sig_of, cands.id_a == F.col("__sid"))
+            .withColumnRenamed("__sig", "__sig_a").drop("__sid")
+            .join(sig_of, cands.id_b == F.col("__sid"))
+            .withColumnRenamed("__sig", "__sig_b").drop("__sid")
+            .filter(est_sim(F.col("__sig_a"), F.col("__sig_b")) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        fresh = docs.join(dup_b, id_col, "left_anti")
+
+        # cross-epoch: drop batch docs matching any STRICTLY OLDER doc
+        try:
+            stored = (
+                s.read.parquet(corpus_path)
+                .filter(F.col("epoch") < epoch_id)
+                .select(F.col(id_col).alias("__oid"), "signature")
+            )
+            bands_of = lambda df, idc, sc: df.select(  # noqa: E731
+                F.col(idc),
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda j: F.xxhash64(
+                            F.slice(F.col(sc), j * rows_per_band + 1, rows_per_band), j
+                        ),
+                    )
+                ).alias("band", "band_hash"),
+            )
+            hits = (
+                bands_of(fresh, id_col, "signature")
+                .join(
+                    bands_of(stored, "__oid", "signature"),
+                    ["band", "band_hash"],
+                )
+                .select(id_col, "__oid")
+                .distinct()
+                .join(fresh.select(id_col, F.col("signature").alias("__sig_n")), id_col)
+                .join(stored.withColumnRenamed("signature", "__sig_o"), "__oid")
+                .filter(est_sim(F.col("__sig_n"), F.col("__sig_o")) >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+            fresh = fresh.join(hits, id_col, "left_anti")
+        except Exception:
+            pass  # first epoch
+        fresh.write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
 
     return (
         raw.writeStream.outputMode("append")

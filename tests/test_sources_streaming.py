@@ -530,3 +530,52 @@ def test_dedup_ingest_cross_batch_and_replay(spark, tmp_path, sf_dir):
     q2.awaitTermination(180)
     after = sorted(map(tuple, spark.read.parquet(corpus).drop("epoch").collect()))
     assert after == before
+
+
+def test_neardup_ingest_drops_planted_near_dups(spark, tmp_path, sf_dir):
+    """Incremental NEAR-dup ingestion: after streaming the documents
+    corpus in 3 chunks, the stored corpus contains no pair with exact
+    n-gram Jaccard >= 0.5 (the planted near-dups are dropped whether
+    they arrive in the same chunk or epochs apart), and every
+    non-duplicate document survives. Replay leaves the corpus
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.functions.text import shingle_docs_pandas
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import run_neardup_ingest
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+    q = run_neardup_ingest(spark, landing, corpus, ckpt, schema)
+    q.awaitTermination(240)
+
+    kept = spark.read.parquet(corpus).select("doc_id", "text")
+    # no near-dup pair survives (exact check over the kept corpus)
+    with_sh = shingle_docs_pandas(kept, "doc_id", "text", 3, out="sh")
+    assert jaccard_similarity_join(with_sh, "doc_id", "sh", 0.5).isEmpty()
+    # every doc not in ANY >=0.5 pair must survive
+    all_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh")
+    pairs = jaccard_similarity_join(all_sh, "doc_id", "sh", 0.5)
+    in_pairs = {
+        x for r in pairs.collect() for x in (r.id_a, r.id_b)
+    }
+    kept_ids = {r.doc_id for r in kept.collect()}
+    clean = {r.doc_id for r in docs.collect()} - in_pairs
+    assert clean <= kept_ids
+    # replay: unchanged
+    before = sorted(kept_ids)
+    q2 = run_neardup_ingest(spark, landing, corpus, ckpt, schema)
+    q2.awaitTermination(240)
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == before
