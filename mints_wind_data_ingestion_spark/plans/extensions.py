@@ -1200,3 +1200,49 @@ def x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("negative_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_no", "negative_id")
     )
+
+
+_D_EMB_CLUSTERS = f"""
+    WITH RECURSIVE n AS (
+        SELECT vec_id, embedding,
+               sqrt({_d_dot("embedding", "embedding")}) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {_d_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+    ),
+    e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+        SELECT vec_id AS src, vec_id AS node FROM embeddings
+        UNION
+        SELECT r.src, e.v AS node FROM reach r JOIN e ON e.u = r.node
+    )
+    SELECT src AS vec_id,
+           min(node) AS cluster_id,
+           (src = min(node)) AS is_representative
+    FROM reach GROUP BY src
+"""
+
+
+@query("x_embed_cluster", oracle=_D_EMB_CLUSTERS, tags=("ext", "dedup", "graph"))
+def x_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clustering: the dense twin of
+    x_dedup_cluster — blockwise-BLAS cosine pairs (≥ 0.4) become
+    edges, connected components (operators.graph) collapse transitive
+    near-duplicate chains (A≈B≈C with A·C below threshold still
+    cluster), one representative kept per cluster. The semantic-dedup
+    step of an embedding-based curation pipeline, differentially
+    verified end-to-end by the recursive-CTE oracle."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.similarity import cosine_pairs_blockwise
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    pairs = cosine_pairs_blockwise(emb, threshold=0.4)
+    return dedup_clusters(
+        emb.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )

@@ -159,3 +159,27 @@ def test_compact_table_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert n_before >= 12 and len(files) <= 2
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == expect
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Schema evolution: a column added mid-stream (new writer version)
+    merges on read — old files surface NULL for the new column, new
+    files carry it; no rewrite of history. The additive-evolution
+    contract a long-lived 100 TB table depends on."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value").limit(200)
+    path = str(tmp_path / "evolving")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(path)
+    ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "quality", F.lit("v2")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "value", "quality"}
+    assert merged.count() == 200
+    assert merged.filter(F.col("quality").isNull()).count() == ev.filter(
+        F.col("event_id") % 2 == 0
+    ).count()
