@@ -1246,3 +1246,84 @@ def x_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         emb.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
     )
+
+
+_D_LANG_CONFUSION = f"""
+    WITH base AS (SELECT doc_id, lang, {_D_TOKS} AS toks FROM documents),
+    sc AS (
+        SELECT doc_id, lang,
+               {_d_stop_score("de")} AS s_de, {_d_stop_score("en")} AS s_en,
+               {_d_stop_score("es")} AS s_es, {_d_stop_score("fr")} AS s_fr
+        FROM base
+    ),
+    m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS score FROM sc),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_de = score THEN 'de' WHEN s_en = score THEN 'en'
+                    WHEN s_es = score THEN 'es' ELSE 'fr' END AS lang_pred
+        FROM m
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+"""
+
+_D_LABEL_CENTROIDS = """
+    WITH exploded AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, pos,
+           CAST(floor(CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*) * 1e6 + 0.5) AS BIGINT) AS centroid_e6,
+           count(*) AS n_vecs
+    FROM exploded GROUP BY label, pos
+"""
+
+
+@query("x_lang_confusion", oracle=_D_LANG_CONFUSION, tags=("ext", "text"))
+def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    stopword language-ID against the corpus's metadata labels —
+    (truth, prediction, count). The eval step of any heuristic-filter
+    rollout at corpus scale: one narrow scoring projection (all
+    codegen, x_lang_id's expressions) plus one small aggregate; no
+    per-class jobs."""
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    langs = sorted(STOPWORDS)
+    scored = docs.select(
+        "lang",
+        *[stopword_ratio("text", lg).alias(f"s_{lg}") for lg in langs],
+    ).withColumn("score", F.greatest(*[F.col(f"s_{lg}") for lg in langs]))
+    pred = F.when(F.col("s_de") == F.col("score"), "de")
+    for lg in ("en", "es"):
+        pred = pred.when(F.col(f"s_{lg}") == F.col("score"), lg)
+    return (
+        scored.select("lang", pred.otherwise("fr").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("x_label_centroids", oracle=_D_LABEL_CENTROIDS, tags=("ext", "similarity"))
+def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the prototype vectors of a
+    nearest-centroid classifier / the class means a clustering-quality
+    audit compares against): posexplode to (label, dim, value), one
+    map-side-combining aggregate per (label, dim). Sums go through
+    DECIMAL so the centroid is identical under any partitioning —
+    floating-point elementwise mean of a group is otherwise
+    accumulation-order-dependent. Output quantized e6 per coordinate."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label", (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.floor(
+            (F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+             / F.count(F.lit(1))) * F.lit(1e6) + F.lit(0.5)
+        ).alias("centroid_e6"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
