@@ -1327,3 +1327,140 @@ def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_e6"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+_D_NEAREST_CENTROID = f"""
+    WITH exploded AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        FROM exploded GROUP BY label, pos
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label AS true_label, c.label AS cand_label,
+               sum(CAST(CAST(e.embedding[c.pos] AS DOUBLE) * c.c
+                        AS DECIMAL(28,12))) AS dot_d
+        FROM embeddings e JOIN cent c ON TRUE
+        GROUP BY e.vec_id, e.label, c.label
+    ),
+    best AS (
+        SELECT vec_id, true_label, cand_label,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY dot_d DESC, cand_label ASC) AS rn
+        FROM scored
+    )
+    SELECT true_label, cand_label AS pred_label, count(*) AS n
+    FROM best WHERE rn = 1
+    GROUP BY true_label, pred_label
+"""
+
+
+@query("x_nearest_centroid", oracle=_D_NEAREST_CENTROID, tags=("ext", "similarity"))
+def x_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to
+    its highest-dot-product class centroid and tabulate (truth,
+    prediction) — the clustering-quality / embedding-sanity check run
+    after any representation change. Centroid table is tiny (labels ×
+    dims) → broadcast; per-vector scoring is one exploded join +
+    map-side-combining aggregate; dots accumulate in DECIMAL so the
+    argmax is partitioning-proof (ties break on label order)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label", (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    cent = exploded.groupBy(F.col("label").alias("cand_label"), "pos").agg(
+        (F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1))).alias("c")
+    )
+    vec = emb.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("pos0", "ev"),
+    ).select(
+        "vec_id", "true_label", (F.col("pos0") + 1).alias("pos"),
+        F.col("ev").cast("double").alias("ev"),
+    )
+    scored = (
+        vec.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "true_label", "cand_label")
+        .agg(F.sum((F.col("ev") * F.col("c")).cast("decimal(28,12)")).alias("dot_d"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot_d").desc(), F.col("cand_label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("cand_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_D_ZIPF = f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest({_D_TOKS}) AS tok FROM documents)
+        GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 100
+    ),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM freq
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        FROM ranked
+    )
+    SELECT CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+                AS BIGINT) AS zipf_slope_e6,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM s
+"""
+
+
+@query("x_token_zipf", oracle=_D_ZIPF, tags=("ext", "text"))
+def x_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the top-100 token frequencies: OLS slope of
+    ln(freq) vs ln(rank) — the corpus-health statistic (natural text
+    ≈ −1; templated/boilerplate corpora deviate hard). Frequencies
+    from one hash aggregate + heap top-100; the regression is four
+    DECIMAL sums over 100 rows (order-proof, unlike a double fold),
+    closed-form slope quantized e6."""
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,12)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,12)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).cast("double").alias("sxx"),
+    )
+    return s.select(
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.lit(1e6) + F.lit(0.5)
+        ).alias("zipf_slope_e6"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+    )
