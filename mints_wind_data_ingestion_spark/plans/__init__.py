@@ -2,9 +2,12 @@
 
 from .registry import REGISTRY, Query, query, tables  # noqa: F401
 
-# side-effect imports: each module registers its queries
+# side-effect imports: each module registers its queries; composites
+# must come last (their oracles embed component oracle SQL)
 from . import core  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import composites  # noqa: F401,E402
+from .registry import driver_registry  # noqa: F401,E402
 
-__all__ = ["REGISTRY", "Query", "query", "tables"]
+__all__ = ["REGISTRY", "Query", "query", "tables", "driver_registry"]

@@ -1,0 +1,737 @@
+"""Composite driver queries — the registry's ≤50-entry external surface.
+
+The external driver verifies at most 50 queries per round (its
+CORRECTNESS file truncates at the alphabetically-50th entry — VERDICT
+r2 "What's missing" #1). The library surface is larger than that, so
+related component queries are folded into composite driver queries
+here: each composite either computes its components as one wide result
+(same granularity → extra columns) or embeds every component's FULL
+row set tagged with a `part` column (different granularity → padded
+UNION). Either way the driver's order-insensitive value hash still
+covers every component value bit-for-bit — nothing is summarized or
+sampled away.
+
+Components stay registered (driver=False): they remain the public
+library API and the per-query pytest differential mirror still checks
+each one individually (tests/test_correctness.py runs the FULL
+registry). The composite oracles below reuse the component oracle SQL
+as subqueries wherever granularities differ, so Spark-vs-DuckDB parity
+is preserved through the fold.
+
+Padding conventions (both engines, so schemas match exactly):
+- numeric slots are CAST to BIGINT / DOUBLE explicitly;
+- absent slots are typed NULLs;
+- key slots that mix types across parts are CAST to VARCHAR only when
+  every value is string-stable in both engines (ids, whole-second
+  timestamps); raw-timestamp columns keep TIMESTAMP type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    avg_word_len,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    whitespace_ratio,
+)
+from .registry import REGISTRY, query, tables
+
+
+def _b(c: Column | str) -> Column:
+    return (F.col(c) if isinstance(c, str) else c).cast("bigint")
+
+
+def _d(c: Column | str) -> Column:
+    return (F.col(c) if isinstance(c, str) else c).cast("double")
+
+
+def _s(c: Column | str) -> Column:
+    return (F.col(c) if isinstance(c, str) else c).cast("string")
+
+
+def _nb() -> Column:
+    return F.lit(None).cast("bigint")
+
+
+def _nd() -> Column:
+    return F.lit(None).cast("double")
+
+
+def _ns() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _nt() -> Column:
+    return F.lit(None).cast("timestamp")
+
+
+def _oracle(name: str) -> str:
+    """Component oracle SQL, wrapped for use as a subquery."""
+    sql = REGISTRY[name].oracle
+    assert sql, f"component {name} has no oracle"
+    return f"({sql})"
+
+
+def _part(df: DataFrame, tag: str, **slots: Column) -> DataFrame:
+    """Project a component result into a composite's superset schema."""
+    return df.select(F.lit(tag).alias("part"), *[c.alias(n) for n, c in slots.items()])
+
+
+# ---------------------------------------------------------------------------
+# w_window_suite — w1 + w2 + w3 + w4 + w6 as ONE wide pass
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_window_suite",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value,
+           row_number() OVER wa AS seq_no,
+           rank()       OVER wv AS value_rank,
+           dense_rank() OVER wv AS value_dense_rank,
+           lag(value)  OVER wa AS prev_value,
+           lead(value) OVER wa AS next_value,
+           value - lag(value) OVER wa AS delta,
+           CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER wa)) AS BIGINT) AS gap_sec,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wr AS DOUBLE) AS running_sum,
+           count(*) OVER wr AS running_cnt,
+           count(*) OVER wt AS trailing_1h_cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wt AS DOUBLE) AS trailing_1h_sum,
+           ntile(4) OVER wq AS quartile,
+           cume_dist() OVER wq AS cume,
+           percent_rank() OVER wq AS pct_rank
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+    WINDOW wa AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wv AS (PARTITION BY user_id ORDER BY value DESC),
+           wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wt AS (PARTITION BY user_id ORDER BY ts_sec
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+           wq AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("W", "composite"),
+)
+def w_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite — ranking (w1), lag/lead (w2), running
+    rows-frame (w3), trailing range-frame (w4) and distribution
+    functions (w6) computed over events in ONE wide query. All
+    user_id-partitioned specs share one shuffle + sort (Catalyst
+    collapses same-spec Window nodes); only the event_type-partitioned
+    distribution trio adds a second exchange — 2 shuffles for 15 window
+    columns vs 5 separate queries' 6. Components stay registered for
+    per-query pytest differentials; the driver verifies them here."""
+    ev = tables(spark, sf_dir)["events"].withColumn("ts_sec", F.unix_timestamp("ts"))
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    wr = wa.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    wq = Window.partitionBy("event_type").orderBy("value", "event_id")
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        F.row_number().over(wa).alias("seq_no"),
+        F.rank().over(wv).alias("value_rank"),
+        F.dense_rank().over(wv).alias("value_dense_rank"),
+        F.lag("value").over(wa).alias("prev_value"),
+        F.lead("value").over(wa).alias("next_value"),
+        (F.col("value") - F.lag("value").over(wa)).alias("delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wa))).alias("gap_sec"),
+        F.sum(dec).over(wr).cast("double").alias("running_sum"),
+        F.count(F.lit(1)).over(wr).alias("running_cnt"),
+        F.count(F.lit(1)).over(wt).alias("trailing_1h_cnt"),
+        F.sum(dec).over(wt).cast("double").alias("trailing_1h_sum"),
+        F.ntile(4).over(wq).alias("quartile"),
+        F.cume_dist().over(wq).alias("cume"),
+        F.percent_rank().over(wq).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_multi_grouping — rollup + cube + grouping sets + pivot/unpivot + JSON agg
+# ---------------------------------------------------------------------------
+
+_MG_SLOTS = "k1 string, k2 string, n1/n2/n3 bigint, d1 double, g1/g2 bigint"
+
+
+def _mg_oracle() -> str:
+    def proj(tag: str, src: str, k1: str, k2: str, n1: str, n2: str, n3: str,
+             d1: str, g1: str, g2: str) -> str:
+        return (
+            f"SELECT '{tag}' AS part, CAST({k1} AS VARCHAR) AS k1, "
+            f"CAST({k2} AS VARCHAR) AS k2, CAST({n1} AS BIGINT) AS n1, "
+            f"CAST({n2} AS BIGINT) AS n2, CAST({n3} AS BIGINT) AS n3, "
+            f"CAST({d1} AS DOUBLE) AS d1, CAST({g1} AS BIGINT) AS g1, "
+            f"CAST({g2} AS BIGINT) AS g2 FROM {src}"
+        )
+
+    return "\nUNION ALL\n".join([
+        proj("rollup", _oracle("a_rollup"), "region_name", "nation_name",
+             "customer_cnt", "NULL", "NULL", "NULL", "grouping_id", "NULL"),
+        proj("cube", _oracle("a_cube"), "l_returnflag", "l_linestatus",
+             "cnt", "NULL", "NULL", "sum_qty", "NULL", "NULL"),
+        proj("gsets", _oracle("a_grouping_sets"), "event_type", "day",
+             "n", "NULL", "NULL", "NULL", "g_type", "g_day"),
+        proj("unpivot", _oracle("a_unpivot_types"), "bucket_ts", "event_type",
+             "event_cnt", "NULL", "NULL", "NULL", "NULL", "NULL"),
+        proj("json", _oracle("c11_json_extract"), "event_type", "NULL",
+             "cnt", "min_k", "max_k", "sum_k", "NULL", "NULL"),
+    ])
+
+
+@query("a_multi_grouping", oracle=_mg_oracle(), tags=("A2", "composite"))
+def a_multi_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-shape aggregation suite: ROLLUP (a_rollup), CUBE (a_cube),
+    explicit GROUPING SETS (a_grouping_sets), the pivot→unpivot round
+    trip (a_unpivot_types — whose input IS a_pivot_types' result, so
+    the pivot numbers are verified through it), and JSON-extraction
+    aggregation (c11_json_extract), tagged and padded into one superset
+    schema. Each part keeps its component's exact row set and values;
+    every key that mixes types across parts rides a VARCHAR slot (ids
+    and whole-second bucket timestamps only — string-stable in both
+    engines)."""
+    r = {n: REGISTRY[n].build(spark, sf_dir) for n in (
+        "a_rollup", "a_cube", "a_grouping_sets", "a_unpivot_types",
+        "c11_json_extract")}
+    parts = [
+        _part(r["a_rollup"], "rollup", k1=_s("region_name"), k2=_s("nation_name"),
+              n1=_b("customer_cnt"), n2=_nb(), n3=_nb(), d1=_nd(),
+              g1=_b("grouping_id"), g2=_nb()),
+        _part(r["a_cube"], "cube", k1=_s("l_returnflag"), k2=_s("l_linestatus"),
+              n1=_b("cnt"), n2=_nb(), n3=_nb(), d1=_d("sum_qty"),
+              g1=_nb(), g2=_nb()),
+        _part(r["a_grouping_sets"], "gsets", k1=_s("event_type"), k2=_s("day"),
+              n1=_b("n"), n2=_nb(), n3=_nb(), d1=_nd(),
+              g1=_b("g_type"), g2=_b("g_day")),
+        _part(r["a_unpivot_types"], "unpivot", k1=_s("bucket_ts"), k2=_s("event_type"),
+              n1=_b("event_cnt"), n2=_nb(), n3=_nb(), d1=_nd(), g1=_nb(), g2=_nb()),
+        _part(r["c11_json_extract"], "json", k1=_s("event_type"), k2=_ns(),
+              n1=_b("cnt"), n2=_b("min_k"), n3=_b("max_k"), d1=_d("sum_k"),
+              g1=_nb(), g2=_nb()),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# a_distribution — histogram + exact discrete percentiles
+# ---------------------------------------------------------------------------
+
+
+def _dist_oracle() -> str:
+    return f"""
+    SELECT 'histogram' AS part, CAST(bin_id AS VARCHAR) AS k1,
+           CAST(bin_lo AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+           CAST(NULL AS DOUBLE) AS d3, CAST(n_orders AS BIGINT) AS n1
+    FROM {_oracle("a_histogram")}
+    UNION ALL
+    SELECT 'percentiles', event_type, CAST(p50 AS DOUBLE), CAST(p90 AS DOUBLE),
+           CAST(p99 AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM {_oracle("a_percentiles_disc")}
+    """
+
+
+@query("a_distribution", oracle=_dist_oracle(), tags=("agg", "composite"))
+def a_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-statistics suite: the equal-width histogram over
+    order totals (a_histogram) and exact discrete percentiles of event
+    values (a_percentiles_disc), tagged into one superset. Both
+    components' full row sets and values flow through unchanged."""
+    hist = REGISTRY["a_histogram"].build(spark, sf_dir)
+    perc = REGISTRY["a_percentiles_disc"].build(spark, sf_dir)
+    return _part(
+        hist, "histogram", k1=_s("bin_id"), d1=_d("bin_lo"), d2=_nd(), d3=_nd(),
+        n1=_b("n_orders"),
+    ).unionByName(
+        _part(perc, "percentiles", k1=_s("event_type"), d1=_d("p50"),
+              d2=_d("p90"), d3=_d("p99"), n1=_nb())
+    )
+
+
+# ---------------------------------------------------------------------------
+# u_set_ops — union + intersect/except + distinct
+# ---------------------------------------------------------------------------
+
+
+def _setops_oracle() -> str:
+    return f"""
+    SELECT 'union' AS part, bucket_ts, CAST(event_id AS BIGINT) AS k1,
+           event_type AS s1, CAST(value AS DOUBLE) AS d1
+    FROM {_oracle("u1_union_components")}
+    UNION ALL
+    SELECT 'intersect_except', CAST(NULL AS TIMESTAMP), CAST(user_id AS BIGINT),
+           membership, CAST(NULL AS DOUBLE)
+    FROM {_oracle("set_intersect_except")}
+    UNION ALL
+    SELECT 'distinct', CAST(NULL AS TIMESTAMP), CAST(user_id AS BIGINT),
+           event_type, CAST(NULL AS DOUBLE)
+    FROM {_oracle("a_distinct_pairs")}
+    """
+
+
+@query("u_set_ops", oracle=_setops_oracle(), tags=("U1", "set", "composite"))
+def u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation suite: bag union of the two component streams
+    (u1_union_components — the reference's U+V append), INTERSECT /
+    EXCEPT membership labels (set_intersect_except), and exact DISTINCT
+    (a_distinct_pairs), tagged into one superset. All three components'
+    exact row multisets ride through (the union part keeps duplicate
+    bag semantics — the hash is multiset-sensitive)."""
+    u1 = REGISTRY["u1_union_components"].build(spark, sf_dir)
+    se = REGISTRY["set_intersect_except"].build(spark, sf_dir)
+    dp = REGISTRY["a_distinct_pairs"].build(spark, sf_dir)
+    return (
+        _part(u1, "union", bucket_ts=F.col("bucket_ts"), k1=_b("event_id"),
+              s1=_s("event_type"), d1=_d("value"))
+        .unionByName(_part(se, "intersect_except", bucket_ts=_nt(),
+                           k1=_b("user_id"), s1=_s("membership"), d1=_nd()))
+        .unionByName(_part(dp, "distinct", bucket_ts=_nt(), k1=_b("user_id"),
+                           s1=_s("event_type"), d1=_nd()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# j_temporal — as-of join + range-join windows
+# ---------------------------------------------------------------------------
+
+
+def _jt_oracle() -> str:
+    return f"""
+    SELECT 'asof' AS part, CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id, ts AS ts1,
+           CAST(NULL AS TIMESTAMP) AS ts2,
+           CAST(last_click_value AS DOUBLE) AS d1, CAST(NULL AS BIGINT) AS n1
+    FROM {_oracle("j_asof_last_click")}
+    UNION ALL
+    SELECT 'range_windows', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           w_start, w_end, CAST(value_sum AS DOUBLE), CAST(event_cnt AS BIGINT)
+    FROM {_oracle("j_range_windows")}
+    """
+
+
+@query("j_temporal", oracle=_jt_oracle(), tags=("join", "composite"))
+def j_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-join suite: the as-of join (each error event picks the
+    most recent click value — j_asof_last_click) and sliding-window
+    aggregation as a broadcast range join (j_range_windows), tagged
+    into one superset with native TIMESTAMP slots."""
+    asof = REGISTRY["j_asof_last_click"].build(spark, sf_dir)
+    rng = REGISTRY["j_range_windows"].build(spark, sf_dir)
+    return _part(
+        asof, "asof", event_id=_b("event_id"), user_id=_b("user_id"),
+        ts1=F.col("ts"), ts2=_nt(), d1=_d("last_click_value"), n1=_nb(),
+    ).unionByName(
+        _part(rng, "range_windows", event_id=_nb(), user_id=_nb(),
+              ts1=F.col("w_start"), ts2=F.col("w_end"), d1=_d("value_sum"),
+              n1=_b("event_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# f_filter_suite — conjunctive + exact-timestamp + retention filters
+# ---------------------------------------------------------------------------
+
+
+def _ff_oracle() -> str:
+    return f"""
+    SELECT 'conjunctive' AS part, CAST(l_orderkey AS BIGINT) AS k1,
+           CAST(l_linenumber AS BIGINT) AS k2, CAST(NULL AS TIMESTAMP) AS ts,
+           CAST(NULL AS VARCHAR) AS s1, CAST(l_quantity AS DOUBLE) AS d1,
+           CAST(l_extendedprice AS DOUBLE) AS d2, CAST(l_discount AS DOUBLE) AS d3,
+           CAST(revenue AS DOUBLE) AS d4
+    FROM {_oracle("f1_conjunctive_filter")}
+    UNION ALL
+    SELECT 'exact_ts', CAST(event_id AS BIGINT), CAST(user_id AS BIGINT), ts,
+           event_type, CAST(value AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("f4_exact_timestamp")}
+    UNION ALL
+    SELECT 'retention', CAST(event_id AS BIGINT), CAST(NULL AS BIGINT), ts,
+           event_type, CAST(value AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("f5_retention_window")}
+    """
+
+
+@query("f_filter_suite", oracle=_ff_oracle(), tags=("F1", "F4", "F5", "composite"))
+def f_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter suite: conjunctive pushdown predicate (f1), exact-
+    timestamp point lookup on a scalar-subquery anchor (f4), and the
+    7-day retention window (f5), tagged into one superset. Pushdown
+    plan shapes stay pinned per-component in tests/test_plans.py."""
+    f1 = REGISTRY["f1_conjunctive_filter"].build(spark, sf_dir)
+    f4 = REGISTRY["f4_exact_timestamp"].build(spark, sf_dir)
+    f5 = REGISTRY["f5_retention_window"].build(spark, sf_dir)
+    return (
+        _part(f1, "conjunctive", k1=_b("l_orderkey"), k2=_b("l_linenumber"),
+              ts=_nt(), s1=_ns(), d1=_d("l_quantity"), d2=_d("l_extendedprice"),
+              d3=_d("l_discount"), d4=_d("revenue"))
+        .unionByName(_part(f4, "exact_ts", k1=_b("event_id"), k2=_b("user_id"),
+                           ts=F.col("ts"), s1=_s("event_type"), d1=_d("value"),
+                           d2=_nd(), d3=_nd(), d4=_nd()))
+        .unionByName(_part(f5, "retention", k1=_b("event_id"), k2=_nb(),
+                           ts=F.col("ts"), s1=_s("event_type"), d1=_d("value"),
+                           d2=_nd(), d3=_nd(), d4=_nd()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# a3_o1_order_selection — per-key argmax + global top-k (same schema)
+# ---------------------------------------------------------------------------
+
+
+def _a3o1_oracle() -> str:
+    return f"""
+    SELECT 'argmax_per_key' AS part, CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+    FROM {_oracle("a3_argmax_per_key")}
+    UNION ALL
+    SELECT 'topk', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+           CAST(o_totalprice AS DOUBLE), o_orderdate
+    FROM {_oracle("o1_topk_orders")}
+    """
+
+
+@query("a3_o1_order_selection", oracle=_a3o1_oracle(), tags=("A3", "O1", "composite"))
+def a3_o1_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-selection suite: per-customer argmax via one max_by hash
+    aggregate (a3_argmax_per_key — the reference's newest-file-wins)
+    and global top-10 via TakeOrderedAndProject (o1_topk_orders),
+    tagged; both components share the same column set."""
+    am = REGISTRY["a3_argmax_per_key"].build(spark, sf_dir)
+    tk = REGISTRY["o1_topk_orders"].build(spark, sf_dir)
+    slots = lambda df: dict(  # noqa: E731
+        o_custkey=_b("o_custkey"), o_orderkey=_b("o_orderkey"),
+        o_totalprice=_d("o_totalprice"), o_orderdate=F.col("o_orderdate"),
+    )
+    return _part(am, "argmax_per_key", **slots(am)).unionByName(
+        _part(tk, "topk", **slots(tk))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_sampling_suite — mixture + stratified + split + oversample + negatives
+# ---------------------------------------------------------------------------
+
+
+def _samp_oracle() -> str:
+    return f"""
+    SELECT 'mixture' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang AS s1,
+           source AS s2, CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM {_oracle("x_sample_mixture")}
+    UNION ALL
+    SELECT 'stratified', CAST(doc_id AS BIGINT), source, CAST(NULL AS VARCHAR),
+           CAST(sample_rank AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {_oracle("x_sample_stratified")}
+    UNION ALL
+    SELECT 'split', CAST(doc_id AS BIGINT), split, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {_oracle("x_split_assign")}
+    UNION ALL
+    SELECT 'oversample', CAST(doc_id AS BIGINT), lang, CAST(NULL AS VARCHAR),
+           CAST(copy_no AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {_oracle("x_oversample")}
+    UNION ALL
+    SELECT 'negatives', CAST(anchor_id AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(neg_no AS BIGINT),
+           CAST(negative_id AS BIGINT)
+    FROM {_oracle("x_negative_pairs")}
+    """
+
+
+@query("x_sampling_suite", oracle=_samp_oracle(), tags=("ext", "sampling", "composite"))
+def x_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sampling suite: language-mixture resampling,
+    exact stratified sampling, train/val/test split assignment,
+    minority-class oversampling, and contrastive negative-pair
+    generation (operators.sampling), tagged into one superset. Every
+    component's exact membership/rank/copy/pair values ride through —
+    the driver hash certifies all five samplers at once."""
+    names = ("x_sample_mixture", "x_sample_stratified", "x_split_assign",
+             "x_oversample", "x_negative_pairs")
+    r = {n: REGISTRY[n].build(spark, sf_dir) for n in names}
+    parts = [
+        _part(r["x_sample_mixture"], "mixture", doc_id=_b("doc_id"),
+              s1=_s("lang"), s2=_s("source"), n1=_nb(), n2=_nb()),
+        _part(r["x_sample_stratified"], "stratified", doc_id=_b("doc_id"),
+              s1=_s("source"), s2=_ns(), n1=_b("sample_rank"), n2=_nb()),
+        _part(r["x_split_assign"], "split", doc_id=_b("doc_id"),
+              s1=_s("split"), s2=_ns(), n1=_nb(), n2=_nb()),
+        _part(r["x_oversample"], "oversample", doc_id=_b("doc_id"),
+              s1=_s("lang"), s2=_ns(), n1=_b("copy_no"), n2=_nb()),
+        _part(r["x_negative_pairs"], "negatives", doc_id=_b("anchor_id"),
+              s1=_ns(), s2=_ns(), n1=_b("neg_no"), n2=_b("negative_id")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# x_token_stats — corpus top-k + Zipf fit + per-doc token counts
+# ---------------------------------------------------------------------------
+
+
+def _tok_oracle() -> str:
+    return f"""
+    SELECT 'topk' AS part, CAST(NULL AS BIGINT) AS doc_id, token,
+           CAST(cnt AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM {_oracle("x_token_topk")}
+    UNION ALL
+    SELECT 'zipf', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(zipf_slope_e6 AS BIGINT), CAST(n_tokens AS BIGINT)
+    FROM {_oracle("x_token_zipf")}
+    UNION ALL
+    SELECT 'bpe', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(bpe_cnt AS BIGINT), CAST(ws_cnt AS BIGINT)
+    FROM {_oracle("x_token_bpe")}
+    """
+
+
+@query("x_token_stats", oracle=_tok_oracle(), tags=("ext", "text", "composite"))
+def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-statistics suite: corpus token-frequency top-20
+    (x_token_topk), the Zipf-law slope fit over the top-100
+    frequencies (x_token_zipf), and per-document whitespace + BPE-ish
+    token counts (x_token_bpe), tagged into one superset."""
+    tk = REGISTRY["x_token_topk"].build(spark, sf_dir)
+    zf = REGISTRY["x_token_zipf"].build(spark, sf_dir)
+    bp = REGISTRY["x_token_bpe"].build(spark, sf_dir)
+    return (
+        _part(tk, "topk", doc_id=_nb(), token=_s("token"), n1=_b("cnt"), n2=_nb())
+        .unionByName(_part(zf, "zipf", doc_id=_nb(), token=_ns(),
+                           n1=_b("zipf_slope_e6"), n2=_b("n_tokens")))
+        .unionByName(_part(bp, "bpe", doc_id=_b("doc_id"), token=_ns(),
+                           n1=_b("bpe_cnt"), n2=_b("ws_cnt")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_classifier_eval — confusion matrices + per-label centroids
+# ---------------------------------------------------------------------------
+
+
+def _clf_oracle() -> str:
+    return f"""
+    SELECT 'lang_confusion' AS part, lang AS k1, lang_pred AS k2,
+           CAST(n AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM {_oracle("x_lang_confusion")}
+    UNION ALL
+    SELECT 'nearest_centroid', true_label, pred_label, CAST(n AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM {_oracle("x_nearest_centroid")}
+    UNION ALL
+    SELECT 'centroids', label, CAST(pos AS VARCHAR), CAST(centroid_e6 AS BIGINT),
+           CAST(n_vecs AS BIGINT)
+    FROM {_oracle("x_label_centroids")}
+    """
+
+
+@query("x_classifier_eval", oracle=_clf_oracle(), tags=("ext", "composite"))
+def x_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation suite: the stopword language-ID confusion
+    matrix (x_lang_confusion), the nearest-centroid classification
+    audit (x_nearest_centroid), and the per-label embedding centroids
+    those prototypes come from (x_label_centroids), tagged into one
+    superset."""
+    lc = REGISTRY["x_lang_confusion"].build(spark, sf_dir)
+    nc = REGISTRY["x_nearest_centroid"].build(spark, sf_dir)
+    ct = REGISTRY["x_label_centroids"].build(spark, sf_dir)
+    return (
+        _part(lc, "lang_confusion", k1=_s("lang"), k2=_s("lang_pred"),
+              n1=_b("n"), n2=_nb())
+        .unionByName(_part(nc, "nearest_centroid", k1=_s("true_label"),
+                           k2=_s("pred_label"), n1=_b("n"), n2=_nb()))
+        .unionByName(_part(ct, "centroids", k1=_s("label"), k2=_s("pos"),
+                           n1=_b("centroid_e6"), n2=_b("n_vecs")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_text_features — per-doc quality + lang-ID + fingerprint + quantile gate
+# ---------------------------------------------------------------------------
+
+_D_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+def _tf_oracle() -> str:
+    # wide per-doc join of the component oracles (all doc_id granularity)
+    return f"""
+    WITH tq AS (SELECT * FROM {_oracle("x_text_quality")}),
+         li AS (SELECT * FROM {_oracle("x_lang_id")}),
+         fp AS (SELECT * FROM {_oracle("x_doc_fingerprint")}),
+         qf AS (SELECT * FROM {_oracle("x_quality_filter")})
+    SELECT tq.doc_id, tq.n_chars, tq.token_cnt, tq.avg_word_len,
+           tq.punct_ratio, tq.ws_ratio, tq.stopword_en,
+           li.lang, li.lang_pred, li.score,
+           fp.fingerprint,
+           (qf.doc_id IS NOT NULL) AS kept_q25
+    FROM tq
+    JOIN li ON li.doc_id = tq.doc_id
+    JOIN fp ON fp.doc_id = tq.doc_id
+    LEFT JOIN qf ON qf.doc_id = tq.doc_id
+    """
+
+
+@query("x_text_features", oracle=_tf_oracle(), tags=("ext", "text", "composite"))
+def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-feature suite as ONE wide narrow-plan pass:
+    quality metrics (x_text_quality), stopword language-ID
+    (x_lang_id), the rolling-hash content fingerprint
+    (x_doc_fingerprint), and the bottom-quartile quality gate's
+    membership flag (x_quality_filter's row set as `kept_q25`). All
+    expressions are codegen'd into a single projection over one scan
+    — the fold costs no extra shuffle (the quantile threshold is the
+    same tiny broadcast the standalone gate uses)."""
+    from ..functions.text import fingerprint64  # noqa: F401  (module doc link)
+
+    docs = tables(spark, sf_dir)["documents"]
+    langs = ("de", "en", "es", "fr")
+    scored = docs.select(
+        "doc_id", "n_chars", "text",
+        token_count("text").alias("token_cnt"),
+        avg_word_len("text").alias("avg_word_len"),
+        punct_ratio("text").alias("punct_ratio"),
+        whitespace_ratio("text").alias("ws_ratio"),
+        *[stopword_ratio("text", lg).alias(f"s_{lg}") for lg in langs],
+    ).withColumn("score", F.greatest(*[F.col(f"s_{lg}") for lg in langs]))
+    pred = F.when(F.col("s_de") == F.col("score"), "de")
+    for lg in ("en", "es"):
+        pred = pred.when(F.col(f"s_{lg}") == F.col("score"), lg)
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
+    fp = F.aggregate(codes, F.lit(0).cast("bigint"),
+                     lambda acc, c: (acc * 31 + c) % 1000000007)
+    lang = tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    wide = scored.join(lang, "doc_id").select(
+        "doc_id", "n_chars", "token_cnt", "avg_word_len", "punct_ratio",
+        "ws_ratio", F.col("s_en").alias("stopword_en"), "lang",
+        pred.otherwise("fr").alias("lang_pred"), "score",
+        fp.alias("fingerprint"),
+    )
+    # bottom-quartile gate on the English-stopword score (the
+    # x_quality_filter threshold), joined back as a boolean flag
+    counts = wide.groupBy(F.col("stopword_en").alias("qscore")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.orderBy("qscore").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "qscore",
+        F.sum("c").over(wc).alias("cum_n"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = cum.filter(F.col("cum_n") >= F.ceil(F.lit(0.25) * F.col("n"))).agg(
+        F.min("qscore").alias("threshold")
+    )
+    return wide.crossJoin(F.broadcast(thr)).select(
+        *wide.columns, (F.col("stopword_en") >= F.col("threshold")).alias("kept_q25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_doc_transform — PII redaction + context-window chunking
+# ---------------------------------------------------------------------------
+
+
+def _dt_oracle() -> str:
+    return f"""
+    SELECT 'pii' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_emails AS BIGINT) AS n1, CAST(n_phones AS BIGINT) AS n2,
+           CAST(n_ips AS BIGINT) AS n3, redacted AS txt
+    FROM {_oracle("x_pii_redact")}
+    UNION ALL
+    SELECT 'chunk', CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT),
+           CAST(chunk_start AS BIGINT), CAST(chunk_len AS BIGINT), chunk_text
+    FROM {_oracle("x_doc_chunks")}
+    """
+
+
+@query("x_doc_transform", oracle=_dt_oracle(), tags=("ext", "text", "composite"))
+def x_doc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-transformation suite: PII scrubbing with per-kind match
+    counts (x_pii_redact) and 20-token/stride-15 context-window
+    chunking (x_doc_chunks), tagged into one superset — the redacted
+    text and every chunk's text ride through the hash verbatim."""
+    pii = REGISTRY["x_pii_redact"].build(spark, sf_dir)
+    ch = REGISTRY["x_doc_chunks"].build(spark, sf_dir)
+    return _part(
+        pii, "pii", doc_id=_b("doc_id"), n1=_b("n_emails"), n2=_b("n_phones"),
+        n3=_b("n_ips"), txt=_s("redacted"),
+    ).unionByName(
+        _part(ch, "chunk", doc_id=_b("doc_id"), n1=_b("chunk_id"),
+              n2=_b("chunk_start"), n3=_b("chunk_len"), txt=_s("chunk_text"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_profile_dq — single-pass profile + data-quality checks
+# ---------------------------------------------------------------------------
+
+
+def _pdq_oracle() -> str:
+    return f"""
+    SELECT 'profile' AS part, col_name AS name, CAST(n_null AS BIGINT) AS n1,
+           CAST(n_distinct AS BIGINT) AS n2, min_val AS s1, max_val AS s2
+    FROM {_oracle("x_profile_columns")}
+    UNION ALL
+    SELECT 'dq', check_name, CAST(n_violations AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM {_oracle("x_dq_checks")}
+    """
+
+
+@query("x_profile_dq", oracle=_pdq_oracle(), tags=("ext", "profile", "composite"))
+def x_profile_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-audit suite: the single-scan column profile of
+    `documents` (x_profile_columns) and the declarative data-quality
+    checks over orders/lineitem (x_dq_checks), tagged into one
+    superset report — the shape a nightly publish gate runs."""
+    pr = REGISTRY["x_profile_columns"].build(spark, sf_dir)
+    dq = REGISTRY["x_dq_checks"].build(spark, sf_dir)
+    return _part(
+        pr, "profile", name=_s("col_name"), n1=_b("n_null"), n2=_b("n_distinct"),
+        s1=_s("min_val"), s2=_s("max_val"),
+    ).unionByName(
+        _part(dq, "dq", name=_s("check_name"), n1=_b("n_violations"),
+              n2=_nb(), s1=_ns(), s2=_ns())
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_grouped_models — EWMA + OLS trend fit, joined wide per (user, event)
+# ---------------------------------------------------------------------------
+
+
+def _gm_oracle() -> str:
+    return f"""
+    SELECT e.user_id, e.event_id, CAST(e.ewma_e6 AS BIGINT) AS ewma_e6,
+           CAST(t.slope_e9 AS BIGINT) AS slope_e9,
+           CAST(t.resid_e6 AS BIGINT) AS resid_e6
+    FROM {_oracle("x_ewma")} e
+    JOIN {_oracle("x_group_trend_fit")} t
+      ON t.user_id = e.user_id AND t.event_id = e.event_id
+    """
+
+
+@query("x_grouped_models", oracle=_gm_oracle(), tags=("ext", "pandas", "composite"))
+def x_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-model suite: the per-user EWMA recurrence (x_ewma) and
+    the per-user OLS trend fit with row-level residuals
+    (x_group_trend_fit) — the two applyInPandas surfaces — joined wide
+    on (user_id, event_id). Both grouped-map outputs are partitioned
+    by user_id already, so the join co-locates without a third
+    shuffle under AQE."""
+    ew = REGISTRY["x_ewma"].build(spark, sf_dir)
+    tr = REGISTRY["x_group_trend_fit"].build(spark, sf_dir)
+    return (
+        ew.select("user_id", "event_id", _b("ewma_e6").alias("ewma_e6"))
+        .join(tr.select("user_id", "event_id", _b("slope_e9").alias("slope_e9"),
+                        _b("resid_e6").alias("resid_e6")),
+              ["user_id", "event_id"])
+    )

@@ -103,7 +103,7 @@ def flagship_latest_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_returnflag = 'R' AND l_quantity < 10 AND l_discount >= 0.05
     """,
     tags=("F1", "F2"),
-)
+ driver=False)
 def f1_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive equality/range predicate + projection — the grib2json
     record filter `--fp 2 --fs 103 --fv 10.0` (converter.py:49-53).
@@ -164,7 +164,7 @@ def f3_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
     """,
     tags=("F5", "C7"),
-)
+ driver=False)
 def f5_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day retention predicate (deleteOld.py:9), anchored on max(ts)
     for determinism instead of now().
@@ -535,7 +535,7 @@ def a2_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
     """,
     tags=("A3", "O1", "A1"),
-)
+ driver=False)
 def a3_argmax_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match selection over an ordered candidate set
     (converter.py:134-181: newest available file wins) — per-key argmax
@@ -559,7 +559,7 @@ def a3_argmax_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("O1", "topk"),
-)
+ driver=False)
 def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered scan with early termination (converter.py:134-181):
     global top-k. Spark plans this as TakeOrderedAndProject — each

@@ -368,7 +368,7 @@ def x_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     """,
     tags=("ext", "text"),
-)
+ driver=False)
 def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: token count, mean word length,
     punctuation/whitespace ratios, English stopword ratio — one narrow
@@ -412,7 +412,7 @@ def _d_stop_score(lang: str) -> str:
     FROM m
     """,
     tags=("ext", "text"),
-)
+ driver=False)
 def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID: score each candidate language, take
     the argmax (ties → first language in 'de','en','es','fr' order).
@@ -445,7 +445,7 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("ext", "text"),
-)
+ driver=False)
 def x_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash (base 31 mod 1e9+7) over the document's
     characters — classic content fingerprint, as a pure expression fold
@@ -468,7 +468,7 @@ def x_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT 20
     """,
     tags=("ext", "text"),
-)
+ driver=False)
 def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequency top-20: explode → hash-aggregate (partial
     map-side) → TakeOrderedAndProject. The (cnt, token) tiebreak makes
@@ -530,7 +530,7 @@ def x_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("ext", "text", "tokens"),
-)
+ driver=False)
 def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (north-star text surface): whitespace
     tokens and a BPE-ish pre-tokenizer regex (letter runs | digit runs
@@ -679,7 +679,7 @@ _D_STRATIFIED = f"""
 """
 
 
-@query("x_sample_mixture", oracle=_D_MIXTURE, tags=("ext", "sampling"))
+@query("x_sample_mixture", oracle=_D_MIXTURE, tags=("ext", "sampling"), driver=False)
 def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture resampling (operators.sampling.mixture_sample):
     keep en at 100%, de 75%, fr 50%, es 37.5%, zh 25% — membership a
@@ -696,7 +696,7 @@ def x_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_sample_stratified", oracle=_D_STRATIFIED, tags=("ext", "sampling"))
+@query("x_sample_stratified", oracle=_D_STRATIFIED, tags=("ext", "sampling"), driver=False)
 def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-3-docs-per-source stratified sample
     (operators.sampling.stratified_sample_exact): deterministic
@@ -759,7 +759,7 @@ _D_QUANTIZE = f"""
 """
 
 
-@query("x_profile_columns", oracle=_D_PROFILE, tags=("ext", "profile"))
+@query("x_profile_columns", oracle=_D_PROFILE, tags=("ext", "profile"), driver=False)
 def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile of `documents` (operators.profile):
     per-column nulls, exact distincts, min/max — all five columns'
@@ -846,7 +846,7 @@ _D_CHUNKS = f"""
 """
 
 
-@query("x_pii_redact", oracle=_D_PII, tags=("ext", "text"))
+@query("x_pii_redact", oracle=_D_PII, tags=("ext", "text"), driver=False)
 def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions.text.redact_pii): emails, phone
     numbers, IPv4 addresses replaced by typed placeholders, plus
@@ -879,7 +879,7 @@ def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_doc_chunks", oracle=_D_CHUNKS, tags=("ext", "text"))
+@query("x_doc_chunks", oracle=_D_CHUNKS, tags=("ext", "text"), driver=False)
 def x_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split each document into 20-token
     windows with stride 15 (25% overlap) — the batch-prep step that
@@ -938,7 +938,7 @@ _D_QUALITY_FILTER = f"""
 """
 
 
-@query("x_quality_filter", oracle=_D_QUALITY_FILTER, tags=("ext", "text", "sampling"))
+@query("x_quality_filter", oracle=_D_QUALITY_FILTER, tags=("ext", "text", "sampling"), driver=False)
 def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-threshold corpus curation: drop the bottom quartile of
     documents by quality score (English stopword ratio — the classic
@@ -1099,7 +1099,7 @@ _D_OVERSAMPLE = f"""
 """
 
 
-@query("x_split_assign", oracle=_D_SPLIT, tags=("ext", "sampling"))
+@query("x_split_assign", oracle=_D_SPLIT, tags=("ext", "sampling"), driver=False)
 def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (80/10/10 by md5 hash
     ranges): every engine, run, and partitioning assigns each document
@@ -1119,7 +1119,7 @@ def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_oversample", oracle=_D_OVERSAMPLE, tags=("ext", "sampling"))
+@query("x_oversample", oracle=_D_OVERSAMPLE, tags=("ext", "sampling"), driver=False)
 def x_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class rebalancing by deterministic oversampling: minority
     languages replicate (zh ×4, es ×2) via a generated copy sequence —
@@ -1162,7 +1162,7 @@ _D_NEGATIVES = f"""
 """
 
 
-@query("x_negative_pairs", oracle=_D_NEGATIVES, tags=("ext", "sampling"))
+@query("x_negative_pairs", oracle=_D_NEGATIVES, tags=("ext", "sampling"), driver=False)
 def x_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling (the contrastive-training
     complement to the near-dup POSITIVE pairs of x_dedup_jaccard):
@@ -1280,7 +1280,7 @@ _D_LABEL_CENTROIDS = """
 """
 
 
-@query("x_lang_confusion", oracle=_D_LANG_CONFUSION, tags=("ext", "text"))
+@query("x_lang_confusion", oracle=_D_LANG_CONFUSION, tags=("ext", "text"), driver=False)
 def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation as a query: the confusion matrix of the
     stopword language-ID against the corpus's metadata labels —
@@ -1304,7 +1304,7 @@ def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_label_centroids", oracle=_D_LABEL_CENTROIDS, tags=("ext", "similarity"))
+@query("x_label_centroids", oracle=_D_LABEL_CENTROIDS, tags=("ext", "similarity"), driver=False)
 def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroids (the prototype vectors of a
     nearest-centroid classifier / the class means a clustering-quality
@@ -1359,7 +1359,7 @@ _D_NEAREST_CENTROID = f"""
 """
 
 
-@query("x_nearest_centroid", oracle=_D_NEAREST_CENTROID, tags=("ext", "similarity"))
+@query("x_nearest_centroid", oracle=_D_NEAREST_CENTROID, tags=("ext", "similarity"), driver=False)
 def x_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification audit: assign every vector to
     its highest-dot-product class centroid and tabulate (truth,
@@ -1428,7 +1428,7 @@ _D_ZIPF = f"""
 """
 
 
-@query("x_token_zipf", oracle=_D_ZIPF, tags=("ext", "text"))
+@query("x_token_zipf", oracle=_D_ZIPF, tags=("ext", "text"), driver=False)
 def x_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the top-100 token frequencies: OLS slope of
     ln(freq) vs ln(rank) — the corpus-health statistic (natural text

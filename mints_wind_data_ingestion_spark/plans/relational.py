@@ -27,7 +27,7 @@ from .registry import query, tables
     WHERE ts = (SELECT max(ts) FROM events WHERE event_type = 'purchase')
     """,
     tags=("F4",),
-)
+ driver=False)
 def f4_exact_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-timestamp point lookup (converter.py:98,157): equality on a
     scalar-subquery anchor. On a partitioned table this prunes to one
@@ -161,7 +161,7 @@ def j4_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("W", "rank"),
-)
+ driver=False)
 def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window functions: arrival sequence (total order → stable
     row_number) and value ranking (ties share rank). One shuffle on
@@ -192,7 +192,7 @@ def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("W", "lag"),
-)
+ driver=False)
 def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic lag/lead over per-user event streams: previous/next
     value, delta, inter-event gap — the session-analysis primitives the
@@ -222,7 +222,7 @@ def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     tags=("W", "frame"),
-)
+ driver=False)
 def w3_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative aggregate over a rows frame. DECIMAL accumulation so
     the running sum is exact at every prefix (a double running sum would
@@ -253,7 +253,7 @@ def w3_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     tags=("W", "range-frame"),
-)
+ driver=False)
 def w4_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-1h range frame per user (the 'recent activity' primitive
     behind rate limiting / monitoring). Range frames are keyed on epoch
@@ -295,7 +295,7 @@ def w4_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_type = 'view'
     """,
     tags=("U1",),
-)
+ driver=False)
 def u1_union_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag union of the two component streams (converter.py:88: V
     appended to U). unionByName is a zero-shuffle plan concatenation."""
@@ -322,7 +322,7 @@ def u1_union_components(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
     tags=("set",),
-)
+ driver=False)
 def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT set semantics (distinct), labeled and unioned.
     Both compile to aggregate + semi/anti-join under AQE — no sort."""
@@ -384,7 +384,7 @@ def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     tags=("C10", "C11", "json"),
-)
+ driver=False)
 def c11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction + aggregation over the header-jsonb analog
     (converter.py:110-111,163: json round-tripping of `header`).
@@ -420,7 +420,7 @@ def c11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (r.r_name, n.n_name)
     """,
     tags=("agg", "rollup"),
-)
+ driver=False)
 def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (region → nation → grand
     total) with GROUPING markers disambiguating subtotal NULLs. Spark
@@ -442,7 +442,7 @@ def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_distinct_pairs",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     tags=("distinct",),
-)
+ driver=False)
 def a_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicates — exact distinct as a hash aggregate with map-side
     partial dedup (each task emits its local distincts before the
@@ -468,7 +468,7 @@ def a_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON e.user_id = c.user_id AND e.ts >= c.ts
     """,
     tags=("join", "asof"),
-)
+ driver=False)
 def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event picks the most recent click value at
     or before it, per user (the time-series alignment primitive Spark
@@ -523,7 +523,7 @@ def j_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY w.w_start, w.w_end
     """,
     tags=("join", "range", "T2"),
-)
+ driver=False)
 def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window aggregation as a range join: 6 h windows sliding
     3 h (each event lands in exactly 2) — the batch formulation of T2.
@@ -739,7 +739,7 @@ def w5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("A2", "cube"),
-)
+ driver=False)
 def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
     pass — Spark expands the cube BEFORE the shuffle (each input row
@@ -763,7 +763,7 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
     tags=("A2", "pivot"),
-)
+ driver=False)
 def a_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per 6 h bucket, one count column per event type.
 
@@ -805,7 +805,7 @@ def a_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket_ts, 'purchase', purchase_cnt FROM pivoted
     """,
     tags=("A2", "pivot"),
-)
+ driver=False)
 def a_unpivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot — the inverse of a_pivot_types: wide per-type count
     columns stacked back to (bucket_ts, event_type, event_cnt) rows.
@@ -890,7 +890,7 @@ def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY event_type
     """,
     tags=("agg", "percentile"),
-)
+ driver=False)
 def a_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete percentiles (p50/p90/p99 of value per event
     type): the smallest observed value whose rank reaches ceil(p·n) —
@@ -938,7 +938,7 @@ def a_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     tags=("agg", "histogram"),
-)
+ driver=False)
 def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram (20 bins) of order totals: global min/max
     in a first scalar pass, bin assignment a pure expression in the
@@ -1002,7 +1002,7 @@ def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f, LATERAL unnest(generate_series(1, len(ids))) AS t(i)
     """,
     tags=("ext", "udaf", "pandas"),
-)
+ driver=False)
 def x_group_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend fit with row-level residuals — the GROUPED_MAP
     (applyInPandas) surface: one numpy model fit per key, output at
@@ -1045,7 +1045,7 @@ def x_group_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_shipdate < o.o_orderdate
     """,
     tags=("ext", "dq"),
-)
+ driver=False)
 def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite (the expectations/constraints
     layer every ingestion runs before publishing a table): referential
@@ -1111,7 +1111,7 @@ def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM expanded
     """,
     tags=("ext", "pandas", "timeseries"),
-)
+ driver=False)
 def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α=0.2) of event values — the recursive
     time-series feature window frames cannot express (each row depends
@@ -1140,7 +1140,7 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     tags=("window",),
-)
+ driver=False)
 def w6_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile (equi-depth bucketing),
     cume_dist, percent_rank per event type: the quantile-bucketing
@@ -1167,7 +1167,7 @@ def w6_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
     """,
     tags=("agg", "groupingsets"),
-)
+ driver=False)
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form rollup/cube
     specialize): per-type, per-day, and per-(type, day) counts in one

@@ -23,16 +23,22 @@ def sf_dir(default: str = "/root/testdata/sf0.001") -> str:
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as bigint (nanosAsLong
-    conf, session.configure); convert to TimestampType at µs precision.
-    `DIV 1000` is exact 64-bit integer division — a float path would
-    corrupt epochs beyond 2^53 ns (~April 2096... but low bits much
-    sooner)."""
+    """Normalize the driver testdata's `ts` column to TimestampType.
+
+    The generator has stored it two ways across rounds: TIMESTAMP(NANOS)
+    (arrives as bigint under the nanosAsLong conf, session.configure —
+    `DIV 1000` is exact 64-bit integer division; a float path would
+    corrupt epochs beyond 2^53 ns) and TIMESTAMP_NTZ(µs) (cast to the
+    instant type — identity on the stored micros under the UTC session
+    timezone, and required because chronon functions like unix_micros
+    only accept the instant-typed column)."""
     from pyspark.sql import functions as F
 
     for name, dtype in df.dtypes:
         if name == "ts" and dtype == "bigint":
             df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000")))
+        elif name == "ts" and dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 
