@@ -435,7 +435,11 @@ def simhash64(shingles: Column) -> Column:
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str, shingle_col: str
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    hash_fn=None,
+    nbits: int = 64,
 ) -> DataFrame:
     """(id, simhash) fingerprint table; pair docs by Hamming distance
     downstream (band the 64 bits into k equal bands and equi-join —
@@ -454,14 +458,23 @@ def simhash_fingerprints(
     set) or NULL (NULL array). Without this, explode_outer's
     xxhash64(NULL) row would give every empty doc the same non-zero
     fingerprint and pair them all at Hamming 0.
+
+    `hash_fn` (shingle Column → bigint Column) defaults to xxhash64 —
+    the production choice (one JVM intrinsic per shingle). Pass an
+    engine-portable hash (e.g. the md5-prefix hash the registry query
+    uses so its DuckDB oracle can re-derive identical fingerprints)
+    together with its width `nbits` when cross-engine reproducibility
+    matters more than per-shingle cost.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     base = docs.select(F.col(id_col), F.col(shingle_col).alias("__arr"))
     posting = base.select(
         id_col, F.explode(F.col("__arr")).alias("__s")
-    ).select(id_col, F.xxhash64("__s").alias("__h"))
+    ).select(id_col, hash_fn(F.col("__s")).alias("__h"))
     cnts = [
         F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
-        for j in range(64)
+        for j in range(nbits)
     ]
     agg = posting.groupBy(id_col).agg(F.count("__h").alias("__n"), *cnts)
     bits = [
@@ -469,7 +482,7 @@ def simhash_fingerprints(
             2 * F.col(f"__c{j}") > F.col("__n"),
             F.shiftleft(F.lit(1).cast("bigint"), j),
         ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(64)
+        for j in range(nbits)
     ]
     sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
     fp = agg.select(F.col(id_col), sim.alias("__sim"))
