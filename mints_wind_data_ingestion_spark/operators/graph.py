@@ -110,7 +110,18 @@ def _cc_rounds(
     for _ in range(max_rounds):
         # large-star: for v in N(u) with v > u attach v to m(u).
         # Keeping (u, m(u)) preserves connectivity of the star center.
-        m = _min_neighborhood(e)
+        #
+        # m is localCheckpoint'd for two reasons: (a) it has two
+        # consumers (the star join and the union), so materializing
+        # beats recomputing the aggregate; (b) SKEW — a viral
+        # mega-cluster makes its center a hot key in this join, and
+        # AQE's OptimizeSkewedJoin only matches the canonical
+        # SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) shape: with the
+        # m-aggregate inlined between shuffle and join the rule cannot
+        # fire, with m materialized both sides are plain scans and the
+        # hot partition splits at runtime (pinned by
+        # tests/test_graph.py::test_cc_mega_star_skew_handled).
+        m = _min_neighborhood(e).localCheckpoint()
         large = (
             e.filter(F.col("v") > F.col("u"))
             .join(m, "u")
@@ -125,6 +136,10 @@ def _cc_rounds(
         e2 = _symmetrize(large, "u", "v").localCheckpoint()
 
         # small-star: for v in N(u) with v <= u attach v to m(u).
+        # m2 stays inline: the small-star join's left side is keyed by
+        # the LARGER endpoint of each edge, so a mega-star's rows key
+        # by its (distinct) leaves, not its center — no hot key, no
+        # need to pay a materialization for AQE's skew shape here.
         m2 = _min_neighborhood(e2)
         small = (
             e2.filter(F.col("v") < F.col("u"))

@@ -116,3 +116,74 @@ def test_sampling_is_partitioning_invariant(spark, sf_dir):
     assert ids(stratified_sample_exact(a, ["source"], "doc_id", 2)) == ids(
         stratified_sample_exact(b, ["source"], "doc_id", 2)
     )
+
+
+def test_cc_mega_star_skew_handled(spark):
+    """A viral-duplicate mega-cluster makes the star center a hot key
+    in the CC round's m(u) join (VERDICT r2 'Next round' #6). The
+    engine's posture: AQE skew-join splitting (on in session.py)
+    splits the hot partition at runtime — salting would tax EVERY
+    round; AQE costs nothing when there is no skew. This test plants a
+    100k-edge star, forces the shuffle-join path (no broadcast, tiny
+    skew thresholds so the 100k-row key trips them at test scale) and
+    asserts (a) components are exactly right and (b) the executed plan
+    of the round's join shows the skew split fired ([skew=true] /
+    AQEShuffleRead skewed)."""
+    import pyspark.sql.functions as F
+
+    from mints_wind_data_ingestion_spark.operators.graph import (
+        _min_neighborhood,
+        _symmetrize,
+    )
+
+    n = 100_000
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+
+        star = spark.range(1, n + 1).select(
+            F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+        )
+        # (a) the round's join, exactly as _cc_rounds builds it
+        # (m checkpointed — the canonical-SMJ-shape requirement AQE's
+        # skew rule has; see the operator comment)
+        e = _symmetrize(star, "src", "dst").localCheckpoint()
+        m = _min_neighborhood(e).localCheckpoint()
+        large = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # collect() finalizes THIS DataFrame's AQE plan (a write wraps
+        # the query in a separate execution whose plan we can't read)
+        assert len(large.collect()) == n
+        plan = large._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "isSkew=true" in plan, (
+            "AQE skew split did not fire on the hot-key CC join:\n"
+            + plan[:2000]
+        )
+
+        # (b) end-to-end correctness on the mega-star
+        comp = connected_components(star)
+        bad = comp.filter(F.col("component") != 0).count()
+        assert bad == 0
+        assert comp.count() == n + 1
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
