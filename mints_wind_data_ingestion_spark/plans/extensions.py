@@ -1629,3 +1629,91 @@ def x_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_slope_e6"),
         F.col("n").cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — train/eval n-gram containment
+# ---------------------------------------------------------------------------
+
+#: distinct word-8-gram shingles of `toks` (decontamination granularity)
+_D_SHINGLES8 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 7, 0)), "
+    "i -> array_to_string(toks[i:i+7], ' ')))"
+)
+
+_D_DECONTAM = f"""
+    WITH sets AS (
+        SELECT doc_id, {_D_SHINGLES8} AS sh,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) < 'cccccc' AS is_train
+        FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    ),
+    train_grams AS (
+        SELECT DISTINCT {_D_MD5_60.replace("md5(s)", "md5(g)")} AS h
+        FROM (SELECT unnest(sh) AS g FROM sets WHERE is_train)
+    ),
+    eval_posting AS (
+        SELECT doc_id, {_D_MD5_60.replace("md5(s)", "md5(g)")} AS h
+        FROM (SELECT doc_id, unnest(sh) AS g FROM sets WHERE NOT is_train)
+    ),
+    hits AS (
+        SELECT p.doc_id, count(*) AS n
+        FROM eval_posting p JOIN train_grams t ON t.h = p.h
+        GROUP BY p.doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(h.n, 0) AS n_shared_8grams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM sets s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    WHERE NOT s.is_train
+"""
+
+
+@query("x_decontaminate", oracle=_D_DECONTAM, tags=("ext", "dedup", "text"))
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline gate that
+    keeps eval data out of the training set: deterministically split
+    the corpus 80/20 (the x_split_assign hash rule), then flag every
+    EVAL document sharing any word-8-gram with ANY train document
+    (the n-gram-containment rule used for public-benchmark overlap
+    scrubbing), with the count of distinct shared 8-grams.
+
+    Plan shape (100 TB): distinct train grams form an inverted index
+    keyed by an 8-byte engine-portable hash (_md5_60 — at scale the
+    64-bit key IS the shuffle key, never the gram text); the eval
+    posting list equi-joins it and aggregates per doc — never an
+    eval×train document cross join. One shuffle per side + one
+    map-side-combining count; the left join back restores clean docs
+    with n=0."""
+    from ..operators.sampling import hash_bucket
+
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 8, out="sh0").select(
+        "doc_id", F.array_distinct("sh0").alias("sh"),
+        (hash_bucket(F.col("doc_id")) < "cccccc").alias("is_train"),
+    )
+    gram_h = _md5_60(F.col("g"))
+    train_grams = (
+        with_sh.filter("is_train")
+        .select(F.explode("sh").alias("g"))
+        .select(gram_h.alias("h"))
+        .distinct()
+    )
+    eval_docs = with_sh.filter(~F.col("is_train"))
+    eval_posting = eval_docs.select(
+        "doc_id", F.explode("sh").alias("g")
+    ).select("doc_id", gram_h.alias("h"))
+    hits = (
+        eval_posting.join(train_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        eval_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_8grams"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -34,8 +34,9 @@ def test_minhash_threshold_is_exact(spark, sf_dir):
 
 
 def test_simhash_catches_planted_near_dups(spark, sf_dir, exact_jaccard_pairs):
-    """SimHash banding (4×16 bits, hamming ≤ 3) must recover a large
-    majority of the planted near-dup pairs (j ≥ 0.9 ⇒ tiny hamming)."""
+    """SimHash banding (6×10 bits, hamming ≤ 5 guaranteed) must recover
+    a large majority of the planted near-dup pairs (j ≥ 0.9 ⇒ tiny
+    hamming)."""
     sh = _pairs(REGISTRY["x_dedup_simhash"].build(spark, sf_dir))
     assert exact_jaccard_pairs, "expected planted near-dup pairs in testdata"
     recall = len(sh & exact_jaccard_pairs) / len(exact_jaccard_pairs)
@@ -234,3 +235,38 @@ def test_multiprobe_lsh_beats_single_probe_with_fewer_tables(spark, sf_dir):
     # quarter of the index entries
     assert multi >= single
     assert multi >= 0.5
+
+
+def test_decontaminate_flags_cross_split_near_dups(spark, sf_dir):
+    """Every planted near-dup pair that straddles the train/eval split
+    must flag its eval member as contaminated (j >= 0.9 on 3-shingles
+    implies long shared runs >> 8 tokens), and every flagged doc must
+    genuinely share a word-8-gram with some train doc (no false
+    positives — recomputed naively here)."""
+    from mints_wind_data_ingestion_spark.operators.sampling import hash_bucket
+
+    out = {r.doc_id: r.contaminated
+           for r in REGISTRY["x_decontaminate"].build(spark, sf_dir).collect()}
+    docs = REGISTRY["x_dedup_exact"].build  # noqa: F841  (module import warm)
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    rows = tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", (hash_bucket(F.col("doc_id")) < "cccccc").alias("is_train")
+    ).collect()
+    split = {r.doc_id: r.is_train for r in rows}
+    grams = {
+        r.doc_id: {
+            " ".join(t) for t in zip(*[r.text.split()[i:] for i in range(8)])
+        }
+        for r in rows
+    }
+    train_grams = set().union(
+        *[g for d, g in grams.items() if split[d]]
+    )
+    # ground truth per eval doc
+    for d, g in grams.items():
+        if split[d]:
+            continue
+        assert out[d] == bool(g & train_grams), f"doc {d} mislabelled"
+    # the check is non-vacuous: the corpus plants cross-split overlap
+    assert any(out.values())
