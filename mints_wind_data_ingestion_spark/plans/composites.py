@@ -36,6 +36,7 @@ from ..functions.text import (
     punct_ratio,
     stopword_ratio,
     token_count,
+    tokens,
     whitespace_ratio,
 )
 from .registry import REGISTRY, query, tables
@@ -563,19 +564,29 @@ _D_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
 def _tf_oracle() -> str:
     # wide per-doc join of the component oracles (all doc_id granularity)
+    # plus the type-token repetition signal computed in place
     return f"""
     WITH tq AS (SELECT * FROM {_oracle("x_text_quality")}),
          li AS (SELECT * FROM {_oracle("x_lang_id")}),
          fp AS (SELECT * FROM {_oracle("x_doc_fingerprint")}),
-         qf AS (SELECT * FROM {_oracle("x_quality_filter")})
+         qf AS (SELECT * FROM {_oracle("x_quality_filter")}),
+         tt AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_distinct(toks)) / len(toks)
+                    END AS type_token_ratio
+             FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+         )
     SELECT tq.doc_id, tq.n_chars, tq.token_cnt, tq.avg_word_len,
            tq.punct_ratio, tq.ws_ratio, tq.stopword_en,
            li.lang, li.lang_pred, li.score,
            fp.fingerprint,
+           tt.type_token_ratio,
            (qf.doc_id IS NOT NULL) AS kept_q25
     FROM tq
     JOIN li ON li.doc_id = tq.doc_id
     JOIN fp ON fp.doc_id = tq.doc_id
+    JOIN tt ON tt.doc_id = tq.doc_id
     LEFT JOIN qf ON qf.doc_id = tq.doc_id
     """
 
@@ -608,12 +619,20 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
     fp = F.aggregate(codes, F.lit(0).cast("bigint"),
                      lambda acc, c: (acc * 31 + c) % 1000000007)
+    # type-token ratio: the classic repetition/boilerplate signal
+    # (repetitive templated text has few distinct tokens per token)
+    toks = tokens(F.col("text"))
+    ttr = F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)) / F.size(toks),
+    ).otherwise(F.lit(0.0))
     lang = tables(spark, sf_dir)["documents"].select("doc_id", "lang")
     wide = scored.join(lang, "doc_id").select(
         "doc_id", "n_chars", "token_cnt", "avg_word_len", "punct_ratio",
         "ws_ratio", F.col("s_en").alias("stopword_en"), "lang",
         pred.otherwise("fr").alias("lang_pred"), "score",
         fp.alias("fingerprint"),
+        ttr.alias("type_token_ratio"),
     )
     # bottom-quartile gate on the English-stopword score (the
     # x_quality_filter threshold), joined back as a boolean flag
@@ -639,6 +658,10 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: packing geometry: 16 shards (hash of doc id), 512-token bins
+_PACK_SHARDS, _PACK_CAP = 16, 512
+
+
 def _dt_oracle() -> str:
     return f"""
     SELECT 'pii' AS part, CAST(doc_id AS BIGINT) AS doc_id,
@@ -649,23 +672,67 @@ def _dt_oracle() -> str:
     SELECT 'chunk', CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT),
            CAST(chunk_start AS BIGINT), CAST(chunk_len AS BIGINT), chunk_text
     FROM {_oracle("x_doc_chunks")}
+    UNION ALL
+    SELECT 'pack', CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT),
+           CAST(doc_id % {_PACK_SHARDS} AS BIGINT) * 1000000
+             + CAST(((run - chunk_len) // {_PACK_CAP}) AS BIGINT),
+           CAST(((run - chunk_len) % {_PACK_CAP}) AS BIGINT),
+           CAST(NULL AS VARCHAR)
+    FROM (
+        SELECT doc_id, chunk_id, chunk_len,
+               sum(chunk_len) OVER (
+                   PARTITION BY doc_id % {_PACK_SHARDS}
+                   ORDER BY doc_id, chunk_id
+                   ROWS UNBOUNDED PRECEDING) AS run
+        FROM {_oracle("x_doc_chunks")}
+    )
     """
 
 
 @query("x_doc_transform", oracle=_dt_oracle(), tags=("ext", "text", "composite"))
 def x_doc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-transformation suite: PII scrubbing with per-kind match
-    counts (x_pii_redact) and 20-token/stride-15 context-window
-    chunking (x_doc_chunks), tagged into one superset — the redacted
-    text and every chunk's text ride through the hash verbatim."""
+    counts (x_pii_redact), 20-token/stride-15 context-window chunking
+    (x_doc_chunks), and SEQUENCE PACKING of those chunks into
+    fixed-capacity training rows, tagged into one superset — the
+    redacted text and every chunk's text ride through the hash
+    verbatim.
+
+    The `pack` part is the batch-assembly step of packed pretraining:
+    chunks are laid end-to-end in deterministic (doc, chunk) order and
+    cut into 512-token bins (a chunk may straddle a boundary — the
+    document-breaking variant of packing); each chunk gets its
+    (bin, offset) placement, n2 = shard·10⁶ + bin within shard. The
+    running total is a per-SHARD window cumsum (16 hash shards), not a
+    global one — at corpus scale the single-reducer global cumsum is
+    the classic scale-killer, and per-shard packing is exactly how
+    distributed packed-batch writers shard the work."""
     pii = REGISTRY["x_pii_redact"].build(spark, sf_dir)
     ch = REGISTRY["x_doc_chunks"].build(spark, sf_dir)
-    return _part(
-        pii, "pii", doc_id=_b("doc_id"), n1=_b("n_emails"), n2=_b("n_phones"),
-        n3=_b("n_ips"), txt=_s("redacted"),
-    ).unionByName(
-        _part(ch, "chunk", doc_id=_b("doc_id"), n1=_b("chunk_id"),
-              n2=_b("chunk_start"), n3=_b("chunk_len"), txt=_s("chunk_text"))
+    shard = F.col("doc_id") % _PACK_SHARDS
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("chunk_len").over(w) - F.col("chunk_len")
+    pack = ch.select(
+        F.lit("pack").alias("part"),
+        _b("doc_id").alias("doc_id"),
+        _b("chunk_id").alias("n1"),
+        (shard.cast("bigint") * 1000000
+         + F.floor(start / _PACK_CAP).cast("bigint")).alias("n2"),
+        (start % _PACK_CAP).cast("bigint").alias("n3"),
+        _ns().alias("txt"),
+    )
+    return (
+        _part(pii, "pii", doc_id=_b("doc_id"), n1=_b("n_emails"),
+              n2=_b("n_phones"), n3=_b("n_ips"), txt=_s("redacted"))
+        .unionByName(
+            _part(ch, "chunk", doc_id=_b("doc_id"), n1=_b("chunk_id"),
+                  n2=_b("chunk_start"), n3=_b("chunk_len"), txt=_s("chunk_text"))
+        )
+        .unionByName(pack)
     )
 
 
