@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters"]
 
+#: edge-count above which the large-star round materializes m(u) so
+#: AQE's skew rule can split a hot star-center key (see _cc_rounds).
+#: Below it a hot key fits one task trivially and the extra
+#: per-round materialization job would dominate (the convergence
+#: signature already carries the count, so the gate is free).
+SKEW_CHECKPOINT_EDGES = 50_000
+
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Both directions, self-loops dropped, duplicates collapsed."""
@@ -111,17 +118,20 @@ def _cc_rounds(
         # large-star: for v in N(u) with v > u attach v to m(u).
         # Keeping (u, m(u)) preserves connectivity of the star center.
         #
-        # m is localCheckpoint'd for two reasons: (a) it has two
-        # consumers (the star join and the union), so materializing
-        # beats recomputing the aggregate; (b) SKEW — a viral
+        # Above SKEW_CHECKPOINT_EDGES, m is localCheckpoint'd: a viral
         # mega-cluster makes its center a hot key in this join, and
         # AQE's OptimizeSkewedJoin only matches the canonical
-        # SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) shape: with the
+        # SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) shape — with the
         # m-aggregate inlined between shuffle and join the rule cannot
-        # fire, with m materialized both sides are plain scans and the
+        # fire; with m materialized both sides are plain scans and the
         # hot partition splits at runtime (pinned by
-        # tests/test_graph.py::test_cc_mega_star_skew_handled).
-        m = _min_neighborhood(e).localCheckpoint()
+        # tests/test_graph.py::test_cc_mega_star_skew_handled). Below
+        # the threshold the hot key fits one task and the extra
+        # materialization job per round would dominate — the edge
+        # count rides along free on the convergence signature.
+        m = _min_neighborhood(e)
+        if sig[0] > SKEW_CHECKPOINT_EDGES:
+            m = m.localCheckpoint()
         large = (
             e.filter(F.col("v") > F.col("u"))
             .join(m, "u")
