@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -52,6 +54,11 @@ __all__ = [
     "decode_image",
     "decode_audio",
     "sample_video_frames",
+    "resize_image",
+    "encode_bmp",
+    "image_features",
+    "audio_features",
+    "transform_images",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -316,3 +323,137 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
         off = body + frame_bytes
         idx += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# transforms: resize / re-encode / feature extraction (SURVEY.md §2.11
+# multimodal row: decode → feature-extract → RESIZE → frame-sample)
+# ---------------------------------------------------------------------------
+
+
+def resize_image(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (H, W[, C]) uint8 array — pure
+    numpy index arithmetic, the resize kernel a training-data image
+    pipeline runs before batching (bilinear/area filters plug in the
+    same way; nearest needs no dependency and is exactly reproducible).
+
+    Sample grid: src_i = floor((dst_i + 0.5) * src/dst) — the standard
+    half-pixel-center mapping (what OpenCV INTER_NEAREST computes)."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return pixels[rows][:, cols]
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as 24-bit BI_RGB BMP —
+    the re-encode half of the decode→transform→store loop (the same
+    container `decode_image` parses, so the round trip is closed
+    without any codec dependency)."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    # RGB → BGR, bottom-up rows, 4-byte padded
+    body = bytearray()
+    for row in px[::-1]:
+        body += row[:, ::-1].tobytes() + b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return bytes(header) + bytes(body)
+
+
+def image_features(pixels) -> dict:
+    """Pixel-statistics feature vector: per-channel means, global std,
+    and an 8-bin luminance histogram (normalized) — the cheap signals
+    an image-quality / dedup-prefilter stage computes after decode."""
+    import numpy as np
+
+    px = pixels if pixels.ndim == 3 else pixels[:, :, None]
+    fl = px.astype(np.float64)
+    lum = fl.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    return {
+        "channel_means": [float(m) for m in fl.mean(axis=(0, 1))],
+        "pixel_std": float(fl.std()),
+        "lum_hist": (hist / max(lum.size, 1)).tolist(),
+    }
+
+
+def audio_features(waveform, frame: int = 1024) -> dict:
+    """Frame-level audio features over a (n_samples, ch) waveform in
+    [-1, 1]: per-frame RMS energy and zero-crossing rate (mono mix),
+    trailing partial frame dropped — the VAD/quality-filter primitives
+    of an audio-corpus curation pass, fully vectorized."""
+    import numpy as np
+
+    mono = waveform.mean(axis=1) if waveform.ndim == 2 else waveform
+    n = (len(mono) // frame) * frame
+    if n == 0:
+        return {"rms": [], "zcr": []}
+    frames = mono[:n].reshape(-1, frame)
+    rms = np.sqrt((frames * frames).mean(axis=1))
+    zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+    return {"rms": rms.tolist(), "zcr": zcr.tolist()}
+
+
+def transform_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Executor-side image pipeline: decode → nearest-neighbor resize →
+    re-encode (BMP) + features, as one Arrow-batched mapInPandas pass —
+    binary column in, binary column + typed features out, the
+    decode-transform-store shape of an image-training-data job.
+    Undecodable payloads become NULL rows (counted by the caller), not
+    task failures. Nothing touches the driver; memory is bounded by
+    one Arrow batch of payloads."""
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("resized", BinaryType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("mean_r", DoubleType()),
+            StructField("pixel_std", DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    img = decode_image(bytes(b))
+                    px = img["pixels"]
+                    if px.ndim == 2:  # grayscale → RGB for the encoder
+                        px = np.repeat(px[:, :, None], 3, axis=2)
+                    rs = resize_image(px, out_w, out_h)
+                    feats = image_features(rs)
+                    rows.append(
+                        (i, encode_bmp(rs), out_w, out_h,
+                         feats["channel_means"][0], feats["pixel_std"])
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((i, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "resized", "out_width", "out_height",
+                         "mean_r", "pixel_std"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -144,3 +144,77 @@ def test_real_decode_through_mapinpandas(spark):
         3: ("audio", 16000, 123),
         4: ("video", 3, 4),  # frames 0,2,4 sampled; width 4
     }
+
+
+def test_resize_and_reencode_roundtrip():
+    """Nearest-neighbor resize: exact index math (2x downscale of a
+    checkerboard picks the half-pixel-center samples), and the BMP
+    re-encode round-trips the resized pixels bit-for-bit."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        encode_bmp as engine_encode_bmp,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        resize_image,
+    )
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rs = resize_image(px, 4, 3)
+    assert rs.shape == (3, 4, 3)
+    # half-pixel centers: dst row i samples src row floor((i+.5)*2)
+    np.testing.assert_array_equal(rs, px[[1, 3, 5]][:, [1, 3, 5, 7]])
+    back = decode_image(engine_encode_bmp(rs))
+    assert back["width"] == 4 and back["height"] == 3
+    np.testing.assert_array_equal(back["pixels"], rs)
+    # upscale: every source pixel appears, shape exact
+    up = resize_image(rs, 8, 6)
+    assert up.shape == (6, 8, 3)
+
+
+def test_image_and_audio_features():
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        audio_features,
+        image_features,
+    )
+
+    flat = np.full((4, 4, 3), 128, dtype=np.uint8)
+    f = image_features(flat)
+    assert f["channel_means"] == [128.0, 128.0, 128.0]
+    assert f["pixel_std"] == 0.0
+    assert f["lum_hist"][4] == 1.0  # 128 falls in bin [128,160)
+
+    t = np.arange(4096) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t).reshape(-1, 1)
+    af = audio_features(sine, frame=1024)
+    assert len(af["rms"]) == 4 and len(af["zcr"]) == 4
+    for r in af["rms"]:  # sine RMS ≈ 1/√2
+        assert abs(r - 2 ** -0.5) < 0.02
+    for z in af["zcr"]:  # 440 Hz at 8 kHz → ~0.11 crossings/sample
+        assert 0.08 < z < 0.14
+
+
+def test_transform_images_mapinpandas(spark):
+    """Executor-side decode→resize→re-encode over a binary column:
+    valid BMP/PPM payloads come back resized and re-decodable; a
+    corrupt payload yields a NULL row, not a task failure."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        transform_images,
+    )
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [
+        (1, bytearray(encode_bmp(px))),
+        (2, bytearray(encode_ppm(px))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in transform_images(df, 4, 3).collect()}
+    assert len(out) == 3
+    for d in (1, 2):
+        got = decode_image(bytes(out[d].resized))
+        assert (got["width"], got["height"]) == (4, 3)
+        np.testing.assert_array_equal(
+            got["pixels"],
+            np.ascontiguousarray(px[[1, 3, 5]][:, [1, 3, 5, 7]]),
+        )
+        assert out[d].pixel_std > 0
+    assert out[3].resized is None and out[3].out_width is None
