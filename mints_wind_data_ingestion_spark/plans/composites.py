@@ -802,3 +802,39 @@ def x_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _b("resid_e6").alias("resid_e6")),
               ["user_id", "event_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# x_embed_transform — int8 quantization + corpus standardization
+# ---------------------------------------------------------------------------
+
+
+def _et_oracle() -> str:
+    return f"""
+    SELECT 'quant' AS part, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(scale_e9 AS BIGINT) AS n1, CAST(q_l1 AS BIGINT) AS n2,
+           CAST(err_e12 AS BIGINT) AS n3
+    FROM {_oracle("x_embed_quantize")}
+    UNION ALL
+    SELECT 'standardize', CAST(vec_id AS BIGINT), CAST(znorm2_e6 AS BIGINT),
+           CAST(zmax_e6 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {_oracle("x_embed_standardize")}
+    """
+
+
+@query("x_embed_transform", oracle=_et_oracle(), tags=("ext", "similarity", "composite"))
+def x_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-transformation suite: int8 symmetric quantization with
+    exact reconstruction error (x_embed_quantize — the storage/serving
+    compression step) and per-dimension corpus standardization
+    (x_embed_standardize — the whitening-prep step), tagged into one
+    superset; both components' full quantized outputs ride the hash."""
+    q = REGISTRY["x_embed_quantize"].build(spark, sf_dir)
+    st = REGISTRY["x_embed_standardize"].build(spark, sf_dir)
+    return _part(
+        q, "quant", vec_id=_b("vec_id"), n1=_b("scale_e9"), n2=_b("q_l1"),
+        n3=_b("err_e12"),
+    ).unionByName(
+        _part(st, "standardize", vec_id=_b("vec_id"), n1=_b("znorm2_e6"),
+              n2=_b("zmax_e6"), n3=_nb())
+    )

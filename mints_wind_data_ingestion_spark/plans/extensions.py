@@ -937,7 +937,8 @@ def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
 
 
-@query("x_embed_quantize", oracle=_D_QUANTIZE, tags=("ext", "similarity"))
+@query("x_embed_quantize", oracle=_D_QUANTIZE, tags=("ext", "similarity"),
+       driver=False)
 def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (operators.similarity.quantize_int8):
     per-vector symmetric scale, half-up rounding, plus the exact
@@ -1716,4 +1717,83 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_8grams"),
             (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding standardization (whitening prep)
+# ---------------------------------------------------------------------------
+
+_D_STANDARDIZE = """
+    WITH exploded AS (
+        SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    stats AS (
+        SELECT pos,
+               CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu,
+               sqrt(greatest(
+                   CAST(sum(CAST(val * val AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+                   - (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+                     * (CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*)),
+                   0.0)) AS sigma
+        FROM exploded GROUP BY pos
+    ),
+    z AS (
+        SELECT e.vec_id,
+               CASE WHEN s.sigma = 0 THEN 0.0
+                    ELSE (e.val - s.mu) / s.sigma END AS z
+        FROM exploded e JOIN stats s ON s.pos = e.pos
+    )
+    SELECT vec_id,
+           CAST(floor(CAST(sum(CAST(z * z AS DECIMAL(28,12))) AS DOUBLE)
+                      * 1e6 + 0.5) AS BIGINT) AS znorm2_e6,
+           CAST(floor(max(z) * 1e6 + 0.5) AS BIGINT) AS zmax_e6
+    FROM z GROUP BY vec_id
+"""
+
+
+@query("x_embed_standardize", oracle=_D_STANDARDIZE,
+       tags=("ext", "similarity"), driver=False)
+def x_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (z-scoring) of the embedding
+    corpus — the whitening-prep step before PCA/indexing when feature
+    scales drift across encoder versions. Per-dim μ/σ come from ONE
+    exploded aggregate (DECIMAL sums → partitioning-proof), broadcast
+    back onto the cells; the per-vector outputs (Σz² and max z,
+    e6-quantized through DECIMAL so accumulation order cannot flip the
+    hash) summarize the standardized vectors for the differential
+    check. Two shuffles total (dim stats + per-vec regroup); the stats
+    table is dims-sized — broadcast at any corpus scale."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+    mu = F.sum(F.col("val").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1))
+    ex2 = (
+        F.sum((F.col("val") * F.col("val")).cast("decimal(28,12)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    stats = exploded.groupBy("pos").agg(
+        mu.alias("mu"),
+        F.sqrt(F.greatest(ex2 - mu * mu, F.lit(0.0))).alias("sigma"),
+    )
+    z = (
+        exploded.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            F.when(F.col("sigma") == 0, F.lit(0.0))
+            .otherwise((F.col("val") - F.col("mu")) / F.col("sigma"))
+            .alias("z"),
+        )
+    )
+    return z.groupBy("vec_id").agg(
+        F.floor(
+            F.sum((F.col("z") * F.col("z")).cast("decimal(28,12)")).cast("double")
+            * F.lit(1e6) + F.lit(0.5)
+        ).alias("znorm2_e6"),
+        F.floor(F.max("z") * F.lit(1e6) + F.lit(0.5)).alias("zmax_e6"),
     )
