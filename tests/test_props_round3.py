@@ -1,0 +1,106 @@
+"""Property tests for round-3 operators: the portable SimHash against
+an independent pure-Python model, sequence-packing invariants on the
+driver composite's output, and resize index-math properties."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+
+def _simhash_model(shingles: list[str], nbits: int = 60) -> int:
+    """Independent reference model: md5-prefix hash + bit-majority."""
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in set(shingles)]
+    out = 0
+    for j in range(nbits):
+        ones = sum((h >> j) & 1 for h in hs)
+        if 2 * ones > len(hs):
+            out |= 1 << j
+    return out
+
+
+def test_simhash_md5_matches_python_model(spark):
+    """simhash_fingerprints(hash_fn=_md5_60, nbits=60) must reproduce
+    the plain-Python bit-majority model exactly — the Spark explode +
+    64-sum aggregate is an optimization, never a semantic change."""
+    from mints_wind_data_ingestion_spark.operators.dedup import simhash_fingerprints
+    from mints_wind_data_ingestion_spark.plans.extensions import _md5_60
+
+    docs = [
+        (1, ["the quick fox", "quick fox jumps", "fox jumps over"]),
+        (2, ["the quick fox", "quick fox leaps", "fox leaps over"]),
+        (3, ["completely different shingles", "another gram here"]),
+        (4, []),  # empty → fingerprint 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, sh array<string>")
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(df, "doc_id", "sh",
+                                      hash_fn=_md5_60, nbits=60).collect()
+    }
+    for doc_id, sh in docs:
+        want = _simhash_model(sh) if sh else 0
+        assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_pack_part_invariants(spark, sf_dir):
+    """The x_doc_transform 'pack' part must place every chunk exactly
+    once, keep offsets inside the bin capacity, and lay chunks
+    end-to-end per shard (each chunk's start == previous chunk's start
+    + previous length, in deterministic (doc, chunk) order)."""
+    from mints_wind_data_ingestion_spark.plans.composites import (
+        _PACK_CAP,
+        _PACK_SHARDS,
+    )
+
+    out = REGISTRY["x_doc_transform"].build(spark, sf_dir)
+    chunks = {
+        (r.doc_id, r.n1): r.n3  # chunk_len
+        for r in out.filter(F.col("part") == "chunk").collect()
+    }
+    packs = [
+        (r.doc_id, r.n1, r.n2, r.n3)  # doc, chunk, shard*1e6+bin, offset
+        for r in out.filter(F.col("part") == "pack").collect()
+    ]
+    assert {(d, c) for d, c, _, _ in packs} == set(chunks)
+    assert len(packs) == len(chunks)
+
+    by_shard: dict[int, list] = {}
+    for d, c, bin_enc, off in packs:
+        assert 0 <= off < _PACK_CAP
+        shard, bin_id = divmod(bin_enc, 1_000_000)
+        assert shard == d % _PACK_SHARDS
+        by_shard.setdefault(shard, []).append((d, c, bin_id, off))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        pos = 0
+        for d, c, bin_id, off in rows:
+            assert bin_id == pos // _PACK_CAP
+            assert off == pos % _PACK_CAP
+            pos += chunks[(d, c)]
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    oh=st.integers(1, 40), ow=st.integers(1, 40),
+)
+def test_resize_properties(h, w, oh, ow):
+    """Nearest-neighbor resize: exact output shape, identity at the
+    same size, and every output pixel is a source pixel."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import resize_image
+
+    rng = np.random.RandomState(h * 41 + w)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resize_image(px, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    same = resize_image(px, w, h)
+    np.testing.assert_array_equal(same, px)
+    src = {tuple(p) for row in px for p in row}
+    assert all(tuple(p) in src for row in out for p in row)
