@@ -357,3 +357,44 @@ def test_q10_pushes_filters_to_both_fact_scans(spark, sf_dir):
     assert any("l_returnflag" in x for x in pushed)
     assert any("o_orderdate" in x for x in pushed)
     assert "TakeOrderedAndProject" in p
+
+
+def test_window_suite_two_exchanges(spark, sf_dir):
+    """w_window_suite computes 15 window columns with exactly TWO
+    exchanges: all user_id-partitioned specs (ranking, lag/lead,
+    running, trailing-range) share one shuffle; only the
+    event_type-partitioned distribution trio adds the second."""
+    import re
+
+    p = plan(spark, sf_dir, "w_window_suite")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_text_features_no_extra_scans(spark, sf_dir):
+    """x_text_features fuses quality + lang-ID + fingerprint + TTR +
+    the quantile gate: the quantile threshold side must join back by
+    BROADCAST (never shuffling the corpus for a 1-row dimension)."""
+    p = plan(spark, sf_dir, "x_text_features")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontaminate_is_inverted_index_join(spark, sf_dir):
+    """x_decontaminate must join eval grams against the distinct train
+    gram index on the hash key — an equi-join (hash or sort-merge or
+    AQE-broadcast), NEVER a nested-loop/cartesian doc-by-doc compare."""
+    p = plan(spark, sf_dir, "x_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_embed_standardize_broadcasts_dim_stats(spark, sf_dir):
+    """x_embed_standardize joins cells against the dims-sized stats
+    table by broadcast — the corpus-side explode never shuffles for
+    the join (the per-vec regroup is the only corpus shuffle)."""
+    p = plan(spark, sf_dir, "x_embed_standardize")
+    assert "BroadcastHashJoin" in p
