@@ -30,7 +30,13 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from ..schemas import WIND_RECORD
 
-__all__ = ["DECODED_SCHEMA", "decode_grib2", "fake_decoder", "read_grib_dir"]
+__all__ = [
+    "DECODED_SCHEMA",
+    "decode_grib2",
+    "decode_binary_df",
+    "fake_decoder",
+    "read_grib_dir",
+]
 
 #: output schema of the decode UDTF: source path + the wind record
 DECODED_SCHEMA = StructType(
@@ -100,20 +106,16 @@ def fake_decoder(nx: int = 4, ny: int = 3) -> Callable[[bytes], list[dict]]:
     return decode
 
 
-def read_grib_dir(
-    spark: SparkSession,
-    landing_dir: str,
+def decode_binary_df(
+    binary: DataFrame,
     decoder: Callable[[bytes], list[dict]] | None = None,
 ) -> DataFrame:
-    """binaryFile scan + vectorized decode UDTF over a GRIB landing dir.
-
-    Partitioning: binaryFile assigns whole files to tasks; with many
-    ~80 KB GRIB files per batch (BASELINE.md) the scan parallelizes per
-    file. Decoding happens in Arrow-batched pandas iterators — the
-    canonical 'shell-out tool becomes a UDTF' move (SURVEY.md §2.10 X1).
-    """
+    """Vectorized decode UDTF over a (path, content) binary DataFrame —
+    shared by the batch scan (`read_grib_dir`) and the streaming source
+    (`streaming.pipeline.run_grib_ingest_stream`): one GRIB2 file in,
+    one row per selected record out, decoded executor-side in Arrow
+    batches."""
     decode = decoder or decode_grib2
-    binary = spark.read.format("binaryFile").load(landing_dir)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,4 +136,21 @@ def read_grib_dir(
 
     return binary.select("path", "content").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
+    )
+
+
+def read_grib_dir(
+    spark: SparkSession,
+    landing_dir: str,
+    decoder: Callable[[bytes], list[dict]] | None = None,
+) -> DataFrame:
+    """binaryFile scan + vectorized decode UDTF over a GRIB landing dir.
+
+    Partitioning: binaryFile assigns whole files to tasks; with many
+    ~80 KB GRIB files per batch (BASELINE.md) the scan parallelizes per
+    file. Decoding happens in Arrow-batched pandas iterators — the
+    canonical 'shell-out tool becomes a UDTF' move (SURVEY.md §2.10 X1).
+    """
+    return decode_binary_df(
+        spark.read.format("binaryFile").load(landing_dir), decoder
     )

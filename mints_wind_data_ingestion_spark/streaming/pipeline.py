@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import WIND_RECORD
+from ..sources.grib import decode_binary_df
 from ..sources.wind_json import to_wind_table
 from ..operators.upsert import merge_latest_wins
 
 __all__ = [
     "run_ingest_stream",
+    "run_grib_ingest_stream",
     "stream_windowed_counts",
     "stream_dedup",
     "stream_interval_join",
@@ -117,38 +119,96 @@ def run_ingest_stream(
     )
     records = to_wind_table(raw)
 
-    def merge_epoch(batch: DataFrame, epoch_id: int) -> None:
-        s = batch.sparkSession
-        _recover_table(s, table_path)  # self-heal a crashed prior swap
-        stored = _read_if_exists(s, table_path)  # None ⇔ first epoch
-        incoming = merge_latest_wins(  # dedup within the batch itself first
-            batch.limit(0), batch, keys=["recorded_time", "param"], version="ref_time"
-        )
-        if stored is not None:
-            merged = merge_latest_wins(
-                stored, incoming, keys=["recorded_time", "param"], version="ref_time"
-            )
-        else:
-            merged = incoming
-        # Crash-safe publish: the merge (which READS table_path) is
-        # fully materialized to a temp dir first, then swapped in via
-        # renames — never overwrite the path a plan is reading (a
-        # cache eviction mid-overwrite would recompute against deleted
-        # files), and never a window where no complete table exists.
-        # At warehouse scale the same contract comes from dynamic
-        # partition overwrite on date partitions (sinks.write_merged).
-        tmp_path = f"{table_path}__epoch{epoch_id}.tmp"
-        merged.write.mode("overwrite").parquet(tmp_path)
-        _swap_in(s, tmp_path, table_path)
-
     writer = (
         records.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(merge_epoch)
+        .foreachBatch(
+            lambda batch, epoch_id: _merge_publish_epoch(batch, table_path, epoch_id)
+        )
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _merge_publish_epoch(batch: DataFrame, table_path: str, epoch_id: int) -> None:
+    """One micro-batch of the latest-wins wind merge, crash-safe.
+
+    Self-heal a crashed prior swap, dedup the batch itself, merge with
+    the stored table (a missing table ⇔ first epoch; an UNREADABLE one
+    fails the epoch — _read_if_exists), then publish via temp-write +
+    atomic rename swap: the merge (which READS table_path) is fully
+    materialized to a temp dir first — never overwrite the path a plan
+    is reading (a cache eviction mid-overwrite would recompute against
+    deleted files), and never a window where no complete table exists.
+    At warehouse scale the same contract comes from dynamic partition
+    overwrite on date partitions (sinks.write_merged)."""
+    s = batch.sparkSession
+    _recover_table(s, table_path)
+    stored = _read_if_exists(s, table_path)
+    incoming = merge_latest_wins(  # dedup within the batch itself first
+        batch.limit(0), batch, keys=["recorded_time", "param"], version="ref_time"
+    )
+    if stored is not None:
+        merged = merge_latest_wins(
+            stored, incoming, keys=["recorded_time", "param"], version="ref_time"
+        )
+    else:
+        merged = incoming
+    tmp_path = f"{table_path}__epoch{epoch_id}.tmp"
+    merged.write.mode("overwrite").parquet(tmp_path)
+    _swap_in(s, tmp_path, table_path)
+
+
+def run_grib_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    decoder=None,
+) -> StreamingQuery:
+    """The reference pipeline end-to-end from BINARY GRIB2, streaming:
+    binaryFile stream source over the landing dir → Arrow-batched WMO
+    decode (sources.grib.decode_binary_df — the real codec) →
+    recorded_time derived as ref_time + forecast_hours (the physics the
+    reference approximates from its cron tick, converter.py:63-69) →
+    the same crash-safe latest-wins merge the JSON path uses. Closes
+    the S2→T1-T6 loop with no JSON intermediary: a new forecast run
+    landing as a .grib2 file supersedes older runs for the same
+    observation hour exactly like converter.py:96-104."""
+    # streaming file sources require an explicit schema; binaryFile's
+    # is fixed by the format
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .load(landing_dir)
+    )
+    decoded = decode_binary_df(raw, decoder)
+    records = decoded.select(
+        F.col("header.parameterNumber").alias("param"),
+        F.to_timestamp(
+            F.col("header.refTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+        ).alias("ref_time"),
+        F.col("header.forecastTime").alias("forecast_hours"),
+        F.col("header").alias("header"),
+        F.col("data").alias("data"),
+    ).withColumn(
+        "recorded_time",
+        F.col("ref_time")
+        + F.make_interval(hours=F.col("forecast_hours")),
+    )
+    return (
+        records.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda batch, epoch_id: _merge_publish_epoch(batch, table_path, epoch_id)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_dedup(

@@ -115,3 +115,63 @@ def test_grib2_binary_to_lat_band_stats(spark, tmp_path):
     # grid geometry sanity: NY latitude bands from 90 southward
     lats = {k[2] for k in got}
     assert lats == {90.0 - i for i in range(NY)}
+
+
+def test_grib2_streaming_ingest_latest_wins(spark, tmp_path):
+    """Binary GRIB2 landing files through the STREAMING path: two
+    forecast runs predicting the same observation hour (ref 00Z fc+12
+    vs ref 06Z fc+6 → both recorded 12Z) — the newer run's field must
+    win in the stored table, older-run hours it alone covers survive,
+    and a replay with the same checkpoint leaves the table unchanged
+    (exactly-once)."""
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_grib_ingest_stream,
+    )
+
+    landing = tmp_path / "grib_landing"
+    landing.mkdir()
+    table = str(tmp_path / "wind_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    ref0 = datetime(2020, 8, 12, 0)
+    ref6 = datetime(2020, 8, 12, 6)
+
+    def grib_file(ref, fc, bias):
+        msgs = [
+            encode_grib2_message(
+                [round(v + bias, 2) for v in _field(0, p)],
+                parameter_number=p, ref_time=ref, forecast_hours=fc,
+                nx=NX, ny=NY,
+            )
+            for p in (2, 3)
+        ]
+        return encode_grib2_file(msgs)
+
+    # run 00Z forecasts hour 12 (fc+12); run 06Z supersedes it (fc+6)
+    (landing / "run00.grib2").write_bytes(grib_file(ref0, 12, 0.0))
+    q = run_grib_ingest_stream(spark, str(landing), table, ckpt)
+    q.awaitTermination(120)
+    (landing / "run06.grib2").write_bytes(grib_file(ref6, 6, 1.0))
+    q = run_grib_ingest_stream(spark, str(landing), table, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(table)
+    rows = got.select("recorded_time", "param", "ref_time", "data").collect()
+    # one row per (recorded hour, param): recorded 12Z × U/V
+    assert len(rows) == 2
+    for r in rows:
+        assert r.recorded_time == datetime(2020, 8, 12, 12)
+        assert r.ref_time == ref6  # newer run won
+        want = [round(v + 1.0, 2) for v in _field(0, r.param)]
+        assert [round(float(x), 2) for x in r.data] == want
+
+    before = sorted(
+        (r.recorded_time, r.param, r.ref_time) for r in got.collect()
+    )
+    q = run_grib_ingest_stream(spark, str(landing), table, ckpt)
+    q.awaitTermination(120)
+    after = sorted(
+        (r.recorded_time, r.param, r.ref_time)
+        for r in spark.read.parquet(table).collect()
+    )
+    assert after == before

@@ -624,3 +624,40 @@ def test_dedup_ingest_corrupt_corpus_fails_epoch(spark, tmp_path, sf_dir):
     # and crucially: the duplicate re-delivery was NOT appended
     files_after = glob.glob(os.path.join(corpus, "epoch=*"))
     assert len(files_after) == 1, "failed epoch must not publish output"
+
+
+def test_neardup_ingest_corrupt_corpus_fails_epoch(spark, tmp_path, sf_dir):
+    """Same contract as the exact-dedup ingest: a corrupt stored
+    signature corpus fails the epoch rather than silently re-admitting
+    near-duplicates."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import run_neardup_ingest
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") < 40).coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_neardup_ingest(spark, landing, corpus, ckpt, schema)
+    q.awaitTermination(180)
+    assert spark.read.parquet(corpus).count() > 0
+
+    for f in glob.glob(os.path.join(corpus, "epoch=*", "*.parquet")):
+        with open(f, "r+b") as fh:
+            fh.seek(0)
+            fh.write(b"\x00CORRUPT\x00" * 16)
+    docs.filter(F.col("doc_id") < 60).coalesce(1).write.mode("append").parquet(landing)
+
+    q2 = run_neardup_ingest(spark, landing, corpus, ckpt, schema)
+    with pytest.raises(Exception):
+        q2.awaitTermination(180)
+        if q2.exception() is not None:
+            raise q2.exception()
+    assert len(glob.glob(os.path.join(corpus, "epoch=*"))) == 1
