@@ -1,0 +1,125 @@
+"""BPE tokenizer-vocabulary induction (SURVEY.md §2.11 text surface).
+
+Classic byte-pair-encoding merge training (Sennrich et al., ACL '16):
+repeatedly merge the most frequent adjacent symbol pair. The key
+structural fact for scale is that training operates on the WORD
+FREQUENCY TABLE, not the corpus: one corpus-sized aggregation up front
+(count distinct words — at 100 TB the usual Zipf head/tail split keeps
+this table modest), then every merge iteration touches only vocab-sized
+data. This engine keeps that contract literally:
+
+- `word_frequencies`: the one corpus pass (explode + map-side-combining
+  count) — the only stage whose cost scales with the corpus;
+- `train_bpe_merges`: the iterative loop over the (word, freq, symbols)
+  table — per round one exploded pair count (weighted by word freq), a
+  1-row argmax pulled to the driver (the merge decision IS scalar
+  state, exactly like connected-components' convergence probe), and an
+  Arrow-batched merge application over the vocab.
+
+Determinism: ties on pair count break lexicographically, so the merge
+sequence is a pure function of the corpus — pinned differentially
+against the textbook pure-Python implementation in
+tests/test_props_round3.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_frequencies", "train_bpe_merges", "apply_merges_py"]
+
+#: end-of-word marker (Sennrich's convention) — lets merges distinguish
+#: word-final from word-internal occurrences
+EOW = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-sized stage of
+    BPE training. Whitespace tokens, lowercased."""
+    from .text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbolized vocab: explode
+    (symbols[i], symbols[i+1]) per word × freq, one hash aggregate."""
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(symbols) - 1), "
+                "i -> struct(symbols[i - 1] AS a, symbols[i] AS b))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+
+
+def apply_merges_py(symbols: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a merge sequence to one symbol list — the shared
+    Python kernel (used executor-side on the vocab and by the
+    differential test's reference model)."""
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def train_bpe_merges(
+    word_freq: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from a (word, freq) table.
+
+    Per round: one vocab-sized pair aggregation, one 1-row driver pull
+    (the argmax merge decision — scalar state, not a data collect), and
+    one Arrow-batched merge application. Stops early when no pair
+    reaches `min_count`. Ties break on (count DESC, a ASC, b ASC) so
+    the sequence is deterministic under any partitioning."""
+    vocab = word_freq.select(
+        "word",
+        "freq",
+        F.expr(f"concat(split(word, ''), array('{EOW}'))").alias("symbols"),
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < min_count:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+
+        def apply_batch(it, pair=(a, b)):
+            for pdf in it:
+                pdf = pdf.copy()
+                pdf["symbols"] = [
+                    apply_merges_py(list(s), [pair]) for s in pdf["symbols"]
+                ]
+                yield pdf
+
+        vocab = vocab.mapInPandas(
+            apply_batch, schema="word string, freq long, symbols array<string>"
+        ).localCheckpoint()
+    return merges

@@ -104,3 +104,54 @@ def test_resize_properties(h, w, oh, ow):
     np.testing.assert_array_equal(same, px)
     src = {tuple(p) for row in px for p in row}
     assert all(tuple(p) in src for row in out for p in row)
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int, min_count: int = 2):
+    """Textbook BPE (Sennrich ACL'16) — independent reference model."""
+    from collections import Counter
+
+    vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_trainer_matches_textbook(spark, sf_dir):
+    """train_bpe_merges (iterative Spark loop over the word-frequency
+    table) must learn the EXACT merge sequence the textbook in-memory
+    algorithm learns on the same corpus — determinism included (ties
+    break lexicographically in both)."""
+    from mints_wind_data_ingestion_spark.functions.bpe import (
+        train_bpe_merges,
+        word_frequencies,
+    )
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    docs = tables(spark, sf_dir)["documents"].limit(80)
+    wf = word_frequencies(docs)
+    freqs = {r.word: r.freq for r in wf.collect()}
+    want = _bpe_reference(freqs, n_merges=12)
+    got = train_bpe_merges(wf, n_merges=12)
+    assert got == want
+    assert len(got) == 12  # corpus is rich enough to sustain 12 merges
