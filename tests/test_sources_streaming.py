@@ -661,3 +661,53 @@ def test_neardup_ingest_corrupt_corpus_fails_epoch(spark, tmp_path, sf_dir):
         if q2.exception() is not None:
             raise q2.exception()
     assert len(glob.glob(os.path.join(corpus, "epoch=*"))) == 1
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path, sf_dir):
+    """The 100 TB state posture: streaming dedup must run unchanged on
+    the RocksDB state-store provider (disk-backed, bounded heap — the
+    provider a large-state production deployment uses instead of the
+    default in-memory HDFS-backed store) and produce exactly the
+    default provider's results."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import stream_dedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(key)
+    ev = load_tables(spark, sf_dir)["events"].limit(400).select(
+        "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "dup_stream_rocks")
+    ev.union(ev).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(qname: str) -> set:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup(stream, ["user_id", "ts"])
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{qname}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        return {
+            (r.user_id, str(r.ts))
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = run("dedup_rocks")
+    finally:
+        spark.conf.set(key, default_provider)
+    assert rocks == run("dedup_default") and len(rocks) > 0
