@@ -838,3 +838,36 @@ def x_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part(st, "standardize", vec_id=_b("vec_id"), n1=_b("znorm2_e6"),
               n2=_b("zmax_e6"), n3=_nb())
     )
+
+
+# ---------------------------------------------------------------------------
+# q_scalar_aggs — single-row TPC-H aggregates (Q6 + Q14 + Q17)
+# ---------------------------------------------------------------------------
+
+
+def _qs_oracle() -> str:
+    return f"""
+    SELECT 'q6' AS part, CAST(revenue AS DOUBLE) AS v
+    FROM {_oracle("q6_forecast_revenue")}
+    UNION ALL
+    SELECT 'q14', CAST(promo_pct AS DOUBLE) FROM {_oracle("q14_promo_revenue")}
+    UNION ALL
+    SELECT 'q17', CAST(avg_yearly AS DOUBLE) FROM {_oracle("q17_small_qty_revenue")}
+    """
+
+
+@query("q_scalar_aggs", oracle=_qs_oracle(), tags=("A2", "bench", "composite"))
+def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row TPC-H aggregate suite: pure pushdown scan-aggregate
+    (Q6), conditional aggregate over a broadcast dim join (Q14), and
+    the decorrelated scalar-subquery join (Q17), tagged into one
+    3-row result — three distinct single-row aggregate shapes, one
+    driver slot."""
+    q6 = REGISTRY["q6_forecast_revenue"].build(spark, sf_dir)
+    q14 = REGISTRY["q14_promo_revenue"].build(spark, sf_dir)
+    q17 = REGISTRY["q17_small_qty_revenue"].build(spark, sf_dir)
+    return (
+        _part(q6, "q6", v=_d("revenue"))
+        .unionByName(_part(q14, "q14", v=_d("promo_pct")))
+        .unionByName(_part(q17, "q17", v=_d("avg_yearly")))
+    )

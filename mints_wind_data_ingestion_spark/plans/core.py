@@ -575,6 +575,7 @@ def o1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_qty_revenue",
+    driver=False,
     oracle="""
     WITH part_avg AS (
         SELECT l_partkey,
@@ -740,4 +741,83 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .limit(20)
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    driver=False,
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("F1", "A2", "bench"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): the purest
+    scan-filter-aggregate in the suite — every predicate pushes to the
+    parquet scan, the aggregate partials to one row per task before
+    the single-row exchange. The canonical 'is pushdown actually
+    happening' probe at any scale."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    driver=False,
+    oracle="""
+    SELECT CAST(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE)
+           AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("J5", "A2", "bench"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect ratio (TPC-H Q14 shape): conditional aggregate
+    over a broadcast dimension join — two DECIMAL sums from one pass,
+    ratio taken once at the end (never per-row division). The date
+    window prunes the fact scan; part broadcasts at any SF."""
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = li.join(
+        F.broadcast(t["part"].select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(disc).cast("double")
+        ).cast("double").alias("promo_pct")
     )
