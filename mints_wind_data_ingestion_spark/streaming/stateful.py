@@ -28,7 +28,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["latest_version_decisions", "DECISION_SCHEMA", "STATE_SCHEMA"]
+__all__ = ["latest_version_decisions", "streaming_ewma",
+           "DECISION_SCHEMA", "STATE_SCHEMA", "EWMA_SCHEMA", "EWMA_STATE"]
 
 #: output: one row per key per micro-batch in which the winner IMPROVED
 DECISION_SCHEMA = StructType(
@@ -88,4 +89,79 @@ def latest_version_decisions(records: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+#: streaming-EWMA output: one row per event, the recurrence value
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma_e6", LongType()),
+    ]
+)
+
+#: per-key state: the running accumulator (IEEE bits, exact) + last order
+EWMA_STATE = StructType(
+    [StructField("acc_bits", LongType()), StructField("last_order", LongType())]
+)
+
+
+def streaming_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-user EWMA as a STATEFUL STREAMING operator: the recurrence
+    acc' = α·x + (1−α)·acc continues across micro-batches — the state
+    is one float per user (stored as raw IEEE-754 bits in a long so the
+    checkpoint round-trip is bit-exact; a double column would survive
+    too, but bits make the exactness contract explicit).
+
+    The batch twin is functions.stats.ewma_group; the test pins that
+    streaming over N micro-batches equals the batch fold over the
+    concatenation EXACTLY (same arithmetic, same e6 quantization) —
+    the cross-batch-continuity property that makes incremental feature
+    pipelines trustworthy. Late rows (order below the state's
+    last_order) are dropped: a recurrence cannot retro-insert without
+    replaying, which is the checkpoint's job, not the operator's.
+    """
+    import math
+    import struct
+
+    a = float(alpha)
+
+    def fold(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            acc_bits, last_order = state.get
+            acc = struct.unpack("<d", struct.pack("<q", acc_bits))[0]
+        else:
+            acc, last_order = math.nan, -(1 << 62)
+        rows_id, rows_val = [], []
+        for pdf in pdfs:
+            sub = pdf.sort_values("event_id", kind="stable")
+            for eid, x in zip(sub["event_id"], sub["value"]):
+                if eid <= last_order:
+                    continue  # late/duplicate: replay territory
+                acc = float(x) if math.isnan(acc) else a * float(x) + (1.0 - a) * acc
+                last_order = int(eid)
+                rows_id.append(int(eid))
+                rows_val.append(math.floor(acc * 1e6 + 0.5))
+        if rows_id:
+            state.update(
+                (struct.unpack("<q", struct.pack("<d", acc))[0], last_order)
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows_id),
+                    "event_id": rows_id,
+                    "ewma_e6": rows_val,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -711,3 +711,53 @@ def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path, sf_dir):
     finally:
         spark.conf.set(key, default_provider)
     assert rocks == run("dedup_default") and len(rocks) > 0
+
+
+def test_streaming_ewma_continues_recurrence_across_batches(spark, tmp_path, sf_dir):
+    """streaming_ewma (applyInPandasWithState) over two micro-batches
+    must equal the batch ewma_group fold over the concatenation
+    EXACTLY — the per-user accumulator survives the batch boundary in
+    operator state (bit-exact through the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.functions.stats import ewma_group
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.stateful import streaming_ewma
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "value"
+    ).filter(F.col("user_id") < 40)
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "ewma_stream")
+    # two landing files split by event_id → with maxFilesPerTrigger=1,
+    # batch 1 holds each user's earlier half, batch 2 the later half
+    ev.filter(F.col("event_id") <= cut).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_ewma(stream, alpha=0.2)
+        .writeStream.format("memory")
+        .queryName("ewma_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {
+        (r.user_id, r.event_id): r.ewma_e6
+        for r in spark.sql("SELECT * FROM ewma_stream_out").collect()
+    }
+    want = {
+        (r.user_id, r.event_id): r.ewma_e6
+        for r in ewma_group(ev, key="user_id", order_col="event_id",
+                            val_col="value", alpha=0.2).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
