@@ -398,3 +398,13 @@ def test_embed_standardize_broadcasts_dim_stats(spark, sf_dir):
     the join (the per-vec regroup is the only corpus shuffle)."""
     p = plan(spark, sf_dir, "x_embed_standardize")
     assert "BroadcastHashJoin" in p
+
+
+def test_q6_full_pushdown(spark, sf_dir):
+    """Q6: all four predicates reach the parquet scan, and only the
+    three referenced columns are read."""
+    p = plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = p.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    rs = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in rs and "l_extendedprice" in rs
