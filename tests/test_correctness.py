@@ -30,3 +30,34 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
 
 def test_registry_nonempty():
     assert len(REGISTRY) >= 1
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["flagship_latest_by_bucket", "q5_local_supplier_volume",
+     "x_dedup_minhash", "w_window_suite", "x_decontaminate"],
+)
+def test_results_invariant_under_aqe_off(name, spark, sf_dir):
+    """Correctness must not depend on adaptive execution: AQE
+    re-planning (coalescing, skew splits, broadcast promotion) may
+    change the physical plan, never the result multiset."""
+    from .compare import rows_to_multiset
+
+    q = REGISTRY[name]
+    base_df = q.build(spark, sf_dir)
+    base = rows_to_multiset(
+        list(base_df.columns), [tuple(r) for r in base_df.collect()]
+    )
+    key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "false")
+    try:
+        off_df = q.build(spark, sf_dir)
+        off = rows_to_multiset(
+            list(off_df.columns), [tuple(r) for r in off_df.collect()]
+        )
+    finally:
+        spark.conf.set(key, "true")
+    assert base == off
