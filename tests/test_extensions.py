@@ -270,3 +270,47 @@ def test_decontaminate_flags_cross_split_near_dups(spark, sf_dir):
         assert out[d] == bool(g & train_grams), f"doc {d} mislabelled"
     # the check is non-vacuous: the corpus plants cross-split overlap
     assert any(out.values())
+
+
+def test_quality_model_distills_heuristic_gate(spark, sf_dir):
+    """Model-based quality scoring (functions.ml): distill the
+    quantile-threshold quality gate (x_quality_filter's kept set) into
+    a logistic scorer over the stopword features — trained on a 70%
+    hash split of the weak labels, it must recover the gate on the
+    held-out 30% with high accuracy (the fastText-classifier pattern:
+    heuristic labels in, calibrated distributed scorer out). The lang
+    metadata label is deliberately NOT the target — this corpus's
+    labels are only weakly text-correlated (lang-ID accuracy ~0.37,
+    x_lang_confusion), so no honest model can learn them."""
+    from mints_wind_data_ingestion_spark.functions.ml import (
+        score_quality,
+        train_quality_model,
+    )
+    from mints_wind_data_ingestion_spark.functions.text import stopword_ratio
+    from mints_wind_data_ingestion_spark.operators.sampling import hash_bucket
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    kept = {
+        r.doc_id
+        for r in REGISTRY["x_quality_filter"].build(spark, sf_dir)
+        .select("doc_id").collect()
+    }
+    docs = tables(spark, sf_dir)["documents"]
+    feats = docs.select(
+        "doc_id",
+        *[stopword_ratio("text", lg).alias(f"s_{lg}")
+          for lg in ("de", "en", "es", "fr")],
+        (hash_bucket(F.col("doc_id")) < "b33333").alias("is_train"),  # ~70%
+    ).withColumn(
+        "label",
+        F.col("doc_id").isin(list(kept)).cast("double"),
+    )
+    cols = ["s_de", "s_en", "s_es", "s_fr"]
+    bundle = train_quality_model(feats.filter("is_train"), cols)
+    held = score_quality(bundle, feats.filter(~F.col("is_train")))
+    agg = held.select(
+        ((F.col("quality_prob") > 0.5).cast("double") == F.col("label"))
+        .cast("long").alias("ok")
+    ).agg(F.avg("ok").alias("acc"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert agg.n > 50
+    assert agg.acc >= 0.9, f"held-out accuracy {agg.acc:.3f}"
