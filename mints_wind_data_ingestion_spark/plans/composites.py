@@ -750,23 +750,35 @@ def _pdq_oracle() -> str:
     SELECT 'dq', check_name, CAST(n_violations AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
     FROM {_oracle("x_dq_checks")}
+    UNION ALL
+    SELECT 'corr', pair, CAST(corr_e6 AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM {_oracle("x_column_corr")}
     """
 
 
 @query("x_profile_dq", oracle=_pdq_oracle(), tags=("ext", "profile", "composite"))
 def x_profile_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-audit suite: the single-scan column profile of
-    `documents` (x_profile_columns) and the declarative data-quality
-    checks over orders/lineitem (x_dq_checks), tagged into one
-    superset report — the shape a nightly publish gate runs."""
+    `documents` (x_profile_columns), the declarative data-quality
+    checks over orders/lineitem (x_dq_checks), and the one-pass
+    pairwise correlation matrix (x_column_corr — feature drift /
+    redundancy), tagged into one superset report — the shape a
+    nightly publish gate runs."""
     pr = REGISTRY["x_profile_columns"].build(spark, sf_dir)
     dq = REGISTRY["x_dq_checks"].build(spark, sf_dir)
-    return _part(
-        pr, "profile", name=_s("col_name"), n1=_b("n_null"), n2=_b("n_distinct"),
-        s1=_s("min_val"), s2=_s("max_val"),
-    ).unionByName(
-        _part(dq, "dq", name=_s("check_name"), n1=_b("n_violations"),
-              n2=_nb(), s1=_ns(), s2=_ns())
+    cr = REGISTRY["x_column_corr"].build(spark, sf_dir)
+    return (
+        _part(pr, "profile", name=_s("col_name"), n1=_b("n_null"),
+              n2=_b("n_distinct"), s1=_s("min_val"), s2=_s("max_val"))
+        .unionByName(
+            _part(dq, "dq", name=_s("check_name"), n1=_b("n_violations"),
+                  n2=_nb(), s1=_ns(), s2=_ns())
+        )
+        .unionByName(
+            _part(cr, "corr", name=_s("pair"), n1=_b("corr_e6"),
+                  n2=_nb(), s1=_ns(), s2=_ns())
+        )
     )
 
 

@@ -1797,3 +1797,74 @@ def x_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("znorm2_e6"),
         F.floor(F.max("z") * F.lit(1e6) + F.lit(0.5)).alias("zmax_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# column correlation matrix (profiling / feature-drift audits)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _d_corr_pair(a: str, b: str) -> str:
+    def s(expr: str) -> str:
+        return f"CAST(sum(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+
+    return f"""
+    SELECT '{a}~{b}' AS pair,
+           CAST(floor(
+             (count(*) * {s(f"{a} * {b}")} - {s(a)} * {s(b)})
+             / sqrt((count(*) * {s(f"{a} * {a}")} - {s(a)} * {s(a)})
+                  * (count(*) * {s(f"{b} * {b}")} - {s(b)} * {s(b)}))
+             * 1e6 + 0.5) AS BIGINT) AS corr_e6
+    FROM lineitem
+    """
+
+
+_D_CORR = "\nUNION ALL\n".join(
+    _d_corr_pair(a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
+
+
+@query("x_column_corr", oracle=_D_CORR, tags=("ext", "profile"), driver=False)
+def x_column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of lineitem's numeric measures in
+    ONE scan — the feature-drift / redundancy audit a profiling pass
+    adds next to per-column stats. All five moments per pair come from
+    a single aggregate (map-side partials) with DECIMAL accumulation,
+    so the e6-quantized coefficients are partitioning-proof; pairs are
+    rows, not columns, so the pair count can grow without widening the
+    schema."""
+    li = tables(spark, sf_dir)["lineitem"]
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(28,8)")).cast("double")
+
+    aggs, names = [], []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            names.append(f"{a}~{b}")
+            ca, cb = F.col(a), F.col(b)
+            n = F.count(F.lit(1))
+            corr = (
+                (n * dsum(ca * cb) - dsum(ca) * dsum(cb))
+                / F.sqrt(
+                    (n * dsum(ca * ca) - dsum(ca) * dsum(ca))
+                    * (n * dsum(cb * cb) - dsum(cb) * dsum(cb))
+                )
+            )
+            aggs.append(
+                F.floor(corr * F.lit(1e6) + F.lit(0.5)).alias(f"__c{len(names)-1}")
+            )
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(nm).alias("pair"), F.col(f"__c{i}").alias("corr_e6"))
+                for i, nm in enumerate(names)
+            ])
+        ).alias("r")
+    )
+    return stacked.select("r.pair", "r.corr_e6")
