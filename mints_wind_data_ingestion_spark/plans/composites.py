@@ -601,17 +601,40 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions are codegen'd into a single projection over one scan
     — the fold costs no extra shuffle (the quantile threshold is the
     same tiny broadcast the standalone gate uses)."""
+    from ..functions.text import STOPWORDS
     from ..functions.text import fingerprint64  # noqa: F401  (module doc link)
 
     docs = tables(spark, sf_dir)["documents"]
     langs = ("de", "en", "es", "fr")
-    scored = docs.select(
-        "doc_id", "n_chars", "text",
-        token_count("text").alias("token_cnt"),
-        avg_word_len("text").alias("avg_word_len"),
+    # tokenize ONCE: the component queries each re-derive tokens(text)
+    # per feature (8+ interpreted HOF tokenizations per doc across the
+    # suite); materializing the token array as a column and deriving
+    # every token feature from it keeps values identical (same split,
+    # same folds) at a fraction of the interpreter work
+    toked = docs.select(
+        "doc_id", "n_chars", "lang", "text", tokens(F.col("text")).alias("toks")
+    )
+    n_toks = F.size(F.col("toks"))
+
+    def stop_score(lg: str) -> F.Column:
+        stops = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        hits = F.size(
+            F.filter(F.col("toks"), lambda t: F.array_contains(stops, F.lower(t)))
+        )
+        return F.when(n_toks > 0, hits / n_toks).otherwise(F.lit(0.0))
+
+    total_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    scored = toked.select(
+        "doc_id", "n_chars", "lang", "text", "toks",
+        n_toks.alias("token_cnt"),
+        F.when(n_toks > 0, total_len / n_toks).otherwise(F.lit(0.0)).alias(
+            "avg_word_len"
+        ),
         punct_ratio("text").alias("punct_ratio"),
         whitespace_ratio("text").alias("ws_ratio"),
-        *[stopword_ratio("text", lg).alias(f"s_{lg}") for lg in langs],
+        *[stop_score(lg).alias(f"s_{lg}") for lg in langs],
     ).withColumn("score", F.greatest(*[F.col(f"s_{lg}") for lg in langs]))
     pred = F.when(F.col("s_de") == F.col("score"), "de")
     for lg in ("en", "es"):
@@ -621,13 +644,11 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lambda acc, c: (acc * 31 + c) % 1000000007)
     # type-token ratio: the classic repetition/boilerplate signal
     # (repetitive templated text has few distinct tokens per token)
-    toks = tokens(F.col("text"))
     ttr = F.when(
-        F.size(toks) > 0,
-        F.size(F.array_distinct(toks)) / F.size(toks),
+        F.col("token_cnt") > 0,
+        F.size(F.array_distinct(F.col("toks"))) / F.col("token_cnt"),
     ).otherwise(F.lit(0.0))
-    lang = tables(spark, sf_dir)["documents"].select("doc_id", "lang")
-    wide = scored.join(lang, "doc_id").select(
+    wide = scored.select(
         "doc_id", "n_chars", "token_cnt", "avg_word_len", "punct_ratio",
         "ws_ratio", F.col("s_en").alias("stopword_en"), "lang",
         pred.otherwise("fr").alias("lang_pred"), "score",
