@@ -1072,6 +1072,26 @@ def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"), "n_violations"
         )
 
+    def cnt(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    # per-table scalar checks FUSE into one conditional aggregate per
+    # scan (lineitem read once for both domain checks, orders once for
+    # the null check) — same counts as independent filtered scans, one
+    # pass each; only the cross-table checks need joins
+    li_scalars = li.agg(
+        cnt(F.col("l_extendedprice") <= 0).alias("nonpos"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)).alias("disc"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("nonpositive_price").alias("check_name"),
+                         F.col("nonpos").alias("n_violations")),
+                F.struct(F.lit("discount_range").alias("check_name"),
+                         F.col("disc").alias("n_violations")),
+            )
+        ).alias("r")
+    ).select("r.check_name", "r.n_violations")
     orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
     dups = (
         orders.groupBy("o_orderkey")
@@ -1079,8 +1099,6 @@ def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 1)
     )
     nulls = orders.filter(F.col("o_custkey").isNull())
-    nonpos = li.filter(F.col("l_extendedprice") <= 0)
-    disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))
     future = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
         F.col("l_shipdate") < F.col("o_orderdate")
     )
@@ -1088,8 +1106,7 @@ def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("orphan_lineitems", orphans)
         .unionByName(one("dup_orderkeys", dups))
         .unionByName(one("null_custkeys", nulls))
-        .unionByName(one("nonpositive_price", nonpos))
-        .unionByName(one("discount_range", disc))
+        .unionByName(li_scalars)
         .unionByName(one("future_shipdate", future))
     )
 
