@@ -1868,3 +1868,84 @@ def x_column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return stacked.select("r.pair", "r.corr_e6")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics (operators.layout under the hash gate)
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8  # per-dimension quantization width for the driver check
+
+
+def _d_zq(col: str, mn: str, mx: str) -> str:
+    return (
+        f"greatest(CAST(0 AS BIGINT), least(CAST({(1 << _ZBITS) - 1} AS BIGINT), "
+        f"CAST(floor((CAST({col} AS DOUBLE) - {mn}) / "
+        f"(CASE WHEN {mx} - {mn} > 0 THEN {mx} - {mn} ELSE 1.0 END) "
+        f"* {(1 << _ZBITS) - 1}) AS BIGINT)))"
+    )
+
+
+_D_ZORDER = f"""
+    WITH b AS (
+        SELECT CAST(min(user_id) AS DOUBLE) AS mnu, CAST(max(user_id) AS DOUBLE) AS mxu,
+               CAST(min(value) AS DOUBLE) AS mnv, CAST(max(value) AS DOUBLE) AS mxv
+        FROM events
+    ),
+    q AS (
+        SELECT {_d_zq("user_id", "mnu", "mxu")} AS qu,
+               {_d_zq("value", "mnv", "mxv")} AS qv
+        FROM events, b
+    ),
+    z AS (
+        SELECT qu, qv,
+               {" + ".join(
+                   f"(((qu >> {j}) & 1) << {2 * j})"
+                   f" + (((qv >> {j}) & 1) << {2 * j + 1})"
+                   for j in range(_ZBITS)
+               )} AS zval
+        FROM q
+    )
+    SELECT zval >> {_ZBITS} AS z_bucket,
+           count(*) AS n,
+           min(qu) AS qu_min, max(qu) AS qu_max,
+           min(qv) AS qv_min, max(qv) AS qv_max
+    FROM z GROUP BY 1
+"""
+
+
+@query("x_zorder_stats", oracle=_D_ZORDER, tags=("ext", "layout"))
+def x_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout statistics over events: quantize
+    (user_id, value) to 8 bits each against broadcast corpus bounds,
+    interleave into the 16-bit z-value (operators.layout.zvalue — the
+    clustering key zorder_write sorts files by), and aggregate per
+    coarse z-bucket (top 8 bits). The per-bucket quantized min/max of
+    BOTH dims is the locality structure multi-dimensional data
+    skipping relies on — hash-verified here against a DuckDB
+    re-derivation of the identical quantize + interleave arithmetic,
+    so the layout operator's key math sits under the driver gate, not
+    just pytest."""
+    from ..operators.layout import _quantize, zvalue
+
+    ev = tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.min("user_id").cast("double").alias("mnu"),
+        F.max("user_id").cast("double").alias("mxu"),
+        F.min("value").cast("double").alias("mnv"),
+        F.max("value").cast("double").alias("mxv"),
+    )
+    q = ev.crossJoin(F.broadcast(bounds)).select(
+        _quantize(F.col("user_id"), F.col("mnu"), F.col("mxu"), _ZBITS).alias("qu"),
+        _quantize(F.col("value"), F.col("mnv"), F.col("mxv"), _ZBITS).alias("qv"),
+    )
+    z = q.select(
+        "qu", "qv", zvalue([F.col("qu"), F.col("qv")], _ZBITS).alias("zval")
+    )
+    return z.groupBy(
+        F.shiftrightunsigned("zval", _ZBITS).alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("qu").alias("qu_min"), F.max("qu").alias("qu_max"),
+        F.min("qv").alias("qv_min"), F.max("qv").alias("qv_max"),
+    )
