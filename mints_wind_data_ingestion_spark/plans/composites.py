@@ -31,14 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import (
-    avg_word_len,
-    punct_ratio,
-    stopword_ratio,
-    token_count,
-    tokens,
-    whitespace_ratio,
-)
+from ..functions.text import punct_ratio, tokens, whitespace_ratio
 from .registry import REGISTRY, query, tables
 
 
