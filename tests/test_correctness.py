@@ -61,3 +61,26 @@ def test_results_invariant_under_aqe_off(name, spark, sf_dir):
     finally:
         spark.conf.set(key, "true")
     assert base == off
+
+
+def test_driver_contract_invariants():
+    """Guard the external-driver contract: the exported surface stays
+    within the 50-row correctness window, every driver query carries an
+    oracle except the one justified rows-only entry, oracle keys are a
+    subset of query keys, and composites' folded components stay
+    registered for the pytest mirror."""
+    import __spark_entry__ as entry
+    from mints_wind_data_ingestion_spark.plans import driver_registry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) <= 50, "driver caps its correctness file at 50 rows"
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"x_sim_topk_ivf"}, (
+        f"unexpected rows-only driver entries: {rows_only}"
+    )
+    assert set(qs) == set(driver_registry())
+    # every demoted component still registered (pytest mirror covers it)
+    demoted = {n for n, q in REGISTRY.items() if not q.driver}
+    assert demoted and demoted.isdisjoint(qs)
