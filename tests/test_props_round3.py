@@ -155,3 +155,25 @@ def test_bpe_trainer_matches_textbook(spark, sf_dir):
     got = train_bpe_merges(wf, n_merges=12)
     assert got == want
     assert len(got) == 12  # corpus is rich enough to sustain 12 merges
+
+
+def test_md5_60_hash_tri_engine_parity(spark, duck):
+    """The portable 60-bit md5-prefix hash (the SimHash/decontamination
+    join-key foundation) must agree across Python, Spark, and DuckDB
+    for adversarial inputs: unicode, whitespace, empties, long runs."""
+    from mints_wind_data_ingestion_spark.plans.extensions import _md5_60
+
+    samples = [
+        "", " ", "a", "the quick fox", "müller straße", "汉字 漢字",
+        "a" * 500, "tab\tsep", "new\nline", "quote'\"q", "emoji 🙂 txt",
+        "0123456789" * 7,
+    ]
+    py = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in samples]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, s string")
+    sp = {r.i: r.h for r in df.select("i", _md5_60(F.col("s")).alias("h")).collect()}
+    for i, s in enumerate(samples):
+        du = duck.sql(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)",
+            params=[s],
+        ).fetchall()[0][0]
+        assert sp[i] == py[i] == du, (s, sp[i], py[i], du)
