@@ -35,6 +35,8 @@ __all__ = [
     "run_continuous_rollup",
     "run_dedup_ingest",
     "run_neardup_ingest",
+    "run_decontam_ingest",
+    "build_gram_index",
 ]
 
 
@@ -565,4 +567,89 @@ def run_neardup_ingest(
         .foreachBatch(ingest)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def run_decontam_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    train_gram_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> StreamingQuery:
+    """Streaming benchmark decontamination: documents landing as files
+    are gated against a STATIC eval/train-protection gram index
+    (64-bit portable hashes of word n-grams, built once with
+    `build_gram_index`) — any document sharing a single n-gram with
+    the protected set is dropped before it ever reaches the corpus.
+    The streaming complement of the batch `x_decontaminate` query:
+    there the split is audited after the fact; here the boundary is
+    enforced at ingest time, which is how a production pipeline keeps
+    eval contamination out rather than measuring it later.
+
+    Shape: per epoch, explode the batch's distinct n-grams (batch-
+    sized), left-anti join the 8-byte gram index on its hash (never a
+    doc×doc compare), and append survivors to per-epoch subdirs with
+    the same exactly-once/replay contract as `run_dedup_ingest`."""
+    from ..functions.text import shingle_docs_pandas
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        grams = s.read.parquet(train_gram_path)  # static index; must exist
+        with_sh = shingle_docs_pandas(batch, id_col, text_col, n, out="__sh")
+        posting = with_sh.select(
+            id_col, F.explode(F.array_distinct("__sh")).alias("__g")
+        ).select(
+            id_col,
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        contaminated = posting.join(grams, "h").select(id_col).distinct()
+        fresh = batch.join(contaminated, id_col, "left_anti")
+        fresh.write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def build_gram_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> None:
+    """Materialize the protected-set gram index `run_decontam_ingest`
+    gates against: distinct word n-grams of `docs`, stored as 64-bit
+    portable md5-prefix hashes (column `h`) — 8 bytes per gram at any
+    corpus size, and the same hash `x_decontaminate`'s oracle derives."""
+    from ..functions.text import shingle_docs_pandas
+
+    with_sh = shingle_docs_pandas(docs, id_col, text_col, n, out="__sh")
+    (
+        with_sh.select(F.explode(F.array_distinct("__sh")).alias("__g"))
+        .select(
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
     )

@@ -761,3 +761,57 @@ def test_streaming_ewma_continues_recurrence_across_batches(spark, tmp_path, sf_
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_decontam_ingest_blocks_protected_grams(spark, tmp_path, sf_dir):
+    """Streaming decontamination: documents sharing any word-8-gram
+    with the protected (eval) set must never reach the corpus, clean
+    documents must all arrive, and the gate must agree with the batch
+    x_decontaminate audit on the same split."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.operators.sampling import hash_bucket
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        build_gram_index,
+        run_decontam_ingest,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    # protect the EVAL side (hash >= 80% boundary); stream the train side
+    protected = docs.filter(~(hash_bucket(F.col("doc_id")) < "cccccc"))
+    incoming = docs.filter(hash_bucket(F.col("doc_id")) < "cccccc")
+
+    grams = str(tmp_path / "protected_grams")
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    build_gram_index(protected, grams)
+
+    # two landing chunks → two epochs
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_decontam_ingest(spark, landing, grams, corpus, ckpt, schema)
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+
+    # ground truth: naive 8-gram overlap against the protected set
+    def grams_of(text):
+        t = text.split()
+        return {" ".join(t[i : i + 8]) for i in range(max(len(t) - 7, 0))}
+
+    prot = set()
+    for r in protected.collect():
+        prot |= grams_of(r.text)
+    want = {
+        r.doc_id for r in incoming.collect() if not (grams_of(r.text) & prot)
+    }
+    assert kept == want
+    assert len(kept) < incoming.count()  # planted overlaps were blocked
