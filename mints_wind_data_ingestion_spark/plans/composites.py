@@ -688,7 +688,7 @@ def _dt_oracle() -> str:
     FROM {_oracle("x_doc_chunks")}
     UNION ALL
     SELECT 'pack', CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT),
-           CAST(doc_id % {_PACK_SHARDS} AS BIGINT) * 1000000
+           CAST(doc_id % {_PACK_SHARDS} AS BIGINT) * 1000000000000
              + CAST(((run - chunk_len) // {_PACK_CAP}) AS BIGINT),
            CAST(((run - chunk_len) % {_PACK_CAP}) AS BIGINT),
            CAST(NULL AS VARCHAR)
@@ -716,7 +716,7 @@ def x_doc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks are laid end-to-end in deterministic (doc, chunk) order and
     cut into 512-token bins (a chunk may straddle a boundary — the
     document-breaking variant of packing); each chunk gets its
-    (bin, offset) placement, n2 = shard·10⁶ + bin within shard. The
+    (bin, offset) placement, n2 = shard·10¹² + bin within shard. The
     running total is a per-SHARD window cumsum (16 hash shards), not a
     global one — at corpus scale the single-reducer global cumsum is
     the classic scale-killer, and per-shard packing is exactly how
@@ -734,7 +734,10 @@ def x_doc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pack").alias("part"),
         _b("doc_id").alias("doc_id"),
         _b("chunk_id").alias("n1"),
-        (shard.cast("bigint") * 1000000
+        # shard·10¹² + bin: 10¹² bins/shard ≈ 5·10¹⁴ tokens per shard
+        # before the encoding could collide — beyond the 100 TB design
+        # point (10⁶ overflowed at ~8.4·10⁹ corpus tokens)
+        (shard.cast("bigint") * 1_000_000_000_000
          + F.floor(start / _PACK_CAP).cast("bigint")).alias("n2"),
         (start % _PACK_CAP).cast("bigint").alias("n3"),
         _ns().alias("txt"),

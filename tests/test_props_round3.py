@@ -74,7 +74,7 @@ def test_pack_part_invariants(spark, sf_dir):
     by_shard: dict[int, list] = {}
     for d, c, bin_enc, off in packs:
         assert 0 <= off < _PACK_CAP
-        shard, bin_id = divmod(bin_enc, 1_000_000)
+        shard, bin_id = divmod(bin_enc, 1_000_000_000_000)
         assert shard == d % _PACK_SHARDS
         by_shard.setdefault(shard, []).append((d, c, bin_id, off))
     for shard, rows in by_shard.items():
