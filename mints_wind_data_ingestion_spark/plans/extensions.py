@@ -1685,7 +1685,11 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list equi-joins it and aggregates per doc — never an
     eval×train document cross join. One shuffle per side + one
     map-side-combining count; the left join back restores clean docs
-    with n=0."""
+    with n=0. Hash collisions in the 60-bit space only ever err
+    CONSERVATIVE (a false shared-gram flags a clean doc, never the
+    reverse) — the right failure direction for a contamination gate;
+    at ~10¹² distinct grams the expected collision count is ~10⁵,
+    i.e. a vanishing over-drop rate."""
     from ..operators.sampling import hash_bucket
 
     docs = _spread(tables(spark, sf_dir)["documents"])
