@@ -408,3 +408,12 @@ def test_q6_full_pushdown(spark, sf_dir):
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
     rs = p.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" not in rs and "l_extendedprice" in rs
+
+
+def test_zorder_stats_broadcasts_bounds(spark, sf_dir):
+    """x_zorder_stats: corpus bounds are a 1-row broadcast onto the
+    scan (never a shuffle of events for the bounds), and the z-value
+    is pure expressions — no Python stage anywhere in the plan."""
+    p = plan(spark, sf_dir, "x_zorder_stats")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Python" not in p and "Arrow" not in p
