@@ -28,7 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_frequencies", "train_bpe_merges", "apply_merges_py"]
+__all__ = ["word_frequencies", "train_bpe_merges", "apply_merges_py",
+           "encode_corpus"]
 
 #: end-of-word marker (Sennrich's convention) — lets merges distinguish
 #: word-final from word-internal occurrences
@@ -123,3 +124,51 @@ def train_bpe_merges(
             apply_batch, schema="word string, freq long, symbols array<string>"
         ).localCheckpoint()
     return merges
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge sequence — the encoder
+    half of the tokenizer: per document, whitespace-split, lowercase,
+    symbolize each word (chars + EOW) and apply the merges in training
+    order. One Arrow-batched mapInPandas pass; the merge list is tiny
+    and ships in the closure (at vocab sizes it would broadcast the
+    same way). Output: (id, array<string> of BPE tokens, token count).
+
+    The per-word merge application is exact (apply_merges_py — the
+    same kernel the trainer and the differential test use), so
+    encode(corpus, train(corpus)) is reproducible end-to-end."""
+    import pandas as pd  # noqa: F811  (executor-side import)
+
+    ms = list(merges)
+
+    def batches(it):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = apply_merges_py(list(w) + [EOW], ms)
+            return got
+
+        for pdf in it:
+            toks = [
+                [t for w in str(s).lower().split() for t in enc_word(w)]
+                for s in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    out: toks,
+                    "n_bpe_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, {out} array<string>, n_bpe_tokens long"
+    )

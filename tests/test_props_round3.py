@@ -177,3 +177,31 @@ def test_md5_60_hash_tri_engine_parity(spark, duck):
             params=[s],
         ).fetchall()[0][0]
         assert sp[i] == py[i] == du, (s, sp[i], py[i], du)
+
+
+def test_bpe_encoder_matches_python_and_conserves_text(spark, sf_dir):
+    """encode_corpus must (a) equal the per-word Python kernel applied
+    locally and (b) conserve content: concatenating a doc's BPE tokens
+    and stripping the end-of-word markers reproduces the lowercased
+    document text exactly."""
+    from mints_wind_data_ingestion_spark.functions.bpe import (
+        EOW,
+        apply_merges_py,
+        encode_corpus,
+        train_bpe_merges,
+        word_frequencies,
+    )
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    docs = tables(spark, sf_dir)["documents"].limit(40)
+    merges = train_bpe_merges(word_frequencies(docs), n_merges=10)
+    got = {r.doc_id: list(r.bpe_tokens)
+           for r in encode_corpus(docs, merges).collect()}
+    for r in docs.collect():
+        want = [
+            t for w in r.text.lower().split()
+            for t in apply_merges_py(list(w) + [EOW], merges)
+        ]
+        assert got[r.doc_id] == want, f"doc {r.doc_id}"
+        rebuilt = "".join(got[r.doc_id]).replace(EOW, " ").rstrip()
+        assert rebuilt == " ".join(r.text.lower().split())
