@@ -52,7 +52,10 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts over the symbolized vocab: explode
     (symbols[i], symbols[i+1]) per word × freq, one hash aggregate."""
-    pairs = vocab.select(
+    # size guard: a fully-merged word has 1 symbol, and
+    # sequence(1, 0) DESCENDS to [1, 0] (it is not empty), which would
+    # index symbols[1] out of bounds
+    pairs = vocab.filter(F.size("symbols") >= 2).select(
         "freq",
         F.explode(
             F.expr(
@@ -141,11 +144,22 @@ def encode_corpus(
     same way). Output: (id, array<string> of BPE tokens, token count).
 
     The per-word merge application is exact (apply_merges_py — the
-    same kernel the trainer and the differential test use), so
-    encode(corpus, train(corpus)) is reproducible end-to-end."""
+    same kernel the trainer and the differential test use), and the
+    word split is the SAME tokenizer as the trainer's
+    `word_frequencies` (Java-regex `\\s+` = ASCII whitespace, replayed
+    here as `re.split(r"\\s+", ..., flags=re.ASCII)`), so
+    encode(corpus, train(corpus)) is reproducible end-to-end even on
+    corpora containing Unicode whitespace (e.g. U+00A0)."""
+    import re
+
     import pandas as pd  # noqa: F811  (executor-side import)
 
     ms = list(merges)
+    split = re.compile(r"\s+", flags=re.ASCII).split
+    #: per-partition memoization cap — Zipf means a small cache catches
+    #: nearly all hits; beyond it we just recompute (bounded memory)
+    cache_cap = 65_536
+    id_type = docs.schema[id_col].dataType.simpleString()
 
     def batches(it):
         cache: dict[str, list[str]] = {}
@@ -153,12 +167,14 @@ def encode_corpus(
         def enc_word(w: str) -> list[str]:
             got = cache.get(w)
             if got is None:
-                got = cache[w] = apply_merges_py(list(w) + [EOW], ms)
+                got = apply_merges_py(list(w) + [EOW], ms)
+                if len(cache) < cache_cap:
+                    cache[w] = got
             return got
 
         for pdf in it:
             toks = [
-                [t for w in str(s).lower().split() for t in enc_word(w)]
+                [t for w in split(str(s).lower()) if w for t in enc_word(w)]
                 for s in pdf[text_col]
             ]
             yield pd.DataFrame(
@@ -170,5 +186,6 @@ def encode_corpus(
             )
 
     return docs.select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} long, {out} array<string>, n_bpe_tokens long"
+        batches,
+        schema=f"{id_col} {id_type}, {out} array<string>, n_bpe_tokens long",
     )

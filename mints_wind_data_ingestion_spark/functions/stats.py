@@ -50,6 +50,14 @@ def _bucketed(df, key: str, n_buckets: int | None):
     pandas call; the per-key math inside is unchanged bit-for-bit, so
     oracles stay exact. B defaults to 2× parallelism — enough buckets
     to spread the shuffle, few enough that Arrow overhead amortizes.
+
+    MEMORY CONTRACT: bucketing changes the per-task frame from
+    one-key's-rows to ~N/B rows — per-task memory now scales with
+    input size at fixed B. At 100 TB, size B so a bucket fits an
+    executor (B ≈ input_rows / rows_per_task_budget, e.g. a few
+    million rows/task), via the `n_buckets` parameter every caller
+    exposes; the 2×-parallelism default is a LOCAL-MODE convenience,
+    not a scale setting.
     """
     from pyspark.sql import functions as F
 
@@ -126,7 +134,8 @@ def fit_group_trend(df, key: str, x_col: str, y_col: str, id_col: str,
     )
 
 
-def ewma_group(df, key: str, order_col: str, val_col: str, alpha: float):
+def ewma_group(df, key: str, order_col: str, val_col: str, alpha: float,
+               n_buckets: int | None = None):
     """Per-group exponentially-weighted moving average:
     ewma_0 = x_0;  ewma_t = α·x_t + (1−α)·ewma_{t−1}
 
@@ -178,7 +187,7 @@ def ewma_group(df, key: str, order_col: str, val_col: str, alpha: float):
         )
 
     return (
-        _bucketed(df.select(key, order_col, val_col), key, None)
+        _bucketed(df.select(key, order_col, val_col), key, n_buckets)
         .groupBy("__bkt")
         .applyInPandas(fold, schema)
     )

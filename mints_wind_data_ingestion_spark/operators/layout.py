@@ -39,8 +39,19 @@ def _quantize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
 
 def zvalue(quantized: list[Column], bits: int) -> Column:
     """Morton interleave of pre-quantized `bits`-wide bigint columns:
-    output bit (j·k + i) = bit j of column i (k = len(columns))."""
+    output bit (j·k + i) = bit j of column i (k = len(columns)).
+
+    Requires len(columns)·bits ≤ 63: bit 63 is the bigint sign bit and
+    shiftleft wraps mod 64, so exceeding it would silently produce
+    negative/aliased Z-values and destroy the clustering guarantee.
+    """
     k = len(quantized)
+    if k * bits > 63:
+        raise ValueError(
+            f"zvalue: {k} columns x {bits} bits = {k * bits} interleaved "
+            "bits exceeds the 63 usable bits of a bigint; lower `bits` "
+            f"(max {63 // k} for {k} columns) or drop a column"
+        )
     z = F.lit(0).cast("bigint")
     for j in range(bits):
         for i, q in enumerate(quantized):
@@ -64,7 +75,16 @@ def zorder_write(
     files: per-column bounds from one scalar aggregate (broadcast),
     Z-value projection, range repartition + in-partition sort on it.
     Every listed column gets tight per-file min/max bounds, so
-    predicates on ANY of them prune files/row groups at read time."""
+    predicates on ANY of them prune files/row groups at read time.
+
+    `bits` is auto-shrunk so len(cols)·bits fits the 63 usable bigint
+    bits (e.g. 4 columns at the default 16 → 15 bits each); resolution
+    beyond ~2^12 per dimension adds nothing to file-level skipping.
+    """
+    if cols and len(cols) * bits > 63:
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError("zorder_write: more than 63 columns")
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],

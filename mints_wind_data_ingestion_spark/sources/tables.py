@@ -39,6 +39,14 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
             df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` DIV 1000")))
         elif name == "ts" and dtype == "timestamp_ntz":
             df = df.withColumn(name, F.col(name).cast("timestamp"))
+        elif name == "ts" and dtype not in ("timestamp", "timestamp_ntz"):
+            # The generator has silently changed ts's physical type twice
+            # across rounds; fail LOUDLY on a third variant rather than
+            # let every downstream chronon query mis-hash.
+            raise TypeError(
+                f"testdata `ts` arrived as unhandled type {dtype!r}; "
+                "extend _normalize_nanos for this round's format"
+            )
     return df
 
 

@@ -137,8 +137,19 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         else:
             acc, last_order = math.nan, -(1 << 62)
         rows_id, rows_val = [], []
-        for pdf in pdfs:
-            sub = pdf.sort_values("event_id", kind="stable")
+        # Materialize the whole group before sorting: a micro-batch larger
+        # than one Arrow record batch (default 10k rows) arrives as multiple
+        # chunks, and per-chunk sorting would misclassify in-order rows in a
+        # later chunk as late.  One group's micro-batch worth of rows must
+        # fit in memory — the same contract applyInPandasWithState already
+        # imposes on its state granularity.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            sub = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            ).sort_values("event_id", kind="stable")
             for eid, x in zip(sub["event_id"], sub["value"]):
                 if eid <= last_order:
                     continue  # late/duplicate: replay territory

@@ -28,6 +28,31 @@ def test_zvalue_matches_python_model(spark):
         assert r.z == _morton([r.a, r.b], 8), (r.a, r.b)
 
 
+def test_zvalue_rejects_bit_overflow(spark):
+    """len(cols)·bits > 63 would put the sign bit in play / wrap
+    shiftleft mod 64 and silently alias Z-values — must raise."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a long, b long, c long, d long")
+    cols = [F.col(c) for c in "abcd"]
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zvalue(cols, bits=16)  # 4×16 = 64 > 63
+    # 4×15 = 60 is fine
+    df.select(zvalue(cols, bits=15).alias("z")).collect()
+
+
+def test_zorder_write_autoshrinks_bits(spark, tmp_path):
+    """zorder_write at the default bits=16 with 4 columns must not
+    raise (auto-shrinks to 63//4=15) and must produce valid rows."""
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        (F.col("id") % 7).alias("c"), (F.col("id") % 11).alias("d"),
+    )
+    path = str(tmp_path / "z4")
+    zorder_write(df, ["a", "b", "c", "d"], path, n_files=2)
+    assert spark.read.parquet(path).count() == 100
+
+
 def _per_file_spans(spark, path, cols):
     df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
     spans = {}

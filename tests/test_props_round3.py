@@ -205,3 +205,47 @@ def test_bpe_encoder_matches_python_and_conserves_text(spark, sf_dir):
         assert got[r.doc_id] == want, f"doc {r.doc_id}"
         rebuilt = "".join(got[r.doc_id]).replace(EOW, " ").rstrip()
         assert rebuilt == " ".join(r.text.lower().split())
+
+
+def test_bpe_trainer_encoder_tokenizer_parity_unicode_ws(spark):
+    """Trainer (Java-regex \\s+ = ASCII whitespace) and encoder must
+    split words IDENTICALLY on corpora containing Unicode whitespace:
+    U+00A0 must be treated as a word CHARACTER by both paths, so
+    'aa\\u00a0aa' is one 5-symbol word, not two 'aa' words."""
+    from mints_wind_data_ingestion_spark.functions.bpe import (
+        encode_corpus,
+        train_bpe_merges,
+        word_frequencies,
+    )
+
+    nbsp = " "
+    docs = spark.createDataFrame(
+        [(1, f"aa{nbsp}aa bb bb"), (2, f"aa{nbsp}aa bb cc"),
+         (3, "aa aa bb dd")],
+        "doc_id long, text string",
+    )
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    # Java \s does NOT match U+00A0: the nbsp-joined token survives whole
+    assert wf.get(f"aa{nbsp}aa") == 2 and wf.get("aa") == 2
+
+    merges = train_bpe_merges(word_frequencies(docs), n_merges=6, min_count=1)
+    enc = {r.doc_id: list(r.bpe_tokens)
+           for r in encode_corpus(docs, merges).collect()}
+    # the encoder must see the same words: rebuilding doc 1 with ASCII-
+    # space joins reproduces it exactly (nbsp intact inside the token)
+    from mints_wind_data_ingestion_spark.functions.bpe import EOW
+    rebuilt = "".join(enc[1]).replace(EOW, " ").rstrip()
+    assert rebuilt == f"aa{nbsp}aa bb bb"
+
+
+def test_bpe_encoder_non_long_id_column(spark):
+    """encode_corpus must derive the id slot's type from the input
+    schema — a string id column must round-trip, not fail at runtime."""
+    from mints_wind_data_ingestion_spark.functions.bpe import encode_corpus
+
+    docs = spark.createDataFrame(
+        [("d-1", "xx yy"), ("d-2", "yy zz")], "doc_id string, text string"
+    )
+    out = encode_corpus(docs, [("x", "x")]).collect()
+    assert {r.doc_id for r in out} == {"d-1", "d-2"}
+    assert out[0].__fields__ == ["doc_id", "bpe_tokens", "n_bpe_tokens"]

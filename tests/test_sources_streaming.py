@@ -763,6 +763,60 @@ def test_streaming_ewma_continues_recurrence_across_batches(spark, tmp_path, sf_
     assert got == want
 
 
+def test_streaming_ewma_group_spanning_arrow_chunks(spark, tmp_path):
+    """A single micro-batch whose per-key rows span MULTIPLE Arrow
+    record batches must still fold every row: rows are written in
+    descending event_id order so, under per-chunk sorting, the later
+    chunk's (smaller) ids would be misclassified as late and dropped.
+    The operator must materialize the whole group before sorting."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.streaming.stateful import streaming_ewma
+
+    n = 100
+    src = str(tmp_path / "chunked")
+    # one file = one micro-batch; user 1's rows arrive in DESCENDING id order
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * n,
+            "event_id": list(range(n, 0, -1)),
+            "value": [float(i % 7) for i in range(n)],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "16")  # force ~7 chunks for the one group
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+        )
+        q = (
+            streaming_ewma(stream, alpha=0.2)
+            .writeStream.format("memory")
+            .queryName("ewma_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        got = spark.sql("SELECT * FROM ewma_chunked").collect()
+    finally:
+        spark.conf.set(key, before)
+    # every row folds exactly once, in ascending event_id order
+    assert len(got) == n
+    acc, want = None, {}
+    for eid, x in sorted(zip(pdf["event_id"], pdf["value"])):
+        acc = float(x) if acc is None else 0.2 * float(x) + 0.8 * acc
+        want[eid] = int(acc * 1e6 + 0.5)
+    assert {r.event_id: r.ewma_e6 for r in got} == want
+
+
 def test_decontam_ingest_blocks_protected_grams(spark, tmp_path, sf_dir):
     """Streaming decontamination: documents sharing any word-8-gram
     with the protected (eval) set must never reach the corpus, clean
