@@ -450,14 +450,18 @@ def simhash_fingerprints(
     64 map-side-combining `sum` aggregates of the hash's bits; the
     output bit j is set iff more than half the shingle hashes set bit
     j (2·c_j > n ⟺ the ±1 tally is positive). No per-shingle array
-    allocation, and the shuffle carries 65 longs per (partition, doc).
+    allocation, and the shuffle carries 66 longs per (partition, doc).
 
-    Empty/NULL arrays follow simhash64 exactly: explode drops them
-    from the posting list, and the left join back to the doc table
-    restores the id with simhash 0 (empty array — no tally, no bit
-    set) or NULL (NULL array). Without this, explode_outer's
-    xxhash64(NULL) row would give every empty doc the same non-zero
-    fingerprint and pair them all at Hamming 0.
+    SINGLE-PASS shape: explode_outer keeps empty/NULL-array docs as a
+    null-shingle sentinel row, whose hash is masked to NULL so `sum`
+    and `count` skip it — an empty array aggregates to n=0 ⇒ no bit
+    set ⇒ simhash 0, a NULL array is flagged through the aggregate
+    and yields simhash NULL, both exactly simhash64's semantics.
+    The previous formulation restored those docs with a LEFT JOIN
+    back to the input, which scanned the (often expensive — Arrow
+    shingling) upstream twice and added a join; this one reads the
+    input once and needs only the one groupBy exchange — the shape
+    you want when the upstream is a 100 TB tokenization pass.
 
     `hash_fn` (shingle Column → bigint Column) defaults to xxhash64 —
     the production choice (one JVM intrinsic per shingle). Pass an
@@ -469,14 +473,28 @@ def simhash_fingerprints(
     if hash_fn is None:
         hash_fn = F.xxhash64
     base = docs.select(F.col(id_col), F.col(shingle_col).alias("__arr"))
+    # explode_outer keeps a (null-shingle) row for empty/NULL arrays;
+    # masking the hash to NULL there makes count/sum skip it (xxhash64
+    # would otherwise hash NULL to its seed and give every empty doc
+    # the same non-zero fingerprint)
     posting = base.select(
-        id_col, F.explode(F.col("__arr")).alias("__s")
-    ).select(id_col, hash_fn(F.col("__s")).alias("__h"))
+        id_col,
+        F.col("__arr").isNull().alias("__nullarr"),
+        F.explode_outer(F.col("__arr")).alias("__s"),
+    ).select(
+        id_col,
+        "__nullarr",
+        F.when(F.col("__s").isNotNull(), hash_fn(F.col("__s"))).alias("__h"),
+    )
     cnts = [
         F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
         for j in range(nbits)
     ]
-    agg = posting.groupBy(id_col).agg(F.count("__h").alias("__n"), *cnts)
+    agg = posting.groupBy(id_col).agg(
+        F.count("__h").alias("__n"),
+        F.first("__nullarr").alias("__nullarr"),
+        *cnts,
+    )
     bits = [
         F.when(
             2 * F.col(f"__c{j}") > F.col("__n"),
@@ -485,10 +503,9 @@ def simhash_fingerprints(
         for j in range(nbits)
     ]
     sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
-    fp = agg.select(F.col(id_col), sim.alias("__sim"))
-    return base.join(fp, id_col, "left").select(
+    return agg.select(
         F.col(id_col),
-        F.when(F.col("__arr").isNull(), F.lit(None).cast("bigint"))
-        .otherwise(F.coalesce(F.col("__sim"), F.lit(0).cast("bigint")))
+        F.when(F.col("__nullarr"), F.lit(None).cast("bigint"))
+        .otherwise(sim)
         .alias("simhash"),
     )

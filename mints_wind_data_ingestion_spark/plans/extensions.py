@@ -225,8 +225,11 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family differs, never the plan shape (banded equi-join,
     bucketed, never all-pairs)."""
     docs = _spread(tables(spark, sf_dir)["documents"])
-    # cache: both sides of the band self-join read fp; one (id, long)
-    # row per doc, and the shingle+fingerprint work runs once
+    # cache: both sides of the band self-join read fp — one (id, long)
+    # row per doc — so the shingle+fingerprint pipeline (single-pass
+    # since simhash_fingerprints dropped its join-back: the Arrow
+    # shingling is the dominant cost and now runs once) is not
+    # recomputed per side.
     # set semantics (array_distinct) to mirror the oracle's
     # list_distinct shingle sets — shingle_docs_pandas emits the
     # multiset (its docstring's contract)
