@@ -58,5 +58,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """Equivalent ANSI SQL per query, runnable by DuckDB on the same
     parquet tables. Queries without an oracle (non-SQL-expressible)
-    are omitted → driver records a rows-only check."""
-    return {name: q.oracle for name, q in sorted(driver_registry().items()) if q.oracle}
+    are omitted → driver records a rows-only check.
+
+    Lazy oracles (callables) embed data-derived literals — e.g. the
+    IVF query's trained centroids — and are resolved here against the
+    scale the driver verifies at (sf=0.01 per the contract;
+    SPARK_GRAFT_ORACLE_SF_DIR overrides for local sims at other sf)."""
+    from mints_wind_data_ingestion_spark.plans import resolve_oracle
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    out = {}
+    for name, q in sorted(driver_registry().items()):
+        sql = resolve_oracle(q, sf_dir)
+        if sql:
+            out[name] = sql
+    return out

@@ -40,6 +40,7 @@ __all__ = [
     "cosine",
     "cosine_pairs_blockwise",
     "train_ivf_centroids",
+    "ivf_centroids_local",
     "topk_ivf",
     "topk_bruteforce",
     "hyperplane_buckets",
@@ -255,7 +256,16 @@ def train_ivf_centroids(
         .toPandas()
         .sort_values(id_col, ignore_index=True)
     )
-    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    return _lloyd(pdf[vec_col].tolist(), n_cells, iters)
+
+
+def _lloyd(vectors, n_cells: int, iters: int):
+    """The deterministic Lloyd core shared by the Spark trainer and
+    the pyarrow-local replica (`ivf_centroids_local`): normalize,
+    seed from evenly spaced ranks, fixed spherical iterations."""
+    import numpy as np
+
+    X = np.array(vectors, dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     seeds = X[np.linspace(0, len(X) - 1, n_cells, dtype=int)]
     C = seeds.copy()
@@ -267,6 +277,42 @@ def train_ivf_centroids(
                 C[c] = members.mean(axis=0)
         C /= np.linalg.norm(C, axis=1, keepdims=True)
     return C
+
+
+def ivf_centroids_local(
+    sf_dir: str,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    table: str = "embeddings",
+):
+    """Recompute `train_ivf_centroids`' EXACT output without Spark —
+    pyarrow parquet read + the shared `_lloyd` numpy core. Used to
+    embed the trained centroids as literals in the DuckDB oracle SQL
+    (plans.extensions._ivf_oracle), the same move the LSH oracle makes
+    with its hyperplane literals.
+
+    Valid precisely when the Spark trainer's hash-sample keeps the
+    whole table (n ≤ `sample` ⇒ k=1 ⇒ the pmod filter is a no-op),
+    which holds at every test scale; asserts rather than replicating
+    xxhash64 in Python beyond it."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=[id_col, vec_col]
+    )
+    k = max(1, math.ceil(t.num_rows / sample))
+    assert k == 1, (
+        f"{t.num_rows} rows > sample={sample}: the Spark trainer would "
+        "hash-sample; the local replica only supports the full-table case"
+    )
+    pdf = t.to_pandas().sort_values(id_col, ignore_index=True)
+    return _lloyd(pdf[vec_col].tolist(), n_cells, iters)
 
 
 def _assign_cells_pandas(
@@ -295,7 +341,10 @@ def _assign_cells_pandas(
             X = np.array(p[vec_col].tolist(), dtype=np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
             S = Xn @ centroids.T
-            top = np.argsort(-S, axis=1)[:, :nprobe].astype("int32")
+            # stable sort: ties between cells break on ascending cell id,
+            # a total order the SQL oracle can replay (quicksort's tie
+            # permutation is implementation-defined)
+            top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe].astype("int32")
             ids = p.iloc[:, 0].to_numpy()
             yield pd.DataFrame(
                 {

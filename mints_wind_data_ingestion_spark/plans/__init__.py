@@ -1,6 +1,6 @@
 """Query surface: importing this package populates the registry."""
 
-from .registry import REGISTRY, Query, query, tables  # noqa: F401
+from .registry import REGISTRY, Query, query, resolve_oracle, tables  # noqa: F401
 
 # side-effect imports: each module registers its queries; composites
 # must come last (their oracles embed component oracle SQL)
@@ -10,4 +10,4 @@ from . import relational  # noqa: F401,E402
 from . import composites  # noqa: F401,E402
 from .registry import driver_registry  # noqa: F401,E402
 
-__all__ = ["REGISTRY", "Query", "query", "tables", "driver_registry"]
+__all__ = ["REGISTRY", "Query", "query", "resolve_oracle", "tables", "driver_registry"]

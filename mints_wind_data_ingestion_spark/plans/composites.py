@@ -66,7 +66,10 @@ def _nt() -> Column:
 def _oracle(name: str) -> str:
     """Component oracle SQL, wrapped for use as a subquery."""
     sql = REGISTRY[name].oracle
-    assert sql, f"component {name} has no oracle"
+    assert isinstance(sql, str) and sql, (
+        f"component {name} has no fixed oracle (lazy oracles cannot be "
+        "folded into composite SQL built at import time)"
+    )
     return f"({sql})"
 
 

@@ -722,7 +722,73 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_sim_topk_ivf", oracle=None, tags=("ext", "similarity", "ivf"))
+def _ivf_oracle(
+    sf_dir: str,
+    n_cells: int = 16,
+    iters: int = 5,
+    nprobe: int = 8,
+    k: int = 10,
+) -> str:
+    """DuckDB re-derivation of the full IVF pipeline, with the TRAINED
+    centroids embedded as literals — the LSH oracle's hyperplane-
+    literal move, extended to data-derived constants (lazy oracle,
+    resolved per sf_dir). `ivf_centroids_local` recomputes the Spark
+    trainer's exact numpy output from the parquet alone; assignment
+    then replays as rank-1 over dot products (the argmax is invariant
+    to the query-side normalization the numpy path applies, so the
+    raw-embedding dot gives the same order; ties break on cell id —
+    the trainer's stable argsort guarantees the same total order)."""
+    from ..operators.similarity import ivf_centroids_local
+
+    C = ivf_centroids_local(sf_dir, n_cells=n_cells, iters=iters)
+    rows = []
+    for c in range(n_cells):
+        arr = ", ".join(repr(float(x)) for x in C[c])
+        rows.append(f"({c}, [{arr}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+    WITH cent(cell, w) AS (VALUES {values}),
+    cd AS (
+        SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_d_dot("e.embedding", "c.w")} DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+        ) WHERE rn = 1
+    ),
+    qp AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_d_dot("e.embedding", "c.w")} DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e, cent c WHERE e.vec_id < 8
+        ) WHERE rn <= {nprobe}
+    ),
+    pairs AS (
+        SELECT DISTINCT q.query_id, cd.neighbor_id
+        FROM qp q JOIN cd ON cd.cell = q.cell
+        WHERE cd.neighbor_id <> q.query_id
+    ),
+    scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               {_d_dot("q.embedding", "c.embedding")}
+               / (sqrt({_d_dot("q.embedding", "q.embedding")})
+                  * sqrt({_d_dot("c.embedding", "c.embedding")})) AS cosine_sim
+        FROM pairs p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("x_sim_topk_ivf", oracle=_ivf_oracle, tags=("ext", "similarity", "ivf"))
 def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (16 coarse cells, probe 8):
     deterministic k-means quantizer trained driver-side on a bounded
@@ -733,17 +799,14 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-adaptive cells, which beats data-oblivious hyperplanes when
     the corpus is clustered.
 
-    THE ONE remaining rows-only driver entry, by design: the cell
-    boundaries come from an iterative k-means trainer (numpy matrix
-    updates over 5 rounds), which no fixed SQL text can re-derive —
-    unlike the LSH/SimHash constants, the centroids are data- and
-    iteration-dependent, so a DuckDB oracle would have to embed a
-    second k-means implementation, turning the differential check
-    into a same-author reimplementation rather than an independent
-    oracle. Compensating pins (tests/test_extensions.py): recall vs
-    the value-verified brute-force top-k, and that every reported
-    similarity equals the brute-force value exactly (the rerank is
-    exact arithmetic; only candidate membership is approximate)."""
+    Value-verified end-to-end since round 4 (rows-only before): the
+    trainer is deterministic (hash sample, linspace seeds, fixed Lloyd
+    iterations, stable tie order), so `ivf_centroids_local` recomputes
+    the identical centroids from the parquet alone and `_ivf_oracle`
+    embeds them as literals — DuckDB replays assignment → probe →
+    rerank bit-for-bit, exactly the pattern x_sim_topk_lsh set with
+    its hyperplane literals. pytest keeps pinning recall vs the exact
+    brute-force top-k (tests/test_extensions.py)."""
     from ..operators.similarity import topk_ivf, train_ivf_centroids
 
     emb = _spread(tables(spark, sf_dir)["embeddings"])

@@ -24,14 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_tables
 
-__all__ = ["Query", "REGISTRY", "query", "tables"]
+__all__ = ["Query", "REGISTRY", "query", "resolve_oracle", "tables"]
 
 
 @dataclass(frozen=True)
 class Query:
     name: str
     build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: Oracle SQL. Either a fixed ANSI-SQL string, or — for queries whose
+    #: oracle must embed DATA-DERIVED literals (e.g. IVF's trained
+    #: centroids) — a callable ``sf_dir -> str`` resolved lazily against
+    #: the scale factor the oracle will run at (``resolve_oracle``).
+    oracle: str | Callable[[str], str] | None
     doc: str = ""
     tags: tuple[str, ...] = ()
     #: True → exposed to the external driver gate (__spark_entry__).
@@ -43,6 +47,14 @@ class Query:
 
 
 REGISTRY: dict[str, Query] = {}
+
+
+def resolve_oracle(q: Query, sf_dir: str) -> str | None:
+    """The oracle SQL for `q` at `sf_dir` — calls through for lazy
+    (data-derived-literal) oracles, passes fixed strings unchanged."""
+    if callable(q.oracle):
+        return q.oracle(sf_dir).strip()
+    return q.oracle
 
 
 def driver_registry() -> dict[str, Query]:
@@ -65,7 +77,7 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def query(
     name: str,
-    oracle: str | None = None,
+    oracle: str | Callable[[str], str] | None = None,
     tags: tuple[str, ...] = (),
     driver: bool = True,
 ):
@@ -75,7 +87,7 @@ def query(
         REGISTRY[name] = Query(
             name=name,
             build=fn,
-            oracle=oracle.strip() if oracle else None,
+            oracle=oracle.strip() if isinstance(oracle, str) else oracle,
             doc=(fn.__doc__ or "").strip(),
             tags=tuple(tags),
             driver=driver,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -49,6 +50,8 @@ def main() -> int:
     print(f"t1 entry: {len(erows)} rows, schema={edf.columns} ({time.time()-t0:.1f}s)")
     assert len(erows) > 0, "entry produced 0 rows"
 
+    # lazy oracles embed data-derived literals; resolve them at THIS sf
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():

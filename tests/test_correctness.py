@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from mints_wind_data_ingestion_spark.plans import REGISTRY
+from mints_wind_data_ingestion_spark.plans import REGISTRY, resolve_oracle
 
 from .compare import assert_results_match
 
@@ -17,12 +17,13 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 
-    if q.oracle is None:
+    oracle = resolve_oracle(q, sf_dir)
+    if oracle is None:
         # rows-only check (non-SQL-expressible op): plan executes, sane schema
         assert len(spark_cols) > 0
         return
 
-    rel = duck.sql(q.oracle)
+    rel = duck.sql(oracle)
     duck_cols = [d[0] for d in rel.description]
     duck_rows = rel.fetchall()
     assert_results_match(spark_cols, spark_rows, duck_cols, duck_rows, name)
@@ -77,7 +78,7 @@ def test_driver_contract_invariants():
     assert len(qs) <= 50, "driver caps its correctness file at 50 rows"
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"x_sim_topk_ivf"}, (
+    assert rows_only == set(), (
         f"unexpected rows-only driver entries: {rows_only}"
     )
     assert set(qs) == set(driver_registry())
