@@ -903,3 +903,131 @@ def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_part(q14, "q14", v=_d("promo_pct")))
         .unionByName(_part(q17, "q17", v=_d("avg_yearly")))
     )
+
+
+# ---------------------------------------------------------------------------
+# j_latest_wins_suite — the conditional-max_by trio (j1 + j4 + f7)
+# ---------------------------------------------------------------------------
+
+
+def _jlw_oracle() -> str:
+    return f"""
+    SELECT 'uv_join' AS part, bucket_ts, CAST(user_id AS BIGINT) AS k1,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS TIMESTAMP) AS ts2, CAST(u_value AS DOUBLE) AS d1,
+           CAST(v_value AS DOUBLE) AS d2, CAST(magnitude AS DOUBLE) AS d3
+    FROM {_oracle("j1_uv_component_join")}
+    UNION ALL
+    SELECT 'merge', bucket_ts, CAST(event_id AS BIGINT), event_type,
+           CAST(NULL AS VARCHAR), ts, CAST(value AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("j4_upsert_merge")}
+    UNION ALL
+    SELECT 'staleness', bucket_ts, CAST(NULL AS BIGINT), event_type, action,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("f7_staleness_decision")}
+    """
+
+
+@query("j_latest_wins_suite", oracle=_jlw_oracle(), tags=("J1", "J4", "F7", "composite"))
+def j_latest_wins_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins suite — the reference pipeline's three conditional
+    max_by shapes over events, tagged into one superset: U⋈V component
+    alignment without a self-join (j1_uv_component_join), the
+    materialized latest-wins MERGE (j4_upsert_merge), and the
+    insert/replace/skip staleness decision (f7_staleness_decision).
+    Each component stays a single-scan single-shuffle aggregation;
+    the union preserves every component row bit-for-bit."""
+    j1 = REGISTRY["j1_uv_component_join"].build(spark, sf_dir)
+    j4 = REGISTRY["j4_upsert_merge"].build(spark, sf_dir)
+    f7 = REGISTRY["f7_staleness_decision"].build(spark, sf_dir)
+    return (
+        _part(j1, "uv_join", bucket_ts=F.col("bucket_ts"), k1=_b("user_id"),
+              s1=_ns(), s2=_ns(), ts2=_nt(), d1=_d("u_value"),
+              d2=_d("v_value"), d3=_d("magnitude"))
+        .unionByName(
+            _part(j4, "merge", bucket_ts=F.col("bucket_ts"),
+                  k1=_b("event_id"), s1=_s("event_type"), s2=_ns(),
+                  ts2=F.col("ts"), d1=_d("value"), d2=_nd(), d3=_nd())
+        )
+        .unionByName(
+            _part(f7, "staleness", bucket_ts=F.col("bucket_ts"), k1=_nb(),
+                  s1=_s("event_type"), s2=_s("action"), ts2=_nt(),
+                  d1=_nd(), d2=_nd(), d3=_nd())
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lineitem_suite — TPC-H Q1 + Q3 (scan-agg + join-agg-topk)
+# ---------------------------------------------------------------------------
+
+
+def _qli_oracle() -> str:
+    return f"""
+    SELECT 'q1' AS part, l_returnflag AS s1, l_linestatus AS s2,
+           CAST(sum_qty AS DOUBLE) AS d1, CAST(sum_base_price AS DOUBLE) AS d2,
+           CAST(sum_disc_price AS DOUBLE) AS d3, CAST(count_order AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS k1, CAST(NULL AS TIMESTAMP) AS ts1
+    FROM {_oracle("q1_pricing_summary")}
+    UNION ALL
+    SELECT 'q3', o_orderpriority, CAST(NULL AS VARCHAR),
+           CAST(revenue AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(l_orderkey AS BIGINT), o_orderdate
+    FROM {_oracle("q3_shipping_priority")}
+    """
+
+
+@query("q_lineitem_suite", oracle=_qli_oracle(), tags=("A2", "O1", "bench", "composite"))
+def q_lineitem_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem bench suite: the wide scan → tiny-key hash aggregate
+    (TPC-H Q1 shape) and the selective multi-join → aggregate → top-10
+    (TPC-H Q3 shape), tagged into one superset — the two canonical
+    lineitem access patterns in one driver slot."""
+    q1 = REGISTRY["q1_pricing_summary"].build(spark, sf_dir)
+    q3 = REGISTRY["q3_shipping_priority"].build(spark, sf_dir)
+    return _part(
+        q1, "q1", s1=_s("l_returnflag"), s2=_s("l_linestatus"),
+        d1=_d("sum_qty"), d2=_d("sum_base_price"), d3=_d("sum_disc_price"),
+        n1=_b("count_order"), k1=_nb(), ts1=_nt(),
+    ).unionByName(
+        _part(q3, "q3", s1=_s("o_orderpriority"), s2=_ns(), d1=_d("revenue"),
+              d2=_nd(), d3=_nd(), n1=_nb(), k1=_b("l_orderkey"),
+              ts1=F.col("o_orderdate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_nation_trade — TPC-H Q5 + Q7 (deep joins on nation dimensions)
+# ---------------------------------------------------------------------------
+
+
+def _qnt_oracle() -> str:
+    return f"""
+    SELECT 'q5' AS part, n_name AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS BIGINT) AS n1, CAST(revenue AS DOUBLE) AS d1
+    FROM {_oracle("q5_local_supplier_volume")}
+    UNION ALL
+    SELECT 'q7', supp_nation, cust_nation, CAST(l_year AS BIGINT),
+           CAST(revenue AS DOUBLE)
+    FROM {_oracle("q7_volume_shipping")}
+    """
+
+
+@query("q_nation_trade", oracle=_qnt_oracle(), tags=("J5", "A2", "bench", "composite"))
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-dimension join suite: the six-way local-supplier join
+    (TPC-H Q5 shape, correlated dimension branches) and the bilateral
+    trade query (TPC-H Q7 shape, one dim joined twice under different
+    roles), tagged into one superset — the deep join-planning stress
+    pair in one driver slot."""
+    q5 = REGISTRY["q5_local_supplier_volume"].build(spark, sf_dir)
+    q7 = REGISTRY["q7_volume_shipping"].build(spark, sf_dir)
+    return _part(
+        q5, "q5", s1=_s("n_name"), s2=_ns(), n1=_nb(), d1=_d("revenue")
+    ).unionByName(
+        _part(q7, "q7", s1=_s("supp_nation"), s2=_s("cust_nation"),
+              n1=_b("l_year"), d1=_d("revenue"))
+    )

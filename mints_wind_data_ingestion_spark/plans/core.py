@@ -205,7 +205,7 @@ def f5_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE u.event_type = 'click' AND v.event_type = 'view'
     """,
     tags=("J1", "J2", "C14", "A1"),
-)
+ driver=False)
 def j1_uv_component_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U⋈V component alignment (converter.py:88 + §1.2): pair the latest
     'click' (U) and 'view' (V) value per (3 h bucket, user) and derive the
@@ -294,7 +294,7 @@ def j5_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("A2", "agg", "bench"),
-)
+ driver=False)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary aggregate (TPC-H Q1 shape) — the 'grid statistics'
     class of SURVEY.md §2.4: wide scan → hash aggregate on a tiny key
@@ -336,7 +336,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("J5", "A2", "O1", "bench"),
-)
+ driver=False)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join analytics (TPC-H Q3 shape): selective dimension
     filter → fact join → aggregate → top-k. The join-planning stress
@@ -389,7 +389,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     tags=("J5", "A2", "bench"),
-)
+ driver=False)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way join (TPC-H Q5 shape): local-supplier revenue per nation
     — the deepest join-planning stress in the bench set, including the
@@ -451,7 +451,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("J5", "A2"),
-)
+ driver=False)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume (TPC-H Q7 shape): the same dimension
     table joined twice under different roles, with a disjunctive

@@ -73,7 +73,7 @@ _STORED_BATCH_CTE = """
       ON s.bucket_ts = b.bucket_ts AND s.event_type = b.event_type
     """,
     tags=("F6", "F7", "J3"),
-)
+ driver=False)
 def f7_staleness_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's insert-vs-upsert-vs-skip decision
     (converter.py:160-171): probe the incoming batch against the stored
@@ -122,7 +122,7 @@ def f7_staleness_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
                  event_id DESC) = 1
     """,
     tags=("J4", "T3", "A1"),
-)
+ driver=False)
 def j4_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins MERGE (converter.py:96-104): the materialized state
     after applying the batch to the stored table — newer version
