@@ -28,6 +28,19 @@ which on chain-shaped duplicate clusters (A≈B≈C≈…) is unbounded.
 Driver involvement per round is one scalar action (the convergence
 check — count of changed edges); `localCheckpoint` truncates lineage
 so round N's plan does not replay rounds 1..N-1.
+
+Size-gated local solve: when the (deduplicated, symmetrized) edge set
+is small enough to fit a bounded driver budget, the rounds are skipped
+entirely and the components come from one Arrow pull + union-find.
+This is the Kiveris paper's own termination move — contract the graph
+until it fits on one machine, then finish locally — applied at round
+zero when the graph ALREADY fits. Near-dup pair sets are orders of
+magnitude smaller than the corpus (only documents with at least one
+candidate match appear), so in practice most dedup runs take this
+path; a 100 TB corpus with billions of pairs exceeds the gate and gets
+the full O(log² n) distributed rounds. The pull is bounded
+(LOCAL_SOLVE_EDGES × 16 bytes ≈ 16 MB of Arrow) and gated on an exact
+count — the same posture as the IVF trainer's bounded seed sample.
 """
 
 from __future__ import annotations
@@ -43,6 +56,14 @@ __all__ = ["connected_components", "dedup_clusters"]
 #: per-round materialization job would dominate (the convergence
 #: signature already carries the count, so the gate is free).
 SKEW_CHECKPOINT_EDGES = 50_000
+
+#: symmetrized-edge count at or below which components are solved
+#: driver-side with union-find instead of distributed star rounds.
+#: 1M edges = two int64 columns ≈ 16 MB over Arrow and well under a
+#: second of union-find — cheaper than even ONE distributed round's
+#: two shuffles + checkpoint + probe. Above it, the shuffle rounds
+#: are the only shape that scales.
+LOCAL_SOLVE_EDGES = 1_000_000
 
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -67,6 +88,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    local_solve_edges: int | None = None,
 ) -> DataFrame:
     """Return (node, component) where component is the minimum node id
     in the node's connected component. Nodes appearing only in
@@ -74,9 +96,14 @@ def connected_components(
     result back to the entity table and coalesce to the node's own id
     (`dedup_clusters` does exactly that).
 
-    Rounds alternate large-star and small-star on the live edge set;
-    convergence = a round that changes nothing (checked with one
-    count() per round — the only driver action, a scalar).
+    Edge sets at or below `local_solve_edges` (default
+    LOCAL_SOLVE_EDGES) are solved with one bounded Arrow pull +
+    union-find; larger graphs run the alternating large-star /
+    small-star rounds (convergence = a round that changes nothing,
+    checked with one scalar action per round). Both paths produce the
+    identical (node, min-id component) mapping — pinned by
+    tests/test_graph.py, whose shape cases run both paths and assert
+    they agree.
     """
     # Every round's groupBy/join/distinct materializes EAGERLY via
     # localCheckpoint, so the session's shuffle.partitions applies to
@@ -84,14 +111,67 @@ def connected_components(
     # default (200) means 200 tasks per tiny intermediate — scope the
     # conf to the loop (restored in finally) and size it to the actual
     # parallelism; at real scale callers size it to the edge volume.
+    threshold = LOCAL_SOLVE_EDGES if local_solve_edges is None else local_solve_edges
     sess = edges.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = sess.conf.get(key)
     sess.conf.set(key, str(sess.sparkContext.defaultParallelism))
     try:
-        return _cc_rounds(edges, src, dst, max_rounds)
+        e = _symmetrize(edges, src, dst).localCheckpoint()
+        sig = _edge_signature(e)
+        if sig[0] <= threshold:
+            return _cc_local(e)
+        return _cc_rounds(e, sig, max_rounds)
     finally:
         sess.conf.set(key, old)
+
+
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Union-find over a bounded, already-symmetrized edge pull.
+
+    One Arrow toPandas (two int64 columns), path-halving union-find
+    with union-by-min so every root IS its component's minimum id —
+    bit-identical to the star rounds' fixpoint. Output is created
+    through Arrow too, so the driver round-trip is columnar both ways.
+    """
+    import pandas as pd
+
+    sess = e.sparkSession
+    schema = "node long, component long"
+    # symmetric set: u < v keeps each undirected edge once
+    pdf = e.filter(F.col("u") < F.col("v")).toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        u, v = int(u), int(v)
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union-by-min: smaller root wins, so the final root of
+            # every class is the component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    if not parent:
+        return sess.createDataFrame([], schema)
+    nodes = sorted(parent)
+    out = pd.DataFrame(
+        {"node": nodes, "component": [find(n) for n in nodes]},
+        dtype="int64",
+    )
+    return sess.createDataFrame(out, schema=schema)
 
 
 def _edge_signature(e: DataFrame):
@@ -109,11 +189,9 @@ def _edge_signature(e: DataFrame):
     return row[0], row[1]
 
 
-def _cc_rounds(
-    edges: DataFrame, src: str, dst: str, max_rounds: int
-) -> DataFrame:
-    e = _symmetrize(edges, src, dst).localCheckpoint()
-    sig = _edge_signature(e)
+def _cc_rounds(e: DataFrame, sig: tuple, max_rounds: int) -> DataFrame:
+    """Distributed star rounds over an already-symmetrized,
+    checkpointed edge set with its initial signature."""
     for _ in range(max_rounds):
         # large-star: for v in N(u) with v > u attach v to m(u).
         # Keeping (u, m(u)) preserves connectivity of the star center.
@@ -181,6 +259,7 @@ def dedup_clusters(
     id_col: str,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    local_solve_edges: int | None = None,
 ) -> DataFrame:
     """Cluster assignment for EVERY entity: near-dup pairs → connected
     components → (id, cluster_id, is_representative). Singletons (no
@@ -191,7 +270,9 @@ def dedup_clusters(
     that matched a pair), so the join back is broadcast-eligible and
     the full corpus is never shuffled.
     """
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    comp = connected_components(
+        pairs, src=pair_a, dst=pair_b, local_solve_edges=local_solve_edges
+    )
     return (
         entities.select(F.col(id_col))
         .join(F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left")

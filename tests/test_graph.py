@@ -14,9 +14,19 @@ from mints_wind_data_ingestion_spark.operators.graph import (
 
 
 def _cc(spark, edges):
+    """Run BOTH CC paths — the size-gated local union-find (default at
+    these sizes) and the distributed star rounds (forced with
+    local_solve_edges=0) — assert they agree, return the mapping."""
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df)
-    return {r.node: r.component for r in out.collect()}
+    local = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, local_solve_edges=0).collect()
+    }
+    assert local == dist
+    return local
 
 
 def test_cc_chain(spark):
@@ -179,8 +189,9 @@ def test_cc_mega_star_skew_handled(spark):
             + plan[:2000]
         )
 
-        # (b) end-to-end correctness on the mega-star
-        comp = connected_components(star)
+        # (b) end-to-end correctness on the mega-star, distributed
+        # rounds forced (the local gate would absorb 100k edges)
+        comp = connected_components(star, local_solve_edges=0)
         bad = comp.filter(F.col("component") != 0).count()
         assert bad == 0
         assert comp.count() == n + 1
