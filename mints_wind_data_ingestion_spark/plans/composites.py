@@ -537,10 +537,20 @@ def x_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (x_lang_confusion), the nearest-centroid classification
     audit (x_nearest_centroid), and the per-label embedding centroids
     those prototypes come from (x_label_centroids), tagged into one
-    superset."""
+    superset. The shared centroid-sum aggregation is computed ONCE
+    (localCheckpoint) and feeds both embedding parts — one explode
+    pass instead of the two the standalone components would run."""
+    from .extensions import (
+        centroid_sums,
+        confusion_from_centroids,
+        quantized_centroids,
+    )
+
     lc = REGISTRY["x_lang_confusion"].build(spark, sf_dir)
-    nc = REGISTRY["x_nearest_centroid"].build(spark, sf_dir)
-    ct = REGISTRY["x_label_centroids"].build(spark, sf_dir)
+    emb = tables(spark, sf_dir)["embeddings"]
+    cent = centroid_sums(emb).localCheckpoint()
+    nc = confusion_from_centroids(emb, cent.collect())
+    ct = quantized_centroids(cent)
     return (
         _part(lc, "lang_confusion", k1=_s("lang"), k2=_s("lang_pred"),
               n1=_b("n"), n2=_nb())

