@@ -20,7 +20,12 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["weighted_median", "fit_group_trend", "ewma_group"]
+__all__ = [
+    "weighted_median",
+    "weighted_median_by",
+    "fit_group_trend",
+    "ewma_group",
+]
 
 
 @pandas_udf("double")
@@ -65,6 +70,50 @@ def _bucketed(df, key: str, n_buckets: int | None):
         n_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
     return df.withColumn(
         "__bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    )
+
+
+def weighted_median_by(df, key: str, x_col: str, w_col: str,
+                       out: str = "wmedian",
+                       n_buckets: int | None = None):
+    """Per-key lower weighted median as a BUCKETED grouped-map — the
+    high-cardinality-key fast path next to the `weighted_median`
+    GROUPED_AGG UDAF (same statistic, bit-identical: stable sort by
+    (key, x), per-key float64 cumsum, first x whose cumulative weight
+    reaches half the total — always an observed value, so any engine
+    reproduces it exactly).
+
+    Why a second surface: GROUPED_AGG pays one Arrow batch + one
+    Python call PER GROUP; on l_partkey (~20k groups at sf0.1) that
+    fixed cost dominated 10:1. Bucketing packs ~|keys|/B groups per
+    pandas call (see _bucketed for the measured rationale and the
+    bucket-memory contract); inside, the per-key numpy work is a
+    segment loop over a single sorted frame. Returns (key, out).
+    """
+    import numpy as np
+
+    key_t = df.schema[key].dataType.simpleString()
+    schema = f"{key} {key_t}, {out} double"
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key, x_col], kind="stable")
+        k = pdf[key].to_numpy()
+        x = pdf[x_col].to_numpy(dtype="float64")
+        w = pdf[w_col].to_numpy(dtype="float64")
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        med = np.empty(len(starts), dtype="float64")
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            cw = np.cumsum(w[s:e])
+            # first index with cumulative weight >= half the total —
+            # identical to the UDAF's boolean-mask pick
+            med[j] = x[s + int(np.searchsorted(cw, cw[-1] / 2.0, side="left"))]
+        return pd.DataFrame({key: k[starts], out: med})
+
+    return (
+        _bucketed(df.select(key, x_col, w_col), key, n_buckets)
+        .groupBy("__bkt")
+        .applyInPandas(agg, schema)
     )
 
 

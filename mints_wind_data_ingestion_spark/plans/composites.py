@@ -819,12 +819,18 @@ def x_profile_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gm_oracle() -> str:
     return f"""
-    SELECT e.user_id, e.event_id, CAST(e.ewma_e6 AS BIGINT) AS ewma_e6,
-           CAST(t.slope_e9 AS BIGINT) AS slope_e9,
-           CAST(t.resid_e6 AS BIGINT) AS resid_e6
+    SELECT 'models' AS part, e.user_id AS k1, e.event_id AS k2,
+           CAST(e.ewma_e6 AS BIGINT) AS n1,
+           CAST(t.slope_e9 AS BIGINT) AS n2,
+           CAST(t.resid_e6 AS BIGINT) AS n3
     FROM {_oracle("x_ewma")} e
     JOIN {_oracle("x_group_trend_fit")} t
       ON t.user_id = e.user_id AND t.event_id = e.event_id
+    UNION ALL
+    SELECT 'wmedian', l_partkey, CAST(NULL AS BIGINT),
+           CAST(floor(wmedian_price * 100 + 0.5) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {_oracle("udaf_weighted_median")}
     """
 
 
@@ -833,16 +839,35 @@ def x_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-model suite: the per-user EWMA recurrence (x_ewma) and
     the per-user OLS trend fit with row-level residuals
     (x_group_trend_fit) — the two applyInPandas surfaces — joined wide
-    on (user_id, event_id). Both grouped-map outputs are partitioned
-    by user_id already, so the join co-locates without a third
-    shuffle under AQE."""
+    on (user_id, event_id); plus (round 4) the per-part weighted
+    median of lineitem prices, the holistic-aggregate surface, as a
+    'wmedian' part (e2-cent-quantized — the median is always an
+    observed 2dp price, so the quantization is lossless). The wmedian
+    part runs the bucketed grouped-map fast path
+    (functions.stats.weighted_median_by); the GROUPED_AGG UDAF twin
+    stays differentially pytest-verified as udaf_weighted_median."""
+    from ..functions.stats import weighted_median_by
+
     ew = REGISTRY["x_ewma"].build(spark, sf_dir)
     tr = REGISTRY["x_group_trend_fit"].build(spark, sf_dir)
-    return (
+    models = (
         ew.select("user_id", "event_id", _b("ewma_e6").alias("ewma_e6"))
         .join(tr.select("user_id", "event_id", _b("slope_e9").alias("slope_e9"),
                         _b("resid_e6").alias("resid_e6")),
               ["user_id", "event_id"])
+    )
+    wm = weighted_median_by(
+        tables(spark, sf_dir)["lineitem"],
+        "l_partkey", "l_extendedprice", "l_quantity",
+    )
+    return (
+        _part(models, "models", k1=_b("user_id"), k2=_b("event_id"),
+              n1=_b("ewma_e6"), n2=_b("slope_e9"), n3=_b("resid_e6"))
+        .unionByName(
+            _part(wm, "wmedian", k1=_b("l_partkey"), k2=_nb(),
+                  n1=F.floor(F.col("wmedian") * 100 + F.lit(0.5))
+                  .cast("bigint"), n2=_nb(), n3=_nb())
+        )
     )
 
 

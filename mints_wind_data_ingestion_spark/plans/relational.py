@@ -854,6 +854,7 @@ def a_unpivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_partkey
     """,
     tags=("UDAF", "A2"),
+    driver=False,
 )
 def udaf_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom holistic aggregate (SURVEY.md §2.10 UDAF row): per part,
