@@ -25,6 +25,7 @@ __all__ = [
     "weighted_median_by",
     "fit_group_trend",
     "ewma_group",
+    "ewma_trend_group",
 ]
 
 
@@ -70,6 +71,77 @@ def _bucketed(df, key: str, n_buckets: int | None):
         n_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
     return df.withColumn(
         "__bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    )
+
+
+def ewma_trend_group(df, key: str, order_col: str, x_col: str,
+                     val_col: str, alpha: float,
+                     n_buckets: int | None = None):
+    """EWMA recurrence AND OLS trend fit in ONE bucketed grouped-map
+    pass: (key, order, ewma_e6, slope_e9, resid_e6) per row.
+
+    Bit-identical to running `ewma_group` and `fit_group_trend`
+    separately and joining (same stable (key, order) sort, same
+    sequential folds/cumulative sums, same quantization) — but one
+    shuffle, one Arrow round-trip, and one frame walk instead of two
+    of each plus a join. The composite x_grouped_models uses this;
+    the standalone components keep the single-model kernels.
+    """
+    import numpy as np
+
+    schema = (
+        f"{key} long, {order_col} long, "
+        "ewma_e6 long, slope_e9 long, resid_e6 long"
+    )
+    a = float(alpha)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([key, order_col], kind="stable")
+        ks = pdf[key].to_numpy()
+        xa = pdf[x_col].to_numpy(dtype="float64")
+        ya = pdf[val_col].to_numpy(dtype="float64")
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        ew = np.empty_like(ya)
+        slope_q = np.empty(len(ks), dtype="int64")
+        resid_q = np.empty(len(ks), dtype="int64")
+        for s, e in zip(starts, ends):
+            # EWMA — identical fold to ewma_group
+            acc = ya[s]
+            ew[s] = acc
+            for i in range(s + 1, e):
+                acc = a * ya[i] + (1.0 - a) * acc
+                ew[i] = acc
+            # OLS — identical cumulative sums to fit_group_trend
+            x, y = xa[s:e], ya[s:e]
+            n = float(e - s)
+            sx = np.cumsum(x)[-1]
+            sy = np.cumsum(y)[-1]
+            sxy = np.cumsum(x * y)[-1]
+            sxx = np.cumsum(x * x)[-1]
+            denom = n * sxx - sx * sx
+            if denom == 0.0:
+                slope, intercept = 0.0, sy / n
+            else:
+                slope = (n * sxy - sx * sy) / denom
+                intercept = (sy - slope * sx) / n
+            resid = y - (intercept + slope * x)
+            slope_q[s:e] = np.floor(slope * 1e9 + 0.5).astype("int64")
+            resid_q[s:e] = np.floor(resid * 1e6 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                key: ks,
+                order_col: pdf[order_col].to_numpy(),
+                "ewma_e6": np.floor(ew * 1e6 + 0.5).astype("int64"),
+                "slope_e9": slope_q,
+                "resid_e6": resid_q,
+            }
+        )
+
+    return (
+        _bucketed(df.select(key, order_col, x_col, val_col), key, n_buckets)
+        .groupBy("__bkt")
+        .applyInPandas(fold, schema)
     )
 
 

@@ -115,18 +115,15 @@ def minhash_signatures(
     posting = docs.select(
         F.col(id_col), F.explode(F.array_distinct(F.col(shingle_col))).alias("__s")
     ).select(id_col, F.xxhash64("__s").alias("__h"))
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        posting.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            id_col,
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
-        )
+    # the k min-aggregates are ONE SQL string (array of aggregates)
+    # parsed JVM-side: building them as k Column trees costs ~5 py4j
+    # round-trips each (~1 s of driver time per build at k=128)
+    mins_sql = (
+        "array("
+        + ", ".join(f"min(xxhash64(__h, {i}))" for i in range(num_hashes))
+        + ") AS signature"
     )
+    return posting.groupBy(id_col).agg(F.expr(mins_sql))
 
 
 def lsh_candidate_pairs(
@@ -316,17 +313,29 @@ def minhash_dedup_pairs(
         .select("__id", F.xxhash64("__s").alias("__h"))
         .cache()
     )
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
-    sig_cols = posting.groupBy("__id").agg(*mins)
-    band_hashes = [
-        F.xxhash64(*[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)], F.lit(b))
-        for b in range(bands)
-    ]
+    # the k min-aggregates and the band hashes are SQL strings parsed
+    # JVM-side in one call each — Column-operator construction costs a
+    # py4j round-trip per node (~1 s of driver time per build at k=144)
+    mins_sql = (
+        "array("
+        + ", ".join(f"min(xxhash64(__h, {i}))" for i in range(num_hashes))
+        + ") AS __sig"
+    )
+    sig_cols = posting.groupBy("__id").agg(F.expr(mins_sql))
+    band_sql = (
+        "array("
+        + ", ".join(
+            "xxhash64("
+            + ", ".join(
+                f"__sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            )
+            + f", {b})"
+            for b in range(bands)
+        )
+        + ")"
+    )
     buckets = sig_cols.select(
-        "__id", F.posexplode(F.array(*band_hashes)).alias("__band", "__bh")
+        "__id", F.posexplode(F.expr(band_sql)).alias("__band", "__bh")
     )
     # co-bucketed ids → in-group pair enumeration. collect_list is safe
     # because bucket cardinality ≈ near-dup cluster size; a pathological
@@ -486,26 +495,33 @@ def simhash_fingerprints(
         "__nullarr",
         F.when(F.col("__s").isNotNull(), hash_fn(F.col("__s"))).alias("__h"),
     )
-    cnts = [
-        F.sum(F.shiftrightunsigned("__h", j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
-        for j in range(nbits)
-    ]
-    agg = posting.groupBy(id_col).agg(
-        F.count("__h").alias("__n"),
-        F.first("__nullarr").alias("__nullarr"),
-        *cnts,
+    # the 64 bit-tallies and the 64-way OR are built as SQL strings
+    # parsed JVM-side in ONE call each: constructing them from Column
+    # operators costs a py4j round-trip per node (~550 calls, measured
+    # 1.5 s of pure driver time per build at nbits=64)
+    cnt_sql = (
+        "array("
+        + ", ".join(
+            f"sum(shiftrightunsigned(__h, {j}) & CAST(1 AS BIGINT))"
+            for j in range(nbits)
+        )
+        + ") AS __cs"
     )
-    bits = [
-        F.when(
-            2 * F.col(f"__c{j}") > F.col("__n"),
-            F.shiftleft(F.lit(1).cast("bigint"), j),
-        ).otherwise(F.lit(0).cast("bigint"))
+    agg = posting.groupBy(id_col).agg(
+        F.expr("count(__h) AS __n"),
+        F.expr("first(__nullarr) AS __nullarr"),
+        F.expr(cnt_sql),
+    )
+    sim_sql = " | ".join(
+        f"(CASE WHEN 2 * __cs[{j}] > __n"
+        f" THEN shiftleft(CAST(1 AS BIGINT), {j})"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for j in range(nbits)
-    ]
-    sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bits)
+    )
     return agg.select(
         F.col(id_col),
-        F.when(F.col("__nullarr"), F.lit(None).cast("bigint"))
-        .otherwise(sim)
-        .alias("simhash"),
+        F.expr(
+            f"CASE WHEN __nullarr THEN CAST(NULL AS BIGINT)"
+            f" ELSE {sim_sql} END AS simhash"
+        ),
     )

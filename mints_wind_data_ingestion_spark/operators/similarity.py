@@ -418,6 +418,10 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> list[list[float]
     return planes
 
 
+#: (session id, vec, dim, bits, tables, seed) → parsed plane Column
+_plane_cache: dict[tuple, Column] = {}
+
+
 def hyperplane_buckets(
     vec: str, dim: int, bits: int = 12, tables: int = 8, seed: int = 7
 ) -> Column:
@@ -445,6 +449,17 @@ def hyperplane_buckets(
             "expression is generated as SQL text); pass the name"
         )
     vname = vec
+    # memoize the PARSED Column per session: the planes are a pure
+    # function of (dim, bits, tables, seed), and the JVM parse of the
+    # ~6k-literal tree is ~0.7 s — repeated on every query build
+    # otherwise. Keyed on the active session so a stale JVM reference
+    # can never leak across sessions.
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    key = (id(sess), vname, dim, bits, tables, seed)
+    if sess is not None and key in _plane_cache:
+        return _plane_cache[key]
     table_exprs = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, t, seed)
@@ -461,7 +476,10 @@ def hyperplane_buckets(
                 f"CAST(0 AS BIGINT)), {j})"
             )
         table_exprs.append(" | ".join(["CAST(0 AS BIGINT)", *bits_sql]))
-    return F.expr("array(" + ", ".join(table_exprs) + ")")
+    col = F.expr("array(" + ", ".join(table_exprs) + ")")
+    if sess is not None:
+        _plane_cache[key] = col
+    return col
 
 
 def topk_lsh(
@@ -494,13 +512,16 @@ def topk_lsh(
     memory-vs-query-fanout trade of multi-probe LSH.
     """
 
+    # parse the (large) plane-literal SQL once and reuse the Column on
+    # both sides — the JVM-side parse/analysis of the ~6k-literal tree
+    # is the dominant build cost, not the Python loop
+    planes_col = hyperplane_buckets(vec_col, dim, bits, tables, seed)
+
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v"),
-            F.posexplode(
-                hyperplane_buckets(vec_col, dim, bits, tables, seed)
-            ).alias("table", "bucket"),
+            F.posexplode(planes_col).alias("table", "bucket"),
         )
 
     qb = bucketed(queries, "query_id")

@@ -537,20 +537,32 @@ def x_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix (x_lang_confusion), the nearest-centroid classification
     audit (x_nearest_centroid), and the per-label embedding centroids
     those prototypes come from (x_label_centroids), tagged into one
-    superset. The shared centroid-sum aggregation is computed ONCE
-    (localCheckpoint) and feeds both embedding parts — one explode
-    pass instead of the two the standalone components would run."""
-    from .extensions import (
-        centroid_sums,
-        confusion_from_centroids,
-        quantized_centroids,
-    )
+    superset. The shared centroid-sum aggregation runs ONCE (one
+    Spark job, collected — a bounded labels×dims pull); the collected
+    sums feed the scoring pass as plan literals AND replay as the
+    'centroids' part rows (floor(sum/n·1e6+0.5) in Python doubles is
+    the identical IEEE arithmetic), so the final plan re-scans
+    embeddings only for the scoring pass."""
+    import math
+
+    from .extensions import centroid_sums, confusion_from_centroids
 
     lc = REGISTRY["x_lang_confusion"].build(spark, sf_dir)
     emb = tables(spark, sf_dir)["embeddings"]
-    cent = centroid_sums(emb).localCheckpoint()
-    nc = confusion_from_centroids(emb, cent.collect())
-    ct = quantized_centroids(cent)
+    crows = centroid_sums(emb).collect()
+    nc = confusion_from_centroids(emb, crows)
+    ct = spark.createDataFrame(
+        [
+            (
+                r["label"],
+                r["pos"],
+                int(math.floor(float(r["sum_d"]) / r["n_vecs"] * 1e6 + 0.5)),
+                r["n_vecs"],
+            )
+            for r in crows
+        ],
+        "label long, pos int, centroid_e6 long, n_vecs long",
+    )
     return (
         _part(lc, "lang_confusion", k1=_s("lang"), k2=_s("lang_pred"),
               n1=_b("n"), n2=_nb())
@@ -845,16 +857,22 @@ def x_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed 2dp price, so the quantization is lossless). The wmedian
     part runs the bucketed grouped-map fast path
     (functions.stats.weighted_median_by); the GROUPED_AGG UDAF twin
-    stays differentially pytest-verified as udaf_weighted_median."""
-    from ..functions.stats import weighted_median_by
+    stays differentially pytest-verified as udaf_weighted_median.
+    The models part runs BOTH kernels in one grouped-map pass
+    (functions.stats.ewma_trend_group — bit-identical to the
+    components' two passes + join, at one shuffle and one Arrow
+    round-trip)."""
+    from ..functions.stats import ewma_trend_group, weighted_median_by
 
-    ew = REGISTRY["x_ewma"].build(spark, sf_dir)
-    tr = REGISTRY["x_group_trend_fit"].build(spark, sf_dir)
-    models = (
-        ew.select("user_id", "event_id", _b("ewma_e6").alias("ewma_e6"))
-        .join(tr.select("user_id", "event_id", _b("slope_e9").alias("slope_e9"),
-                        _b("resid_e6").alias("resid_e6")),
-              ["user_id", "event_id"])
+    ev = tables(spark, sf_dir)["events"]
+    models = ewma_trend_group(
+        ev.select(
+            "user_id", "event_id",
+            (F.unix_micros("ts") / F.lit(1e6)).alias("x"),
+            F.col("value").alias("y"),
+        ),
+        key="user_id", order_col="event_id",
+        x_col="x", val_col="y", alpha=0.2,
     )
     wm = weighted_median_by(
         tables(spark, sf_dir)["lineitem"],
