@@ -9,6 +9,10 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 - section 3 template 3.0  (latitude/longitude grid)
 - section 4 template 4.0  (analysis/forecast at a point in time)
 - section 5 template 5.0  (grid-point simple packing)
+- section 5 template 5.2  (grid-point complex packing)
+- section 5 template 5.3  (complex packing with spatial differencing,
+  order 1 or 2 — the packing real NOAA pgrb2 files, the exact files
+  the reference downloads via converter.py:136-142, predominantly use)
 - section 6 bitmap indicator 255 (no bitmap) or 0 (bitmap present)
 
 Decoding is numpy-vectorized (unpackbits + matmul — no per-point
@@ -116,6 +120,192 @@ def _pack_values(
     return np.packbits(out.reshape(-1)).tobytes(), float(ref), 0, d, nbits
 
 
+def _pack_uints(arr: np.ndarray, w: int) -> bytes:
+    """Pack non-negative ints as consecutive `w`-bit fields, padded to
+    a whole number of octets (the per-array padding WMO template 7.2
+    prescribes)."""
+    a = np.asarray(arr, dtype=np.int64)
+    if w == 0 or a.size == 0:
+        return b""
+    out = np.zeros((a.size, w), dtype=np.uint8)
+    for j in range(w):
+        out[:, j] = (a >> (w - 1 - j)) & 1
+    return np.packbits(out.reshape(-1)).tobytes()
+
+
+def _unpack_uints(bits: np.ndarray, off: int, n: int, w: int):
+    """Read `n` consecutive `w`-bit unsigned fields from a 0/1 bit
+    array starting at bit `off`; returns (values, next bit offset)."""
+    if w == 0:
+        return np.zeros(n, dtype=np.int64), off
+    sl = bits[off : off + n * w].reshape(n, w).astype(np.int64)
+    vals = sl @ (1 << np.arange(w - 1, -1, -1, dtype=np.int64))
+    return vals, off + n * w
+
+
+def _octet_align(off: int) -> int:
+    return (off + 7) & ~7
+
+
+def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
+    """Decode section 7 for templates 5.2/5.3 (complex packing,
+    optionally with spatial differencing) → float32 values.
+
+    Layout per WMO FM 92 templates 5.2/5.3 + 7.2/7.3 and the NCEP g2
+    convention for the differencing extras: `ba`-octet sign-magnitude
+    descriptors (the first `order` original scaled values, then the
+    overall minimum of the differences), then the group machinery over
+    the zero-led, min-subtracted difference array; decoding re-adds
+    the minimum to positions ≥ order, restores the leading values, and
+    integrates the recurrence."""
+    drt = _u(msg, o5 + 9, 2)
+    n = _u(msg, o5 + 5, 4)
+    ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
+    e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+    nbits_ref = msg[o5 + 19]
+    if msg[o5 + 22] != 0:
+        raise ValueError(
+            f"missing-value management {msg[o5 + 22]} unsupported"
+        )
+    ng = _u(msg, o5 + 31, 4)
+    width_ref, wbits = msg[o5 + 35], msg[o5 + 36]
+    len_ref, len_inc = _u(msg, o5 + 37, 4), msg[o5 + 41]
+    last_len = _u(msg, o5 + 42, 4)
+    lbits = msg[o5 + 46]
+
+    payload = msg[o7 + 5 : o7 + slen7]
+    pos = 0
+    order = 0
+    ival = []
+    minsd = 0
+    if drt == 3:
+        order, ba = msg[o5 + 47], msg[o5 + 48]
+        if order not in (1, 2):
+            raise ValueError(f"spatial differencing order {order} unsupported")
+        for _ in range(order):
+            ival.append(_s(payload, pos, ba))
+            pos += ba
+        minsd = _s(payload, pos, ba)
+        pos += ba
+
+    bits = np.unpackbits(np.frombuffer(payload[pos:], dtype=np.uint8))
+    off = 0
+    grefs, off = _unpack_uints(bits, off, ng, nbits_ref)
+    off = _octet_align(off)
+    winc, off = _unpack_uints(bits, off, ng, wbits)
+    widths = winc + width_ref
+    off = _octet_align(off)
+    linc, off = _unpack_uints(bits, off, ng, lbits)
+    lengths = linc * len_inc + len_ref
+    if ng > 0:
+        lengths[-1] = last_len
+    off = _octet_align(off)
+    if int(lengths.sum()) != n:
+        raise ValueError(
+            f"group lengths sum to {int(lengths.sum())}, expected {n}"
+        )
+
+    x = np.empty(n, dtype=np.int64)
+    at = 0
+    for g in range(ng):
+        ln, w = int(lengths[g]), int(widths[g])
+        vals, off = _unpack_uints(bits, off, ln, w)
+        x[at : at + ln] = vals + grefs[g]
+        at += ln
+
+    if drt == 3:
+        x[order:] += minsd
+        x[:order] = ival
+        if order == 1:
+            x = np.cumsum(x)
+        else:
+            # order 2: x'' = sd ⇒ first differences are cumsum(sd)
+            # seeded with ival2−ival1, and x is their cumsum seeded
+            # with ival1 — two exact int64 cumsums, no Python loop
+            t = x.copy()
+            t[1] = x[1] - x[0]
+            d1 = np.cumsum(t[1:])  # first differences x[j] − x[j−1]
+            x = x[0] + np.concatenate(
+                (np.zeros(1, dtype=np.int64), np.cumsum(d1))
+            )
+    return ((ref + x * math.ldexp(1.0, e)) / 10.0**d).astype(np.float32)
+
+
+def _pack_complex(
+    values: np.ndarray, d: int, order: int, group_len: int = 32
+) -> tuple[bytes, bytes, float]:
+    """Encode values with complex packing (order=0 → template 5.2,
+    order 1/2 → 5.3): returns (section 5 template bytes from octet 12,
+    section 7 payload, stored reference value)."""
+    scaled = np.asarray(values, dtype=np.float64) * 10.0**d
+    ref = np.float32(scaled.min())
+    v = np.rint(scaled - float(ref)).astype(np.int64)
+    v = np.maximum(v, 0)
+    n = v.size
+
+    extras = b""
+    if order:
+        if n <= order:
+            raise ValueError("spatial differencing needs more points than order")
+        ival = [int(v[i]) for i in range(order)]
+        sd = np.zeros(n, dtype=np.int64)
+        if order == 1:
+            sd[1:] = v[1:] - v[:-1]
+        else:
+            sd[2:] = v[2:] - 2 * v[1:-1] + v[:-2]
+        minsd = int(sd[order:].min()) if n > order else 0
+        sd[order:] -= minsd
+        v = sd
+        ba = max(
+            (int(abs(x)).bit_length() + 8) // 8 for x in (*ival, minsd, 1)
+        )
+        extras = b"".join(_put_s(x, ba) for x in (*ival, minsd))
+    else:
+        ba = 0
+
+    ng = (n + group_len - 1) // group_len
+    groups = [v[g * group_len : (g + 1) * group_len] for g in range(ng)]
+    grefs = np.array([int(g.min()) for g in groups], dtype=np.int64)
+    maxdev = [int((g - r).max()) for g, r in zip(groups, grefs)]
+    widths = np.array([m.bit_length() for m in maxdev], dtype=np.int64)
+    nbits_ref = int(grefs.max()).bit_length() if grefs.max() > 0 else 0
+    width_ref = int(widths.min())
+    wbits = int((widths - width_ref).max()).bit_length() if ng else 0
+
+    blob = _pack_uints(grefs, nbits_ref)
+    blob += _pack_uints(widths - width_ref, wbits)
+    # constant group length: scaled lengths all zero (0 bits each),
+    # the last group's true length goes in the template
+    databits = []
+    for g, r, w in zip(groups, grefs, widths):
+        if w:
+            a = (g - r).astype(np.int64)
+            out = np.zeros((a.size, int(w)), dtype=np.uint8)
+            for j in range(int(w)):
+                out[:, j] = (a >> (int(w) - 1 - j)) & 1
+            databits.append(out.reshape(-1))
+    if databits:
+        blob += np.packbits(np.concatenate(databits)).tobytes()
+
+    tmpl = (
+        struct.pack(">f", float(ref))
+        + _put_s(0, 2)  # E = 0
+        + _put_s(d, 2)
+        + bytes([nbits_ref, 0])  # original field type: float
+        + bytes([1, 0])  # general splitting, no missing-value mgmt
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + ng.to_bytes(4, "big")
+        + bytes([width_ref, wbits])
+        + group_len.to_bytes(4, "big")  # length reference
+        + bytes([1])  # length increment
+        + len(groups[-1]).to_bytes(4, "big")
+        + bytes([0])  # scaled group lengths: 0 bits each
+    )
+    if order:
+        tmpl += bytes([order, ba])
+    return tmpl, extras + blob, float(ref)
+
+
 def decode_grib2_bytes(content: bytes) -> list[dict]:
     """Decode every message in a GRIB2 file into grib2json-shaped
     records: {"header": {...}, "data": [float32 values...]}.
@@ -170,11 +360,8 @@ def decode_grib2_bytes(content: bytes) -> list[dict]:
 
         o5 = sec[5][0]
         drt = _u(msg, o5 + 9, 2)
-        if drt != 0:
+        if drt not in (0, 2, 3):
             raise ValueError(f"data representation template 5.{drt} unsupported")
-        ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
-        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
-        nbits = msg[o5 + 19]
 
         o6, slen6 = sec[6]
         bitmap_ind = msg[o6 + 5]
@@ -183,7 +370,15 @@ def decode_grib2_bytes(content: bytes) -> list[dict]:
 
         o7, slen7 = sec[7]
         n_packed = _u(msg, o5 + 5, 4)  # points actually packed (≠ grid under bitmap)
-        vals = _unpack_values(msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d)
+        if drt == 0:
+            ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
+            e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+            nbits = msg[o5 + 19]
+            vals = _unpack_values(
+                msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d
+            )
+        else:
+            vals = _unpack_complex(msg, o5, o7, slen7)
         if bitmap_ind == 0:
             present = np.unpackbits(
                 np.frombuffer(msg[o6 + 6 : o6 + slen6], dtype=np.uint8)
@@ -271,17 +466,33 @@ def encode_grib2_message(
     scan_mode: int = 0,
     nbits: int = 12,
     decimal_scale: int = 2,
+    packing: str = "simple",
 ) -> bytes:
-    """Encode one field as a GRIB2 message (templates 3.0/4.0/5.0,
-    simple packing, no bitmap). la2/lo2 derive from the grid shape the
-    way scanMode 0 lays it out (rows N→S, lon W→E)."""
+    """Encode one field as a GRIB2 message (templates 3.0/4.0, no
+    bitmap). `packing` selects section 5: "simple" (5.0),
+    "complex" (5.2), or "complex_diff" / "complex_diff1" (5.3 with
+    second/first-order spatial differencing). la2/lo2 derive from the
+    grid shape the way scanMode 0 lays it out (rows N→S, lon W→E)."""
     values = np.asarray(values, dtype=np.float64)
     n = values.size
     if n != nx * ny:
         raise ValueError(f"{n} values for a {nx}x{ny} grid")
     la2, lo2 = la1 - dy * (ny - 1), lo1 + dx * (nx - 1)
 
-    packed, ref, e, d, nbits_used = _pack_values(values, nbits, decimal_scale)
+    if packing == "simple":
+        packed, ref, e, d, nbits_used = _pack_values(values, nbits, decimal_scale)
+        s5_tail = (
+            (0).to_bytes(2, "big")  # template 5.0
+            + struct.pack(">f", ref)
+            + _put_s(e, 2) + _put_s(d, 2)
+            + bytes([nbits_used, 0])
+        )
+    elif packing in ("complex", "complex_diff", "complex_diff1"):
+        order = {"complex": 0, "complex_diff": 2, "complex_diff1": 1}[packing]
+        tmpl, packed, _ref = _pack_complex(values, decimal_scale, order)
+        s5_tail = (2 if order == 0 else 3).to_bytes(2, "big") + tmpl
+    else:
+        raise ValueError(f"unknown packing {packing!r}")
 
     s1 = (
         b"\x01"
@@ -324,14 +535,7 @@ def encode_grib2_message(
         + round(surface1_value).to_bytes(4, "big")
         + bytes([255, 0]) + (0).to_bytes(4, "big")  # surface 2 missing
     )
-    s5 = (
-        b"\x05"
-        + n.to_bytes(4, "big")
-        + (0).to_bytes(2, "big")  # template 5.0
-        + struct.pack(">f", ref)
-        + _put_s(e, 2) + _put_s(d, 2)
-        + bytes([nbits_used, 0])
-    )
+    s5 = b"\x05" + n.to_bytes(4, "big") + s5_tail
     s6 = b"\x06" + bytes([255])
     s7 = b"\x07" + packed
 

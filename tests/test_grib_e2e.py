@@ -70,6 +70,11 @@ def test_grib2_binary_to_lat_band_stats(spark, tmp_path):
     landing = tmp_path / "grib"
     landing.mkdir()
     fields = {}
+    # mixed-packing corpus: one file per section-5 template the codec
+    # supports (simple 5.0, complex 5.2, complex+spatial-diff 5.3 —
+    # the packing real NOAA pgrb2 files use), all through the same
+    # binaryFile + mapInPandas source
+    packings = ("simple", "complex", "complex_diff")
     for t_idx, ref in enumerate(REF_TIMES):
         msgs = []
         for param in (2, 3):  # U, V at 10 m — the selected records
@@ -78,7 +83,7 @@ def test_grib2_binary_to_lat_band_stats(spark, tmp_path):
             msgs.append(
                 encode_grib2_message(
                     vals, parameter_number=param, ref_time=ref,
-                    nx=NX, ny=NY,
+                    nx=NX, ny=NY, packing=packings[t_idx],
                 )
             )
         # decoy record: 2 m temperature-surface analog the --fs/--fv
@@ -137,11 +142,14 @@ def test_grib2_streaming_ingest_latest_wins(spark, tmp_path):
     ref6 = datetime(2020, 8, 12, 6)
 
     def grib_file(ref, fc, bias):
+        # complex-packed with spatial differencing (template 5.3) —
+        # the streaming ingest decodes the same wire format the
+        # reference's real NOAA downloads use
         msgs = [
             encode_grib2_message(
                 [round(v + bias, 2) for v in _field(0, p)],
                 parameter_number=p, ref_time=ref, forecast_hours=fc,
-                nx=NX, ny=NY,
+                nx=NX, ny=NY, packing="complex_diff",
             )
             for p in (2, 3)
         ]
