@@ -28,8 +28,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_frequencies", "train_bpe_merges", "apply_merges_py",
-           "encode_corpus"]
+__all__ = ["word_frequencies", "train_bpe_merges", "train_bpe_merges_auto",
+           "bpe_merges_local", "apply_merges_py", "encode_corpus"]
+
+#: distinct-word count at or below which merge training runs on a
+#: collected (word, freq) table driver-side. BPE training state IS the
+#: vocab table — Zipf keeps it modest (≈100k words ≈ a few MB) even
+#: for corpora thousands of times larger than their vocabulary, and
+#: one bounded Arrow pull replaces n_merges × (aggregate + 1-row
+#: collect + Arrow vocab rewrite) driver round-trips. Above the gate
+#: the distributed loop runs — same merges either way (pinned by
+#: test_props_round3's Sennrich differential).
+LOCAL_TRAIN_WORDS = 100_000
 
 #: end-of-word marker (Sennrich's convention) — lets merges distinguish
 #: word-final from word-internal occurrences
@@ -127,6 +137,82 @@ def train_bpe_merges(
             apply_batch, schema="word string, freq long, symbols array<string>"
         ).localCheckpoint()
     return merges
+
+
+def _train_merges_py(
+    freq_items: list[tuple[str, int]], n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """The textbook in-memory trainer over a (word, freq) list —
+    identical merge decisions to train_bpe_merges (same pair weights,
+    same (count DESC, a ASC, b ASC) tie break)."""
+    from collections import Counter
+
+    vocab = [(list(w) + [EOW], f) for w, f in freq_items]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        # highest count, then lexicographically smallest (a, b) — the
+        # distributed trainer's (cnt DESC, a ASC, b ASC) tie break
+        top_cnt = max(counts.values())
+        if top_cnt < min_count:
+            break
+        a, b = min(p for p, c in counts.items() if c == top_cnt)
+        merges.append((a, b))
+        vocab = [(apply_merges_py(syms, [(a, b)]), f) for syms, f in vocab]
+    return merges
+
+
+def train_bpe_merges_auto(
+    word_freq: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    local_train_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Size-gated trainer: collect the (word, freq) table and train
+    driver-side when the vocab fits LOCAL_TRAIN_WORDS (one bounded
+    Arrow pull — the CC local-solve posture applied to BPE's
+    vocab-sized iteration state); fall back to the distributed
+    per-round loop otherwise."""
+    gate = LOCAL_TRAIN_WORDS if local_train_words is None else local_train_words
+    n_words = word_freq.count()
+    if n_words <= gate:
+        rows = word_freq.collect()
+        return _train_merges_py(
+            [(r["word"], r["freq"]) for r in rows], n_merges, min_count
+        )
+    return train_bpe_merges(word_freq, n_merges, min_count)
+
+
+def bpe_merges_local(
+    sf_dir: str, n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Engine-free re-derivation of the trained merge sequence straight
+    from the parquet (duckdb scan + pure-Python counting) — the lazy-
+    oracle path, mirroring operators.similarity.ivf_centroids_local.
+    Tokenization replays word_frequencies exactly: ASCII-\\s+ split,
+    lowercase, empties dropped."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    split = re.compile(r"\s+", flags=re.ASCII).split
+    freq: Counter = Counter()
+    for (t,) in texts:
+        for w in split(str(t)):
+            if w:
+                freq[w.lower()] += 1
+    return _train_merges_py(sorted(freq.items()), n_merges, min_count)
 
 
 def encode_corpus(

@@ -687,6 +687,169 @@ def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D_MM_TRANSFORM = """
+    WITH d AS (
+        SELECT doc_id, 16 + doc_id % 13 AS w, 16 + (doc_id * 3) % 11 AS h
+        FROM documents
+    ),
+    cell AS (
+        SELECT doc_id, w, h,
+               least(CAST(floor((i + 0.5) * h / 8.0) AS BIGINT), h - 1) AS sy,
+               least(CAST(floor((j + 0.5) * w / 8.0) AS BIGINT), w - 1) AS sx
+        FROM d,
+             LATERAL unnest(generate_series(0, 7)) AS a(i),
+             LATERAL unnest(generate_series(0, 7)) AS b(j)
+    ),
+    px AS (
+        SELECT doc_id, c.c AS c,
+               (doc_id * 7 + sx * 3 + sy * 5 + c.c * 11) % 256 AS v
+        FROM cell, LATERAL unnest(generate_series(0, 2)) AS c(c)
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS out_width, CAST(8 AS INT) AS out_height,
+           CAST(floor(CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS DOUBLE)
+                      / 64.0 * 1e6 + 0.5) AS BIGINT) AS mean_r_e6,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(sum(v * v) AS BIGINT) AS px_sumsq
+    FROM px GROUP BY doc_id
+"""
+
+
+@query("x_mm_transform", oracle=_D_MM_TRANSFORM, tags=("ext", "multimodal"))
+def x_mm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full media-transform pipeline, driver-verified end-to-end:
+    synthesize a REAL 24-bit BMP per document (closed-form pixels,
+    varied dimensions), then decode → nearest-neighbor resize to 8×8 →
+    feature-extract → re-encode (sources.multimodal.transform_images),
+    then DECODE THE RE-ENCODED payload and emit exact integer pixel
+    moments (resized_pixel_moments). Because the synth pixels are a
+    pure function of doc_id, the oracle recomputes the resized moments
+    in closed form — any bit wrong anywhere in the two codec passes,
+    the half-pixel-center resize grid, or the feature means breaks the
+    hash. Three chained Arrow mapInPandas passes, narrow end-to-end:
+    the 100 TB shape is a binaryFile scan in place of the synth."""
+    from ..sources.multimodal import (
+        resized_pixel_moments,
+        synth_bmp_corpus,
+        transform_images,
+    )
+
+    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+    tr = transform_images(synth_bmp_corpus(docs), 8, 8)
+    mom = resized_pixel_moments(tr)
+    return mom.select(
+        "doc_id", "out_width", "out_height",
+        F.floor(F.col("mean_r") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("mean_r_e6"),
+        "px_sum", "px_sumsq",
+    )
+
+
+def _bpe_oracle(sf_dir: str, n_merges: int = 24) -> str:
+    """DuckDB replay of the full trained-BPE corpus encode, with the
+    merge sequence re-derived ENGINE-FREE from the parquet
+    (functions.bpe.bpe_merges_local — the ivf_centroids_local move).
+
+    The per-word merge application uses greedy leftmost
+    non-overlapping pair replacement; wrapping every symbol as
+    chr(1)·sym·chr(2) makes one `replace()` pass over the wrapped
+    string EXACTLY that operation (each match consumes its own
+    delimiters, so adjacent matches never share characters, and SQL
+    replace scans left-to-right continuing after each replacement —
+    the same walk apply_merges_py does). A recursive CTE steps the
+    distinct-word table through the merges in training order; docs
+    then join their word sequence back and aggregate in order."""
+    from ..functions.bpe import bpe_merges_local
+
+    merges = bpe_merges_local(sf_dir, n_merges)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    if merges:
+        values = ", ".join(
+            f"({i}, '{esc(a)}', '{esc(b)}')" for i, (a, b) in enumerate(merges)
+        )
+        mm_cte = f"""
+    m(idx, a, b) AS (VALUES {values}),
+    mm AS (
+        SELECT idx,
+               chr(1)||a||chr(2)||chr(1)||b||chr(2) AS pat,
+               chr(1)||a||b||chr(2) AS rep
+        FROM m
+    ),"""
+    else:
+        mm_cte = """
+    mm(idx, pat, rep) AS (SELECT 0, '', '' WHERE FALSE),"""
+    return f"""
+    WITH RECURSIVE{mm_cte}
+    docs_w AS (
+        SELECT doc_id, i AS pos, lower(ws[i]) AS word
+        FROM (SELECT doc_id, {_D_TOKS} AS ws FROM documents),
+             LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+    ),
+    words AS (SELECT DISTINCT word FROM docs_w),
+    enc AS (
+        SELECT word, 0 AS step,
+               list_aggregate(
+                   list_transform(generate_series(1, len(word)),
+                                  i -> chr(1)||word[i]||chr(2)),
+                   'string_agg', '')
+               || chr(1) || '</w>' || chr(2) AS s
+        FROM words
+        UNION ALL
+        SELECT e.word, e.step + 1, replace(e.s, mm.pat, mm.rep)
+        FROM enc e JOIN mm ON mm.idx = e.step
+    ),
+    wtoks AS (
+        SELECT word,
+               CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS n_toks,
+               replace(replace(replace(s, chr(2)||chr(1), ' '),
+                               chr(1), ''), chr(2), '') AS toks
+        FROM enc WHERE step = {len(merges)}
+    ),
+    per_doc AS (
+        SELECT d.doc_id,
+               CAST(sum(w.n_toks) AS BIGINT) AS n_bpe_tokens,
+               string_agg(w.toks, ' ' ORDER BY d.pos) AS bpe_text
+        FROM docs_w d JOIN wtoks w USING (word)
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+           coalesce(p.bpe_text, '') AS bpe_text
+    FROM documents LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@query("x_bpe_encode", oracle=_bpe_oracle, tags=("ext", "text", "bpe"))
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE corpus tokenization end-to-end: learn 24 merges
+    from the corpus's word-frequency table (train_bpe_merges_auto —
+    the vocab-sized iteration state collapses to one bounded pull
+    under the size gate, the CC local-solve posture; at 100 TB vocabs
+    the distributed per-round loop runs instead), then encode EVERY
+    document with the learned merges in one Arrow-batched mapInPandas
+    pass (functions.bpe.encode_corpus). Emits per doc the BPE token
+    count and the full space-joined token string, so the driver hash
+    pins every merge application bit-for-bit. The oracle re-derives
+    the merges engine-free and replays the encode in pure SQL."""
+    from ..functions.bpe import (
+        encode_corpus,
+        train_bpe_merges_auto,
+        word_frequencies,
+    )
+
+    docs = tables(spark, sf_dir)["documents"]
+    merges = train_bpe_merges_auto(word_frequencies(docs), n_merges=24)
+    enc = encode_corpus(docs, merges, id_col="doc_id", text_col="text")
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.col("bpe_tokens")).alias("bpe_text"),
+    )
+
+
 @query(
     "x_approx_distinct",
     oracle="""
@@ -719,6 +882,95 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
     return agg.select(
         "event_type", "exact_users", (rel_err <= F.lit(0.05)).alias("approx_within_5pct")
+    )
+
+
+@query(
+    "x_approx_quantiles",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(floor(min(CASE WHEN rn >= ceil(0.50 * n) THEN value END)
+                          * 1e6 + 0.5) AS BIGINT) AS p50_e6,
+               CAST(floor(min(CASE WHEN rn >= ceil(0.90 * n) THEN value END)
+                          * 1e6 + 0.5) AS BIGINT) AS p90_e6,
+               CAST(floor(min(CASE WHEN rn >= ceil(0.99 * n) THEN value END)
+                          * 1e6 + 0.5) AS BIGINT) AS p99_e6
+        FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, p50_e6, p90_e6, p99_e6,
+           TRUE AS sketch_within_rank_err
+    FROM exact
+    """,
+    tags=("ext", "sketch"),
+)
+def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH next to exact percentiles — the one-pass
+    fixed-memory mergeable path for 100 TB distribution work
+    (percentile_approx = Greenwald-Khanna; exact percentiles are a
+    full sort per group). Sketch outputs are implementation-specific,
+    so (the x_approx_distinct move) the query emits the sketch's
+    accuracy CONTRACT as data: with accuracy=1000 the returned value's
+    RANK must lie within n/1000 of the target rank — the driver hash
+    fails if the sketch ever drifts. Exact p50/p90/p99 (e6-quantized)
+    are value-checked directly against DuckDB's rank-based derivation."""
+    ev = tables(spark, sf_dir)["events"]
+    appr = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exact discrete percentiles the scalable way — rank window, not a
+    # per-group collected array (a_percentiles_disc's shape)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def disc(p: float) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("value"))
+        )
+
+    exact = r.groupBy("event_type").agg(
+        F.floor(disc(0.5) * F.lit(1e6) + F.lit(0.5)).alias("p50_e6"),
+        F.floor(disc(0.9) * F.lit(1e6) + F.lit(0.5)).alias("p90_e6"),
+        F.floor(disc(0.99) * F.lit(1e6) + F.lit(0.5)).alias("p99_e6"),
+    )
+    # sketch contract: rank(approx value) within n/accuracy of the
+    # target rank — one broadcast join + conditional counts
+    ranks = (
+        ev.join(F.broadcast(appr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    (F.col("value") <= F.element_at(F.col("approx"), i + 1))
+                    .cast("long")
+                ).alias(f"r{i}")
+                for i in range(3)
+            ],
+            F.first("n").alias("n"),
+        )
+    )
+    checks = [
+        F.abs(F.col(f"r{i}") - F.ceil(F.lit(p) * F.col("n")))
+        <= F.col("n") / F.lit(1000) + F.lit(1)
+        for i, p in enumerate((0.5, 0.9, 0.99))
+    ]
+    ok = checks[0] & checks[1] & checks[2]
+    return exact.join(
+        ranks.select("event_type", ok.alias("sketch_within_rank_err")),
+        "event_type",
     )
 
 
@@ -813,6 +1065,130 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = train_ivf_centroids(emb, n_cells=16, iters=5)
     probes = emb.filter(F.col("vec_id") < 8)
     return topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8)
+
+
+_GRIB_NX, _GRIB_NY = 12, 6
+_GRIB_REFS = ["2020-08-12T00:00:00.000Z", "2020-08-12T06:00:00.000Z",
+              "2020-08-12T12:00:00.000Z"]
+
+_D_GRIB_STATS = f"""
+    WITH g AS (
+        SELECT t.t AS t, p.p AS p, i.i AS i,
+               (i.i * 7 + t.t * 13 + p.p * 29) % 3800 AS v_e2
+        FROM unnest(generate_series(0, 2)) AS t(t),
+             unnest([2, 3]) AS p(p),
+             unnest(generate_series(0, {_GRIB_NX * _GRIB_NY - 1})) AS i(i)
+    )
+    SELECT CASE t WHEN 0 THEN '{_GRIB_REFS[0]}'
+                  WHEN 1 THEN '{_GRIB_REFS[1]}'
+                  ELSE '{_GRIB_REFS[2]}' END AS ref_time,
+           CAST(p AS INT) AS param,
+           90.0 - (i // {_GRIB_NX}) AS lat,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(v_e2) AS BIGINT) AS vmin_e2,
+           CAST(max(v_e2) AS BIGINT) AS vmax_e2,
+           CAST(sum(v_e2) AS BIGINT) AS vsum_e2
+    FROM g GROUP BY t, p, i // {_GRIB_NX}
+"""
+
+
+@query("x_grib_decode_stats", oracle=_D_GRIB_STATS, tags=("ext", "grib", "S2"))
+def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 codec driver-verified end-to-end (S2, previously
+    pytest-only): closed-form 0.01-quantized wind fields (3 run
+    timestamps × U/V) are encoded as REAL template-5.3 complex-packed
+    spatial-differenced GRIB2 binary (the packing actual NOAA pgrb2
+    files use), the binary rows are decoded executor-side by the
+    Arrow-batched pure-numpy WMO codec, and the decoded grids
+    aggregate to per-(refTime, param, latitude-band) statistics — the
+    x_grid_stats-class consumer shape. The oracle recomputes every
+    statistic from the closed-form field, so a single wrong bit in
+    complex packing, spatial-difference integration, header decode
+    (refTime/param ride the output), or the grid row math breaks the
+    hash. 2dp values at decimal_scale=2 make the codec round-trip
+    exact, not approximate."""
+    from datetime import datetime, timezone
+
+    from ..functions.wind import cell_lat
+    from ..sources.grib2codec import decode_grib2_bytes, encode_grib2_message
+
+    nx, ny = _GRIB_NX, _GRIB_NY
+    blobs = []
+    for t in range(3):
+        ref = datetime(2020, 8, 12, 6 * t, tzinfo=timezone.utc)
+        for p in (2, 3):
+            vals = [((i * 7 + t * 13 + p * 29) % 3800) / 100.0
+                    for i in range(nx * ny)]
+            blobs.append(
+                (t, p, encode_grib2_message(
+                    vals, parameter_number=p, ref_time=ref, nx=nx, ny=ny,
+                    packing="complex_diff",
+                ))
+            )
+    bdf = spark.createDataFrame(blobs, "t int, p int, blob binary")
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for b in pdf["blob"]:
+                for rec in decode_grib2_bytes(bytes(b)):
+                    h = rec["header"]
+                    rows.append((h["refTime"], h["parameterNumber"],
+                                 rec["data"]))
+            yield pd.DataFrame(rows, columns=["ref_time", "param", "data"])
+
+    import pandas as pd  # noqa: F811
+
+    decoded = bdf.mapInPandas(
+        decode, schema="ref_time string, param int, data array<double>"
+    )
+    cells = decoded.select(
+        "ref_time", "param", F.posexplode("data").alias("idx", "v")
+    ).select(
+        "ref_time", "param",
+        cell_lat(F.col("idx"), nx=nx).alias("lat"),
+        F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
+    )
+    return cells.groupBy("ref_time", "param", "lat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v_e2").alias("vmin_e2"),
+        F.max("v_e2").alias("vmax_e2"),
+        F.sum("v_e2").alias("vsum_e2"),
+    )
+
+
+def _ivf_index_oracle(sf_dir: str) -> str:
+    return _ivf_oracle(sf_dir, n_cells=16, iters=5, nprobe=4, k=10)
+
+
+@query("x_sim_topk_ivf_index", oracle=_ivf_index_oracle,
+       tags=("ext", "similarity", "ivf"))
+def x_sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index IVF variant, driver-verified: build (or
+    refresh) an on-disk inverted file — trained centroids + the corpus
+    parquet PARTITIONED BY cell (operators.similarity.build_ivf_index)
+    — then answer the standard probe set by reading back through the
+    index (topk_ivf_indexed), where partition pruning turns the probe
+    join into a scan of exactly the probed cells' directories. Same
+    deterministic trainer as x_sim_topk_ivf, so the lazy oracle embeds
+    the centroids as literals and DuckDB replays assignment → probe →
+    rerank bit-for-bit (nprobe=4 exercises real pruning: most cell
+    directories stay unread). Index location is a deterministic
+    per-sf temp dir; the rebuild is idempotent (overwrite), and its
+    cost is the honest index-build half of the index-once/query-many
+    contract."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import build_ivf_index, topk_ivf_indexed
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"windflow_ivf_{tag}")
+    build_ivf_index(emb, idx, n_cells=16, iters=5)
+    probes = emb.filter(F.col("vec_id") < 8)
+    return topk_ivf_indexed(spark, idx, probes, k=10, nprobe=4)
 
 
 # ---------------------------------------------------------------------------

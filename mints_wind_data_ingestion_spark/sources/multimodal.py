@@ -59,6 +59,8 @@ __all__ = [
     "image_features",
     "audio_features",
     "transform_images",
+    "synth_bmp_corpus",
+    "resized_pixel_moments",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -457,3 +459,76 @@ def transform_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def synth_bmp_corpus(
+    df: DataFrame, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Deterministic REAL-BMP payload per id: a (16+id%13) ×
+    (16+3·id%11) RGB image whose pixel (y, x, c) is
+    (id·7 + x·3 + y·5 + c·11) mod 256, encoded with encode_bmp.
+
+    The closed-form pixel function makes every downstream transform's
+    output SQL-predictable (the x_mm_transform oracle recomputes the
+    resized moments from it directly) while the payload itself is a
+    genuine binary image the full decode path must parse — the
+    sandbox analogue of binaryFile-scanning an image corpus.
+    """
+    import numpy as np
+
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 13, 16 + (i * 3) % 11
+                yy, xx, cc = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((i * 7 + xx * 3 + yy * 5 + cc * 11) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({id_col: pdf[id_col], out: payloads})
+
+    return df.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} {id_t}, {out} binary"
+    )
+
+
+def resized_pixel_moments(
+    transformed: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Close the re-encode loop: DECODE the `resized` BMP payloads a
+    transform_images pass produced and emit exact integer pixel
+    moments (Σv, Σv²) plus the carried feature columns — integers are
+    engine-exact, so the driver hash pins the whole synth → encode →
+    decode → resize → feature → re-encode → decode chain."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sums, sqs = [], []
+            for b in pdf["resized"]:
+                if b is None:
+                    sums.append(None)
+                    sqs.append(None)
+                    continue
+                px = decode_image(bytes(b))["pixels"].astype(np.int64)
+                sums.append(int(px.sum()))
+                sqs.append(int((px * px).sum()))
+            out = pdf[[id_col, "out_width", "out_height", "mean_r"]].copy()
+            out["px_sum"] = sums
+            out["px_sumsq"] = sqs
+            yield out
+
+    id_t = transformed.schema[id_col].dataType.simpleString()
+    return transformed.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} {id_t}, out_width int, out_height int, "
+            "mean_r double, px_sum long, px_sumsq long"
+        ),
+    )

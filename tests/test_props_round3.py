@@ -156,6 +156,16 @@ def test_bpe_trainer_matches_textbook(spark, sf_dir):
     assert got == want
     assert len(got) == 12  # corpus is rich enough to sustain 12 merges
 
+    # the size-gated local path (train_bpe_merges_auto collects the
+    # vocab and trains driver-side) must learn the identical sequence,
+    # and forcing the gate to 0 must route back to the distributed loop
+    from mints_wind_data_ingestion_spark.functions.bpe import (
+        train_bpe_merges_auto,
+    )
+
+    assert train_bpe_merges_auto(wf, n_merges=12) == want
+    assert train_bpe_merges_auto(wf, n_merges=5, local_train_words=0) == want[:5]
+
 
 def test_md5_60_hash_tri_engine_parity(spark, duck):
     """The portable 60-bit md5-prefix hash (the SimHash/decontamination
