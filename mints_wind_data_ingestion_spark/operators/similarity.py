@@ -617,7 +617,32 @@ def build_ivf_index(
     single shuffle+train cost amortizes over every later probe, and
     probing reads ONLY the probed cells' directories (dynamic
     partition pruning — pinned in tests)."""
+    import json
+    import os
+
     import pandas as pd
+
+    # index-once/query-many: a completed build over the same corpus
+    # with identical parameters is reused, not rebuilt — the trainer
+    # is deterministic so the bytes would be identical anyway. The
+    # meta carries a one-pass corpus fingerprint (count + id-hash XOR,
+    # the CC convergence-probe shape) so changed data invalidates the
+    # index, and the marker is written LAST so a partial/failed build
+    # never passes the check. Marker I/O is plain open() — on a
+    # cluster store swap in the Hadoop FileSystem API.
+    fp = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("h"),
+    ).first()
+    marker = os.path.join(path, "_INDEX_META.json")
+    meta = {"n_cells": n_cells, "iters": iters, "id_col": id_col,
+            "vec_col": vec_col, "n_rows": fp["n"], "id_hash": fp["h"]}
+    try:
+        with open(marker) as fh:
+            if json.load(fh) == meta:
+                return
+    except (OSError, ValueError):
+        pass
 
     centroids = train_ivf_centroids(df, n_cells, iters, id_col, vec_col)
     spark = df.sparkSession
@@ -634,6 +659,8 @@ def build_ivf_index(
         df.select(id_col, vec_col), centroids, 1, id_col, vec_col
     ).withColumnRenamed("__v", vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    with open(marker, "w") as fh:
+        json.dump(meta, fh)
 
 
 def topk_ivf_indexed(

@@ -230,23 +230,36 @@ def _dist_oracle() -> str:
     SELECT 'percentiles', event_type, CAST(p50 AS DOUBLE), CAST(p90 AS DOUBLE),
            CAST(p99 AS DOUBLE), CAST(NULL AS BIGINT)
     FROM {_oracle("a_percentiles_disc")}
+    UNION ALL
+    SELECT 'sketch_quantiles', event_type, CAST(p50_e6 AS DOUBLE),
+           CAST(p90_e6 AS DOUBLE), CAST(p99_e6 AS DOUBLE),
+           CAST(sketch_within_rank_err AS BIGINT)
+    FROM {_oracle("x_approx_quantiles")}
     """
 
 
 @query("a_distribution", oracle=_dist_oracle(), tags=("agg", "composite"))
 def a_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-statistics suite: the equal-width histogram over
-    order totals (a_histogram) and exact discrete percentiles of event
-    values (a_percentiles_disc), tagged into one superset. Both
-    components' full row sets and values flow through unchanged."""
+    order totals (a_histogram), exact discrete percentiles of event
+    values (a_percentiles_disc), and the quantile-sketch contract
+    check (x_approx_quantiles — e6 slots ride the double columns,
+    which hold integers < 2^53 exactly), tagged into one superset.
+    Every component's full row set and values flow through
+    unchanged."""
     hist = REGISTRY["a_histogram"].build(spark, sf_dir)
     perc = REGISTRY["a_percentiles_disc"].build(spark, sf_dir)
+    sk = REGISTRY["x_approx_quantiles"].build(spark, sf_dir)
     return _part(
         hist, "histogram", k1=_s("bin_id"), d1=_d("bin_lo"), d2=_nd(), d3=_nd(),
         n1=_b("n_orders"),
     ).unionByName(
         _part(perc, "percentiles", k1=_s("event_type"), d1=_d("p50"),
               d2=_d("p90"), d3=_d("p99"), n1=_nb())
+    ).unionByName(
+        _part(sk, "sketch_quantiles", k1=_s("event_type"), d1=_d("p50_e6"),
+              d2=_d("p90_e6"), d3=_d("p99_e6"),
+              n1=F.col("sketch_within_rank_err").cast("bigint"))
     )
 
 

@@ -690,7 +690,7 @@ def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D_MM_TRANSFORM = """
     WITH d AS (
         SELECT doc_id, 16 + doc_id % 13 AS w, 16 + (doc_id * 3) % 11 AS h
-        FROM documents
+        FROM documents WHERE doc_id % 5 = 0
     ),
     cell AS (
         SELECT doc_id, w, h,
@@ -734,7 +734,13 @@ def x_mm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform_images,
     )
 
-    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+    # deterministic 1-in-5 subset: the pipeline's coverage is
+    # per-pixel-function, not per-doc — a fifth of the corpus pins the
+    # same code paths at a fifth of the (Python codec) cost
+    docs = (
+        tables(spark, sf_dir)["documents"]
+        .select("doc_id").filter(F.col("doc_id") % 5 == 0)
+    )
     tr = transform_images(synth_bmp_corpus(docs), 8, 8)
     mom = resized_pixel_moments(tr)
     return mom.select(
@@ -910,6 +916,7 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM exact
     """,
     tags=("ext", "sketch"),
+    driver=False,
 )
 def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile SKETCH next to exact percentiles — the one-pass
