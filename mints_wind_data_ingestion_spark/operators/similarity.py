@@ -87,12 +87,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"CAST(element_at(`{a}`, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(`{b}`, {i + 1}) AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _rerank_cosine(a: str, b: str, dim: int | None) -> Column:
+    """Explicit codegen'd cosine when the dimension is known (the hot
+    candidate-pair path), interpreted HOF fold otherwise — bit-equal."""
+    return cosine_explicit(a, b, dim) if dim else cosine(F.col(a), F.col(b))
+
+
+def cosine_explicit(a: str, b: str, dim: int) -> Column:
+    """Cosine of two vector COLUMNS (by name) as one SQL-text explicit
+    expression — bitwise equal to `cosine` (dot_explicit's
+    left-association argument applies to all three folds), but fully
+    codegen'd AND built in a single JVM parse instead of ~1000 py4j
+    round-trips. The rerank kernel for every candidate-pair loop."""
+    return F.expr(
+        f"({_dot_sql(a, b, dim)}) / (sqrt({_dot_sql(a, a, dim)})"
+        f" * sqrt({_dot_sql(b, b, dim)}))"
+    )
+
+
 def topk_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k most similar
     candidates (self-matches excluded). Output:
@@ -114,7 +141,7 @@ def topk_bruteforce(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        _rerank_cosine("__qv", "__cv", dim).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -365,6 +392,7 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index: candidates are
     assigned to their nearest coarse cell; each query probes its
@@ -390,7 +418,7 @@ def topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            _rerank_cosine("__qv", "__cv", dim).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -551,7 +579,8 @@ def topk_lsh(
     scored = cand_pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")).alias("cosine_sim"),
+        _rerank_cosine("__query_id_v", "__neighbor_id_v", dim)
+        .alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -671,6 +700,7 @@ def topk_ivf_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index (`build_ivf_index`): assign each
     query its `nprobe` nearest cells, broadcast-join against the
@@ -699,7 +729,7 @@ def topk_ivf_indexed(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            _rerank_cosine("__qv", "__cv", dim).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

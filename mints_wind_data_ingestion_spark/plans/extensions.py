@@ -303,7 +303,7 @@ def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity is bit-identical to the oracle's explicit fold."""
     emb = tables(spark, sf_dir)["embeddings"]
     probes = emb.filter(F.col("vec_id") < 8)
-    return topk_bruteforce(probes, emb, k=10)
+    return topk_bruteforce(probes, emb, k=10, dim=64)
 
 
 def _lsh_oracle(dim: int = 64, bits: int = 6, n_tables: int = 8,
@@ -1071,7 +1071,7 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(tables(spark, sf_dir)["embeddings"])
     centroids = train_ivf_centroids(emb, n_cells=16, iters=5)
     probes = emb.filter(F.col("vec_id") < 8)
-    return topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8)
+    return topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8, dim=64)
 
 
 _GRIB_NX, _GRIB_NY = 12, 6
@@ -1195,7 +1195,7 @@ def x_sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(tempfile.gettempdir(), f"windflow_ivf_{tag}")
     build_ivf_index(emb, idx, n_cells=16, iters=5)
     probes = emb.filter(F.col("vec_id") < 8)
-    return topk_ivf_indexed(spark, idx, probes, k=10, nprobe=4)
+    return topk_ivf_indexed(spark, idx, probes, k=10, nprobe=4, dim=64)
 
 
 # ---------------------------------------------------------------------------
