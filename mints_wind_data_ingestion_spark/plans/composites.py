@@ -670,9 +670,9 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(F.col("s_de") == F.col("score"), "de")
     for lg in ("en", "es"):
         pred = pred.when(F.col(f"s_{lg}") == F.col("score"), lg)
-    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
-    fp = F.aggregate(codes, F.lit(0).cast("bigint"),
-                     lambda acc, c: (acc * 31 + c) % 1000000007)
+    from ..functions.text import rolling_fingerprint
+
+    fp = rolling_fingerprint(F.col("text"))
     # type-token ratio: the classic repetition/boilerplate signal
     # (repetitive templated text has few distinct tokens per token)
     ttr = F.when(

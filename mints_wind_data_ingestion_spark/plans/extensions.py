@@ -586,16 +586,17 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
  driver=False)
 def x_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash (base 31 mod 1e9+7) over the document's
-    characters — classic content fingerprint, as a pure expression fold
-    (no UDF). Identical integer arithmetic on both engines."""
+    characters — classic content fingerprint. Arrow-vectorized
+    (functions.text.rolling_fingerprint): the expression-fold twin is
+    value-identical but interpreted per character; the mod-Horner
+    unroll is exact in int64 — identical integer arithmetic on both
+    engines either way."""
+    from ..functions.text import rolling_fingerprint
+
     docs = _spread(tables(spark, sf_dir)["documents"])
-    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 31 + c) % 1000000007,
+    return docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fingerprint")
     )
-    return docs.select("doc_id", fp.alias("fingerprint"))
 
 
 @query(
