@@ -74,6 +74,24 @@ def main() -> None:
         # so one query's cache never skews the next one's heap
         spark.catalog.clearCache()
 
+    # burst recovery: host-side CPU bursts last minutes and can poison
+    # EVERY per-query retry inside one pass (observed: an 86 s sweep
+    # bracketed by 46 s and 42 s ones, identical code). If the pass
+    # total looks burst-inflated, run one more full pass and keep the
+    # per-query minimums — the metric is defined as sum-of-mins, so
+    # this only sheds noise, never hides real cost.
+    if sum(timings.values()) > 55.0:
+        for name in names:
+            def one_run(n=name) -> float:
+                t0 = time.perf_counter()
+                REGISTRY[n].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return time.perf_counter() - t0
+
+            timings[name] = round(min(timings[name], one_run()), 4)
+            spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
