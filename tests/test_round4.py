@@ -125,3 +125,28 @@ def test_ivf_index_reuse_and_invalidation(spark, sf_dir, tmp_path):
     # parameter change: rebuild happens (marker rewritten)
     build_ivf_index(emb, idx, n_cells=4, iters=3)
     assert json.load(open(marker))["n_cells"] == 4
+
+
+def test_quantize_struct_equals_naive_formulation(spark, sf_dir):
+    """quantize_int8 (finish-lambda binding — scale's amax fold
+    evaluated once per row) == the naive formulation that re-embeds
+    the fold in every transform element, bit for bit."""
+    from mints_wind_data_ingestion_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from mints_wind_data_ingestion_spark.plans.registry import tables
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    vec = F.col("embedding")
+    amax = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    n_scale = F.greatest(amax, F.lit(1e-12)) / F.lit(127.0)
+    n_q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / n_scale + F.lit(0.5)).cast("long")
+    )
+    scale, q = quantize_int8(vec)
+    bad = emb.select(
+        ((scale == n_scale) & (q == n_q)).alias("same")
+    ).filter(~F.col("same"))
+    assert bad.isEmpty()
