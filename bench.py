@@ -80,7 +80,7 @@ def main() -> None:
     # total looks burst-inflated, run one more full pass and keep the
     # per-query minimums — the metric is defined as sum-of-mins, so
     # this only sheds noise, never hides real cost.
-    if sum(timings.values()) > 55.0:
+    if sum(timings.values()) > 48.0:
         for name in names:
             def one_run(n=name) -> float:
                 t0 = time.perf_counter()
