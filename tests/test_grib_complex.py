@@ -171,3 +171,35 @@ def test_hand_built_general_group_layout_decodes():
     got = gc._unpack_complex(msg, 0, len(sec5), len(sec7))
     want = (ref + x * 1.0) / 10.0**d
     assert np.allclose(got, want.astype(np.float32))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nx=st.integers(3, 40),
+    ny=st.integers(2, 20),
+    seed=st.integers(0, 2**31 - 1),
+    packing=st.sampled_from(["simple", "complex", "complex_diff",
+                             "complex_diff1"]),
+    scale=st.sampled_from([0, 1, 2]),
+)
+def test_any_field_roundtrips_within_quantization(nx, ny, seed, packing, scale):
+    """Property: ANY finite field round-trips through ANY packing
+    within half a quantization step — grid shape, value range, sign,
+    and decimal scale are all adversarial inputs here (group-boundary
+    and spatial-differencing edge cases live exactly in odd shapes)."""
+    rng = np.random.default_rng(seed)
+    # mix smooth + rough + offset so differences span signs and widths
+    base = rng.normal(0, 1) * 50
+    field = base + rng.normal(0, rng.uniform(0.01, 30), nx * ny)
+    msg = encode_grib2_message(
+        field, parameter_number=2, ref_time=RT, nx=nx, ny=ny,
+        decimal_scale=scale, packing=packing,
+    )
+    got = np.asarray(decode_grib2_bytes(msg)[0]["data"], dtype=np.float64)
+    # tolerance: half a quantization step plus float32-reference slack
+    tol = 0.5 * 10.0**-scale + abs(base) * 1e-6 + 1e-6
+    assert np.abs(got - field).max() <= tol
