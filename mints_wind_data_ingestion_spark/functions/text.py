@@ -185,7 +185,12 @@ def rolling_fingerprint(text: Column | str) -> Column:
     def _fp(texts):  # no annotations: pandas_udf must not try to
         # resolve hints against this closure's local imports
         pw = state["pw"]
-        max_len = int(texts.str.len().max() or 0)
+        # max() over an all-null/empty batch is NaN, which is truthy,
+        # so `or 0` wouldn't catch it and int(NaN) raises — null-guard
+        # explicitly (the batch then yields all-NULL rows, matching
+        # the null-safe expression fold this UDF replaces)
+        m = texts.str.len().max()
+        max_len = 0 if pd.isna(m) else int(m)
         if len(pw) < max_len:
             ext = np.empty(max_len, dtype=np.int64)
             ext[: len(pw)] = pw

@@ -447,8 +447,14 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> list[list[float]
     return planes
 
 
-#: (session id, vec, dim, bits, tables, seed) → parsed plane Column
-_plane_cache: dict[tuple, Column] = {}
+#: per-session memo of parsed plane Columns. Keyed on the session
+#: OBJECT via weakref — keying on id(sess) would let a new session
+#: reuse a dead session's id() and receive a Column bound to the old
+#: JVM gateway; the weak key dies (and evicts its entries) with the
+#: session instead.
+import weakref
+
+_plane_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def hyperplane_buckets(
@@ -486,9 +492,11 @@ def hyperplane_buckets(
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
-    key = (id(sess), vname, dim, bits, tables, seed)
-    if sess is not None and key in _plane_cache:
-        return _plane_cache[key]
+    key = (vname, dim, bits, tables, seed)
+    if sess is not None:
+        per_sess = _plane_cache.get(sess)
+        if per_sess is not None and key in per_sess:
+            return per_sess[key]
     table_exprs = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, t, seed)
@@ -507,7 +515,7 @@ def hyperplane_buckets(
         table_exprs.append(" | ".join(["CAST(0 AS BIGINT)", *bits_sql]))
     col = F.expr("array(" + ", ".join(table_exprs) + ")")
     if sess is not None:
-        _plane_cache[key] = col
+        _plane_cache.setdefault(sess, {})[key] = col
     return col
 
 
@@ -668,31 +676,36 @@ def build_ivf_index(
     probing reads ONLY the probed cells' directories (dynamic
     partition pruning — pinned in tests)."""
     import json
-    import os
 
     import pandas as pd
 
     # index-once/query-many: a completed build over the same corpus
     # with identical parameters is reused, not rebuilt — the trainer
     # is deterministic so the bytes would be identical anyway. The
-    # meta carries a one-pass corpus fingerprint (count + id-hash XOR,
-    # the CC convergence-probe shape) so changed data invalidates the
-    # index, and the marker is written LAST so a partial/failed build
-    # never passes the check. Marker I/O is plain open() — on a
-    # cluster store swap in the Hadoop FileSystem API.
+    # meta carries a one-pass corpus fingerprint: count + an XOR of
+    # xxhash64 over id AND the vector VALUES (cast to string), so
+    # re-embedding a corpus with unchanged ids still invalidates the
+    # index. The marker is written LAST so a partial/failed build
+    # never passes the check. Marker I/O goes through the Hadoop
+    # FileSystem API (works on file:/, HDFS, or any object store whose
+    # connector is on the classpath), not plain open().
     fp = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}))").alias("h"),
+        F.expr(
+            f"bit_xor(xxhash64({id_col}, cast({vec_col} as string)))"
+        ).alias("h"),
     ).first()
-    marker = os.path.join(path, "_INDEX_META.json")
+    spark = df.sparkSession
+    marker = path.rstrip("/") + "/_INDEX_META.json"
     meta = {"n_cells": n_cells, "iters": iters, "id_col": id_col,
             "vec_col": vec_col, "n_rows": fp["n"], "id_hash": fp["h"]}
-    try:
-        with open(marker) as fh:
-            if json.load(fh) == meta:
+    prior = _hadoop_read_text(spark, marker)
+    if prior is not None:
+        try:
+            if json.loads(prior) == meta:
                 return
-    except (OSError, ValueError):
-        pass
+        except ValueError:
+            pass
 
     centroids = train_ivf_centroids(df, n_cells, iters, id_col, vec_col)
     spark = df.sparkSession
@@ -709,8 +722,39 @@ def build_ivf_index(
         df.select(id_col, vec_col), centroids, 1, id_col, vec_col
     ).withColumnRenamed("__v", vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-    with open(marker, "w") as fh:
-        json.dump(meta, fh)
+    _hadoop_write_text(spark, marker, json.dumps(meta))
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for `path_str` resolved through the session's
+    Hadoop conf — the same resolution `df.write.parquet` uses, so the
+    marker always lands on the same store as the index it guards."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def _hadoop_read_text(spark: SparkSession, path_str: str) -> str | None:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # readAllBytes (Java 11+) — one Py4J round-trip for the whole
+        # (tiny) marker rather than one per byte
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _hadoop_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def topk_ivf_indexed(

@@ -1906,9 +1906,27 @@ def x_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-class jobs."""
     docs = _spread(tables(spark, sf_dir)["documents"])
     langs = sorted(STOPWORDS)
+    # argmax over stopword-hit RATIOS equals argmax over hit COUNTS
+    # (the token-count denominator is shared), so score with 4
+    # regexp_count expressions instead of stopword_ratio's tokenize →
+    # lower → filter HOF chain: higher-order array functions are
+    # CodegenFallback (interpreted per token), measured ~1 s warm /
+    # ~4 s with codegen for 5 000 docs at sf0.1 vs ~0.3 s for this
+    # fully-codegen'd form. The pattern reproduces exact
+    # whitespace-token equality: a stopword counts iff bounded by
+    # start/whitespace on both sides of lower(text) (lookarounds don't
+    # consume, so consecutive stopword tokens all match).
+    def pat(lg: str) -> str:
+        return (
+            r"(?<=\s|^)(?:" + "|".join(STOPWORDS[lg]) + r")(?=\s|$)"
+        )
+
     scored = docs.select(
         "lang",
-        *[stopword_ratio("text", lg).alias(f"s_{lg}") for lg in langs],
+        *[
+            F.regexp_count(F.lower("text"), F.lit(pat(lg))).alias(f"s_{lg}")
+            for lg in langs
+        ],
     ).withColumn("score", F.greatest(*[F.col(f"s_{lg}") for lg in langs]))
     pred = F.when(F.col("s_de") == F.col("score"), "de")
     for lg in ("en", "es"):
@@ -1952,62 +1970,70 @@ def quantized_centroids(cent: DataFrame) -> DataFrame:
 
 
 def confusion_from_centroids(emb: DataFrame, cent_rows) -> DataFrame:
-    """Nearest-centroid confusion matrix with the trained centroids as
-    PLAN LITERALS — the IVF-centroid move applied to classification.
+    """Nearest-centroid confusion matrix scored by an Arrow-vectorized
+    pandas UDF carrying the trained prototype matrix in its closure —
+    the broadcast-model pattern a 100 TB classifier eval actually uses.
 
     `cent_rows` is the collected (label, pos, sum_d, n_vecs) table — a
-    bounded labels×dims pull (the prototype matrix IS the model; it
-    rides the plan the way any broadcast model would). Scoring is then
-    one NARROW pass: per vector, one explicit left-associated double
-    dot per class (the dot_explicit shape — fully codegen'd, and the
-    array-order fold is partitioning-proof by construction; the oracle
-    replays the identical IEEE sequence via _d_dot), and the argmax is
-    a greatest + chained when with ascending-label tie break. Replaces
-    the explode → broadcast-join → N·dims·labels-row re-aggregation
-    shape, which moved ~20M rows through a shuffle at sf0.1 where this
-    moves N·labels scalars through none."""
+    bounded labels×dims pull (the prototype matrix IS the model). A
+    previous incarnation embedded the dots as plan literals (one
+    64-term SQL expression per label); correct, but the labels×dims
+    expression tree cost ~1.2 s of driver parse/analysis plus ~1 s of
+    Janino codegen PER RUN — pure fixed overhead that grows with the
+    model, not the data. The UDF form ships the matrix once per
+    executor, scores each Arrow batch with two numpy ops, and keeps
+    the plan a narrow scan → project → tiny final aggregate.
+
+    Numerics are pinned to the oracle's explicit left-associated
+    double dot (_d_dot): the accumulation loop adds term p for every
+    (row, label) at step p, so each dot is (((0+t₁)+t₂)+…) vs the
+    SQL's ((t₁+t₂)+…) — bit-identical except a possible -0.0→+0.0 on
+    the first term, which cannot change any comparison. argmax takes
+    the FIRST maximum over ascending labels = smallest label on ties,
+    matching the oracle's ORDER BY dot DESC, label ASC."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     by_label: dict[str, dict[int, float]] = {}
     for r in cent_rows:
         by_label.setdefault(r["label"], {})[r["pos"]] = (
             float(r["sum_d"]) / r["n_vecs"]
         )
     labels = sorted(by_label)
-    cells = []
-    for lb in labels:
-        w = by_label[lb]
-        # ONE F.expr per label: building the 64-term tree out of
-        # Column operators costs a py4j round-trip per node (~1300
-        # calls, measured 7 s of pure DRIVER time at build); a single
-        # SQL string parses JVM-side in milliseconds. The `D` suffix
-        # pins each repr'd weight as an exact double literal, and SQL
-        # `+` is left-associative, so the IEEE sum order is identical
-        # to the Column-operator form (and to the oracle's _d_dot).
-        dot_sql = " + ".join(
-            f"CAST(element_at(embedding, {p}) AS DOUBLE) * {w[p]!r}D"
-            for p in sorted(w)
-        )
-        cells.append(
-            F.struct(F.expr(dot_sql).alias("d"), F.lit(lb).alias("lb"))
-        )
-    # single-reference argmax: every dot expression appears EXACTLY
-    # once in the plan (inside the array), and the fold keeps the
-    # FIRST maximum (strict >), i.e. the smallest label on ties —
-    # a greatest+when chain would re-reference each dot ~7× and
-    # CollapseProject would inline the 64-term tree into every
-    # reference (measured 7 s vs 0.6 s at sf0.1)
-    best = F.aggregate(
-        F.array(*cells[1:]),
-        # zero = the first cell (so label dtype is whatever the data
-        # uses), wrapped in a no-op when to make its type nullable
-        # like the merge lambda's CASE output — aggregate requires an
-        # exact type match between the two
-        F.when(F.lit(True), cells[0]),
-        lambda acc, v: F.when(v["d"] > acc["d"], v).otherwise(acc),
+    dims = sorted(next(iter(by_label.values())))
+    # D×L weight matrix, column l = centroid of labels[l]
+    W = np.array(
+        [[by_label[lb][p] for lb in labels] for p in dims],
+        dtype=np.float64,
     )
+    label_dtype = emb.schema["label"].dataType.simpleString()
+
+    def _pred(vecs):  # Arrow batch of embedding arrays → pred labels
+        out = []
+        vals, rows = [], []
+        for i, v in enumerate(vecs):
+            if v is not None and len(v) >= len(dims):
+                rows.append(i)
+                vals.append(v)
+            out.append(None)
+        if rows:
+            E = np.array([np.asarray(v, dtype=np.float64) for v in vals])
+            acc = np.zeros((E.shape[0], W.shape[1]))
+            for p in range(W.shape[0]):
+                # term-by-term accumulation: same IEEE order per
+                # (row, label) as the oracle's left-associated sum
+                acc += E[:, p : p + 1] * W[p][None, :]
+            idx = np.argmax(acc, axis=1)  # first max = smallest label
+            for i, j in zip(rows, idx):
+                out[i] = labels[j]
+        return pd.Series(out, dtype="object")
+
+    pred = pandas_udf(_pred, label_dtype)
     return (
         emb.select(
             F.col("label").alias("true_label"),
-            best["lb"].alias("pred_label"),
+            pred(F.col("embedding")).alias("pred_label"),
         )
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -238,9 +238,16 @@ def _pack_complex(
     order 1/2 → 5.3): returns (section 5 template bytes from octet 12,
     section 7 payload, stored reference value)."""
     scaled = np.asarray(values, dtype=np.float64) * 10.0**d
-    ref = np.float32(scaled.min())
+    m = scaled.min()
+    ref = np.float32(m)
+    # float32 may round the minimum UP; then rint(scaled - ref) goes
+    # negative at the min positions and a clamp would silently corrupt
+    # them by up to half a float32 ulp (visible once |scaled| > 2^24,
+    # e.g. decimal_scale=6 fields). Round ref toward -inf instead so
+    # every offset is non-negative by construction.
+    if float(ref) > m:
+        ref = np.nextafter(ref, np.float32("-inf"))
     v = np.rint(scaled - float(ref)).astype(np.int64)
-    v = np.maximum(v, 0)
     n = v.size
 
     extras = b""
