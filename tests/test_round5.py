@@ -1,0 +1,289 @@
+"""Round-5 additions (VERDICT r4 'Next round' #3/#4/#5 + ADVICE):
+
+- S1 executable fetch: discovery → fetch → decode → merge end-to-end
+  against a local NOAA-layout fixture tree, replaying
+  converter.py:134-181 (open candidates newest-first, first success
+  wins, body feeds the decoder) with absence as data, not exceptions.
+- S8 DDL executed: create_wind_table_sql runs through spark.sql and a
+  row round-trips (dbwindsetup.sql:5-9 behavior, typed).
+- Advisory regressions: all-null fingerprint batch, one-class
+  confusion matrix, IVF index invalidation on value-only change, and
+  complex-packing reference rounding at the float32 boundary.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.operators.discovery import (
+    candidates,
+)
+from mints_wind_data_ingestion_spark.operators.fetch import (
+    fetch_binary,
+    stage_to_dir,
+)
+from mints_wind_data_ingestion_spark.sources.grib import (
+    decode_binary_df,
+    read_grib_dir,
+)
+from mints_wind_data_ingestion_spark.sources.grib2codec import (
+    decode_grib2_bytes,
+    encode_grib2_file,
+    encode_grib2_message,
+)
+
+NX, NY = 8, 4
+
+
+def _field(run_h: int, param: int) -> list[float]:
+    return [
+        round(((i * 11 + run_h * 17 + param * 23) % 2900) / 100.0, 2)
+        for i in range(NX * NY)
+    ]
+
+
+def _noaa_tree(tmp_path, present_runs):
+    """Fixture tree in the reference's URL layout
+    (converter.py:136-137): gfs.{yyyymmdd}/{HH}/atmos/
+    gfs.t{HH}z.pgrb2.1p00.f{FFF}; forecast hour = 12Z obs − run."""
+    tree = tmp_path / "noaa"
+    fields = {}
+    for run_h in present_runs:
+        ref = datetime(2020, 8, 12, run_h)
+        fc = 12 - run_h
+        d = tree / "gfs.20200812" / f"{run_h:02d}" / "atmos"
+        d.mkdir(parents=True)
+        msgs = []
+        for param in (2, 3):
+            vals = _field(run_h, param)
+            fields[(run_h, param)] = vals
+            msgs.append(
+                encode_grib2_message(
+                    vals, parameter_number=param, ref_time=ref,
+                    forecast_hours=fc, nx=NX, ny=NY, packing="complex_diff",
+                )
+            )
+        name = f"gfs.t{run_h:02d}z.pgrb2.1p00.f{fc:03d}"
+        (d / name).write_bytes(encode_grib2_file(msgs))
+    return tree, fields
+
+
+def test_fetch_discovery_to_decode_e2e(spark, tmp_path):
+    """converter.py:134-181 replayed declaratively: the newest run
+    (12Z) is absent, so the fetch's ok=false row skips it and the
+    first available candidate (06Z) wins; its bytes decode to the U+V
+    pair which merges on the observation bucket."""
+    tree, fields = _noaa_tree(tmp_path, present_runs=(6, 0))
+
+    cands = candidates(spark, "2020-08-12 13:30:00", attempts=6)
+    urls = cands.withColumn(
+        "url", F.concat(F.lit(f"file://{tree}/"), F.col("url_path"))
+    )
+    fetched = fetch_binary(urls, "url").cache()
+
+    # absence is data: exactly the two staged runs succeed, the missing
+    # newest run carries its error text instead of raising
+    assert fetched.filter("ok").count() == 2
+    miss = {r.rank: r.error for r in fetched.filter("NOT ok").collect()}
+    assert set(miss) == {0, 3, 4, 5} and all(miss.values())
+
+    winner = fetched.filter("ok").orderBy("rank").limit(1).cache()
+    w = winner.first()
+    assert w.rank == 1
+    assert w.run_ts == datetime(2020, 8, 12, 6)
+    assert w.forecast_hours == 6
+
+    # decode the winner's bytes directly — no landing dir required —
+    # and enrich with the observation bucket (F3, converter.py:63-69)
+    decoded = decode_binary_df(
+        winner.select(F.col("url").alias("path"), "content")
+    ).withColumn("recorded_time", F.lit(w.obs_ts).cast("timestamp"))
+    rows = decoded.select(
+        F.col("header.parameterNumber").alias("param"),
+        "recorded_time",
+        "data",
+    ).collect()
+    assert sorted(r.param for r in rows) == [2, 3]
+    for r in rows:
+        assert r.recorded_time == datetime(2020, 8, 12, 12)
+        want = fields[(6, r.param)]
+        assert [round(float(x), 2) for x in r.data] == want
+
+    # merge (J1/J2): U⋈V on the observation bucket → one vector field
+    u = decoded.filter("header.parameterNumber = 2").select(
+        "recorded_time", F.col("data").alias("u")
+    )
+    v = decoded.filter("header.parameterNumber = 3").select(
+        "recorded_time", F.col("data").alias("v")
+    )
+    merged = u.join(v, "recorded_time").select(
+        "recorded_time",
+        F.zip_with("u", "v", lambda a, b: F.sqrt(a * a + b * b)).alias(
+            "speed"
+        ),
+    )
+    m = merged.first()
+    assert len(m.speed) == NX * NY
+    su = fields[(6, 2)][0]
+    sv = fields[(6, 3)][0]
+    assert abs(m.speed[0] - (su * su + sv * sv) ** 0.5) < 1e-3
+    fetched.unpersist()
+    winner.unpersist()
+
+
+def test_fetch_stage_to_landing_then_scan(spark, tmp_path):
+    """The landing-dir wiring (S9→S2): fetch → stage_to_dir → the
+    existing binaryFile scan decodes what was staged."""
+    tree, fields = _noaa_tree(tmp_path, present_runs=(12,))
+    cands = candidates(spark, "2020-08-12 13:30:00", attempts=2)
+    urls = cands.withColumn(
+        "url", F.concat(F.lit(f"file://{tree}/"), F.col("url_path"))
+    )
+    landing = tmp_path / "landing"
+    n = stage_to_dir(fetch_binary(urls, "url"), str(landing))
+    assert n == 1  # only the 12Z run exists
+
+    decoded = read_grib_dir(spark, str(landing))
+    got = {
+        r["header"]["parameterNumber"]: [round(float(x), 2) for x in r["data"]]
+        for r in decoded.collect()
+    }
+    assert got == {p: fields[(12, p)] for p in (2, 3)}
+
+
+def test_ddl_executes_and_roundtrips(spark, tmp_path):
+    """S8 executed (dbwindsetup.sql:5-9): the emitted DDL runs, a row
+    inserts through SQL, and reads back typed — not just a string
+    contract."""
+    from mints_wind_data_ingestion_spark.sinks import create_wind_table_sql
+
+    name = "wind_ddl_round5"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(create_wind_table_sql(name, location=str(tmp_path / "tbl")))
+    try:
+        spark.sql(
+            f"""
+            INSERT INTO {name} VALUES (
+              timestamp'2020-08-12 12:00:00', 2,
+              timestamp'2020-08-12 06:00:00', 6,
+              named_struct('parameterNumber', 2,
+                           'refTime', '2020-08-12T06:00:00.000Z'),
+              array(CAST(1.5 AS FLOAT), CAST(-2.25 AS FLOAT)),
+              date'2020-08-12')
+            """
+        )
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.recorded_time == datetime(2020, 8, 12, 12)
+        assert r.param == 2
+        assert r.header.refTime == "2020-08-12T06:00:00.000Z"
+        assert list(r.data) == [1.5, -2.25]
+        assert str(r["__date"]) == "2020-08-12"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_rolling_fingerprint_all_null_batch(spark):
+    """An Arrow batch whose texts are all null must yield NULL rows,
+    not raise on int(NaN) (ADVICE r4)."""
+    from mints_wind_data_ingestion_spark.functions.text import (
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "doc_id long, text string"
+    )
+    got = df.select(rolling_fingerprint("text").alias("fp")).collect()
+    assert [r.fp for r in got] == [None, None, None]
+
+
+def test_confusion_single_label(spark):
+    """One-class corpus: the scorer must degrade to 'everything is the
+    one class', not fail analysis (ADVICE r4)."""
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        centroid_sums,
+        confusion_from_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, 7, [1.0, 0.0]), (2, 7, [0.0, 1.0]), (3, 7, [1.0, 1.0])],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = confusion_from_centroids(emb, centroid_sums(emb).collect()).collect()
+    assert len(got) == 1
+    assert (got[0].true_label, got[0].pred_label, got[0].n) == (7, 7, 3)
+
+
+def test_ivf_index_invalidated_by_value_change(spark, tmp_path):
+    """Re-embedding with unchanged ids must rebuild the index — the
+    fingerprint folds vector VALUES, not just ids (ADVICE r4)."""
+    from mints_wind_data_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+
+    def emb(shift: float):
+        rows = [
+            (i, [float((i * 3 + j) % 7) + (shift if i < 8 else 0.0)
+                 for j in range(4)])
+            for i in range(16)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    build_ivf_index(emb(0.0), path, n_cells=2, iters=2)
+    c1 = sorted(
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    # same corpus → reuse (no error, marker equal)
+    build_ivf_index(emb(0.0), path, n_cells=2, iters=2)
+    # same ids, shifted values → MUST retrain, centroids move
+    build_ivf_index(emb(5.0), path, n_cells=2, iters=2)
+    c2 = sorted(
+        (r.cell, tuple(r.centroid))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert c1 != c2
+
+
+def test_pack_complex_ref_rounding_at_float32_boundary():
+    """When float32 rounds the scaled minimum UP (16777219.4 →
+    16777220.0), the stored reference previously exceeded the minimum
+    and rint(scaled − ref) went negative at the min positions — the
+    old clamp silently absorbed the deficit. The −inf-rounded
+    reference must sit at or below every scaled value so offsets are
+    non-negative by construction, and the pre-cast reconstruction
+    stays within half a quantization step (ADVICE r4)."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        _pack_complex,
+    )
+
+    base = 16777219.4  # float32 nearest is 16777220.0 (δ = 0.6 > ½)
+    assert float(np.float32(base)) > base
+    vals = [base + i for i in (0.0, 1.0, 3.0, 6.0, 2.0, 0.0, 9.0, 4.0)]
+    for order in (0, 1, 2):
+        _tmpl, _payload, ref = _pack_complex(np.asarray(vals), 0, order)
+        assert ref <= min(vals), (order, ref)
+
+    # full wire round-trip still lands on the float32 of the true
+    # value for every cell (ties included)
+    msg = encode_grib2_message(
+        vals,
+        parameter_number=2,
+        ref_time=datetime(2020, 8, 12, 6, tzinfo=timezone.utc).replace(
+            tzinfo=None
+        ),
+        nx=4, ny=2, decimal_scale=0, packing="complex_diff",
+    )
+    rec = decode_grib2_bytes(encode_grib2_file([msg]))[0]
+    got = np.asarray(rec["data"], dtype=np.float64)
+    # error budget: ½ step quantization + ½ float32 output ulp (= 1.0
+    # at 2^24) — the old clamp added up to a full extra step on top
+    assert np.all(np.abs(got - np.asarray(vals)) <= 1.5 + 1e-6), (
+        got - np.asarray(vals)
+    )
