@@ -26,16 +26,19 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..schemas import WIND_RECORD
 
 __all__ = [
     "DECODED_SCHEMA",
+    "SCAN_SCHEMA",
     "decode_grib2",
     "decode_binary_df",
     "fake_decoder",
+    "make_selector",
     "read_grib_dir",
+    "scan_binary_df",
 ]
 
 #: output schema of the decode UDTF: source path + the wind record
@@ -47,25 +50,55 @@ DECODED_SCHEMA = StructType(
 SELECT_PARAMS = {"parameterNumbers": (2, 3), "surface1Type": 103, "surface1Value": 10.0}
 
 
-def decode_grib2(content: bytes) -> list[dict]:
+def make_selector(
+    fp: tuple[int, ...] | None = (2, 3),
+    fc: int | None = None,
+    fs: int | None = 103,
+    fv: float | None = 10.0,
+) -> Callable[[dict], bool]:
+    """Header predicate mirroring grib2json's record-selection flags
+    (grib2json/.../README.md:30-37): --fp parameterNumber, --fc
+    parameterCategory, --fs surface1Type, --fv surface1Value. None
+    disables that flag, exactly like omitting it on the CLI; the
+    defaults are the reference's invocation (converter.py:49-53)."""
+
+    def select(h: dict) -> bool:
+        if fp is not None and h["parameterNumber"] not in fp:
+            return False
+        if fc is not None and h["parameterCategory"] != fc:
+            return False
+        if fs is not None and h["surface1Type"] != fs:
+            return False
+        if fv is not None and h["surface1Value"] != fv:
+            return False
+        return True
+
+    return select
+
+
+def decode_grib2(
+    content: bytes, selector: Callable[[dict], bool] | None = None
+) -> list[dict]:
     """Decode one GRIB2 file into wind-record dicts, filtered to the
     reference's record selection (converter.py:49-53: --fp 2/3
-    --fs 103 --fv 10.0 — 10 m U/V wind).
+    --fs 103 --fv 10.0 — 10 m U/V wind); pass `make_selector(...)`
+    for other --fp/--fc/--fs/--fv combinations.
 
     Bit-unpacking via grib2codec (pure Python + numpy, WMO spec);
     `recordedTime` is None here — the reference derives it from the
     cron tick AFTER decoding (converter.py:63-69), so enrichment
-    belongs to the caller, exactly as in the JSON-boundary path."""
+    belongs to the caller, exactly as in the JSON-boundary path.
+
+    Fail-loud breadth: a message using a template outside the codec's
+    family raises (never a silently wrong field). Use
+    `scan_binary_df` when a mixed corpus must decode what it can and
+    QUARANTINE the rest instead of failing the file."""
     from .grib2codec import decode_grib2_bytes
 
+    select = selector or make_selector()
     out = []
     for rec in decode_grib2_bytes(content):
-        h = rec["header"]
-        if (
-            h["parameterNumber"] in SELECT_PARAMS["parameterNumbers"]
-            and h["surface1Type"] == SELECT_PARAMS["surface1Type"]
-            and h["surface1Value"] == SELECT_PARAMS["surface1Value"]
-        ):
+        if select(rec["header"]):
             out.append({**rec, "recordedTime": None})
     return out
 
@@ -153,4 +186,63 @@ def read_grib_dir(
     """
     return decode_binary_df(
         spark.read.format("binaryFile").load(landing_dir), decoder
+    )
+
+
+#: scan_binary_df output: quarantine columns + the wind record
+SCAN_SCHEMA = StructType(
+    [
+        StructField("source_path", StringType()),
+        StructField("msg_offset", LongType()),
+        StructField("error", StringType()),
+        *WIND_RECORD.fields,
+    ]
+)
+
+
+def scan_binary_df(
+    binary: DataFrame,
+    selector: Callable[[dict], bool] | None = None,
+) -> DataFrame:
+    """Quarantine-not-corrupt decode over a (path, content) binary
+    DataFrame: every framed GRIB2 message becomes a row — supported
+    messages decode bit-identically to `decode_binary_df` (error NULL,
+    selector applied), messages using an unsupported template carry
+    their rejection text in `error` with NULL record fields. One bad
+    message never poisons its file, and nothing is silently dropped:
+    `df.filter("error IS NOT NULL")` IS the quarantine table a curation
+    pipeline reviews (the breadth contract for grib2json's wider
+    template surface, grib2json/.../README.md:30-37)."""
+    from .grib2codec import scan_grib2_bytes
+
+    select = selector or make_selector()
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for m in scan_grib2_bytes(bytes(content)):
+                    rec = m["record"]
+                    if rec is not None and not select(rec["header"]):
+                        continue
+                    rows.append(
+                        {
+                            "source_path": path,
+                            "msg_offset": m["offset"],
+                            "error": m["error"],
+                            "header": rec["header"] if rec else None,
+                            "recordedTime": None,
+                            "data": rec["data"] if rec else None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source_path", "msg_offset", "error",
+                    "header", "recordedTime", "data",
+                ],
+            )
+
+    return binary.select("path", "content").mapInPandas(
+        scan_batches, schema=SCAN_SCHEMA
     )

@@ -39,7 +39,13 @@ from datetime import datetime, timezone
 
 import numpy as np
 
-__all__ = ["decode_grib2_bytes", "encode_grib2_message", "encode_grib2_file"]
+__all__ = [
+    "decode_grib2_bytes",
+    "scan_grib2_bytes",
+    "iter_grib2_messages",
+    "encode_grib2_message",
+    "encode_grib2_file",
+]
 
 # --- code-table names grib2json emits (the subset our fixtures use; an
 # --- unknown code decodes with name=None, never an error)
@@ -313,15 +319,11 @@ def _pack_complex(
     return tmpl, extras + blob, float(ref)
 
 
-def decode_grib2_bytes(content: bytes) -> list[dict]:
-    """Decode every message in a GRIB2 file into grib2json-shaped
-    records: {"header": {...}, "data": [float32 values...]}.
-
-    Header keys mirror the reference's golden fixture
-    (data/u_comp.json) — numeric codes plus the human-readable *Name
-    fields grib2json adds. Raises ValueError on a non-GRIB2 payload or
-    an unsupported template (only the GFS wind family is in scope)."""
-    records: list[dict] = []
+def iter_grib2_messages(content: bytes):
+    """(offset, message bytes) for every GRIB2 message in the file.
+    Framing errors (bad magic, wrong edition, missing end section)
+    always raise — they mean a corrupt or non-GRIB payload, not an
+    unsupported-but-valid message."""
     pos = 0
     while pos < len(content):
         if content[pos : pos + 4] != b"GRIB":
@@ -333,123 +335,171 @@ def decode_grib2_bytes(content: bytes) -> list[dict]:
         msg = content[pos : pos + msg_len]
         if msg[-4:] != b"7777":
             raise ValueError("GRIB message missing 7777 end section")
-        discipline = msg[6]
-
-        # walk sections; templates 3.0/4.0/5.0 carry one field per message
-        sec: dict[int, tuple[int, int]] = {}
-        o = 16
-        while o < msg_len - 4:
-            slen, snum = _u(msg, o, 4), msg[o + 4]
-            sec[snum] = (o, slen)
-            o += slen
-
-        o1 = sec[1][0]
-        ref_time = datetime(
-            _u(msg, o1 + 12, 2), msg[o1 + 14], msg[o1 + 15],
-            msg[o1 + 16], msg[o1 + 17], msg[o1 + 18], tzinfo=timezone.utc,
-        )
-
-        o3, slen3 = sec[3]
-        gdt = _u(msg, o3 + 12, 2)
-        if gdt != 0:
-            raise ValueError(f"grid definition template 3.{gdt} unsupported")
-        n_points = _u(msg, o3 + 6, 4)
-        resolution = msg[o3 + 54]
-
-        o4 = sec[4]
-        pdt = _u(msg, o4[0] + 7, 2)
-        if pdt != 0:
-            raise ValueError(f"product definition template 4.{pdt} unsupported")
-        o4 = o4[0]
-        category, number = msg[o4 + 9], msg[o4 + 10]
-        s1t, s1f, s1v = msg[o4 + 22], _s(msg, o4 + 23, 1), _u(msg, o4 + 24, 4)
-        s2t, s2f, s2v = msg[o4 + 28], _s(msg, o4 + 29, 1), _u(msg, o4 + 30, 4)
-
-        o5 = sec[5][0]
-        drt = _u(msg, o5 + 9, 2)
-        if drt not in (0, 2, 3):
-            raise ValueError(f"data representation template 5.{drt} unsupported")
-
-        o6, slen6 = sec[6]
-        bitmap_ind = msg[o6 + 5]
-        if bitmap_ind not in (0, 255):
-            raise ValueError(f"bitmap indicator {bitmap_ind} unsupported")
-
-        o7, slen7 = sec[7]
-        n_packed = _u(msg, o5 + 5, 4)  # points actually packed (≠ grid under bitmap)
-        if drt == 0:
-            ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
-            e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
-            nbits = msg[o5 + 19]
-            vals = _unpack_values(
-                msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d
-            )
-        else:
-            vals = _unpack_complex(msg, o5, o7, slen7)
-        if bitmap_ind == 0:
-            present = np.unpackbits(
-                np.frombuffer(msg[o6 + 6 : o6 + slen6], dtype=np.uint8)
-            )[:n_points].astype(bool)
-            full = np.full(n_points, np.nan, dtype=np.float32)
-            full[present] = vals
-            vals = full
-
-        pname, punit = _PARAMETER.get((discipline, category, number), (None, None))
-        header = {
-            "discipline": discipline,
-            "disciplineName": _DISCIPLINE.get(discipline),
-            "gribEdition": 2,
-            "gribLength": msg_len,
-            "center": _u(msg, o1 + 5, 2),
-            "centerName": _CENTER.get(_u(msg, o1 + 5, 2)),
-            "subcenter": _u(msg, o1 + 7, 2),
-            "significanceOfRT": msg[o1 + 11],
-            "significanceOfRTName": _SIGNIFICANCE_RT.get(msg[o1 + 11]),
-            "refTime": ref_time.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
-            "forecastTime": _s(msg, o4 + 18, 4),
-            "productStatus": msg[o1 + 19],
-            "productStatusName": _PRODUCT_STATUS.get(msg[o1 + 19]),
-            "productType": msg[o1 + 20],
-            "productTypeName": _PRODUCT_TYPE.get(msg[o1 + 20]),
-            "productDefinitionTemplate": pdt,
-            "productDefinitionTemplateName": _PDT_NAME.get(pdt),
-            "genProcessType": msg[o4 + 11],
-            "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
-            "parameterCategory": category,
-            "parameterCategoryName": _CATEGORY.get((discipline, category)),
-            "parameterNumber": number,
-            "parameterNumberName": pname,
-            "parameterUnit": punit,
-            "surface1Type": s1t,
-            "surface1TypeName": _SURFACE.get(s1t),
-            "surface1Value": float(s1v) / 10.0**s1f,
-            "surface2Type": s2t,
-            "surface2TypeName": _SURFACE.get(s2t),
-            "surface2Value": 0.0 if s2t == 255 else float(s2v) / 10.0**s2f,
-            "gridDefinitionTemplate": gdt,
-            "gridDefinitionTemplateName": _GDT_NAME.get(gdt),
-            "gridUnits": "degrees",
-            "numberPoints": n_points,
-            "nx": _u(msg, o3 + 30, 4),
-            "ny": _u(msg, o3 + 34, 4),
-            "la1": _deg(msg, o3 + 46),
-            "lo1": _deg(msg, o3 + 50),
-            "la2": _deg(msg, o3 + 55),
-            "lo2": _deg(msg, o3 + 59),
-            "dx": _deg(msg, o3 + 63),
-            "dy": _deg(msg, o3 + 67),
-            "basicAngle": _u(msg, o3 + 38, 4),
-            "scanMode": msg[o3 + 71],
-            "resolution": resolution,
-            "shape": msg[o3 + 14],
-            "shapeName": _SHAPE.get(msg[o3 + 14]),
-            # flag table 3.3 bit 5: u/v relative to east/north ("true")
-            # vs the grid axes — grib2json's `winds` field
-            "winds": "true" if not resolution & 0x08 else "grid",
-        }
-        records.append({"header": header, "data": [float(v) for v in vals]})
+        yield pos, msg
         pos += msg_len
+
+
+def decode_grib2_bytes(
+    content: bytes, on_unsupported: str = "raise"
+) -> list[dict]:
+    """Decode every message in a GRIB2 file into grib2json-shaped
+    records: {"header": {...}, "data": [float32 values...]}.
+
+    Header keys mirror the reference's golden fixture
+    (data/u_comp.json) — numeric codes plus the human-readable *Name
+    fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
+    For a framed-valid message using a template outside the GFS wind
+    family (grid 3.0 / product 4.0 / packing 5.0/5.2/5.3):
+    `on_unsupported='raise'` (default) fails the whole file loud;
+    `'skip'` drops that message and decodes the rest — the
+    quarantine-not-corrupt mode (see scan_grib2_bytes for the variant
+    that reports what was dropped)."""
+    if on_unsupported not in ("raise", "skip"):
+        raise ValueError(f"on_unsupported={on_unsupported!r}")
+    records: list[dict] = []
+    for _pos, msg in iter_grib2_messages(content):
+        try:
+            records.append(_decode_message(msg))
+        except ValueError:
+            if on_unsupported == "raise":
+                raise
     return records
+
+
+def scan_grib2_bytes(content: bytes) -> list[dict]:
+    """Per-message scan report: [{"offset", "record", "error"}] with
+    exactly one of record/error set. Supported messages decode
+    bit-identically to `decode_grib2_bytes`; unsupported-template
+    messages carry their rejection text instead of poisoning the file
+    — the engine-side quarantine surface."""
+    out: list[dict] = []
+    for pos, msg in iter_grib2_messages(content):
+        try:
+            out.append({"offset": pos, "record": _decode_message(msg), "error": None})
+        except ValueError as exc:
+            out.append({"offset": pos, "record": None, "error": str(exc)})
+    return out
+
+
+def _decode_message(msg: bytes) -> dict:
+    """Decode one framed GRIB2 message; raises ValueError on templates
+    outside the supported family (fail-loud, never a wrong field)."""
+    msg_len = len(msg)
+    discipline = msg[6]
+
+    # walk sections; templates 3.0/4.0/5.0 carry one field per message
+    sec: dict[int, tuple[int, int]] = {}
+    o = 16
+    while o < msg_len - 4:
+        slen, snum = _u(msg, o, 4), msg[o + 4]
+        sec[snum] = (o, slen)
+        o += slen
+
+    o1 = sec[1][0]
+    ref_time = datetime(
+        _u(msg, o1 + 12, 2), msg[o1 + 14], msg[o1 + 15],
+        msg[o1 + 16], msg[o1 + 17], msg[o1 + 18], tzinfo=timezone.utc,
+    )
+
+    o3, slen3 = sec[3]
+    gdt = _u(msg, o3 + 12, 2)
+    if gdt != 0:
+        raise ValueError(f"grid definition template 3.{gdt} unsupported")
+    n_points = _u(msg, o3 + 6, 4)
+    resolution = msg[o3 + 54]
+
+    o4 = sec[4]
+    pdt = _u(msg, o4[0] + 7, 2)
+    if pdt != 0:
+        raise ValueError(f"product definition template 4.{pdt} unsupported")
+    o4 = o4[0]
+    category, number = msg[o4 + 9], msg[o4 + 10]
+    s1t, s1f, s1v = msg[o4 + 22], _s(msg, o4 + 23, 1), _u(msg, o4 + 24, 4)
+    s2t, s2f, s2v = msg[o4 + 28], _s(msg, o4 + 29, 1), _u(msg, o4 + 30, 4)
+
+    o5 = sec[5][0]
+    drt = _u(msg, o5 + 9, 2)
+    if drt not in (0, 2, 3):
+        raise ValueError(f"data representation template 5.{drt} unsupported")
+
+    o6, slen6 = sec[6]
+    bitmap_ind = msg[o6 + 5]
+    if bitmap_ind not in (0, 255):
+        raise ValueError(f"bitmap indicator {bitmap_ind} unsupported")
+
+    o7, slen7 = sec[7]
+    n_packed = _u(msg, o5 + 5, 4)  # points actually packed (≠ grid under bitmap)
+    if drt == 0:
+        ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
+        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        nbits = msg[o5 + 19]
+        vals = _unpack_values(
+            msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d
+        )
+    else:
+        vals = _unpack_complex(msg, o5, o7, slen7)
+    if bitmap_ind == 0:
+        present = np.unpackbits(
+            np.frombuffer(msg[o6 + 6 : o6 + slen6], dtype=np.uint8)
+        )[:n_points].astype(bool)
+        full = np.full(n_points, np.nan, dtype=np.float32)
+        full[present] = vals
+        vals = full
+
+    pname, punit = _PARAMETER.get((discipline, category, number), (None, None))
+    header = {
+        "discipline": discipline,
+        "disciplineName": _DISCIPLINE.get(discipline),
+        "gribEdition": 2,
+        "gribLength": msg_len,
+        "center": _u(msg, o1 + 5, 2),
+        "centerName": _CENTER.get(_u(msg, o1 + 5, 2)),
+        "subcenter": _u(msg, o1 + 7, 2),
+        "significanceOfRT": msg[o1 + 11],
+        "significanceOfRTName": _SIGNIFICANCE_RT.get(msg[o1 + 11]),
+        "refTime": ref_time.strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+        "forecastTime": _s(msg, o4 + 18, 4),
+        "productStatus": msg[o1 + 19],
+        "productStatusName": _PRODUCT_STATUS.get(msg[o1 + 19]),
+        "productType": msg[o1 + 20],
+        "productTypeName": _PRODUCT_TYPE.get(msg[o1 + 20]),
+        "productDefinitionTemplate": pdt,
+        "productDefinitionTemplateName": _PDT_NAME.get(pdt),
+        "genProcessType": msg[o4 + 11],
+        "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
+        "parameterCategory": category,
+        "parameterCategoryName": _CATEGORY.get((discipline, category)),
+        "parameterNumber": number,
+        "parameterNumberName": pname,
+        "parameterUnit": punit,
+        "surface1Type": s1t,
+        "surface1TypeName": _SURFACE.get(s1t),
+        "surface1Value": float(s1v) / 10.0**s1f,
+        "surface2Type": s2t,
+        "surface2TypeName": _SURFACE.get(s2t),
+        "surface2Value": 0.0 if s2t == 255 else float(s2v) / 10.0**s2f,
+        "gridDefinitionTemplate": gdt,
+        "gridDefinitionTemplateName": _GDT_NAME.get(gdt),
+        "gridUnits": "degrees",
+        "numberPoints": n_points,
+        "nx": _u(msg, o3 + 30, 4),
+        "ny": _u(msg, o3 + 34, 4),
+        "la1": _deg(msg, o3 + 46),
+        "lo1": _deg(msg, o3 + 50),
+        "la2": _deg(msg, o3 + 55),
+        "lo2": _deg(msg, o3 + 59),
+        "dx": _deg(msg, o3 + 63),
+        "dy": _deg(msg, o3 + 67),
+        "basicAngle": _u(msg, o3 + 38, 4),
+        "scanMode": msg[o3 + 71],
+        "resolution": resolution,
+        "shape": msg[o3 + 14],
+        "shapeName": _SHAPE.get(msg[o3 + 14]),
+        # flag table 3.3 bit 5: u/v relative to east/north ("true")
+        # vs the grid axes — grib2json's `winds` field
+        "winds": "true" if not resolution & 0x08 else "grid",
+    }
+    return {"header": header, "data": [float(v) for v in vals]}
 
 
 def encode_grib2_message(

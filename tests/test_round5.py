@@ -251,6 +251,102 @@ def test_ivf_index_invalidated_by_value_change(spark, tmp_path):
     assert c1 != c2
 
 
+def _patch_pdt(msg: bytes, new_pdt: int) -> bytes:
+    """Byte-patch a message's section-4 product-definition template
+    number (no checksums in GRIB2, so the frame stays valid)."""
+    o = 16
+    while o < len(msg) - 4:
+        slen, snum = int.from_bytes(msg[o : o + 4], "big"), msg[o + 4]
+        if snum == 4:
+            return (
+                msg[: o + 7] + new_pdt.to_bytes(2, "big") + msg[o + 9 :]
+            )
+        o += slen
+    raise AssertionError("no section 4")
+
+
+def test_mixed_template_corpus_quarantine(spark, tmp_path):
+    """grib2json template breadth (grib2json README.md:30-37): a file
+    mixing supported wind records, a different-category record the
+    --fc filter drops, and a product-template the codec does not
+    implement. Strict decode fails the file LOUD; the scan path
+    decodes everything it can bit-identically and quarantines the
+    unsupported message with its rejection text — never a silently
+    wrong or missing field."""
+    import pytest
+
+    from mints_wind_data_ingestion_spark.sources.grib import (
+        make_selector,
+        scan_binary_df,
+    )
+
+    ref = datetime(2020, 8, 12, 6)
+    u = encode_grib2_message(
+        _field(6, 2), parameter_number=2, ref_time=ref, nx=NX, ny=NY,
+        packing="complex_diff",
+    )
+    v = encode_grib2_message(
+        _field(6, 3), parameter_number=3, ref_time=ref, nx=NX, ny=NY,
+        packing="complex",
+    )
+    # same parameterNumber as U but a different category — the --fc
+    # analog must be able to drop it even though --fp alone cannot
+    other_cat = encode_grib2_message(
+        _field(6, 5), parameter_number=2, parameter_category=0,
+        ref_time=ref, nx=NX, ny=NY,
+    )
+    # statistical-interval product (template 4.8) — framed-valid,
+    # semantically outside the codec's family
+    unsupported = _patch_pdt(
+        encode_grib2_message(
+            _field(6, 7), parameter_number=2, ref_time=ref, nx=NX, ny=NY
+        ),
+        8,
+    )
+    blob = encode_grib2_file([u, v, other_cat, unsupported])
+    landing = tmp_path / "mixed"
+    landing.mkdir()
+    (landing / "mixed.grib2").write_bytes(blob)
+
+    # 1. strict codec: the file fails loud
+    with pytest.raises(ValueError, match=r"template 4\.8 unsupported"):
+        decode_grib2_bytes(blob)
+    # 2. skip mode decodes the three valid messages
+    assert len(decode_grib2_bytes(blob, on_unsupported="skip")) == 3
+
+    binary = spark.read.format("binaryFile").load(str(landing))
+    # 3. the reference's own selection (--fp 2/3 --fs 103 --fv 10.0)
+    #    CANNOT drop the same-number different-category record — that
+    #    is precisely the --fc gap — so 3 records survive and the bad
+    #    template is quarantined with its error text
+    scanned = scan_binary_df(binary).cache()
+    good = scanned.filter("error IS NULL").collect()
+    assert sorted(r["header"]["parameterNumber"] for r in good) == [2, 2, 3]
+    quar = scanned.filter("error IS NOT NULL").collect()
+    assert len(quar) == 1
+    assert "template 4.8 unsupported" in quar[0]["error"]
+    assert quar[0]["data"] is None and quar[0]["header"] is None
+    scanned.unpersist()
+
+    # 3b. adding --fc 2 narrows to exactly the wind pair, values intact
+    wind = scan_binary_df(binary, make_selector(fc=2)).filter(
+        "error IS NULL"
+    ).collect()
+    assert sorted(r["header"]["parameterNumber"] for r in wind) == [2, 3]
+    for r in wind:
+        p = r["header"]["parameterNumber"]
+        assert [round(float(x), 2) for x in r["data"]] == _field(6, p)
+
+    # 4. --fc analog: category 0 selection keeps ONLY the temperature-
+    #    family record (same param number as U, different category)
+    fc0 = scan_binary_df(
+        binary, make_selector(fp=None, fc=0, fs=None, fv=None)
+    ).filter("error IS NULL").collect()
+    assert len(fc0) == 1
+    assert fc0[0]["header"]["parameterCategory"] == 0
+    assert [round(float(x), 2) for x in fc0[0]["data"]] == _field(6, 5)
+
+
 def test_pack_complex_ref_rounding_at_float32_boundary():
     """When float32 rounds the scaled minimum UP (16777219.4 →
     16777220.0), the stored reference previously exceeded the minimum
