@@ -46,7 +46,12 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+    """Number of whitespace tokens — regexp_count of maximal
+    non-whitespace runs: value-identical to size(tokens(text)) but
+    fully codegen'd (higher-order array functions are CodegenFallback,
+    interpreted per element — measured ~3× slower on the text suite)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(col, F.lit(r"\S+"))
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
@@ -98,18 +103,30 @@ def whitespace_ratio(text: Column | str) -> Column:
 
 
 def avg_word_len(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    """Mean token length. Σ token lengths ≡ count of non-whitespace
+    characters, so the HOF fold (aggregate over transform(length) —
+    interpreted per token) collapses to one regexp_replace + length:
+    identical integers, identical int/int → double division."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = token_count(col)
+    total = F.length(F.regexp_replace(col, r"\s", ""))
+    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of `lang` — the language-ID
-    heuristic scores each candidate language and takes the argmax."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    heuristic scores each candidate language and takes the argmax.
+
+    Hit counting is one regexp_count over lower(text): a stopword
+    counts iff bounded by start/whitespace on both sides (lookarounds
+    don't consume, so consecutive stopword tokens all match) — exactly
+    the tokens()-membership count, but codegen'd instead of the
+    interpreted transform/filter/array_contains chain."""
+    col = F.col(text) if isinstance(text, str) else text
+    n = token_count(col)
+    pat = r"(?<=\s|^)(?:" + "|".join(STOPWORDS[lang]) + r")(?=\s|$)"
+    hits = F.regexp_count(F.lower(col), F.lit(pat))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
 def shingle_docs_pandas(

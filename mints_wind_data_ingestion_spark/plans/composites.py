@@ -1097,3 +1097,172 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part(q7, "q7", s1=_s("supp_nation"), s2=_s("cust_nation"),
               n1=_b("l_year"), d1=_d("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# a3_discovery_suite — candidate generation + first-match top-1 (r5 fold)
+# ---------------------------------------------------------------------------
+
+
+def _disc_oracle() -> str:
+    return f"""
+    SELECT 'candidates' AS part, CAST(rank AS BIGINT) AS n1,
+           run_ts AS ts1, url_path AS s1
+    FROM {_oracle("a3_discovery_candidates")}
+    UNION ALL
+    SELECT 'top1', CAST(rank AS BIGINT), run_ts, CAST(NULL AS VARCHAR)
+    FROM {_oracle("o1_discovery_top1")}
+    """
+
+
+@query("a3_discovery_suite", oracle=_disc_oracle(), tags=("A3", "O1", "composite"))
+def a3_discovery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery suite (converter.py:134-227 declaratively): the
+    40-candidate backtracking generator with its GFS URL paths
+    (a3_discovery_candidates) and the single-scan first-available
+    selection (o1_discovery_top1), tagged into one superset."""
+    c = REGISTRY["a3_discovery_candidates"].build(spark, sf_dir)
+    t = REGISTRY["o1_discovery_top1"].build(spark, sf_dir)
+    return _part(
+        c, "candidates", n1=_b("rank"), ts1=F.col("run_ts"), s1=_s("url_path")
+    ).unionByName(
+        _part(t, "top1", n1=_b("rank"), ts1=F.col("run_ts"), s1=_ns())
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_layout_mm_suite — grid stats + z-order layout + multimodal decode
+# (r5 fold: three small scans in one driver slot)
+# ---------------------------------------------------------------------------
+
+
+def _lmm_oracle() -> str:
+    return f"""
+    SELECT 'grid' AS part, CAST(label AS BIGINT) AS k1,
+           CAST(lat_band AS BIGINT) AS k2, CAST(cell_cnt AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+           CAST(NULL AS BIGINT) AS n4, CAST(NULL AS BIGINT) AS n5,
+           CAST(vmin AS DOUBLE) AS d1, CAST(vmax AS DOUBLE) AS d2,
+           CAST(vavg_q AS DOUBLE) AS d3
+    FROM {_oracle("x_grid_stats")}
+    UNION ALL
+    SELECT 'zorder', CAST(z_bucket AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(n AS BIGINT), CAST(qu_min AS BIGINT), CAST(qu_max AS BIGINT),
+           CAST(qv_min AS BIGINT), CAST(qv_max AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("x_zorder_stats")}
+    UNION ALL
+    SELECT 'mm_decode', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(n_bytes AS BIGINT), CAST(first_byte AS BIGINT),
+           CAST(checksum AS BIGINT), CAST(width AS BIGINT),
+           CAST(height AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("x_mm_decode")}
+    """
+
+
+@query("x_layout_mm_suite", oracle=_lmm_oracle(), tags=("ext", "composite"))
+def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout/raster/multimodal suite: per-lat-band raster statistics
+    (x_grid_stats), Morton-key layout statistics (x_zorder_stats), and
+    the multimodal metadata decode (x_mm_decode), tagged into one
+    superset — three independent small scans sharing one driver slot;
+    every component's exact values still ride the hash."""
+    g = REGISTRY["x_grid_stats"].build(spark, sf_dir)
+    z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
+    m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
+    return _part(
+        g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
+        n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
+        d1=_d("vmin"), d2=_d("vmax"), d3=_d("vavg_q"),
+    ).unionByName(
+        _part(z, "zorder", k1=_b("z_bucket"), k2=_nb(), n1=_b("n"),
+              n2=_b("qu_min"), n3=_b("qu_max"), n4=_b("qv_min"),
+              n5=_b("qv_max"), d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(m, "mm_decode", k1=_b("doc_id"), k2=_nb(), n1=_b("n_bytes"),
+              n2=_b("first_byte"), n3=_b("checksum"), n4=_b("width"),
+              n5=_b("height"), d1=_nd(), d2=_nd(), d3=_nd())
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_small_suite — five small relational queries in one driver slot
+# (r5 fold: enrichment, dim join, semi/anti, bucket counts, sessions)
+# ---------------------------------------------------------------------------
+
+
+def _rel_oracle() -> str:
+    return f"""
+    SELECT 'f3' AS part, CAST(event_id AS BIGINT) AS id,
+           ts AS ts1, bucket_3h AS ts2, bucket_6h AS ts3,
+           recorded_time_text AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS d1
+    FROM {_oracle("f3_computed_columns")}
+    UNION ALL
+    SELECT 'j5', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           region_name, nation_name,
+           CAST(customer_cnt AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(total_acctbal AS DOUBLE)
+    FROM {_oracle("j5_dim_enrichment")}
+    UNION ALL
+    SELECT 'semi_anti', CAST(c_custkey AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           c_name, status, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM {_oracle("j_semi_anti")}
+    UNION ALL
+    SELECT 'a2', CAST(NULL AS BIGINT), bucket_ts, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(event_cnt AS BIGINT),
+           CAST(user_cnt AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM {_oracle("a2_bucket_counts")}
+    UNION ALL
+    SELECT 'w5', CAST(user_id AS BIGINT), s_start, s_end,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(event_cnt AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM {_oracle("w5_session_windows")}
+    """
+
+
+@query("rel_small_suite", oracle=_rel_oracle(), tags=("F3", "J5", "A2", "T2", "composite"))
+def rel_small_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-relational suite folding five single-concept queries into
+    one driver slot: computed-column enrichment (f3), broadcast dim
+    enrichment (j5), semi/anti existence joins (j_semi_anti), bucket
+    existence counts (a2), and session windows (w5). Each component's
+    FULL row set rides through tagged — nothing is sampled away."""
+    f3 = REGISTRY["f3_computed_columns"].build(spark, sf_dir)
+    j5 = REGISTRY["j5_dim_enrichment"].build(spark, sf_dir)
+    sa = REGISTRY["j_semi_anti"].build(spark, sf_dir)
+    a2 = REGISTRY["a2_bucket_counts"].build(spark, sf_dir)
+    w5 = REGISTRY["w5_session_windows"].build(spark, sf_dir)
+    return (
+        _part(f3, "f3", id=_b("event_id"), ts1=F.col("ts"),
+              ts2=F.col("bucket_3h"), ts3=F.col("bucket_6h"),
+              s1=_s("recorded_time_text"), s2=_ns(), n1=_nb(), n2=_nb(),
+              d1=_nd())
+        .unionByName(
+            _part(j5, "j5", id=_nb(), ts1=_nt(), ts2=_nt(), ts3=_nt(),
+                  s1=_s("region_name"), s2=_s("nation_name"),
+                  n1=_b("customer_cnt"), n2=_nb(), d1=_d("total_acctbal"))
+        )
+        .unionByName(
+            _part(sa, "semi_anti", id=_b("c_custkey"), ts1=_nt(), ts2=_nt(),
+                  ts3=_nt(), s1=_s("c_name"), s2=_s("status"), n1=_nb(),
+                  n2=_nb(), d1=_nd())
+        )
+        .unionByName(
+            _part(a2, "a2", id=_nb(), ts1=F.col("bucket_ts"), ts2=_nt(),
+                  ts3=_nt(), s1=_ns(), s2=_ns(), n1=_b("event_cnt"),
+                  n2=_b("user_cnt"), d1=_nd())
+        )
+        .unionByName(
+            _part(w5, "w5", id=_b("user_id"), ts1=F.col("s_start"),
+                  ts2=F.col("s_end"), ts3=_nt(), s1=_ns(), s2=_ns(),
+                  n1=_b("event_cnt"), n2=_nb(), d1=_nd())
+        )
+    )

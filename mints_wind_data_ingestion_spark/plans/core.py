@@ -139,8 +139,7 @@ def f1_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(ts, '%Y-%m-%d %H:00:00') || '+00' AS recorded_time_text
     FROM events
     """,
-    tags=("F3", "C1", "C2", "C4"),
-)
+    tags=("F3", "C1", "C2", "C4"), driver=False)
 def f3_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Computed-column enrichment (converter.py:63-69): 3 h observation
     bucket, 6 h run-cycle bucket, and the reference's exact
@@ -251,8 +250,7 @@ def j1_uv_component_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name, n.n_name
     """,
-    tags=("J5", "A2"),
-)
+    tags=("J5", "A2"), driver=False)
 def j5_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code→name dimension enrichment (grib2json --names, SURVEY.md J5):
     broadcast-hash-join the fact against two tiny dims, then aggregate.
@@ -504,8 +502,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS user_cnt
     FROM events GROUP BY 1
     """,
-    tags=("A2", "C1"),
-)
+    tags=("A2", "C1"), driver=False)
 def a2_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Existence/count check per run-cycle bucket (converter.py:161
     `len(check_data_json)` generalized): count + distinct count.

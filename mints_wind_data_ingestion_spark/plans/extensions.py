@@ -447,7 +447,7 @@ _D_GRID_STATS = """
 """
 
 
-@query("x_grid_stats", oracle=_D_GRID_STATS, tags=("ext", "grid", "wind"))
+@query("x_grid_stats", oracle=_D_GRID_STATS, tags=("ext", "grid", "wind"), driver=False)
 def x_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid statistics over raster arrays — SURVEY.md §2.4's implied
     consumer-side aggregation (min/max/avg per lat band for the viz
@@ -644,8 +644,7 @@ def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + first_byte % 32 AS INT) AS height
     FROM codes
     """,
-    tags=("ext", "multimodal"),
-)
+    tags=("ext", "multimodal"), driver=False)
 def x_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction: binary payload column →
     Arrow-batched mapInPandas 'decode' → typed metadata struct
@@ -2492,7 +2491,7 @@ _D_ZORDER = f"""
 """
 
 
-@query("x_zorder_stats", oracle=_D_ZORDER, tags=("ext", "layout"))
+@query("x_zorder_stats", oracle=_D_ZORDER, tags=("ext", "layout"), driver=False)
 def x_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout statistics over events: quantize
     (user_id, value) to 8 bits each against broadcast corpus bounds,

@@ -347,8 +347,7 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name, 'no_order' AS status
     FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    tags=("join", "semi", "anti"),
-)
+    tags=("join", "semi", "anti"), driver=False)
 def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi and left-anti joins — the declarative form of the
     reference's existence gate (F6, converter.py:161) and upsert prelude
@@ -579,8 +578,7 @@ def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                || 'z.pgrb2.1p00.f' || format('{:03d}', 3) AS url_path
     FROM cands
     """,
-    tags=("A3", "O1", "C4", "C8"),
-)
+    tags=("A3", "O1", "C4", "C8"), driver=False)
 def a3_discovery_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The backtracking candidate generator (converter.py:134-227): 40
     6-h run timestamps newest→oldest from the freshest bucket, each with
@@ -639,8 +637,7 @@ def a3_discovery_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cands c JOIN available a ON c.run_ts = a.run_ts
     ORDER BY c.rank LIMIT 1
     """,
-    tags=("A3", "O1"),
-)
+    tags=("A3", "O1"), driver=False)
 def o1_discovery_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match selection (converter.py:134-181): newest candidate
     run for which matching data exists — min-rank candidate whose 6 h
@@ -707,8 +704,7 @@ def o1_discovery_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS event_cnt
     FROM s GROUP BY user_id, sid
     """,
-    tags=("T2", "window", "session"),
-)
+    tags=("T2", "window", "session"), driver=False)
 def w5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (45 min inactivity gap) per user — the streaming
     'absent' class of SURVEY.md §2.9, as a batch query. Spark's native
