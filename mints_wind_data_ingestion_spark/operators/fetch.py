@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["fetch_binary", "stage_to_dir"]
+__all__ = ["fetch_binary", "probe_binary", "stage_to_dir"]
 
 
 def _fetch_one(url: str, timeout: float, retries: int) -> tuple[bytes | None, str | None]:
@@ -70,6 +70,62 @@ def _fetch_one(url: str, timeout: float, retries: int) -> tuple[bytes | None, st
                 last = f"{type(exc).__name__}: {exc}"
         return None, last
     return None, f"unsupported scheme: {scheme}"
+
+
+def _probe_one(url: str, timeout: float) -> tuple[bool, str | None]:
+    """(exists, error) without transferring the body — the reference's
+    urlopen-success-before-body-read distinction (converter.py:142 vs
+    :175). file://: stat; http(s): HEAD request."""
+    scheme = urlparse(url).scheme
+    if scheme in ("", "file"):
+        path = url2pathname(urlparse(url).path) if scheme == "file" else url
+        ok = os.path.isfile(path)
+        return ok, None if ok else "not found"
+    if scheme in ("http", "https"):
+        from urllib.error import URLError
+        from urllib.request import Request, urlopen
+
+        try:
+            with urlopen(  # noqa: S310
+                Request(url, method="HEAD"), timeout=timeout
+            ) as resp:
+                return resp.status < 400, None
+        except (URLError, OSError) as exc:
+            return False, f"{type(exc).__name__}: {exc}"
+    return False, f"unsupported scheme: {scheme}"
+
+
+def probe_binary(
+    df: DataFrame, url_col: str = "url", timeout: float = 10.0
+) -> DataFrame:
+    """Availability probe: input columns + (ok boolean, error string),
+    NO body transfer. Use ahead of `fetch_binary` when most candidates
+    are expected absent (the reference's ≤40-attempt backtracking walk
+    opens each URL but reads only the winner's body) — probing 40
+    candidates costs 40 stats/HEADs, then the fetch downloads exactly
+    one file."""
+    out_schema = StructType(
+        [
+            *df.schema.fields,
+            StructField("ok", BooleanType()),
+            StructField("error", StringType()),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, errs = [], []
+            for url in pdf[url_col]:
+                ok, err = _probe_one(str(url), timeout)
+                oks.append(ok)
+                errs.append(err)
+            pdf = pdf[in_cols].copy()
+            pdf["ok"] = oks
+            pdf["error"] = errs
+            yield pdf
+
+    return df.mapInPandas(probe_batches, schema=out_schema)
 
 
 def fetch_binary(

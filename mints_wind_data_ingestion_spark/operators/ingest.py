@@ -1,0 +1,111 @@
+"""Batch ingest-once — the reference's `getData()` end-to-end
+(converter.py:119-181), composed from the engine's operators.
+
+One call ≙ one cron tick:
+
+1. candidate runs for the observation bucket, newest first
+   (operators.discovery.candidates — the ≤40-attempt backtracking walk
+   as a 40-row DataFrame);
+2. availability probe (operators.fetch.probe_binary — the reference's
+   urlopen-success test, converter.py:142, WITHOUT reading bodies);
+3. staleness gate against the stored table (converter.py:157-171:
+   if the stored rows for this observation bucket already come from a
+   run at least as new, stop before transferring any body — F7/F8);
+4. fetch the winner's body only (converter.py:172-177), decode through
+   the WMO codec UDTF (sources.grib.decode_binary_df), enrich the
+   observation bucket (converter.py:63-69);
+5. latest-wins merge into the wind table with the same crash-safe
+   temp-write + atomic-swap publish the streaming path uses
+   (streaming.pipeline._merge_publish_epoch).
+
+Deliberate divergences, same as the discovery operator's: real
+calendar arithmetic (no century-leap-year bug), per-candidate forecast
+offsets (converter.py:132's frozen `hourWithinRef` advanced), and an
+atomic replace instead of the reference's separate DELETE/INSERT
+commits.
+
+Driver pulls are bounded: the probe winner is one row; everything else
+stays a plan. At cluster scale the probe fans out over executors and
+the fetch transfers exactly one object per tick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.grib import decode_binary_df
+from .discovery import MAX_ATTEMPTS, candidates
+from .fetch import fetch_binary, probe_binary
+
+__all__ = ["ingest_once"]
+
+
+def ingest_once(
+    spark: SparkSession,
+    base_url: str,
+    table_path: str,
+    now_ts: str,
+    attempts: int = MAX_ATTEMPTS,
+    decoder=None,
+) -> dict:
+    """Run one reference cron tick against `base_url` (file:// tree or
+    http(s) endpoint laid out like the NOAA GFS server). Returns a
+    status dict: {"status": "no_candidate" | "skip_current" | "merged",
+    "run_ts", "obs_ts", "records"}."""
+    from ..streaming.pipeline import (
+        _merge_publish_epoch,
+        _read_if_exists,
+        _recover_table,
+    )
+
+    cands = candidates(spark, now_ts, attempts)
+    urls = cands.withColumn(
+        "url", F.concat(F.lit(base_url.rstrip("/") + "/"), F.col("url_path"))
+    )
+    probed = probe_binary(urls)
+    winner = (
+        probed.filter("ok").orderBy("rank").limit(1).collect()
+    )  # bounded: ≤1 row
+    if not winner:
+        return {"status": "no_candidate", "run_ts": None, "obs_ts": None,
+                "records": 0}
+    w = winner[0]
+
+    # staleness gate (converter.py:160-171): stop BEFORE the body
+    # transfer if the stored observation bucket already holds a run at
+    # least as new — strict `<` staleness, ties keep stored
+    _recover_table(spark, table_path)
+    stored = _read_if_exists(spark, table_path)
+    if stored is not None:
+        newest = (
+            stored.filter(F.col("recorded_time") == F.lit(w.obs_ts))
+            .agg(F.max("ref_time").alias("r"))
+            .first()["r"]
+        )
+        if newest is not None and newest >= w.run_ts:
+            return {"status": "skip_current", "run_ts": w.run_ts,
+                    "obs_ts": w.obs_ts, "records": 0}
+
+    one = spark.createDataFrame([(w.rank, w.url)], "rank int, url string")
+    fetched = fetch_binary(one, "url")
+    decoded = decode_binary_df(
+        fetched.filter("ok").select(F.col("url").alias("path"), "content"),
+        decoder,
+    )
+    batch = decoded.select(
+        F.col("header.parameterNumber").alias("param"),
+        F.to_timestamp(
+            F.col("header.refTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+        ).alias("ref_time"),
+        F.col("header.forecastTime").alias("forecast_hours"),
+        "header",
+        "data",
+    ).withColumn("recorded_time", F.lit(w.obs_ts).cast("timestamp"))
+    _merge_publish_epoch(batch, table_path, epoch_id=0)
+    n = spark.read.parquet(table_path).filter(
+        (F.col("recorded_time") == F.lit(w.obs_ts))
+        & (F.col("ref_time") == F.lit(w.run_ts))
+    ).count()
+    return {"status": "merged", "run_ts": w.run_ts, "obs_ts": w.obs_ts,
+            "records": n}

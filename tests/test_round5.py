@@ -45,29 +45,38 @@ def _field(run_h: int, param: int) -> list[float]:
     ]
 
 
+def _add_run(tree, run_h: int) -> dict:
+    """Stage one GFS run (U+V at the 12Z observation) into the fixture
+    tree; returns {(run_h, param): field}."""
+    ref = datetime(2020, 8, 12, run_h)
+    fc = 12 - run_h
+    d = tree / "gfs.20200812" / f"{run_h:02d}" / "atmos"
+    d.mkdir(parents=True, exist_ok=True)
+    fields = {}
+    msgs = []
+    for param in (2, 3):
+        vals = _field(run_h, param)
+        fields[(run_h, param)] = vals
+        msgs.append(
+            encode_grib2_message(
+                vals, parameter_number=param, ref_time=ref,
+                forecast_hours=fc, nx=NX, ny=NY, packing="complex_diff",
+            )
+        )
+    name = f"gfs.t{run_h:02d}z.pgrb2.1p00.f{fc:03d}"
+    (d / name).write_bytes(encode_grib2_file(msgs))
+    return fields
+
+
 def _noaa_tree(tmp_path, present_runs):
     """Fixture tree in the reference's URL layout
     (converter.py:136-137): gfs.{yyyymmdd}/{HH}/atmos/
     gfs.t{HH}z.pgrb2.1p00.f{FFF}; forecast hour = 12Z obs − run."""
     tree = tmp_path / "noaa"
+    tree.mkdir(exist_ok=True)
     fields = {}
     for run_h in present_runs:
-        ref = datetime(2020, 8, 12, run_h)
-        fc = 12 - run_h
-        d = tree / "gfs.20200812" / f"{run_h:02d}" / "atmos"
-        d.mkdir(parents=True)
-        msgs = []
-        for param in (2, 3):
-            vals = _field(run_h, param)
-            fields[(run_h, param)] = vals
-            msgs.append(
-                encode_grib2_message(
-                    vals, parameter_number=param, ref_time=ref,
-                    forecast_hours=fc, nx=NX, ny=NY, packing="complex_diff",
-                )
-            )
-        name = f"gfs.t{run_h:02d}z.pgrb2.1p00.f{fc:03d}"
-        (d / name).write_bytes(encode_grib2_file(msgs))
+        fields.update(_add_run(tree, run_h))
     return tree, fields
 
 
@@ -152,6 +161,52 @@ def test_fetch_stage_to_landing_then_scan(spark, tmp_path):
         for r in decoded.collect()
     }
     assert got == {p: fields[(12, p)] for p in (2, 3)}
+
+
+def test_ingest_once_cron_tick_semantics(spark, tmp_path):
+    """The full getData() replay (converter.py:119-181) as one batch
+    call: first tick ingests the newest available run; a newer run
+    appearing supersedes it (upsert J4/T3); a repeat tick is a
+    staleness-gated no-op BEFORE any body transfer (F7/F8); an empty
+    tree reports no_candidate."""
+    from mints_wind_data_ingestion_spark.operators.ingest import ingest_once
+
+    tree, fields = _noaa_tree(tmp_path, present_runs=(0,))
+    table = str(tmp_path / "wind_table")
+    base = f"file://{tree}"
+    now = "2020-08-12 13:30:00"
+
+    # tick 1: only the 00Z run exists (forecast hour 12)
+    r1 = ingest_once(spark, base, table, now, attempts=6)
+    assert r1["status"] == "merged" and r1["records"] == 2
+    assert r1["run_ts"] == datetime(2020, 8, 12, 0)
+    got = spark.read.parquet(table)
+    assert got.count() == 2
+    assert {r.ref_time for r in got.collect()} == {datetime(2020, 8, 12, 0)}
+
+    # tick 2: the 06Z run appears → replaces (newer ref_time wins)
+    fields.update(_add_run(tree, 6))
+    r2 = ingest_once(spark, base, table, now, attempts=6)
+    assert r2["status"] == "merged" and r2["run_ts"] == datetime(2020, 8, 12, 6)
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.ref_time == datetime(2020, 8, 12, 6)
+        assert r.recorded_time == datetime(2020, 8, 12, 12)
+        assert [round(float(x), 2) for x in r.data] == fields[(6, r.param)]
+
+    # tick 3: nothing newer → staleness gate stops before the fetch
+    r3 = ingest_once(spark, base, table, now, attempts=6)
+    assert r3["status"] == "skip_current"
+    after = sorted((r.recorded_time, r.param, r.ref_time)
+                   for r in spark.read.parquet(table).collect())
+    assert after == sorted((r.recorded_time, r.param, r.ref_time) for r in rows)
+
+    # tick 4: an empty tree has no candidates at all
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    r4 = ingest_once(spark, f"file://{empty}", table, now, attempts=4)
+    assert r4["status"] == "no_candidate"
 
 
 def test_ddl_executes_and_roundtrips(spark, tmp_path):
