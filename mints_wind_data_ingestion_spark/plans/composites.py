@@ -1266,3 +1266,54 @@ def rel_small_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n1=_b("event_cnt"), n2=_nb(), d1=_nd())
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_sim_ivf_suite — in-session + persisted-index IVF sharing ONE trained
+# quantizer (r5 fold: the two entries trained identical centroids twice)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_suite_oracle(sf_dir: str) -> str:
+    from .registry import resolve_oracle
+
+    sess = resolve_oracle(REGISTRY["x_sim_topk_ivf"], sf_dir)
+    idx = resolve_oracle(REGISTRY["x_sim_topk_ivf_index"], sf_dir)
+    return f"""
+    SELECT 'session' AS part, query_id, neighbor_id, cosine_sim, rank
+    FROM ({sess})
+    UNION ALL
+    SELECT 'indexed', query_id, neighbor_id, cosine_sim, rank
+    FROM ({idx})
+    """
+
+
+@query("x_sim_ivf_suite", oracle=_ivf_suite_oracle, tags=("ext", "similarity", "composite"))
+def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF similarity suite: the in-session probe (nprobe=8) and the
+    persisted-index probe (nprobe=4, partition-pruned) answered from
+    ONE trained coarse quantizer — build_ivf_index trains (or reuses,
+    via its content fingerprint) the on-disk index, the session part
+    reads the centroids back instead of retraining the identical
+    deterministic k-means. Values are bit-identical to the standalone
+    components (same centroids, same assignment, same rerank), which
+    stay registered and pytest-verified individually."""
+    import numpy as np
+
+    from ..operators.similarity import build_ivf_index, topk_ivf
+
+    from .extensions import _ivf_index_path, _spread
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    idx = _ivf_index_path(sf_dir)
+    build_ivf_index(emb, idx, n_cells=16, iters=5)
+    cpdf = spark.read.parquet(f"{idx}/centroids").toPandas().sort_values("cell")
+    centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+    probes = emb.filter(F.col("vec_id") < 8)
+    sess = topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8, dim=64)
+    indexed = REGISTRY["x_sim_topk_ivf_index"].build(spark, sf_dir)
+    cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
+                cosine_sim=_d("cosine_sim"), rank=_b("rank"))
+    return _part(sess, "session", **cols).unionByName(
+        _part(indexed, "indexed", **cols)
+    )

@@ -1047,7 +1047,19 @@ def _ivf_oracle(
     """
 
 
-@query("x_sim_topk_ivf", oracle=_ivf_oracle, tags=("ext", "similarity", "ivf"))
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic per-sf on-disk index location, shared by the
+    persisted-index query and the x_sim_ivf_suite composite (so the
+    index-once/query-many contract holds across both)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"windflow_ivf_{tag}")
+
+
+@query("x_sim_topk_ivf", oracle=_ivf_oracle, tags=("ext", "similarity", "ivf"), driver=False)
 def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (16 coarse cells, probe 8):
     deterministic k-means quantizer trained driver-side on a bounded
@@ -1169,7 +1181,7 @@ def _ivf_index_oracle(sf_dir: str) -> str:
 
 
 @query("x_sim_topk_ivf_index", oracle=_ivf_index_oracle,
-       tags=("ext", "similarity", "ivf"))
+       tags=("ext", "similarity", "ivf"), driver=False)
 def x_sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-index IVF variant, driver-verified: build (or
     refresh) an on-disk inverted file — trained centroids + the corpus
@@ -1184,15 +1196,10 @@ def x_sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-sf temp dir; the rebuild is idempotent (overwrite), and its
     cost is the honest index-build half of the index-once/query-many
     contract."""
-    import hashlib
-    import os
-    import tempfile
-
     from ..operators.similarity import build_ivf_index, topk_ivf_indexed
 
     emb = _spread(tables(spark, sf_dir)["embeddings"])
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    idx = os.path.join(tempfile.gettempdir(), f"windflow_ivf_{tag}")
+    idx = _ivf_index_path(sf_dir)
     build_ivf_index(emb, idx, n_cells=16, iters=5)
     probes = emb.filter(F.col("vec_id") < 8)
     return topk_ivf_indexed(spark, idx, probes, k=10, nprobe=4, dim=64)
