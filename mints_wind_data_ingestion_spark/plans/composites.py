@@ -1317,3 +1317,53 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _part(sess, "session", **cols).unionByName(
         _part(indexed, "indexed", **cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_pairs_suite — exact + Jaccard + SimHash dedup in one slot
+# (r5 fold; MinHash-LSH and CC-clustering keep their own slots — they
+# are the structurally distinct scale paths)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_pairs_oracle() -> str:
+    return f"""
+    SELECT 'exact' AS part, CAST(doc_id AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2, text AS s1,
+           CAST(copies AS BIGINT) AS n1, CAST(NULL AS DOUBLE) AS d1
+    FROM {_oracle("x_dedup_exact")}
+    UNION ALL
+    SELECT 'jaccard', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(jaccard AS DOUBLE)
+    FROM {_oracle("x_dedup_jaccard")}
+    UNION ALL
+    SELECT 'simhash', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(hamming AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM {_oracle("x_dedup_simhash")}
+    """
+
+
+@query("x_dedup_pairs_suite", oracle=_dedup_pairs_oracle(), tags=("ext", "dedup", "composite"))
+def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pairs suite: exact dedup representatives (x_dedup_exact),
+    inverted-index Jaccard pairs (x_dedup_jaccard), and banded SimHash
+    pairs (x_dedup_simhash), tagged into one superset. The MinHash-LSH
+    path and the CC clustering keep standalone slots — they are the
+    structurally distinct 100 TB paths worth separate timing."""
+    ex = REGISTRY["x_dedup_exact"].build(spark, sf_dir)
+    ja = REGISTRY["x_dedup_jaccard"].build(spark, sf_dir)
+    si = REGISTRY["x_dedup_simhash"].build(spark, sf_dir)
+    return (
+        _part(ex, "exact", k1=_b("doc_id"), k2=_nb(), s1=_s("text"),
+              n1=_b("copies"), d1=_nd())
+        .unionByName(
+            _part(ja, "jaccard", k1=_b("id_a"), k2=_b("id_b"), s1=_ns(),
+                  n1=_nb(), d1=_d("jaccard"))
+        )
+        .unionByName(
+            _part(si, "simhash", k1=_b("id_a"), k2=_b("id_b"), s1=_ns(),
+                  n1=_b("hamming"), d1=_nd())
+        )
+    )

@@ -115,8 +115,7 @@ def _spread(df: DataFrame) -> DataFrame:
     SELECT min(doc_id) AS doc_id, text, count(*) AS copies
     FROM documents GROUP BY text
     """,
-    tags=("ext", "dedup"),
-)
+    tags=("ext", "dedup"), driver=False)
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents: one representative (lowest doc_id)
     per distinct text. Single shuffle with map-side partial agg; at
@@ -126,7 +125,7 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs.select("doc_id", "text"), cols=["text"], id_col="doc_id")
 
 
-@query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"))
+@query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"), driver=False)
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via
     the inverted-index plan — the O(n²) pair space is never enumerated
@@ -207,7 +206,7 @@ def _md5_60(s):
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-@query("x_dedup_simhash", oracle=_D_SIMHASH_PAIRS, tags=("ext", "dedup", "lsh"))
+@query("x_dedup_simhash", oracle=_D_SIMHASH_PAIRS, tags=("ext", "dedup", "lsh"), driver=False)
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprints banded into 6×10
     bits; pairs sharing any band are exact-checked by Hamming distance.
