@@ -63,6 +63,10 @@ def _nt() -> Column:
     return F.lit(None).cast("timestamp")
 
 
+def _nbool() -> Column:
+    return F.lit(None).cast("boolean")
+
+
 def _oracle(name: str) -> str:
     """Component oracle SQL, wrapped for use as a subquery."""
     sql = REGISTRY[name].oracle
@@ -235,21 +239,28 @@ def _dist_oracle() -> str:
            CAST(p90_e6 AS DOUBLE), CAST(p99_e6 AS DOUBLE),
            CAST(sketch_within_rank_err AS BIGINT)
     FROM {_oracle("x_approx_quantiles")}
+    UNION ALL
+    SELECT 'hll', event_type, CAST(approx_within_5pct AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(exact_users AS BIGINT)
+    FROM {_oracle("x_approx_distinct")}
     """
 
 
-@query("a_distribution", oracle=_dist_oracle(), tags=("agg", "composite"))
-def a_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-statistics suite: the equal-width histogram over
-    order totals (a_histogram), exact discrete percentiles of event
-    values (a_percentiles_disc), and the quantile-sketch contract
-    check (x_approx_quantiles — e6 slots ride the double columns,
-    which hold integers < 2^53 exactly), tagged into one superset.
-    Every component's full row set and values flow through
-    unchanged."""
+@query("a_distribution_suite", oracle=_dist_oracle(), tags=("agg", "composite"))
+def a_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/cardinality-statistics suite: the equal-width
+    histogram over order totals (a_histogram), exact discrete
+    percentiles of event values (a_percentiles_disc), the
+    quantile-sketch contract check (x_approx_quantiles — e6 slots ride
+    the double columns, which hold integers < 2^53 exactly), and the
+    HyperLogLog++ distinct-count contract check next to the exact
+    counts (x_approx_distinct), tagged into one superset. Every
+    component's full row set and values flow through unchanged."""
     hist = REGISTRY["a_histogram"].build(spark, sf_dir)
     perc = REGISTRY["a_percentiles_disc"].build(spark, sf_dir)
     sk = REGISTRY["x_approx_quantiles"].build(spark, sf_dir)
+    hll = REGISTRY["x_approx_distinct"].build(spark, sf_dir)
     return _part(
         hist, "histogram", k1=_s("bin_id"), d1=_d("bin_lo"), d2=_nd(), d3=_nd(),
         n1=_b("n_orders"),
@@ -260,6 +271,10 @@ def a_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part(sk, "sketch_quantiles", k1=_s("event_type"), d1=_d("p50_e6"),
               d2=_d("p90_e6"), d3=_d("p99_e6"),
               n1=F.col("sketch_within_rank_err").cast("bigint"))
+    ).unionByName(
+        _part(hll, "hll", k1=_s("event_type"),
+              d1=F.col("approx_within_5pct").cast("double"), d2=_nd(),
+              d3=_nd(), n1=_b("exact_users"))
     )
 
 
@@ -505,7 +520,7 @@ def _tok_oracle() -> str:
     """
 
 
-@query("x_token_stats", oracle=_tok_oracle(), tags=("ext", "text", "composite"))
+@query("x_token_stats", oracle=_tok_oracle(), tags=("ext", "text", "composite"), driver=False)
 def x_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-statistics suite: corpus token-frequency top-20
     (x_token_topk), the Zipf-law slope fit over the top-100
@@ -622,7 +637,7 @@ def _tf_oracle() -> str:
     """
 
 
-@query("x_text_features", oracle=_tf_oracle(), tags=("ext", "text", "composite"))
+@query("x_text_features", oracle=_tf_oracle(), tags=("ext", "text", "composite"), driver=False)
 def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-feature suite as ONE wide narrow-plan pass:
     quality metrics (x_text_quality), stopword language-ID
@@ -703,6 +718,70 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.crossJoin(F.broadcast(thr)).select(
         *wide.columns, (F.col("stopword_en") >= F.col("threshold")).alias("kept_q25")
     )
+
+
+def _text_suite_oracle() -> str:
+    return f"""
+    SELECT 'features' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(NULL AS VARCHAR) AS token, CAST(NULL AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(token_cnt AS BIGINT) AS token_cnt,
+           CAST(avg_word_len AS DOUBLE) AS avg_word_len,
+           CAST(punct_ratio AS DOUBLE) AS punct_ratio,
+           CAST(ws_ratio AS DOUBLE) AS ws_ratio,
+           CAST(stopword_en AS DOUBLE) AS stopword_en,
+           lang, lang_pred, CAST(score AS DOUBLE) AS score,
+           CAST(fingerprint AS BIGINT) AS fingerprint,
+           CAST(type_token_ratio AS DOUBLE) AS type_token_ratio,
+           kept_q25
+    FROM {_oracle("x_text_features")}
+    UNION ALL
+    SELECT part, doc_id, token, n1, n2,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+    FROM {_oracle("x_token_stats")}
+    """
+
+
+@query("x_text_suite", oracle=_text_suite_oracle(), tags=("ext", "text", "composite"))
+def x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite (r5 fold): the wide per-document feature
+    pass (x_text_features — quality metrics, language-ID, fingerprint,
+    type-token ratio, quality-gate flag) plus the corpus token
+    statistics (x_token_stats — frequency top-k, Zipf slope, BPE-ish
+    counts), tagged into one superset. The two halves share the same
+    documents scan lineage; each component's full row set rides the
+    driver hash unchanged."""
+    tf = REGISTRY["x_text_features"].build(spark, sf_dir)
+    tk = REGISTRY["x_token_stats"].build(spark, sf_dir)
+    feat = tf.select(
+        F.lit("features").alias("part"), _b("doc_id").alias("doc_id"),
+        _ns().alias("token"), _nb().alias("n1"), _nb().alias("n2"),
+        _b("n_chars").alias("n_chars"), _b("token_cnt").alias("token_cnt"),
+        _d("avg_word_len").alias("avg_word_len"),
+        _d("punct_ratio").alias("punct_ratio"),
+        _d("ws_ratio").alias("ws_ratio"),
+        _d("stopword_en").alias("stopword_en"),
+        _s("lang").alias("lang"), _s("lang_pred").alias("lang_pred"),
+        _d("score").alias("score"), _b("fingerprint").alias("fingerprint"),
+        _d("type_token_ratio").alias("type_token_ratio"),
+        F.col("kept_q25"),
+    )
+    toks = tk.select(
+        "part", "doc_id", "token", "n1", "n2",
+        _nb().alias("n_chars"), _nb().alias("token_cnt"),
+        _nd().alias("avg_word_len"), _nd().alias("punct_ratio"),
+        _nd().alias("ws_ratio"), _nd().alias("stopword_en"),
+        _ns().alias("lang"), _ns().alias("lang_pred"), _nd().alias("score"),
+        _nb().alias("fingerprint"), _nd().alias("type_token_ratio"),
+        _nbool().alias("kept_q25"),
+    )
+    return feat.unionByName(toks)
 
 
 # ---------------------------------------------------------------------------
@@ -920,7 +999,7 @@ def _et_oracle() -> str:
     """
 
 
-@query("x_embed_transform", oracle=_et_oracle(), tags=("ext", "similarity", "composite"))
+@query("x_embed_transform", oracle=_et_oracle(), tags=("ext", "similarity", "composite"), driver=False)
 def x_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-transformation suite: int8 symmetric quantization with
     exact reconstruction error (x_embed_quantize — the storage/serving
@@ -935,6 +1014,32 @@ def x_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         _part(st, "standardize", vec_id=_b("vec_id"), n1=_b("znorm2_e6"),
               n2=_b("zmax_e6"), n3=_nb())
+    )
+
+
+def _embed_suite_oracle() -> str:
+    return f"""
+    SELECT part, vec_id, n1, n2, n3 FROM {_oracle("x_embed_transform")}
+    UNION ALL
+    SELECT 'cluster', CAST(vec_id AS BIGINT), CAST(cluster_id AS BIGINT),
+           CAST(is_representative AS BIGINT), CAST(NULL AS BIGINT)
+    FROM {_oracle("x_embed_cluster")}
+    """
+
+
+@query("x_embed_suite", oracle=_embed_suite_oracle(), tags=("ext", "similarity", "composite"))
+def x_embed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-workload suite (r5 fold): the transformation parts
+    (int8 quantization + corpus standardization, x_embed_transform)
+    and the dense near-dup clustering (x_embed_cluster — blockwise
+    cosine pairs → connected components), tagged into one superset
+    over ONE embeddings scan lineage; every component's exact values
+    still ride the driver hash."""
+    tr = REGISTRY["x_embed_transform"].build(spark, sf_dir)
+    cl = REGISTRY["x_embed_cluster"].build(spark, sf_dir)
+    return tr.unionByName(
+        _part(cl, "cluster", vec_id=_b("vec_id"), n1=_b("cluster_id"),
+              n2=F.col("is_representative").cast("bigint"), n3=_nb())
     )
 
 
@@ -1158,19 +1263,29 @@ def _lmm_oracle() -> str:
            CAST(height AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM {_oracle("x_mm_decode")}
+    UNION ALL
+    SELECT 'mm_transform', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(out_width AS BIGINT), CAST(out_height AS BIGINT),
+           CAST(mean_r_e6 AS BIGINT), CAST(px_sum AS BIGINT),
+           CAST(px_sumsq AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("x_mm_transform")}
     """
 
 
 @query("x_layout_mm_suite", oracle=_lmm_oracle(), tags=("ext", "composite"))
 def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout/raster/multimodal suite: per-lat-band raster statistics
-    (x_grid_stats), Morton-key layout statistics (x_zorder_stats), and
-    the multimodal metadata decode (x_mm_decode), tagged into one
-    superset — three independent small scans sharing one driver slot;
-    every component's exact values still ride the hash."""
+    (x_grid_stats), Morton-key layout statistics (x_zorder_stats), the
+    multimodal metadata decode (x_mm_decode), and the full media
+    decode→resize→re-encode transform pipeline (x_mm_transform),
+    tagged into one superset — four independent small scans sharing
+    one driver slot; every component's exact values still ride the
+    hash."""
     g = REGISTRY["x_grid_stats"].build(spark, sf_dir)
     z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
     m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
+    t = REGISTRY["x_mm_transform"].build(spark, sf_dir)
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
         n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
@@ -1183,6 +1298,11 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part(m, "mm_decode", k1=_b("doc_id"), k2=_nb(), n1=_b("n_bytes"),
               n2=_b("first_byte"), n3=_b("checksum"), n4=_b("width"),
               n5=_b("height"), d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(t, "mm_transform", k1=_b("doc_id"), k2=_nb(),
+              n1=_b("out_width"), n2=_b("out_height"), n3=_b("mean_r_e6"),
+              n4=_b("px_sum"), n5=_b("px_sumsq"),
+              d1=_nd(), d2=_nd(), d3=_nd())
     )
 
 
@@ -1279,12 +1399,16 @@ def _ivf_suite_oracle(sf_dir: str) -> str:
 
     sess = resolve_oracle(REGISTRY["x_sim_topk_ivf"], sf_dir)
     idx = resolve_oracle(REGISTRY["x_sim_topk_ivf_index"], sf_dir)
+    brute = resolve_oracle(REGISTRY["x_sim_topk_bruteforce"], sf_dir)
     return f"""
     SELECT 'session' AS part, query_id, neighbor_id, cosine_sim, rank
     FROM ({sess})
     UNION ALL
     SELECT 'indexed', query_id, neighbor_id, cosine_sim, rank
     FROM ({idx})
+    UNION ALL
+    SELECT 'brute', query_id, neighbor_id, cosine_sim, rank
+    FROM ({brute})
     """
 
 
@@ -1295,9 +1419,12 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE trained coarse quantizer — build_ivf_index trains (or reuses,
     via its content fingerprint) the on-disk index, the session part
     reads the centroids back instead of retraining the identical
-    deterministic k-means. Values are bit-identical to the standalone
-    components (same centroids, same assignment, same rerank), which
-    stay registered and pytest-verified individually."""
+    deterministic k-means. The exact brute-force cosine top-k — the
+    recall baseline every ANN variant is judged against — rides along
+    as a third part on the same (query, neighbor, sim, rank) schema.
+    Values are bit-identical to the standalone components (same
+    centroids, same assignment, same rerank), which stay registered
+    and pytest-verified individually."""
     import numpy as np
 
     from ..operators.similarity import build_ivf_index, topk_ivf
@@ -1312,10 +1439,13 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 8)
     sess = topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8, dim=64)
     indexed = REGISTRY["x_sim_topk_ivf_index"].build(spark, sf_dir)
+    brute = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
     cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))
-    return _part(sess, "session", **cols).unionByName(
-        _part(indexed, "indexed", **cols)
+    return (
+        _part(sess, "session", **cols)
+        .unionByName(_part(indexed, "indexed", **cols))
+        .unionByName(_part(brute, "brute", **cols))
     )
 
 

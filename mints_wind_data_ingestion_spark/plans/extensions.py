@@ -294,7 +294,7 @@ _D_SIM_TOPK = f"""
 """
 
 
-@query("x_sim_topk_bruteforce", oracle=_D_SIM_TOPK, tags=("ext", "similarity"))
+@query("x_sim_topk_bruteforce", oracle=_D_SIM_TOPK, tags=("ext", "similarity"), driver=False)
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for 8 probe vectors: broadcast the
     probe side across the candidate scan, one shuffle for the per-query
@@ -714,7 +714,7 @@ _D_MM_TRANSFORM = """
 """
 
 
-@query("x_mm_transform", oracle=_D_MM_TRANSFORM, tags=("ext", "multimodal"))
+@query("x_mm_transform", oracle=_D_MM_TRANSFORM, tags=("ext", "multimodal"), driver=False)
 def x_mm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full media-transform pipeline, driver-verified end-to-end:
     synthesize a REAL 24-bit BMP per document (closed-form pixels,
@@ -864,6 +864,7 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY event_type
     """,
     tags=("ext", "sketch"),
+    driver=False,
 )
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type next to
@@ -1850,7 +1851,7 @@ _D_EMB_CLUSTERS = f"""
 """
 
 
-@query("x_embed_cluster", oracle=_D_EMB_CLUSTERS, tags=("ext", "dedup", "graph"))
+@query("x_embed_cluster", oracle=_D_EMB_CLUSTERS, tags=("ext", "dedup", "graph"), driver=False)
 def x_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup clustering: the dense twin of
     x_dedup_cluster — blockwise-BLAS cosine pairs (≥ 0.4) become
