@@ -412,10 +412,15 @@ def topk_ivf(
     q_probe = _assign_cells_pandas(
         queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
     ).withColumnRenamed("__v", "__qv")
+    # probe sets are bounded (queries x nprobe rows) while the corpus is
+    # not: broadcast the probe side so the corpus never shuffles — the
+    # cell equi-join streams each candidate partition past the in-memory
+    # probe table. Candidates sit in exactly ONE cell (nprobe=1 above),
+    # so a (query, neighbor) pair can match at most once and needs no
+    # dedup exchange.
     scored = (
-        q_probe.join(c_assign, "cell")
+        c_assign.join(F.broadcast(q_probe), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -721,7 +726,14 @@ def build_ivf_index(
     assigned = _assign_cells_pandas(
         df.select(id_col, vec_col), centroids, 1, id_col, vec_col
     ).withColumnRenamed("__v", vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    # cluster the rows by cell before the partitioned write: without
+    # this, partitionBy fans every input partition across all cells —
+    # up to (input partitions x n_cells) tiny files, slow to write and
+    # slower to probe. One hash shuffle on cell yields one file per
+    # cell (AQE coalesces the near-empty reducers).
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
     _hadoop_write_text(spark, marker, json.dumps(meta))
 
 
@@ -787,10 +799,11 @@ def topk_ivf_indexed(
         F.col(vec_col).alias("__cv"),
         "cell",
     )
+    # same uniqueness invariant as topk_ivf: the index stores each
+    # vector under exactly one cell, so no dedup exchange is needed
     scored = (
         cells.join(F.broadcast(q_probe), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -279,48 +279,6 @@ def a_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# u_set_ops — union + intersect/except + distinct
-# ---------------------------------------------------------------------------
-
-
-def _setops_oracle() -> str:
-    return f"""
-    SELECT 'union' AS part, bucket_ts, CAST(event_id AS BIGINT) AS k1,
-           event_type AS s1, CAST(value AS DOUBLE) AS d1
-    FROM {_oracle("u1_union_components")}
-    UNION ALL
-    SELECT 'intersect_except', CAST(NULL AS TIMESTAMP), CAST(user_id AS BIGINT),
-           membership, CAST(NULL AS DOUBLE)
-    FROM {_oracle("set_intersect_except")}
-    UNION ALL
-    SELECT 'distinct', CAST(NULL AS TIMESTAMP), CAST(user_id AS BIGINT),
-           event_type, CAST(NULL AS DOUBLE)
-    FROM {_oracle("a_distinct_pairs")}
-    """
-
-
-@query("u_set_ops", oracle=_setops_oracle(), tags=("U1", "set", "composite"))
-def u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-operation suite: bag union of the two component streams
-    (u1_union_components — the reference's U+V append), INTERSECT /
-    EXCEPT membership labels (set_intersect_except), and exact DISTINCT
-    (a_distinct_pairs), tagged into one superset. All three components'
-    exact row multisets ride through (the union part keeps duplicate
-    bag semantics — the hash is multiset-sensitive)."""
-    u1 = REGISTRY["u1_union_components"].build(spark, sf_dir)
-    se = REGISTRY["set_intersect_except"].build(spark, sf_dir)
-    dp = REGISTRY["a_distinct_pairs"].build(spark, sf_dir)
-    return (
-        _part(u1, "union", bucket_ts=F.col("bucket_ts"), k1=_b("event_id"),
-              s1=_s("event_type"), d1=_d("value"))
-        .unionByName(_part(se, "intersect_except", bucket_ts=_nt(),
-                           k1=_b("user_id"), s1=_s("membership"), d1=_nd()))
-        .unionByName(_part(dp, "distinct", bucket_ts=_nt(), k1=_b("user_id"),
-                           s1=_s("event_type"), d1=_nd()))
-    )
-
-
-# ---------------------------------------------------------------------------
 # j_temporal — as-of join + range-join windows
 # ---------------------------------------------------------------------------
 
@@ -406,92 +364,141 @@ def f_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# a3_o1_order_selection — per-key argmax + global top-k (same schema)
+# a3_o1_suite — argmax/top-k selection + discovery candidates
+# (r5 fold: order selection and GFS discovery share the A3/O1 shapes)
 # ---------------------------------------------------------------------------
 
 
 def _a3o1_oracle() -> str:
     return f"""
-    SELECT 'argmax_per_key' AS part, CAST(o_custkey AS BIGINT) AS o_custkey,
-           CAST(o_orderkey AS BIGINT) AS o_orderkey,
-           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+    SELECT 'argmax_per_key' AS part, CAST(o_custkey AS BIGINT) AS k1,
+           CAST(o_orderkey AS BIGINT) AS k2,
+           CAST(o_totalprice AS DOUBLE) AS d1, o_orderdate AS ts1,
+           CAST(NULL AS VARCHAR) AS s1
     FROM {_oracle("a3_argmax_per_key")}
     UNION ALL
     SELECT 'topk', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
-           CAST(o_totalprice AS DOUBLE), o_orderdate
+           CAST(o_totalprice AS DOUBLE), o_orderdate, CAST(NULL AS VARCHAR)
     FROM {_oracle("o1_topk_orders")}
+    UNION ALL
+    SELECT 'candidates', CAST(rank AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), run_ts, url_path
+    FROM {_oracle("a3_discovery_candidates")}
+    UNION ALL
+    SELECT 'top1', CAST(rank AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), run_ts, CAST(NULL AS VARCHAR)
+    FROM {_oracle("o1_discovery_top1")}
     """
 
 
-@query("a3_o1_order_selection", oracle=_a3o1_oracle(), tags=("A3", "O1", "composite"))
-def a3_o1_order_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-selection suite: per-customer argmax via one max_by hash
-    aggregate (a3_argmax_per_key — the reference's newest-file-wins)
-    and global top-10 via TakeOrderedAndProject (o1_topk_orders),
-    tagged; both components share the same column set."""
+@query("a3_o1_suite", oracle=_a3o1_oracle(), tags=("A3", "O1", "composite"))
+def a3_o1_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection suite — the four A3/O1 argmax-and-top-k shapes in one
+    slot: per-customer argmax via one max_by hash aggregate
+    (a3_argmax_per_key — the reference's newest-file-wins), global
+    top-10 via TakeOrderedAndProject (o1_topk_orders), the
+    40-candidate GFS discovery generator with its URL paths
+    (a3_discovery_candidates, converter.py:134-227 declaratively),
+    and the single-scan first-available selection (o1_discovery_top1)."""
     am = REGISTRY["a3_argmax_per_key"].build(spark, sf_dir)
     tk = REGISTRY["o1_topk_orders"].build(spark, sf_dir)
-    slots = lambda df: dict(  # noqa: E731
-        o_custkey=_b("o_custkey"), o_orderkey=_b("o_orderkey"),
-        o_totalprice=_d("o_totalprice"), o_orderdate=F.col("o_orderdate"),
-    )
-    return _part(am, "argmax_per_key", **slots(am)).unionByName(
-        _part(tk, "topk", **slots(tk))
+    c = REGISTRY["a3_discovery_candidates"].build(spark, sf_dir)
+    t1 = REGISTRY["o1_discovery_top1"].build(spark, sf_dir)
+    order = dict(k1=_b("o_custkey"), k2=_b("o_orderkey"),
+                 d1=_d("o_totalprice"), ts1=F.col("o_orderdate"), s1=_ns())
+    return (
+        _part(am, "argmax_per_key", **order)
+        .unionByName(_part(tk, "topk", **order))
+        .unionByName(_part(c, "candidates", k1=_b("rank"), k2=_nb(),
+                           d1=_nd(), ts1=F.col("run_ts"), s1=_s("url_path")))
+        .unionByName(_part(t1, "top1", k1=_b("rank"), k2=_nb(), d1=_nd(),
+                           ts1=F.col("run_ts"), s1=_ns()))
     )
 
 
 # ---------------------------------------------------------------------------
-# x_sampling_suite — mixture + stratified + split + oversample + negatives
+# x_profile_sample_suite — profile/DQ/corr + the five deterministic samplers
 # ---------------------------------------------------------------------------
 
 
-def _samp_oracle() -> str:
+def _profsamp_oracle() -> str:
     return f"""
-    SELECT 'mixture' AS part, CAST(doc_id AS BIGINT) AS doc_id, lang AS s1,
-           source AS s2, CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
+    SELECT 'mixture' AS part, CAST(doc_id AS BIGINT) AS k1, lang AS s1,
+           source AS s2, CAST(NULL AS VARCHAR) AS s3,
+           CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2
     FROM {_oracle("x_sample_mixture")}
     UNION ALL
     SELECT 'stratified', CAST(doc_id AS BIGINT), source, CAST(NULL AS VARCHAR),
-           CAST(sample_rank AS BIGINT), CAST(NULL AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(sample_rank AS BIGINT),
+           CAST(NULL AS BIGINT)
     FROM {_oracle("x_sample_stratified")}
     UNION ALL
     SELECT 'split', CAST(doc_id AS BIGINT), split, CAST(NULL AS VARCHAR),
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM {_oracle("x_split_assign")}
     UNION ALL
     SELECT 'oversample', CAST(doc_id AS BIGINT), lang, CAST(NULL AS VARCHAR),
-           CAST(copy_no AS BIGINT), CAST(NULL AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(copy_no AS BIGINT),
+           CAST(NULL AS BIGINT)
     FROM {_oracle("x_oversample")}
     UNION ALL
     SELECT 'negatives', CAST(anchor_id AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST(NULL AS VARCHAR), CAST(neg_no AS BIGINT),
-           CAST(negative_id AS BIGINT)
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(neg_no AS BIGINT), CAST(negative_id AS BIGINT)
     FROM {_oracle("x_negative_pairs")}
+    UNION ALL
+    SELECT 'profile', CAST(NULL AS BIGINT), col_name, min_val, max_val,
+           CAST(n_null AS BIGINT), CAST(n_distinct AS BIGINT)
+    FROM {_oracle("x_profile_columns")}
+    UNION ALL
+    SELECT 'dq', CAST(NULL AS BIGINT), check_name, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(n_violations AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM {_oracle("x_dq_checks")}
+    UNION ALL
+    SELECT 'corr', CAST(NULL AS BIGINT), pair, CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(corr_e6 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM {_oracle("x_column_corr")}
     """
 
 
-@query("x_sampling_suite", oracle=_samp_oracle(), tags=("ext", "sampling", "composite"))
-def x_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic-sampling suite: language-mixture resampling,
-    exact stratified sampling, train/val/test split assignment,
+@query("x_profile_sample_suite", oracle=_profsamp_oracle(), tags=("ext", "sampling", "profile", "composite"))
+def x_profile_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-audit + sampling suite (r5 fold), one driver slot for
+    the eight dataset-management shapes: the single-scan column
+    profile of `documents` (x_profile_columns), declarative
+    data-quality checks over orders/lineitem (x_dq_checks), the
+    one-pass pairwise correlation matrix (x_column_corr), and the five
+    deterministic samplers — language-mixture resampling, exact
+    stratified sampling, train/val/test split assignment,
     minority-class oversampling, and contrastive negative-pair
-    generation (operators.sampling), tagged into one superset. Every
-    component's exact membership/rank/copy/pair values ride through —
-    the driver hash certifies all five samplers at once."""
+    generation (operators.sampling). Every component's exact
+    membership/rank/copy/pair/profile values ride the driver hash."""
     names = ("x_sample_mixture", "x_sample_stratified", "x_split_assign",
-             "x_oversample", "x_negative_pairs")
+             "x_oversample", "x_negative_pairs", "x_profile_columns",
+             "x_dq_checks", "x_column_corr")
     r = {n: REGISTRY[n].build(spark, sf_dir) for n in names}
     parts = [
-        _part(r["x_sample_mixture"], "mixture", doc_id=_b("doc_id"),
-              s1=_s("lang"), s2=_s("source"), n1=_nb(), n2=_nb()),
-        _part(r["x_sample_stratified"], "stratified", doc_id=_b("doc_id"),
-              s1=_s("source"), s2=_ns(), n1=_b("sample_rank"), n2=_nb()),
-        _part(r["x_split_assign"], "split", doc_id=_b("doc_id"),
-              s1=_s("split"), s2=_ns(), n1=_nb(), n2=_nb()),
-        _part(r["x_oversample"], "oversample", doc_id=_b("doc_id"),
-              s1=_s("lang"), s2=_ns(), n1=_b("copy_no"), n2=_nb()),
-        _part(r["x_negative_pairs"], "negatives", doc_id=_b("anchor_id"),
-              s1=_ns(), s2=_ns(), n1=_b("neg_no"), n2=_b("negative_id")),
+        _part(r["x_sample_mixture"], "mixture", k1=_b("doc_id"),
+              s1=_s("lang"), s2=_s("source"), s3=_ns(), n1=_nb(), n2=_nb()),
+        _part(r["x_sample_stratified"], "stratified", k1=_b("doc_id"),
+              s1=_s("source"), s2=_ns(), s3=_ns(), n1=_b("sample_rank"),
+              n2=_nb()),
+        _part(r["x_split_assign"], "split", k1=_b("doc_id"),
+              s1=_s("split"), s2=_ns(), s3=_ns(), n1=_nb(), n2=_nb()),
+        _part(r["x_oversample"], "oversample", k1=_b("doc_id"),
+              s1=_s("lang"), s2=_ns(), s3=_ns(), n1=_b("copy_no"), n2=_nb()),
+        _part(r["x_negative_pairs"], "negatives", k1=_b("anchor_id"),
+              s1=_ns(), s2=_ns(), s3=_ns(), n1=_b("neg_no"),
+              n2=_b("negative_id")),
+        _part(r["x_profile_columns"], "profile", k1=_nb(),
+              s1=_s("col_name"), s2=_s("min_val"), s3=_s("max_val"),
+              n1=_b("n_null"), n2=_b("n_distinct")),
+        _part(r["x_dq_checks"], "dq", k1=_nb(), s1=_s("check_name"),
+              s2=_ns(), s3=_ns(), n1=_b("n_violations"), n2=_nb()),
+        _part(r["x_column_corr"], "corr", k1=_nb(), s1=_s("pair"),
+              s2=_ns(), s3=_ns(), n1=_b("corr_e6"), n2=_nb()),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -820,7 +827,7 @@ def _dt_oracle() -> str:
     """
 
 
-@query("x_doc_transform", oracle=_dt_oracle(), tags=("ext", "text", "composite"))
+@query("x_doc_transform", oracle=_dt_oracle(), tags=("ext", "text", "composite"), driver=False)
 def x_doc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-transformation suite: PII scrubbing with per-kind match
     counts (x_pii_redact), 20-token/stride-15 context-window chunking
@@ -871,48 +878,36 @@ def x_doc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x_profile_dq — single-pass profile + data-quality checks
+# x_doc_pipeline_suite — document transforms + end-to-end curation
+# (r5 fold: PII/chunk/pack + the full curation pipeline, one slot)
 # ---------------------------------------------------------------------------
 
 
-def _pdq_oracle() -> str:
+def _docpipe_oracle() -> str:
     return f"""
-    SELECT 'profile' AS part, col_name AS name, CAST(n_null AS BIGINT) AS n1,
-           CAST(n_distinct AS BIGINT) AS n2, min_val AS s1, max_val AS s2
-    FROM {_oracle("x_profile_columns")}
+    SELECT part, doc_id, n1, n2, n3, txt FROM ({_dt_oracle()})
     UNION ALL
-    SELECT 'dq', check_name, CAST(n_violations AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-    FROM {_oracle("x_dq_checks")}
-    UNION ALL
-    SELECT 'corr', pair, CAST(corr_e6 AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-    FROM {_oracle("x_column_corr")}
+    SELECT 'curation', CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), chunk_text
+    FROM {_oracle("x_curation_pipeline")}
     """
 
 
-@query("x_profile_dq", oracle=_pdq_oracle(), tags=("ext", "profile", "composite"))
-def x_profile_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset-audit suite: the single-scan column profile of
-    `documents` (x_profile_columns), the declarative data-quality
-    checks over orders/lineitem (x_dq_checks), and the one-pass
-    pairwise correlation matrix (x_column_corr — feature drift /
-    redundancy), tagged into one superset report — the shape a
-    nightly publish gate runs."""
-    pr = REGISTRY["x_profile_columns"].build(spark, sf_dir)
-    dq = REGISTRY["x_dq_checks"].build(spark, sf_dir)
-    cr = REGISTRY["x_column_corr"].build(spark, sf_dir)
-    return (
-        _part(pr, "profile", name=_s("col_name"), n1=_b("n_null"),
-              n2=_b("n_distinct"), s1=_s("min_val"), s2=_s("max_val"))
-        .unionByName(
-            _part(dq, "dq", name=_s("check_name"), n1=_b("n_violations"),
-                  n2=_nb(), s1=_ns(), s2=_ns())
-        )
-        .unionByName(
-            _part(cr, "corr", name=_s("pair"), n1=_b("corr_e6"),
-                  n2=_nb(), s1=_ns(), s2=_ns())
-        )
+@query("x_doc_pipeline_suite", oracle=_docpipe_oracle(), tags=("ext", "text", "pipeline", "composite"))
+def x_doc_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-pipeline suite (r5 fold): the transformation trio —
+    PII scrubbing, context-window chunking, and 512-token sequence
+    packing (x_doc_transform) — plus the end-to-end corpus-curation
+    pipeline (x_curation_pipeline: language filter → exact dedup →
+    Jaccard near-dup clustering → hash sample → chunking, verified by
+    one recursive-CTE oracle), tagged into one superset over the
+    documents table. A regression in any stage or composition flips
+    the driver hash."""
+    dt = REGISTRY["x_doc_transform"].build(spark, sf_dir)
+    cu = REGISTRY["x_curation_pipeline"].build(spark, sf_dir)
+    return dt.unionByName(
+        _part(cu, "curation", doc_id=_b("doc_id"), n1=_b("chunk_id"),
+              n2=_nb(), n3=_nb(), txt=_s("chunk_text"))
     )
 
 
@@ -1019,61 +1014,139 @@ def x_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embed_suite_oracle() -> str:
     return f"""
-    SELECT part, vec_id, n1, n2, n3 FROM {_oracle("x_embed_transform")}
+    SELECT part, vec_id, n1, n2, n3, CAST(NULL AS DOUBLE) AS d1
+    FROM {_oracle("x_embed_transform")}
     UNION ALL
     SELECT 'cluster', CAST(vec_id AS BIGINT), CAST(cluster_id AS BIGINT),
-           CAST(is_representative AS BIGINT), CAST(NULL AS BIGINT)
+           CAST(is_representative AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
     FROM {_oracle("x_embed_cluster")}
+    UNION ALL
+    SELECT 'neardup', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(cosine_sim AS DOUBLE)
+    FROM {_oracle("x_dedup_embedding")}
     """
 
 
-@query("x_embed_suite", oracle=_embed_suite_oracle(), tags=("ext", "similarity", "composite"))
-def x_embed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x_embedding_suite", oracle=_embed_suite_oracle(), tags=("ext", "similarity", "composite"))
+def x_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-workload suite (r5 fold): the transformation parts
-    (int8 quantization + corpus standardization, x_embed_transform)
-    and the dense near-dup clustering (x_embed_cluster — blockwise
-    cosine pairs → connected components), tagged into one superset
-    over ONE embeddings scan lineage; every component's exact values
-    still ride the driver hash."""
+    (int8 quantization + corpus standardization, x_embed_transform),
+    the dense near-dup clustering (x_embed_cluster — blockwise cosine
+    pairs → connected components), and the raw near-duplicate pair
+    list itself (x_dedup_embedding — blockwise BLAS all-pairs at
+    threshold 0.4), tagged into one superset over ONE embeddings scan
+    lineage; every component's exact values still ride the driver
+    hash."""
     tr = REGISTRY["x_embed_transform"].build(spark, sf_dir)
     cl = REGISTRY["x_embed_cluster"].build(spark, sf_dir)
-    return tr.unionByName(
-        _part(cl, "cluster", vec_id=_b("vec_id"), n1=_b("cluster_id"),
-              n2=F.col("is_representative").cast("bigint"), n3=_nb())
+    nd = REGISTRY["x_dedup_embedding"].build(spark, sf_dir)
+    return (
+        tr.withColumn("d1", _nd())
+        .unionByName(
+            _part(cl, "cluster", vec_id=_b("vec_id"), n1=_b("cluster_id"),
+                  n2=F.col("is_representative").cast("bigint"), n3=_nb(),
+                  d1=_nd())
+        )
+        .unionByName(
+            _part(nd, "neardup", vec_id=_b("id_a"), n1=_b("id_b"),
+                  n2=_nb(), n3=_nb(), d1=_d("cosine_sim"))
+        )
     )
 
 
 # ---------------------------------------------------------------------------
-# q_scalar_aggs — single-row TPC-H aggregates (Q6 + Q14 + Q17)
+# q_tpch_suite — the seven TPC-H-shape bench queries in one driver slot
+# (r5 fold: Q10 + Q18 + Q5 + Q7 + Q6 + Q14 + Q17)
 # ---------------------------------------------------------------------------
 
 
-def _qs_oracle() -> str:
+def _qtpch_oracle() -> str:
     return f"""
-    SELECT 'q6' AS part, CAST(revenue AS DOUBLE) AS v
+    SELECT 'q10' AS part, CAST(c_custkey AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2, c_name AS s1, n_name AS s2,
+           CAST(NULL AS TIMESTAMP) AS ts1, CAST(NULL AS BIGINT) AS n1,
+           CAST(revenue AS DOUBLE) AS d1, CAST(c_acctbal AS DOUBLE) AS d2
+    FROM {_oracle("q10_returned_items")}
+    UNION ALL
+    SELECT 'q18', CAST(c_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+           c_name, CAST(NULL AS VARCHAR), o_orderdate, CAST(NULL AS BIGINT),
+           CAST(o_totalprice AS DOUBLE), CAST(total_qty AS DOUBLE)
+    FROM {_oracle("q18_large_volume_customers")}
+    UNION ALL
+    SELECT 'q5', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_name,
+           CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS BIGINT), CAST(revenue AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM {_oracle("q5_local_supplier_volume")}
+    UNION ALL
+    SELECT 'q7', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), supp_nation,
+           cust_nation, CAST(NULL AS TIMESTAMP), CAST(l_year AS BIGINT),
+           CAST(revenue AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("q7_volume_shipping")}
+    UNION ALL
+    SELECT 'q6', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+           CAST(revenue AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM {_oracle("q6_forecast_revenue")}
     UNION ALL
-    SELECT 'q14', CAST(promo_pct AS DOUBLE) FROM {_oracle("q14_promo_revenue")}
+    SELECT 'q14', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+           CAST(promo_pct AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("q14_promo_revenue")}
     UNION ALL
-    SELECT 'q17', CAST(avg_yearly AS DOUBLE) FROM {_oracle("q17_small_qty_revenue")}
+    SELECT 'q17', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+           CAST(avg_yearly AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM {_oracle("q17_small_qty_revenue")}
     """
 
 
-@query("q_scalar_aggs", oracle=_qs_oracle(), tags=("A2", "bench", "composite"))
-def q_scalar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-row TPC-H aggregate suite: pure pushdown scan-aggregate
-    (Q6), conditional aggregate over a broadcast dim join (Q14), and
-    the decorrelated scalar-subquery join (Q17), tagged into one
-    3-row result — three distinct single-row aggregate shapes, one
-    driver slot."""
-    q6 = REGISTRY["q6_forecast_revenue"].build(spark, sf_dir)
-    q14 = REGISTRY["q14_promo_revenue"].build(spark, sf_dir)
-    q17 = REGISTRY["q17_small_qty_revenue"].build(spark, sf_dir)
-    return (
-        _part(q6, "q6", v=_d("revenue"))
-        .unionByName(_part(q14, "q14", v=_d("promo_pct")))
-        .unionByName(_part(q17, "q17", v=_d("avg_yearly")))
-    )
+@query("q_tpch_suite", oracle=_qtpch_oracle(), tags=("J5", "A2", "O1", "bench", "composite"))
+def q_tpch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H bench suite — the seven classic query shapes outside the
+    lineitem pair, tagged into one superset: returned-items top-20
+    (Q10, dual-fact pushdown + 4-way join), large-volume customers
+    (Q18, aggregation-driven semi-join), local supplier volume (Q5,
+    six-way correlated dim join), bilateral trade (Q7, one dim in two
+    roles), and the three single-row aggregates (Q6 pushdown probe,
+    Q14 conditional agg over broadcast dim, Q17 decorrelated scalar
+    subquery). Every component's exact row set rides the driver hash;
+    each keeps its standalone registry entry, plan pins, and pytest
+    differential."""
+    parts = [
+        ("q10", "q10_returned_items",
+         dict(k1=_b("c_custkey"), k2=_nb(), s1=_s("c_name"), s2=_s("n_name"),
+              ts1=_nt(), n1=_nb(), d1=_d("revenue"), d2=_d("c_acctbal"))),
+        ("q18", "q18_large_volume_customers",
+         dict(k1=_b("c_custkey"), k2=_b("o_orderkey"), s1=_s("c_name"),
+              s2=_ns(), ts1=F.col("o_orderdate"), n1=_nb(),
+              d1=_d("o_totalprice"), d2=_d("total_qty"))),
+        ("q5", "q5_local_supplier_volume",
+         dict(k1=_nb(), k2=_nb(), s1=_s("n_name"), s2=_ns(), ts1=_nt(),
+              n1=_nb(), d1=_d("revenue"), d2=_nd())),
+        ("q7", "q7_volume_shipping",
+         dict(k1=_nb(), k2=_nb(), s1=_s("supp_nation"), s2=_s("cust_nation"),
+              ts1=_nt(), n1=_b("l_year"), d1=_d("revenue"), d2=_nd())),
+        ("q6", "q6_forecast_revenue",
+         dict(k1=_nb(), k2=_nb(), s1=_ns(), s2=_ns(), ts1=_nt(), n1=_nb(),
+              d1=_d("revenue"), d2=_nd())),
+        ("q14", "q14_promo_revenue",
+         dict(k1=_nb(), k2=_nb(), s1=_ns(), s2=_ns(), ts1=_nt(), n1=_nb(),
+              d1=_d("promo_pct"), d2=_nd())),
+        ("q17", "q17_small_qty_revenue",
+         dict(k1=_nb(), k2=_nb(), s1=_ns(), s2=_ns(), ts1=_nt(), n1=_nb(),
+              d1=_d("avg_yearly"), d2=_nd())),
+    ]
+    out = None
+    for tag, name, slots in parts:
+        piece = _part(REGISTRY[name].build(spark, sf_dir), tag, **slots)
+        out = piece if out is None else out.unionByName(piece)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1171,71 +1244,6 @@ def q_lineitem_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_nation_trade — TPC-H Q5 + Q7 (deep joins on nation dimensions)
-# ---------------------------------------------------------------------------
-
-
-def _qnt_oracle() -> str:
-    return f"""
-    SELECT 'q5' AS part, n_name AS s1, CAST(NULL AS VARCHAR) AS s2,
-           CAST(NULL AS BIGINT) AS n1, CAST(revenue AS DOUBLE) AS d1
-    FROM {_oracle("q5_local_supplier_volume")}
-    UNION ALL
-    SELECT 'q7', supp_nation, cust_nation, CAST(l_year AS BIGINT),
-           CAST(revenue AS DOUBLE)
-    FROM {_oracle("q7_volume_shipping")}
-    """
-
-
-@query("q_nation_trade", oracle=_qnt_oracle(), tags=("J5", "A2", "bench", "composite"))
-def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nation-dimension join suite: the six-way local-supplier join
-    (TPC-H Q5 shape, correlated dimension branches) and the bilateral
-    trade query (TPC-H Q7 shape, one dim joined twice under different
-    roles), tagged into one superset — the deep join-planning stress
-    pair in one driver slot."""
-    q5 = REGISTRY["q5_local_supplier_volume"].build(spark, sf_dir)
-    q7 = REGISTRY["q7_volume_shipping"].build(spark, sf_dir)
-    return _part(
-        q5, "q5", s1=_s("n_name"), s2=_ns(), n1=_nb(), d1=_d("revenue")
-    ).unionByName(
-        _part(q7, "q7", s1=_s("supp_nation"), s2=_s("cust_nation"),
-              n1=_b("l_year"), d1=_d("revenue"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# a3_discovery_suite — candidate generation + first-match top-1 (r5 fold)
-# ---------------------------------------------------------------------------
-
-
-def _disc_oracle() -> str:
-    return f"""
-    SELECT 'candidates' AS part, CAST(rank AS BIGINT) AS n1,
-           run_ts AS ts1, url_path AS s1
-    FROM {_oracle("a3_discovery_candidates")}
-    UNION ALL
-    SELECT 'top1', CAST(rank AS BIGINT), run_ts, CAST(NULL AS VARCHAR)
-    FROM {_oracle("o1_discovery_top1")}
-    """
-
-
-@query("a3_discovery_suite", oracle=_disc_oracle(), tags=("A3", "O1", "composite"))
-def a3_discovery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discovery suite (converter.py:134-227 declaratively): the
-    40-candidate backtracking generator with its GFS URL paths
-    (a3_discovery_candidates) and the single-scan first-available
-    selection (o1_discovery_top1), tagged into one superset."""
-    c = REGISTRY["a3_discovery_candidates"].build(spark, sf_dir)
-    t = REGISTRY["o1_discovery_top1"].build(spark, sf_dir)
-    return _part(
-        c, "candidates", n1=_b("rank"), ts1=F.col("run_ts"), s1=_s("url_path")
-    ).unionByName(
-        _part(t, "top1", n1=_b("rank"), ts1=F.col("run_ts"), s1=_ns())
-    )
-
-
-# ---------------------------------------------------------------------------
 # x_layout_mm_suite — grid stats + z-order layout + multimodal decode
 # (r5 fold: three small scans in one driver slot)
 # ---------------------------------------------------------------------------
@@ -1307,8 +1315,9 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rel_small_suite — five small relational queries in one driver slot
-# (r5 fold: enrichment, dim join, semi/anti, bucket counts, sessions)
+# rel_suite — eight small relational queries in one driver slot
+# (r5 fold: enrichment, dim join, semi/anti, bucket counts, sessions,
+# bag union, intersect/except, distinct)
 # ---------------------------------------------------------------------------
 
 
@@ -1345,21 +1354,46 @@ def _rel_oracle() -> str:
            CAST(NULL AS VARCHAR), CAST(event_cnt AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM {_oracle("w5_session_windows")}
+    UNION ALL
+    SELECT 'union', CAST(event_id AS BIGINT), bucket_ts,
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           event_type, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(value AS DOUBLE)
+    FROM {_oracle("u1_union_components")}
+    UNION ALL
+    SELECT 'intersect_except', CAST(user_id AS BIGINT),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), membership, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM {_oracle("set_intersect_except")}
+    UNION ALL
+    SELECT 'distinct', CAST(user_id AS BIGINT), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), event_type,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM {_oracle("a_distinct_pairs")}
     """
 
 
-@query("rel_small_suite", oracle=_rel_oracle(), tags=("F3", "J5", "A2", "T2", "composite"))
-def rel_small_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-relational suite folding five single-concept queries into
+@query("rel_suite", oracle=_rel_oracle(), tags=("F3", "J5", "A2", "T2", "U1", "set", "composite"))
+def rel_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-relational suite folding eight single-concept queries into
     one driver slot: computed-column enrichment (f3), broadcast dim
     enrichment (j5), semi/anti existence joins (j_semi_anti), bucket
-    existence counts (a2), and session windows (w5). Each component's
-    FULL row set rides through tagged — nothing is sampled away."""
+    existence counts (a2), session windows (w5), bag union of the two
+    component streams (u1_union_components — the reference's U+V
+    append; duplicate bag semantics ride the multiset-sensitive hash),
+    INTERSECT/EXCEPT membership labels (set_intersect_except), and
+    exact DISTINCT (a_distinct_pairs). Each component's FULL row set
+    rides through tagged — nothing is sampled away."""
     f3 = REGISTRY["f3_computed_columns"].build(spark, sf_dir)
     j5 = REGISTRY["j5_dim_enrichment"].build(spark, sf_dir)
     sa = REGISTRY["j_semi_anti"].build(spark, sf_dir)
     a2 = REGISTRY["a2_bucket_counts"].build(spark, sf_dir)
     w5 = REGISTRY["w5_session_windows"].build(spark, sf_dir)
+    u1 = REGISTRY["u1_union_components"].build(spark, sf_dir)
+    se = REGISTRY["set_intersect_except"].build(spark, sf_dir)
+    dp = REGISTRY["a_distinct_pairs"].build(spark, sf_dir)
     return (
         _part(f3, "f3", id=_b("event_id"), ts1=F.col("ts"),
               ts2=F.col("bucket_3h"), ts3=F.col("bucket_6h"),
@@ -1384,6 +1418,21 @@ def rel_small_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             _part(w5, "w5", id=_b("user_id"), ts1=F.col("s_start"),
                   ts2=F.col("s_end"), ts3=_nt(), s1=_ns(), s2=_ns(),
                   n1=_b("event_cnt"), n2=_nb(), d1=_nd())
+        )
+        .unionByName(
+            _part(u1, "union", id=_b("event_id"), ts1=F.col("bucket_ts"),
+                  ts2=_nt(), ts3=_nt(), s1=_s("event_type"), s2=_ns(),
+                  n1=_nb(), n2=_nb(), d1=_d("value"))
+        )
+        .unionByName(
+            _part(se, "intersect_except", id=_b("user_id"), ts1=_nt(),
+                  ts2=_nt(), ts3=_nt(), s1=_s("membership"), s2=_ns(),
+                  n1=_nb(), n2=_nb(), d1=_nd())
+        )
+        .unionByName(
+            _part(dp, "distinct", id=_b("user_id"), ts1=_nt(), ts2=_nt(),
+                  ts3=_nt(), s1=_s("event_type"), s2=_ns(), n1=_nb(),
+                  n2=_nb(), d1=_nd())
         )
     )
 
@@ -1427,7 +1476,11 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pytest-verified individually."""
     import numpy as np
 
-    from ..operators.similarity import build_ivf_index, topk_ivf
+    from ..operators.similarity import (
+        build_ivf_index,
+        topk_ivf,
+        topk_ivf_indexed,
+    )
 
     from .extensions import _ivf_index_path, _spread
 
@@ -1438,7 +1491,11 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
     probes = emb.filter(F.col("vec_id") < 8)
     sess = topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8, dim=64)
-    indexed = REGISTRY["x_sim_topk_ivf_index"].build(spark, sf_dir)
+    # the standalone x_sim_topk_ivf_index entry calls build_ivf_index
+    # itself; going through topk_ivf_indexed directly here reuses the
+    # build THIS composite just did instead of paying the fingerprint
+    # scan a second time (same index path, same params → same result)
+    indexed = topk_ivf_indexed(spark, idx, probes, k=10, nprobe=4, dim=64)
     brute = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
     cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))

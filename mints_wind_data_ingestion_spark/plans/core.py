@@ -630,6 +630,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q18_large_volume_customers",
+    driver=False,
     oracle="""
     WITH big AS (
         SELECT l_orderkey,
@@ -687,6 +688,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q10_returned_items",
+    driver=False,
     oracle="""
     SELECT c.c_custkey, c.c_name,
            CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)

@@ -407,7 +407,7 @@ _D_EMB_NEARDUP = f"""
 """
 
 
-@query("x_dedup_embedding", oracle=_D_EMB_NEARDUP, tags=("ext", "dedup", "similarity"))
+@query("x_dedup_embedding", oracle=_D_EMB_NEARDUP, tags=("ext", "dedup", "similarity"), driver=False)
 def x_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4): the dense
     twin of the shingle dedups — every pair of vectors whose cosine
@@ -1654,7 +1654,7 @@ _D_CURATION = f"""
 """
 
 
-@query("x_curation_pipeline", oracle=_D_CURATION, tags=("ext", "pipeline"))
+@query("x_curation_pipeline", oracle=_D_CURATION, tags=("ext", "pipeline"), driver=False)
 def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation pipeline, composed from this
     engine's operators as ONE declarative plan: language filter →
