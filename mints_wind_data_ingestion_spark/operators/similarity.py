@@ -102,6 +102,29 @@ def _rerank_cosine(a: str, b: str, dim: int | None) -> Column:
     return cosine_explicit(a, b, dim) if dim else cosine(F.col(a), F.col(b))
 
 
+def _norm_col(v: str, dim: int | None) -> Column:
+    """sqrt(self-dot) of vector COLUMN `v`, the same explicit fold
+    cosine_explicit uses — attached ONCE PER ROW on each join side so
+    the per-pair kernel is a single dot divided by two precomputed
+    scalars. Same IEEE ops in the same order as the inline form, so
+    results stay bit-identical; per-pair expression size drops 3×
+    (64-term dot vs 192-term dot+norms), and norm work is O(rows)
+    instead of O(candidate pairs)."""
+    if dim:
+        return F.expr(f"sqrt({_dot_sql(v, v, dim)})")
+    return l2_norm(F.col(v))
+
+
+def _rerank_cosine_prenorm(
+    a: str, b: str, na: str, nb: str, dim: int | None
+) -> Column:
+    """Cosine from precomputed side norms (`_norm_col`): dot(a,b) /
+    (na * nb). Bit-equal to `_rerank_cosine` — identical dot fold,
+    identical sqrt/multiply/divide order."""
+    d = F.expr(f"({_dot_sql(a, b, dim)})") if dim else dot(F.col(a), F.col(b))
+    return d / (F.col(na) * F.col(nb))
+
+
 def cosine_explicit(a: str, b: str, dim: int) -> Column:
     """Cosine of two vector COLUMNS (by name) as one SQL-text explicit
     expression — bitwise equal to `cosine` (dot_explicit's
@@ -134,15 +157,17 @@ def topk_bruteforce(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", _norm_col("__qv", dim))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", _norm_col("__cv", dim))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        _rerank_cosine("__qv", "__cv", dim).alias("cosine_sim"),
+        _rerank_cosine_prenorm("__qv", "__cv", "__qn", "__cn", dim).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -408,10 +433,14 @@ def topk_ivf(
     """
     c_assign = _assign_cells_pandas(
         candidates.select(id_col, vec_col), centroids, 1, "neighbor_id", vec_col
-    ).withColumnRenamed("__v", "__cv")
+    ).withColumnRenamed("__v", "__cv").withColumn(
+        "__cn", _norm_col("__cv", dim)
+    )
     q_probe = _assign_cells_pandas(
         queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
-    ).withColumnRenamed("__v", "__qv")
+    ).withColumnRenamed("__v", "__qv").withColumn(
+        "__qn", _norm_col("__qv", dim)
+    )
     # probe sets are bounded (queries x nprobe rows) while the corpus is
     # not: broadcast the probe side so the corpus never shuffles — the
     # cell equi-join streams each candidate partition past the in-memory
@@ -424,7 +453,9 @@ def topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            _rerank_cosine("__qv", "__cv", dim).alias("cosine_sim"),
+            _rerank_cosine_prenorm("__qv", "__cv", "__qn", "__cn", dim).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -560,9 +591,12 @@ def topk_lsh(
     planes_col = hyperplane_buckets(vec_col, dim, bits, tables, seed)
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        # norm attached BEFORE the per-table fan-out: computed once
+        # per vector, carried through the explode
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v"),
+            _norm_col(vec_col, dim).alias(f"__{out_id}_n"),
             F.posexplode(planes_col).alias("table", "bucket"),
         )
 
@@ -587,14 +621,17 @@ def topk_lsh(
     cand_pairs = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v",
+                "__query_id_n", "__neighbor_id_n")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand_pairs.select(
         "query_id",
         "neighbor_id",
-        _rerank_cosine("__query_id_v", "__neighbor_id_v", dim)
-        .alias("cosine_sim"),
+        _rerank_cosine_prenorm(
+            "__query_id_v", "__neighbor_id_v",
+            "__query_id_n", "__neighbor_id_n", dim,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -793,12 +830,14 @@ def topk_ivf_indexed(
 
     q_probe = _assign_cells_pandas(
         queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
-    ).withColumnRenamed("__v", "__qv")
+    ).withColumnRenamed("__v", "__qv").withColumn(
+        "__qn", _norm_col("__qv", dim)
+    )
     cells = spark.read.parquet(f"{index_path}/cells").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         "cell",
-    )
+    ).withColumn("__cn", _norm_col("__cv", dim))
     # same uniqueness invariant as topk_ivf: the index stores each
     # vector under exactly one cell, so no dedup exchange is needed
     scored = (
@@ -807,7 +846,9 @@ def topk_ivf_indexed(
         .select(
             "query_id",
             "neighbor_id",
-            _rerank_cosine("__qv", "__cv", dim).alias("cosine_sim"),
+            _rerank_cosine_prenorm("__qv", "__cv", "__qn", "__cn", dim).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
