@@ -815,18 +815,22 @@ def topk_ivf_indexed(
     vec_col: str = "embedding",
     nprobe: int = 4,
     dim: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """Query a persisted IVF index (`build_ivf_index`): assign each
     query its `nprobe` nearest cells, broadcast-join against the
     partitioned cell table — Spark's dynamic partition pruning turns
     the join into a scan of exactly the probed cell directories —
     and exact-rerank. Identical results to the in-session `topk_ivf`
-    for the same centroids (pinned in tests)."""
+    for the same centroids (pinned in tests). A caller that already
+    holds the trained centroids (cell-ascending ndarray, e.g. right
+    after build_ivf_index) may pass them to skip the read-back job."""
     import numpy as np
 
-    cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
-    cpdf = cpdf.sort_values("cell")
-    centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+    if centroids is None:
+        cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
+        cpdf = cpdf.sort_values("cell")
+        centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
 
     q_probe = _assign_cells_pandas(
         queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col

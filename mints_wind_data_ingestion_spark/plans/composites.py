@@ -1495,7 +1495,9 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself; going through topk_ivf_indexed directly here reuses the
     # build THIS composite just did instead of paying the fingerprint
     # scan a second time (same index path, same params → same result)
-    indexed = topk_ivf_indexed(spark, idx, probes, k=10, nprobe=4, dim=64)
+    indexed = topk_ivf_indexed(
+        spark, idx, probes, k=10, nprobe=4, dim=64, centroids=centroids
+    )
     brute = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
     cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))

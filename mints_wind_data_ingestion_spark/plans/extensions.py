@@ -2227,28 +2227,46 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
 
     docs = _spread(tables(spark, sf_dir)["documents"])
+    # ONE shingle pass over the whole corpus: the split flag is a pure
+    # function of doc_id, so both sides ride one posting list instead
+    # of shingling the corpus once per branch (the Arrow shingler is
+    # the dominant cost; mapInPandas can't column-prune, so every
+    # extra consumer of the shingled lineage re-runs it in full).
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 8, out="sh0").select(
         "doc_id", F.array_distinct("sh0").alias("sh"),
         (hash_bucket(F.col("doc_id")) < "cccccc").alias("is_train"),
     )
     gram_h = _md5_60(F.col("g"))
-    train_grams = (
-        with_sh.filter("is_train")
-        .select(F.explode("sh").alias("g"))
-        .select(gram_h.alias("h"))
-        .distinct()
+    posting = with_sh.select(
+        "doc_id", "is_train", F.explode("sh").alias("g")
+    ).select("doc_id", "is_train", gram_h.alias("h"))
+    # gram-side aggregation replaces the distinct + equi-join pair:
+    # one shuffle on h marks each gram train-seen and carries its eval
+    # doc list; exploding the flagged lists and counting per doc is
+    # row-for-row what joining the eval posting against distinct train
+    # grams produced (hash-collided grams inside one doc contribute
+    # one list element per colliding gram, exactly like the join's
+    # fan-out), so values are identical at one fewer shuffle and two
+    # fewer corpus shingles.
+    per_gram = posting.groupBy("h").agg(
+        F.max("is_train").alias("has_train"),
+        F.collect_list(
+            F.when(~F.col("is_train"), F.col("doc_id"))
+        ).alias("eval_docs"),
     )
-    eval_docs = with_sh.filter(~F.col("is_train"))
-    eval_posting = eval_docs.select(
-        "doc_id", F.explode("sh").alias("g")
-    ).select("doc_id", gram_h.alias("h"))
     hits = (
-        eval_posting.join(train_grams, "h")
+        per_gram.filter("has_train")
+        .select(F.explode("eval_docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # the eval id list never needs the shingles — the split rule reads
+    # only doc_id, so it comes straight off the narrow documents scan
+    eval_ids = docs.select("doc_id").filter(
+        ~(hash_bucket(F.col("doc_id")) < "cccccc")
+    )
     return (
-        eval_docs.select("doc_id")
+        eval_ids
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
