@@ -591,13 +591,20 @@ def topk_lsh(
     planes_col = hyperplane_buckets(vec_col, dim, bits, tables, seed)
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        # norm attached BEFORE the per-table fan-out: computed once
-        # per vector, carried through the explode
+        # norm attached in its OWN projection below the per-table
+        # fan-out: a single select would put the sqrt above the
+        # Generate and re-evaluate it once per exploded row
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v"),
             _norm_col(vec_col, dim).alias(f"__{out_id}_n"),
-            F.posexplode(planes_col).alias("table", "bucket"),
+        ).select(
+            out_id,
+            f"__{out_id}_v",
+            f"__{out_id}_n",
+            F.posexplode(
+                hyperplane_buckets(f"__{out_id}_v", dim, bits, tables, seed)
+            ).alias("table", "bucket"),
         )
 
     qb = bucketed(queries, "query_id")
@@ -618,11 +625,22 @@ def topk_lsh(
             .drop("__flip")
         )
     cb = bucketed(candidates, "neighbor_id")
+    # the probe side is bounded (queries x tables x probes rows) while
+    # the candidate index is not: broadcast it so the index never
+    # shuffles for the join. One explicit repartition on query_id then
+    # serves BOTH the multi-table dedup (HashPartitioning(query_id)
+    # satisfies ClusteredDistribution(query_id, neighbor_id)) and the
+    # top-k window — two required exchanges collapse into one. Skew
+    # note: this clusters each query's full candidate set on one
+    # reducer, the right shape while per-query candidates ≪ a
+    # partition; a pathological hot query would call for salted
+    # partial top-k first.
     cand_pairs = (
-        qb.join(cb, ["table", "bucket"])
+        cb.join(F.broadcast(qb), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v",
                 "__query_id_n", "__neighbor_id_n")
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand_pairs.select(

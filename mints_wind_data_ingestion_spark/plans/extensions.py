@@ -384,7 +384,9 @@ def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the approximate candidate structure itself, not just
     that reported similarities are exact (pytest keeps pinning recall
     vs brute force)."""
-    emb = tables(spark, sf_dir)["embeddings"]
+    # _spread: the single-file embeddings scan would otherwise run the
+    # (interpreted-HOF) bucket folds on one core
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
     probes = emb.filter(F.col("vec_id") < 8)
     return topk_lsh(
         probes, emb, k=10, dim=64, bits=6, tables=8, multiprobe=True
