@@ -1678,7 +1678,17 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(tables(spark, sf_dir)["documents"])
     en = docs.filter(F.col("lang") == "en").select("doc_id", "text")
-    uniq = exact_dedup(en, cols=["text"], id_col="doc_id").select("doc_id", "text")
+    # persisted: the deduped corpus is consumed TWICE — eagerly by the
+    # near-dup pair/CC stage (dedup_clusters checkpoints its edges)
+    # and lazily by the kept/chunk tail — and recomputing it means a
+    # second full-text groupBy shuffle. A real curation pipeline
+    # materializes this stage boundary (staging table); in-session
+    # MEMORY_AND_DISK persist is the same decision.
+    uniq = (
+        exact_dedup(en, cols=["text"], id_col="doc_id")
+        .select("doc_id", "text")
+        .persist()
+    )
     with_sh = shingle_docs_pandas(uniq, "doc_id", "text", 3, out="shingles")
     pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
     clusters = dedup_clusters(
