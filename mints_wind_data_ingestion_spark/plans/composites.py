@@ -1039,9 +1039,25 @@ def x_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.4), tagged into one superset over ONE embeddings scan
     lineage; every component's exact values still ride the driver
     hash."""
+    from ..operators.graph import dedup_clusters
+    from ..operators.similarity import cosine_pairs_blockwise
+
+    from .extensions import _spread
+
+    # the cluster and neardup parts consume the SAME blockwise pair
+    # set (threshold 0.4, 6dp rounding — the standalone components'
+    # exact parameters): score it once and persist, so the BLAS
+    # all-pairs pass runs a single time instead of once per part
+    # (dedup_clusters materializes its edges eagerly, populating the
+    # persist for the lazy neardup branch)
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    nd = cosine_pairs_blockwise(
+        emb, "vec_id", "embedding", threshold=0.4, round_to=6
+    ).persist()
+    cl = dedup_clusters(
+        emb.select("vec_id"), nd.select("id_a", "id_b"), id_col="vec_id"
+    )
     tr = REGISTRY["x_embed_transform"].build(spark, sf_dir)
-    cl = REGISTRY["x_embed_cluster"].build(spark, sf_dir)
-    nd = REGISTRY["x_dedup_embedding"].build(spark, sf_dir)
     return (
         tr.withColumn("d1", _nd())
         .unionByName(
@@ -1541,9 +1557,19 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (x_dedup_simhash), tagged into one superset. The MinHash-LSH
     path and the CC clustering keep standalone slots — they are the
     structurally distinct 100 TB paths worth separate timing."""
+    from ..functions.text import shingle_docs_pandas
+    from ..operators.dedup import jaccard_similarity_join
+
+    from .extensions import _spread, simhash_pairs_from_shingles
+
     ex = REGISTRY["x_dedup_exact"].build(spark, sf_dir)
-    ja = REGISTRY["x_dedup_jaccard"].build(spark, sf_dir)
-    si = REGISTRY["x_dedup_simhash"].build(spark, sf_dir)
+    # the Jaccard and SimHash parts shingle the SAME corpus the same
+    # way (3-gram multisets); one persisted Arrow shingle pass feeds
+    # both instead of each part re-running it
+    docs = _spread(tables(spark, sf_dir)["documents"])
+    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0").persist()
+    ja = jaccard_similarity_join(with_sh, "doc_id", "sh0", threshold=0.5)
+    si = simhash_pairs_from_shingles(with_sh, shingle_col="sh0")
     return (
         _part(ex, "exact", k1=_b("doc_id"), k2=_nb(), s1=_s("text"),
               n1=_b("copies"), d1=_nd())

@@ -224,19 +224,28 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family differs, never the plan shape (banded equi-join,
     bucketed, never all-pairs)."""
     docs = _spread(tables(spark, sf_dir)["documents"])
-    # cache: both sides of the band self-join read fp — one (id, long)
-    # row per doc — so the shingle+fingerprint pipeline (single-pass
-    # since simhash_fingerprints dropped its join-back: the Arrow
-    # shingling is the dominant cost and now runs once) is not
-    # recomputed per side.
-    # set semantics (array_distinct) to mirror the oracle's
-    # list_distinct shingle sets — shingle_docs_pandas emits the
-    # multiset (its docstring's contract)
-    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0").select(
-        "doc_id", F.array_distinct("sh0").alias("sh")
+    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0")
+    return simhash_pairs_from_shingles(with_sh, shingle_col="sh0")
+
+
+def simhash_pairs_from_shingles(
+    with_sh: DataFrame, shingle_col: str = "sh0"
+) -> DataFrame:
+    """Banded-SimHash near-dup pairs from an ALREADY-SHINGLED corpus
+    (doc_id + raw shingle multiset) — the x_dedup_simhash pipeline
+    minus its shingle pass, so a composite that also runs the Jaccard
+    join can feed both from one persisted shingling.
+
+    Set semantics (array_distinct) mirror the oracle's list_distinct
+    shingle sets — shingle_docs_pandas emits the multiset (its
+    docstring's contract). The fingerprint table (one (id, long) row
+    per doc) is cached because both sides of the band self-join read
+    it; the upstream shingle+fingerprint pipeline runs once."""
+    sets = with_sh.select(
+        "doc_id", F.array_distinct(shingle_col).alias("sh")
     )
     fp = simhash_fingerprints(
-        with_sh, "doc_id", "sh", hash_fn=_md5_60, nbits=60,
+        sets, "doc_id", "sh", hash_fn=_md5_60, nbits=60,
     ).cache()
     banded = fp.select(
         "doc_id",
