@@ -657,7 +657,11 @@ def x_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import STOPWORDS
     from ..functions.text import fingerprint64  # noqa: F401  (module doc link)
 
-    docs = tables(spark, sf_dir)["documents"]
+    from .extensions import _spread
+
+    # _spread: the single-file documents scan would run the
+    # interpreted stopword HOFs and the Arrow fingerprint on one core
+    docs = _spread(tables(spark, sf_dir)["documents"])
     langs = ("de", "en", "es", "fr")
     # tokenize ONCE: the component queries each re-derive tokens(text)
     # per feature (8+ interpreted HOF tokenizations per doc across the

@@ -309,7 +309,7 @@ def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side across the candidate scan, one shuffle for the per-query
     top-k window (operators.similarity.topk_bruteforce). The emitted
     similarity is bit-identical to the oracle's explicit fold."""
-    emb = tables(spark, sf_dir)["embeddings"]
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
     probes = emb.filter(F.col("vec_id") < 8)
     return topk_bruteforce(probes, emb, k=10, dim=64)
 
@@ -663,7 +663,7 @@ def x_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     this container), but the plumbing (binary column, Arrow batch
     shape, UDTF schema, executor-side projection) is the production
     path, and the oracle checks the real per-byte arithmetic."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     return extract_meta(with_payload(docs, "text"), id_col="doc_id")
 
 
@@ -686,7 +686,7 @@ def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies before merges). Pure regexp_extract_all, codegen'd; the
     pattern uses only constructs with identical semantics in Java
     regex and RE2, so the oracle is exact."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     bpe = F.regexp_extract_all(
         F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
     )
@@ -747,7 +747,7 @@ def x_mm_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 1-in-5 subset: the pipeline's coverage is
     # per-pixel-function, not per-doc — a fifth of the corpus pins the
     # same code paths at a fifth of the (Python codec) cost
-    docs = (
+    docs = _spread(
         tables(spark, sf_dir)["documents"]
         .select("doc_id").filter(F.col("doc_id") % 5 == 0)
     )
@@ -856,7 +856,7 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
-    docs = tables(spark, sf_dir)["documents"]
+    docs = _spread(tables(spark, sf_dir)["documents"])
     merges = train_bpe_merges_auto(word_frequencies(docs), n_merges=24)
     enc = encode_corpus(docs, merges, id_col="doc_id", text_col="text")
     return enc.select(
