@@ -144,9 +144,15 @@ def main() -> None:
     # re-bench or the driver's recorded pass) has burst-retry targets
     # for every current query name
     try:
-        merged = {
-            k: round(min(v, prior_min.get(k, v)), 4) for k, v in timings.items()
-        }
+        # merge INTO the existing ledger — a SPARK_GRAFT_BENCH_ONLY
+        # subset run must not drop the other queries' history
+        try:
+            with open(hist_path) as fh:
+                merged = dict(json.load(fh).get("queries") or {})
+        except (OSError, ValueError):
+            merged = {}
+        for k, v in timings.items():
+            merged[k] = round(min(v, prior_min.get(k, v)), 4)
         with open(hist_path, "w") as fh:
             json.dump({"queries": merged}, fh, indent=1, sort_keys=True)
     except OSError:

@@ -19,6 +19,8 @@ Oracle-parity notes (the driver hash-compares against DuckDB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,17 +93,63 @@ _D_JACCARD_PAIRS = f"""
 """
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Spread a small single-file table across all cores.
+#: below this much effective input per scan, the round-robin exchange
+#: costs more than the single-core work it parallelizes (measured —
+#: see _spread docstring); 32 MB ≈ a quarter of one default split
+_SPREAD_MIN_BYTES = 32 << 20
+
+
+def _spread(df: DataFrame, work_factor: int = 1) -> DataFrame:
+    """Spread an under-split scan across all cores — but only when the
+    work is big enough to pay for the exchange.
 
     documents.parquet is one file → ONE input split, so a CPU-bound
     text pipeline (tokenize → shingle → hash) would otherwise run
-    single-threaded regardless of cluster size. One cheap round-robin
+    single-threaded regardless of cluster size. One round-robin
     shuffle of the raw rows buys full parallelism for everything
-    downstream. At 100 TB the source arrives in thousands of splits
-    and this becomes a no-op-sized safety net.
+    downstream — at 100 TB that is the difference between one core
+    and the cluster.
+
+    Size-aware since r5: an interleaved A/B at sf0.1 (0.6 MB
+    single-file documents scan, local[32]) measured the unconditional
+    repartition SLOWER nearly everywhere — mm suite 2.13 s vs 1.21 s,
+    text suite 2.05 s vs 1.63 s, minhash 3.09 s vs 2.27 s, embedding
+    suite 2.15 s vs 1.70 s — because a sub-MB scan finishes on one
+    core faster than the shuffle's fixed cost. The one exception was
+    decontamination (0.96 s vs 1.71 s), whose 8-gram posting
+    explosion multiplies downstream work ~64× past the scan bytes.
+    So: spread only when `bytes × work_factor` clears a threshold,
+    where `work_factor` is the caller's downstream CPU/bytes
+    amplification (shingle explosion, per-pixel decode, …). Callers
+    with ~1:1 downstream cost use the default; the threshold keeps
+    the no-op at test scale and the full spread at cluster scale.
+
+    Non-local schemes (s3/hdfs) conservatively spread when
+    under-split — on a real store the sizes aren't one os.stat away,
+    and a wrongly-skipped spread costs minutes while a wrongly-taken
+    one costs milliseconds.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files:
+            return df  # in-memory lineage: partitioning already chosen
+        if len(files) >= par:
+            return df  # enough native splits
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return df.repartition(par)  # remote store: spread
+            total += os.path.getsize(unquote(u.path))
+        if total * work_factor < _SPREAD_MIN_BYTES:
+            return df
+    except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
+        pass
+    return df.repartition(par)
 
 
 # ---------------------------------------------------------------------------
@@ -2247,7 +2295,13 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. a vanishing over-drop rate."""
     from ..operators.sampling import hash_bucket
 
-    docs = _spread(tables(spark, sf_dir)["documents"])
+    # work_factor=64: the word-8-gram posting explosion multiplies
+    # downstream bytes/CPU ~64× past the scan (eight words per gram ×
+    # ~every token a gram start), so even a sub-MB corpus saturates
+    # one core — the A/B that sized _spread measured spreading 1.8×
+    # FASTER here (0.96 s vs 1.71 s) while every ~1:1-cost pipeline
+    # measured it slower.
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     # ONE shingle pass over the whole corpus: the split flag is a pure
     # function of doc_id, so both sides ride one posting list instead
     # of shingling the corpus once per branch (the Arrow shingler is
