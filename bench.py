@@ -127,9 +127,20 @@ def main() -> None:
     # total looks burst-inflated and budget remains, run up to two more
     # full passes keeping per-query minimums — the metric is defined as
     # sum-of-mins, so this only sheds noise, never hides real cost.
+    # Trigger: 12% over the ledger's cross-round capability for these
+    # names (a calm host lands within a few percent of it) — the fixed
+    # 48s→41s constants of earlier rounds drifted stale every time the
+    # surface or the code got faster. Absolute floor keeps a tiny
+    # BENCH_ONLY subset from recovering over ±0.2s jitter.
+    covered = [n for n in names if n in prior_min]
+    trigger = max(
+        2.0,
+        1.12 * sum(prior_min[n] for n in covered)
+        + sum(timings[n] for n in names if n not in prior_min),
+    )
     recovery = 0
     while (
-        sum(timings.values()) > 41.0
+        sum(timings.values()) > trigger
         and recovery < 2
         and elapsed() + sum(timings.values()) < budget
     ):
