@@ -438,3 +438,46 @@ def test_pack_complex_ref_rounding_at_float32_boundary():
     assert np.all(np.abs(got - np.asarray(vals)) <= 1.5 + 1e-6), (
         got - np.asarray(vals)
     )
+
+
+# ---------------------------------------------------------------------------
+# size-gated _spread (r5 A/B: unconditional repartition measured slower
+# on sub-MB scans; spread must engage only when bytes x work_factor
+# clears the threshold, and always on under-split remote scans)
+# ---------------------------------------------------------------------------
+
+
+def test_spread_skips_small_local_scan(spark, sf_dir):
+    """A sub-MB single-file parquet scan must NOT pick up the
+    round-robin exchange — at that size the shuffle costs more than
+    the single-core work it parallelizes (measured, see _spread)."""
+    from mints_wind_data_ingestion_spark.plans.extensions import _spread
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plan = _spread(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_spread_work_factor_engages_on_amplified_work(spark, sf_dir):
+    """A caller declaring heavy downstream CPU amplification (the
+    8-gram posting explosion) must still get the spread even on a
+    small scan: bytes x work_factor clears the 32 MB threshold."""
+    from mints_wind_data_ingestion_spark.plans.extensions import _spread
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    big = _spread(docs, work_factor=1 << 20)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    par = spark.sparkContext.defaultParallelism
+    assert big.rdd.getNumPartitions() == par
+
+
+def test_spread_noop_on_in_memory_lineage(spark):
+    """No input files (range/in-memory lineage) → partitioning was
+    already chosen by the producer; _spread must not second-guess."""
+    from mints_wind_data_ingestion_spark.plans.extensions import _spread
+
+    df = spark.range(100)
+    assert _spread(df) is df
