@@ -1569,8 +1569,13 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = REGISTRY["x_dedup_exact"].build(spark, sf_dir)
     # the Jaccard and SimHash parts shingle the SAME corpus the same
     # way (3-gram multisets); one persisted Arrow shingle pass feeds
-    # both instead of each part re-running it
-    docs = _spread(tables(spark, sf_dir)["documents"])
+    # both instead of each part re-running it.
+    # work_factor=64: two pair-generation passes ride this one scan —
+    # the 3-gram posting explosion plus the banded SimHash fold
+    # multiply downstream CPU well past the scan bytes (A/B at sf0.1:
+    # spread 2.14 s vs gated-off 3.34 s), the same shape that sized
+    # decontamination's factor.
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0").persist()
     ja = jaccard_similarity_join(with_sh, "doc_id", "sh0", threshold=0.5)
     si = simhash_pairs_from_shingles(with_sh, shingle_col="sh0")

@@ -178,7 +178,10 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via
     the inverted-index plan — the O(n²) pair space is never enumerated
     (operators.dedup.jaccard_similarity_join)."""
-    docs = _spread(tables(spark, sf_dir)["documents"])
+    # work_factor=64: the 3-gram shingle explosion dominates this
+    # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
+    # shapes at sf0.1 — see _spread)
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     return jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
 
@@ -194,7 +197,10 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf the driver grades (tests pin recall). 96 hashes rather than
     144: same detection power at the data's similarity knee, and the
     narrower aggregate compiles to much less generated code."""
-    docs = _spread(tables(spark, sf_dir)["documents"])
+    # work_factor=64: the 3-gram shingle explosion dominates this
+    # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
+    # shapes at sf0.1 — see _spread)
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     return minhash_dedup_pairs(
         with_sh, "doc_id", "shingles", threshold=0.5,
@@ -271,7 +277,10 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 as the library default for the 100 TB hot path; only the
     hash family differs, never the plan shape (banded equi-join,
     bucketed, never all-pairs)."""
-    docs = _spread(tables(spark, sf_dir)["documents"])
+    # work_factor=64: the 3-gram shingle explosion dominates this
+    # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
+    # shapes at sf0.1 — see _spread)
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0")
     return simhash_pairs_from_shingles(with_sh, shingle_col="sh0")
 
@@ -1318,7 +1327,10 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs -> components -> representative pipeline."""
     from ..operators.graph import dedup_clusters
 
-    docs = _spread(tables(spark, sf_dir)["documents"])
+    # work_factor=64: the 3-gram shingle explosion dominates this
+    # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
+    # shapes at sf0.1 — see _spread)
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
     return dedup_clusters(
