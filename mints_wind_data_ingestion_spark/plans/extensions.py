@@ -1306,10 +1306,18 @@ _D_DEDUP_CLUSTERS = f"""
         UNION
         SELECT r.src, e.v AS node FROM reach r JOIN edges e ON e.u = r.node
     )
-    SELECT src AS doc_id,
-           min(node) AS cluster_id,
-           (src = min(node)) AS is_representative
-    FROM reach GROUP BY src
+    SELECT doc_id, cluster_id, is_representative,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)
+                     < 'cccccc' THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)
+                     < 'e66666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT src AS doc_id,
+               min(node) AS cluster_id,
+               (src = min(node)) AS is_representative
+        FROM reach GROUP BY src
+    )
 """
 
 
@@ -1324,8 +1332,17 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     that turns pair detection into an actual deduplicated dataset.
     The DuckDB oracle computes the transitive closure with a
     recursive CTE, so the differential check covers the full
-    pairs -> components -> representative pipeline."""
+    pairs -> components -> representative pipeline.
+
+    r5 adds the LEAKAGE-SAFE train/val/test split on the same
+    lineage: the 80/10/10 assignment hashes the CLUSTER id, not the
+    doc id, so a near-duplicate pair can never straddle train and
+    eval — the contamination a doc-id split silently commits whenever
+    near-dups exist (the reason dedup must run BEFORE splitting). A
+    narrow projection off the component table: no extra shuffle, and
+    the whole composition stays inside the one differential hash."""
     from ..operators.graph import dedup_clusters
+    from ..operators.sampling import hash_bucket
 
     # work_factor=64: the 3-gram shingle explosion dominates this
     # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
@@ -1333,8 +1350,15 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
-    return dedup_clusters(
+    clusters = dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    ch = hash_bucket(F.col("cluster_id"))
+    return clusters.withColumn(
+        "split",
+        F.when(ch < "cccccc", "train")
+        .when(ch < "e66666", "val")
+        .otherwise("test"),
     )
 
 
