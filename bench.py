@@ -71,8 +71,8 @@ def main() -> None:
             for k, v in qs.items():
                 if isinstance(v, (int, float)):
                     prior_min[k] = min(prior_min.get(k, float("inf")), float(v))
-        except (OSError, ValueError):
-            continue
+        except (OSError, ValueError, AttributeError, TypeError):
+            continue  # malformed artifact: skip, never abort the bench
 
     def run_once(name: str) -> float:
         # build() INSIDE the timer: for most queries it is millisecond
@@ -130,13 +130,17 @@ def main() -> None:
     # Trigger: 12% over the ledger's cross-round capability for these
     # names (a calm host lands within a few percent of it) — the fixed
     # 48s→41s constants of earlier rounds drifted stale every time the
-    # surface or the code got faster. Absolute floor keeps a tiny
-    # BENCH_ONLY subset from recovering over ±0.2s jitter.
+    # surface or the code got faster. A name with no ledger history yet
+    # (just added/renamed) contributes its observed time capped at 2 s
+    # — taking it verbatim would make the trigger inert for exactly the
+    # queries most likely to record a burst-poisoned first min. The
+    # absolute floor keeps a tiny BENCH_ONLY subset from recovering
+    # over ±0.2 s jitter.
     covered = [n for n in names if n in prior_min]
     trigger = max(
         2.0,
         1.12 * sum(prior_min[n] for n in covered)
-        + sum(timings[n] for n in names if n not in prior_min),
+        + sum(min(timings[n], 2.0) for n in names if n not in prior_min),
     )
     recovery = 0
     while (
@@ -159,14 +163,15 @@ def main() -> None:
         # subset run must not drop the other queries' history
         try:
             with open(hist_path) as fh:
-                merged = dict(json.load(fh).get("queries") or {})
-        except (OSError, ValueError):
-            merged = {}
+                loaded = json.load(fh)
+            merged = dict(loaded.get("queries") or {})
+        except (OSError, ValueError, AttributeError, TypeError):
+            merged = {}  # malformed ledger: rebuild from this run
         for k, v in timings.items():
             merged[k] = round(min(v, prior_min.get(k, v)), 4)
         with open(hist_path, "w") as fh:
             json.dump({"queries": merged}, fh, indent=1, sort_keys=True)
-    except OSError:
+    except Exception:  # noqa: BLE001 — the ledger must never eat the metric line
         pass
     print(
         json.dumps(

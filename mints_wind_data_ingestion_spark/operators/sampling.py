@@ -53,6 +53,23 @@ def _threshold(rate: float, width: int = _WIDTH) -> str:
     return format(int(rate * (16 ** width)), f"0{width}x")
 
 
+def split_col(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
+    """Deterministic train/val/test assignment from a hashed key:
+    'train' below `train`, 'val' in the next `val`-wide band, 'test'
+    above. Pass the ENTITY whose leakage you need to prevent as the
+    key — the doc id for plain splits (x_split_assign), the dedup
+    CLUSTER id for near-dup-leakage-safe splits (x_dedup_cluster) —
+    both split surfaces share this one rule, so a rate change cannot
+    desynchronize them. Default 80/10/10 boundaries are the hex
+    thresholds 'cccccc'/'e66666' (0.8/0.9 at width 6)."""
+    h = hash_bucket(key)
+    return (
+        F.when(h < F.lit(_threshold(train)), "train")
+        .when(h < F.lit(_threshold(train + val)), "val")
+        .otherwise("test")
+    )
+
+
 def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     """Deterministic Bernoulli(rate) sample: keep rows whose hash
     bucket falls below the rate threshold. Pure filter — no shuffle,

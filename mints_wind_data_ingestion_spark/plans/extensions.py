@@ -95,8 +95,11 @@ _D_JACCARD_PAIRS = f"""
 
 #: below this much effective input per scan, the round-robin exchange
 #: costs more than the single-core work it parallelizes (measured —
-#: see _spread docstring); 32 MB ≈ a quarter of one default split
-_SPREAD_MIN_BYTES = 32 << 20
+#: see _spread docstring). 16 MB sits ~2.4× under the smallest
+#: measured-win operating point (0.59 MB × 64 ≈ 38 MB for the
+#: shingle pipelines), so a modestly better-compressed corpus file
+#: cannot silently flip the gate and cost those pipelines their ~2×.
+_SPREAD_MIN_BYTES = 16 << 20
 
 
 def _spread(df: DataFrame, work_factor: int = 1) -> DataFrame:
@@ -1342,7 +1345,7 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projection off the component table: no extra shuffle, and
     the whole composition stays inside the one differential hash."""
     from ..operators.graph import dedup_clusters
-    from ..operators.sampling import hash_bucket
+    from ..operators.sampling import split_col
 
     # work_factor=64: the 3-gram shingle explosion dominates this
     # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
@@ -1353,13 +1356,7 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
-    ch = hash_bucket(F.col("cluster_id"))
-    return clusters.withColumn(
-        "split",
-        F.when(ch < "cccccc", "train")
-        .when(ch < "e66666", "val")
-        .otherwise("test"),
-    )
+    return clusters.withColumn("split", split_col(F.col("cluster_id")))
 
 
 # ---------------------------------------------------------------------------
@@ -1835,15 +1832,10 @@ def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     training whenever the corpus is re-ingested). Shuffle-free narrow
     projection; thresholds are hex-range boundaries (0xcccccc/16^6 =
     0.8, 0xe66666/16^6 = 0.9)."""
-    from ..operators.sampling import hash_bucket
+    from ..operators.sampling import split_col
 
     docs = tables(spark, sf_dir)["documents"]
-    h = hash_bucket(F.col("doc_id"))
-    return docs.select(
-        "doc_id",
-        F.when(h < "cccccc", "train").when(h < "e66666", "val")
-        .otherwise("test").alias("split"),
-    )
+    return docs.select("doc_id", split_col(F.col("doc_id")).alias("split"))
 
 
 @query("x_oversample", oracle=_D_OVERSAMPLE, tags=("ext", "sampling"), driver=False)
