@@ -481,3 +481,33 @@ def test_spread_noop_on_in_memory_lineage(spark):
 
     df = spark.range(100)
     assert _spread(df) is df
+
+
+def test_cluster_split_is_leakage_safe(spark, sf_dir):
+    """The r5 split column on x_dedup_cluster must never separate a
+    detected near-dup pair: both ends of every Jaccard>=0.5 pair land
+    in the SAME split (the property a doc-id split violates), and the
+    assignment is the shared 80/10/10 rule keyed on cluster_id."""
+    from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+    clusters = REGISTRY["x_dedup_cluster"].build(spark, sf_dir).cache()
+    pairs = REGISTRY["x_dedup_jaccard"].build(spark, sf_dir)
+    a = clusters.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = clusters.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter("split_a <> split_b")
+        .count()
+    )
+    assert straddling == 0
+    # all three splits actually occur, and sizes are plausibly 80/10/10
+    sizes = {r["split"]: r["n"] for r in
+             clusters.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    total = sum(sizes.values())
+    assert sizes["train"] / total > 0.6
+    clusters.unpersist()
