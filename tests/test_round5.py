@@ -511,3 +511,20 @@ def test_cluster_split_is_leakage_safe(spark, sf_dir):
     total = sum(sizes.values())
     assert sizes["train"] / total > 0.6
     clusters.unpersist()
+
+
+def test_threshold_hex_boundaries_match_rates():
+    """_threshold's hex strings are exact rate boundaries: the shared
+    80/10/10 split rule's literals derive from it, and hypothesis-style
+    spot rates round-trip to within one 16^-6 ulp."""
+    from mints_wind_data_ingestion_spark.operators.sampling import (
+        _threshold,
+    )
+
+    assert _threshold(0.8) == "cccccc"
+    assert _threshold(0.9) == "e66666"
+    assert _threshold(1.0) == "gggggg"  # above any hex string
+    for rate in (0.0, 0.1, 0.25, 1 / 3, 0.5, 0.999):
+        t = _threshold(rate)
+        back = int(t, 16) / 16**6
+        assert abs(back - rate) < 16**-6 + 1e-12
