@@ -1,0 +1,188 @@
+"""BM25 text retrieval — query-driven top-k search over a document
+corpus, the standard lexical-retrieval primitive of LLM-data curation
+(targeted subset extraction, retrieval-based decontamination checks,
+nearest-duplicate triage by topic).
+
+Scoring is Okapi BM25 (Robertson & Walker, SIGIR'94; the k1/b form
+every search engine ships):
+
+    score(q, d) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1)
+                             ─────────────────────────────────
+                             tf(t,d) + k1·(1 − b + b·dl/avgdl)
+
+    idf(t) = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Scale posture (100 TB) — the query terms are PLAN CONSTANTS, which
+buys a shape no generic explode→groupBy retrieval plan can match:
+
+- Corpus statistics in ONE partial-aggregating pass: a single global
+  agg computes df(t) for every term (sum of per-doc contains flags),
+  N, and Σdl — map-side combined, one tiny row out, broadcast back.
+  No (doc, term) shuffle exists anywhere in the plan.
+- Scoring is a fully NARROW projection: per-term tf comes from the
+  per-row token array, per-query scores are generated columns, and a
+  stack() unpivot emits (query_id, score) rows only for documents
+  that matched ≥1 term of that query. Zero exchanges.
+- Top-k per query uses the salted two-phase pattern: a first
+  row_number over (query_id, id % salt_buckets) prunes each bucket to
+  k rows IN PARALLEL, and only the surviving salt_buckets·k rows per
+  query meet the final single-partition ranking. A naive
+  Window.partitionBy(query_id) would funnel every matching document
+  of a query through one reducer — the classic skew trap this
+  operator exists to avoid.
+- Total: 2 corpus scans (stats + scoring; independent branches run
+  concurrently — see BASELINE.md's scan-sharing negative result),
+  one 1-row broadcast, two bounded window exchanges. The first
+  explode-based implementation measured 1.21 s at sf0.1 against
+  ~0.5 s for this shape (7 exchanges → 3).
+- Scores are emitted as `score_e6` (round(score·1e6) as bigint): the
+  only non-exact arithmetic is ln() and the per-term double sum, both
+  stable far past 1e-6, so results are engine-portable and
+  differentially verifiable (same convention as the corr_e6 /
+  zipf_slope_e6 surfaces).
+
+Reference parity: the reference repo has no text retrieval; this is
+part of the mandated beyond-reference LLM-pipeline surface (SURVEY.md
+§2.11).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import token_count, tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, Sequence[str]]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-k BM25 matches per query → (query_id, id, score_e6, rnk).
+
+    `queries` is [(query_id, terms)]; duplicate terms within a query
+    are collapsed (classic BM25 with binary query-term frequency).
+    Ties rank by ascending document id, so output is deterministic.
+    """
+    qlist = [(int(qid), sorted(set(ts))) for qid, ts in queries]
+    terms = sorted({t for _, ts in qlist for t in ts})
+    if not terms:
+        raise ValueError("bm25_topk: queries contain no terms")
+
+    # per-term tf as a codegen'd regexp count: zero-width lookahead at
+    # a token boundary, so overlapping boundaries ("a a a") all count —
+    # value-identical to counting exact matches in tokens(text), but
+    # JVM-side whole-stage codegen instead of an interpreted per-element
+    # HOF (the HOF variant measured 1.5 s vs ~0.5 s at sf0.1). \Q..\E
+    # quotes the term so it is matched literally.
+    def tf_col(t: str) -> Column:
+        if "\\E" in t:  # cannot be literal-quoted; never a whitespace token anyway
+            raise ValueError(f"bm25_topk: unsupported term {t!r}")
+        pat = r"(?=(?:^|\s)\Q" + t + r"\E(?:$|\s))"
+        return F.regexp_count(F.col(text_col), F.lit(pat))
+
+    # pass 1 — corpus statistics, ONE map-side-combined global agg:
+    # df per term (sum of tf>0 flags), N, Σdl; avgdl is an
+    # exact-int ratio → bit-stable double
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col),
+        token_count(text_col).alias("dl"),
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((tf_col(t) > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    scored_wide = toked.crossJoin(F.broadcast(stats)).select(
+        "id",
+        "dl",
+        "n_docs",
+        "avgdl",
+        *[F.col(f"df_{i}") for i in range(len(terms))],
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+
+    def idf(i: int) -> Column:
+        dfc = F.col(f"df_{i}")
+        return F.log(
+            (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+            + F.lit(1.0)
+        )
+
+    def qscore(ts: list[str]) -> Column:
+        s = F.lit(0.0)
+        for t in ts:
+            i = terms.index(t)
+            tf = F.col(f"tf_{i}")
+            s = s + F.when(
+                tf > 0, idf(i) * tf * F.lit(k1 + 1.0) / (tf + norm)
+            ).otherwise(F.lit(0.0))
+        return s
+
+    def qmatched(ts: list[str]) -> Column:
+        return F.greatest(*[F.col(f"tf_{terms.index(t)}") for t in ts], F.lit(0)) > 0
+
+    stack_args: list[Column] = []
+    for qid, ts in qlist:
+        stack_args += [
+            F.lit(qid),
+            F.round(qscore(ts) * F.lit(1000000.0), 0).cast("long"),
+            qmatched(ts),
+        ]
+    scored = (
+        scored_wide.select(
+            "id",
+            F.stack(
+                F.lit(len(qlist)), *stack_args
+            ).alias("query_id", "score_e6", "matched"),
+        )
+        .filter("matched")
+        .drop("matched")
+    )
+
+    # salted two-phase top-k (see module docstring); salt_buckets<=1
+    # skips the pruning phase — callers gate on corpus size (one
+    # reducer ranks a small corpus's matches faster than an extra
+    # window stage costs; at cluster scale the salt is mandatory)
+    if salt_buckets <= 1:
+        pruned = scored
+    else:
+        salted = scored.withColumn(
+            "_salt", F.pmod(F.col("id"), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(
+            F.col("score_e6").desc(), F.col("id").asc()
+        )
+        pruned = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("id").asc()
+    )
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score_e6", "rnk")
+    )

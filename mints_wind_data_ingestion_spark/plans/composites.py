@@ -756,6 +756,16 @@ def _text_suite_oracle() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
     FROM {_oracle("x_token_stats")}
+    UNION ALL
+    SELECT 'bm25', CAST(doc_id AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(query_id AS BIGINT), CAST(rnk AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(score_e6 AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+    FROM {_oracle("x_bm25_topk")}
     """
 
 
@@ -765,11 +775,14 @@ def x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (x_text_features — quality metrics, language-ID, fingerprint,
     type-token ratio, quality-gate flag) plus the corpus token
     statistics (x_token_stats — frequency top-k, Zipf slope, BPE-ish
-    counts), tagged into one superset. The two halves share the same
-    documents scan lineage; each component's full row set rides the
-    driver hash unchanged."""
+    counts) plus BM25 lexical retrieval top-k for the fixed 3-query
+    workload (x_bm25_topk — score_e6 rides the fingerprint slot),
+    tagged into one superset. All parts share the same documents scan
+    lineage; each component's full row set rides the driver hash
+    unchanged."""
     tf = REGISTRY["x_text_features"].build(spark, sf_dir)
     tk = REGISTRY["x_token_stats"].build(spark, sf_dir)
+    bm = REGISTRY["x_bm25_topk"].build(spark, sf_dir)
     feat = tf.select(
         F.lit("features").alias("part"), _b("doc_id").alias("doc_id"),
         _ns().alias("token"), _nb().alias("n1"), _nb().alias("n2"),
@@ -792,7 +805,18 @@ def x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("fingerprint"), _nd().alias("type_token_ratio"),
         _nbool().alias("kept_q25"),
     )
-    return feat.unionByName(toks)
+    bm25 = bm.select(
+        F.lit("bm25").alias("part"), _b("doc_id").alias("doc_id"),
+        _ns().alias("token"), _b("query_id").alias("n1"),
+        _b("rnk").alias("n2"),
+        _nb().alias("n_chars"), _nb().alias("token_cnt"),
+        _nd().alias("avg_word_len"), _nd().alias("punct_ratio"),
+        _nd().alias("ws_ratio"), _nd().alias("stopword_en"),
+        _ns().alias("lang"), _ns().alias("lang_pred"), _nd().alias("score"),
+        _b("score_e6").alias("fingerprint"),
+        _nd().alias("type_token_ratio"), _nbool().alias("kept_q25"),
+    )
+    return feat.unionByName(toks).unionByName(bm25)
 
 
 # ---------------------------------------------------------------------------

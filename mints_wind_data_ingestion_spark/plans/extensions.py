@@ -140,19 +140,29 @@ def _spread(df: DataFrame, work_factor: int = 1) -> DataFrame:
             return df  # in-memory lineage: partitioning already chosen
         if len(files) >= par:
             return df  # enough native splits
-        from urllib.parse import unquote, urlparse
-
-        total = 0
-        for f in files:
-            u = urlparse(f)
-            if u.scheme not in ("file", ""):
-                return df.repartition(par)  # remote store: spread
-            total += os.path.getsize(unquote(u.path))
+        total = _local_input_bytes(files)
+        if total is None:
+            return df.repartition(par)  # remote store: spread
         if total * work_factor < _SPREAD_MIN_BYTES:
             return df
     except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
         pass
     return df.repartition(par)
+
+
+def _local_input_bytes(files: list[str]) -> int | None:
+    """Total on-disk bytes of a scan's input files, or None when any
+    file is on a remote store (s3/hdfs — sizes aren't one os.stat
+    away, and callers must take the conservative at-scale branch)."""
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        total += os.path.getsize(unquote(u.path))
+    return total
 
 
 # ---------------------------------------------------------------------------
@@ -689,6 +699,85 @@ def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(20)
+    )
+
+
+# fixed retrieval workload: 3 queries over the corpus vocabulary; the
+# terms are literals so the oracle can embed them (engine-free) and the
+# broadcast term filter is a plan constant
+_BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join")),
+    (2, ("fast", "vector", "scan")),
+    (3, ("window", "agg", "stream")),
+)
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
+    )
+    terms = ", ".join(sorted({f"'{t}'" for _, ts in _BM25_QUERIES for t in ts}))
+    return f"""
+    WITH q(query_id, term) AS (VALUES {vals}),
+    base AS (SELECT doc_id, len({_D_TOKS}) AS dl,
+                    list_filter({_D_TOKS}, t -> t IN ({terms})) AS qtoks
+             FROM documents),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+    tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(qtoks) AS tok FROM base)
+           GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(ROUND(SUM(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ) * 1000000) AS BIGINT) AS score_e6
+        FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_e6, rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= {_BM25_TOPK}
+    """
+
+
+@query("x_bm25_topk", oracle=_bm25_oracle(), tags=("ext", "text", "retrieval"),
+       driver=False)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query for a fixed 3-query workload — lexical
+    retrieval over `documents` (operators.retrieval.bm25_topk: one
+    term-pruned corpus pass, broadcast df/idf, salted two-phase
+    top-k). Scores ride the hash as round(score·1e6) bigints; ties
+    rank by doc_id, so the result set is fully deterministic."""
+    from ..operators.retrieval import bm25_topk
+
+    # work_factor: ~17 codegen'd regex scans per row (8 terms × 2
+    # passes + dl) ≫ scan bytes — interleaved A/B at sf0.1 measured
+    # the spread 1.11 s vs 1.69 s unspread (min of 4)
+    raw = tables(spark, sf_dir)["documents"]
+    docs = _spread(raw, work_factor=32)
+    # salt gate: below ~256 MB a query's matched set is at most a few
+    # million rows — one reducer ranks that faster than the pruning
+    # window's extra stage costs (A/B at sf0.1: 1.25 s vs 1.47 s).
+    # Above it (or on a remote store) the salted two-phase path is
+    # mandatory: Window.partitionBy(query_id) alone would funnel every
+    # matching document of a query through one task.
+    try:
+        nbytes = _local_input_bytes(raw.inputFiles())
+    except Exception:  # noqa: BLE001 — sizing is advisory
+        nbytes = None
+    salt = 1 if nbytes is not None and nbytes < (256 << 20) else 32
+    return bm25_topk(
+        docs, _BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK,
+        salt_buckets=salt,
     )
 
 
