@@ -29,12 +29,16 @@ buys a shape no generic explode→groupBy retrieval plan can match:
   query meet the final single-partition ranking. A naive
   Window.partitionBy(query_id) would funnel every matching document
   of a query through one reducer — the classic skew trap this
-  operator exists to avoid.
+  operator exists to avoid. Callers gate salt_buckets on corpus size
+  (below ~256 MB one reducer beats the extra stage; A/B 1.25 s vs
+  1.47 s at sf0.1).
 - Total: 2 corpus scans (stats + scoring; independent branches run
   concurrently — see BASELINE.md's scan-sharing negative result),
-  one 1-row broadcast, two bounded window exchanges. The first
-  explode-based implementation measured 1.21 s at sf0.1 against
-  ~0.5 s for this shape (7 exchanges → 3).
+  one 1-row broadcast, and the bounded window exchange(s) — the
+  explain('formatted') audit shows 2 exchanges / 1 broadcast / 0
+  Python ops. The first explode-based implementation paid 7
+  exchanges incl. a (doc, term) shuffle and measured 1.21 s at
+  sf0.1 vs 1.11 s for this shape on a far noisier floor.
 - Scores are emitted as `score_e6` (round(score·1e6) as bigint): the
   only non-exact arithmetic is ln() and the per-term double sum, both
   stable far past 1e-6, so results are engine-portable and
