@@ -1575,22 +1575,30 @@ def _dedup_pairs_oracle() -> str:
            CAST(NULL AS VARCHAR), CAST(hamming AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM {_oracle("x_dedup_simhash")}
+    UNION ALL
+    SELECT 'editdist', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(dist AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM {_oracle("x_dedup_editdist")}
     """
 
 
 @query("x_dedup_pairs_suite", oracle=_dedup_pairs_oracle(), tags=("ext", "dedup", "composite"))
 def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-pairs suite: exact dedup representatives (x_dedup_exact),
-    inverted-index Jaccard pairs (x_dedup_jaccard), and banded SimHash
-    pairs (x_dedup_simhash), tagged into one superset. The MinHash-LSH
-    path and the CC clustering keep standalone slots — they are the
-    structurally distinct 100 TB paths worth separate timing."""
+    inverted-index Jaccard pairs (x_dedup_jaccard), banded SimHash
+    pairs (x_dedup_simhash), and rare-shingle-blocked Levenshtein
+    pairs (x_dedup_editdist — the character-level family member),
+    tagged into one superset. The MinHash-LSH path and the CC
+    clustering keep standalone slots — they are the structurally
+    distinct 100 TB paths worth separate timing."""
     from ..functions.text import shingle_docs_pandas
     from ..operators.dedup import jaccard_similarity_join
 
     from .extensions import _spread, simhash_pairs_from_shingles
 
     ex = REGISTRY["x_dedup_exact"].build(spark, sf_dir)
+    ed = REGISTRY["x_dedup_editdist"].build(spark, sf_dir)
     # the Jaccard and SimHash parts shingle the SAME corpus the same
     # way (3-gram multisets); one persisted Arrow shingle pass feeds
     # both instead of each part re-running it.
@@ -1613,5 +1621,9 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             _part(si, "simhash", k1=_b("id_a"), k2=_b("id_b"), s1=_ns(),
                   n1=_b("hamming"), d1=_nd())
+        )
+        .unionByName(
+            _part(ed, "editdist", k1=_b("id_a"), k2=_b("id_b"), s1=_ns(),
+                  n1=_b("dist"), d1=_nd())
         )
     )
