@@ -42,7 +42,17 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".scaling_sf1")
 REPLICAS = 10
-QUERIES = ["x_dedup_minhash", "x_dedup_cluster", "x_sim_topk_lsh"]
+QUERIES = [
+    "x_dedup_minhash",
+    "x_dedup_cluster",
+    "x_sim_topk_lsh",
+    # round-5 additions: the rare-shingle-blocked Levenshtein join
+    # (within-replica pairs scale exactly 10×; the v{k} prefix kills
+    # cross-replica shingles) and the constant-term BM25 scan (the
+    # two corpus passes are scan-bound — the pure-linear case)
+    "x_dedup_editdist",
+    "x_bm25_topk",
+]
 
 
 def build_sf1(spark) -> None:
@@ -130,9 +140,11 @@ def main() -> None:
     for name, a, b, g in rows:
         stamp += f"| `{name}` | {a:.2f} | {b:.2f} | {g:.1f}× |\n"
     stamp += ("\nAt 10× the data every growth factor stays well under 10×: the\n"
-              "banded minhash join, the large/small-star CC rounds, and the\n"
-              "bucketed LSH join are data-bound at most linearly — no pair-space\n"
-              "blowup appears once data (not job floors) dominates.\n")
+              "banded minhash join, the large/small-star CC rounds, the\n"
+              "bucketed LSH join, the rare-shingle-blocked Levenshtein join,\n"
+              "and the constant-term BM25 corpus passes are data-bound at most\n"
+              "linearly — no pair-space blowup appears once data (not job\n"
+              "floors) dominates.\n")
     md_path = os.path.join(os.path.dirname(SF1), "SCALING.md")
     md = open(md_path).read()
     cut = md.find("\n## sf0.1 → sf1 spot run")

@@ -16,6 +16,8 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from mints_wind_data_ingestion_spark.operators.discovery import (
@@ -528,3 +530,76 @@ def test_threshold_hex_boundaries_match_rates():
         t = _threshold(rate)
         back = int(t, 16) / 16**6
         assert abs(back - rate) < 16**-6 + 1e-12
+
+
+@settings(deadline=None, max_examples=8)
+@given(st.data())
+def test_editdist_pairs_match_reference_model(spark, data):
+    """Property: editdist_dedup_pairs equals an independent pure-Python
+    re-derivation of its full contract — rare-shingle blocking (df in
+    [2, cap]) then relative-Levenshtein verify — on random word-soup
+    corpora with planted near-duplicates."""
+    import math
+
+    from collections import Counter
+    from itertools import combinations
+
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        editdist_dedup_pairs,
+    )
+
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = data.draw(st.integers(4, 10), label="n_docs")
+    base = [
+        data.draw(
+            st.lists(st.sampled_from(vocab), min_size=6, max_size=30),
+            label=f"doc{i}",
+        )
+        for i in range(n_docs)
+    ]
+    # plant near-dups: copies of random docs with one word swapped
+    n_dups = data.draw(st.integers(0, 3), label="n_dups")
+    docs = list(base)
+    for _ in range(n_dups):
+        src = data.draw(st.sampled_from(base), label="dup_src")
+        mut = list(src)
+        mut[data.draw(st.integers(0, len(mut) - 1), label="pos")] = (
+            data.draw(st.sampled_from(vocab), label="w")
+        )
+        docs.append(mut)
+    texts = [" ".join(t) for t in docs]
+
+    N, CAP, REL = 4, 4, 0.3
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    sh = {
+        i: {" ".join(t[j:j + N]) for j in range(max(len(t) - N + 1, 0))}
+        for i, t in enumerate(docs)
+    }
+    df = Counter(s for ss in sh.values() for s in ss)
+    rare = {s for s, c in df.items() if 2 <= c <= CAP}
+    expected = {}
+    for a, b in combinations(range(len(docs)), 2):
+        if sh[a] & sh[b] & rare:
+            d = lev(texts[a], texts[b])
+            if d <= math.ceil(REL * max(len(texts[a]), len(texts[b]))):
+                expected[(a, b)] = d
+
+    sdf = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in editdist_dedup_pairs(
+            sdf, "doc_id", "text",
+            shingle_n=N, max_rel_dist=REL, rare_cap=CAP,
+        ).collect()
+    }
+    assert got == expected
