@@ -97,6 +97,14 @@ def bm25_topk(
         pat = r"(?=(?:^|\s)\Q" + t + r"\E(?:$|\s))"
         return F.regexp_count(F.col(text_col), F.lit(pat))
 
+    def has_col(t: str) -> Column:
+        # df needs EXISTENCE, not the count: rlike stops at the first
+        # match (interleaved A/B on the stats pass: 0.27 s vs 0.31 s
+        # min-of-5 at sf0.1)
+        if "\\E" in t:
+            raise ValueError(f"bm25_topk: unsupported term {t!r}")
+        return F.col(text_col).rlike(r"(?:^|\s)\Q" + t + r"\E(?:$|\s)")
+
     # pass 1 — corpus statistics, ONE map-side-combined global agg:
     # df per term (sum of tf>0 flags), N, Σdl; avgdl is an
     # exact-int ratio → bit-stable double
@@ -109,7 +117,7 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         *[
-            F.sum((tf_col(t) > 0).cast("long")).alias(f"df_{i}")
+            F.sum(has_col(t).cast("long")).alias(f"df_{i}")
             for i, t in enumerate(terms)
         ],
     )
