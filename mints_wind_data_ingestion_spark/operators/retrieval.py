@@ -81,9 +81,19 @@ def bm25_topk(
     Ties rank by ascending document id, so output is deterministic.
     """
     qlist = [(int(qid), sorted(set(ts))) for qid, ts in queries]
+    if len({qid for qid, _ in qlist}) != len(qlist):
+        raise ValueError("bm25_topk: duplicate query_id in queries")
     terms = sorted({t for _, ts in qlist for t in ts})
     if not terms:
         raise ValueError("bm25_topk: queries contain no terms")
+
+    def _boundary_pat(t: str) -> str:
+        # a term is a whitespace-delimited TOKEN: whitespace inside it
+        # (or an empty string) would make the regex semantics diverge
+        # from tokens()/dl silently, and \E would break literal quoting
+        if not t or "\\E" in t or any(c.isspace() for c in t):
+            raise ValueError(f"bm25_topk: unsupported term {t!r}")
+        return r"(?:^|\s)\Q" + t + r"\E(?:$|\s)"
 
     # per-term tf as a codegen'd regexp count: zero-width lookahead at
     # a token boundary, so overlapping boundaries ("a a a") all count —
@@ -92,18 +102,13 @@ def bm25_topk(
     # HOF (the HOF variant measured 1.5 s vs ~0.5 s at sf0.1). \Q..\E
     # quotes the term so it is matched literally.
     def tf_col(t: str) -> Column:
-        if "\\E" in t:  # cannot be literal-quoted; never a whitespace token anyway
-            raise ValueError(f"bm25_topk: unsupported term {t!r}")
-        pat = r"(?=(?:^|\s)\Q" + t + r"\E(?:$|\s))"
-        return F.regexp_count(F.col(text_col), F.lit(pat))
+        return F.regexp_count(F.col(text_col), F.lit("(?=" + _boundary_pat(t) + ")"))
 
     def has_col(t: str) -> Column:
         # df needs EXISTENCE, not the count: rlike stops at the first
         # match (interleaved A/B on the stats pass: 0.27 s vs 0.31 s
         # min-of-5 at sf0.1)
-        if "\\E" in t:
-            raise ValueError(f"bm25_topk: unsupported term {t!r}")
-        return F.col(text_col).rlike(r"(?:^|\s)\Q" + t + r"\E(?:$|\s)")
+        return F.col(text_col).rlike(_boundary_pat(t))
 
     # pass 1 — corpus statistics, ONE map-side-combined global agg:
     # df per term (sum of tf>0 flags), N, Σdl; avgdl is an

@@ -367,7 +367,10 @@ _D_EDITDIST_PAIRS = f"""
         SELECT doc_id, {_D_SHINGLES_5} AS sh
         FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
     ),
-    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    posting AS (
+        SELECT doc_id, {_D_MD5_60} AS s
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sets)
+    ),
     rare AS (SELECT s FROM posting GROUP BY s
              HAVING count(*) BETWEEN 2 AND 10),
     cand AS (
@@ -392,9 +395,12 @@ def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking — the character-level member of the dedup family
     (operators.dedup.editdist_dedup_pairs): docs sharing a rare word
     5-gram are candidates; pairs within 20% relative edit distance
-    survive the JVM-codegen Levenshtein verify. Both engines compute
-    the identical candidate set and the identical distances, so the
-    oracle is exact."""
+    survive the JVM-codegen Levenshtein verify. The blocking hash is
+    the md5-prefix bigint (_md5_60) so BOTH engines derive the
+    identical posting groups — even a hash collision cannot split the
+    candidate sets — making the oracle exact; the library default
+    stays xxhash64 for the 100 TB hot path (same convention as
+    x_dedup_simhash)."""
     from ..operators.dedup import editdist_dedup_pairs
 
     # work_factor=64: the 5-gram shingle explosion dominates, same
@@ -402,7 +408,7 @@ def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     return editdist_dedup_pairs(
         docs, "doc_id", "text",
-        shingle_n=5, max_rel_dist=0.2, rare_cap=10,
+        shingle_n=5, max_rel_dist=0.2, rare_cap=10, hash_fn=_md5_60,
     )
 
 

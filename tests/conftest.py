@@ -55,3 +55,16 @@ def duck(sf_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     yield con
     con.close()
+
+
+def ref_levenshtein(a: str, b: str) -> int:
+    """Reference Wagner-Fischer edit distance (unit costs) — the
+    independent model the editdist operator tests compare against."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

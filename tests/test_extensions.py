@@ -316,16 +316,7 @@ def test_quality_model_distills_heuristic_gate(spark, sf_dir):
     assert agg.acc >= 0.9, f"held-out accuracy {agg.acc:.3f}"
 
 
-def _lev(a: str, b: str) -> int:
-    """Reference Wagner-Fischer edit distance (unit costs)."""
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[-1] + 1,
-                           prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+from tests.conftest import ref_levenshtein as _lev  # noqa: E402
 
 
 def test_editdist_dedup_hand_computed(spark):

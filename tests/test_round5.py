@@ -571,15 +571,7 @@ def test_editdist_pairs_match_reference_model(spark, data):
 
     N, CAP, REL = 4, 4, 0.3
 
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[-1] + 1,
-                               prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
+    from tests.conftest import ref_levenshtein as lev
 
     sh = {
         i: {" ".join(t[j:j + N]) for j in range(max(len(t) - N + 1, 0))}
