@@ -60,7 +60,40 @@ from pyspark.sql.window import Window
 
 from ..functions.text import token_count, tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_topk_table"]
+
+
+def _salted_topk(
+    scored: DataFrame, id_col: str, k: int, salt_buckets: int
+) -> DataFrame:
+    """Salted two-phase per-query top-k over (query_id, id, score_e6):
+    phase 1 prunes each (query_id, id % salt_buckets) bucket to k rows
+    in parallel, so only salt_buckets·k rows per query reach the final
+    single-partition ranking — never every match of a hot query
+    through one reducer. salt_buckets<=1 skips the pruning phase
+    (callers gate on corpus size)."""
+    if salt_buckets <= 1:
+        pruned = scored
+    else:
+        salted = scored.withColumn(
+            "_salt", F.pmod(F.col("id"), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy("query_id", "_salt").orderBy(
+            F.col("score_e6").desc(), F.col("id").asc()
+        )
+        pruned = (
+            salted.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_salt", "_r1")
+        )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("id").asc()
+    )
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("id").alias(id_col), "score_e6", "rnk")
+    )
 
 
 def bm25_topk(
@@ -177,29 +210,88 @@ def bm25_topk(
         .drop("matched")
     )
 
-    # salted two-phase top-k (see module docstring); salt_buckets<=1
-    # skips the pruning phase — callers gate on corpus size (one
-    # reducer ranks a small corpus's matches faster than an extra
-    # window stage costs; at cluster scale the salt is mandatory)
-    if salt_buckets <= 1:
-        pruned = scored
-    else:
-        salted = scored.withColumn(
-            "_salt", F.pmod(F.col("id"), F.lit(salt_buckets))
-        )
-        w1 = Window.partitionBy("query_id", "_salt").orderBy(
-            F.col("score_e6").desc(), F.col("id").asc()
-        )
-        pruned = (
-            salted.withColumn("_r1", F.row_number().over(w1))
-            .filter(F.col("_r1") <= k)
-            .drop("_salt", "_r1")
-        )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score_e6").desc(), F.col("id").asc()
+    return _salted_topk(scored, id_col, k, salt_buckets)
+
+
+def bm25_topk_table(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-k BM25 per query for a query TABLE → (query_id, doc_id,
+    score_e6, rnk) — the posting-join complement to `bm25_topk`.
+
+    `bm25_topk` bakes the terms into the plan (per-term generated
+    columns) — unbeatable for a handful of ad-hoc queries but the plan
+    grows with the term count. This variant takes `queries` as a
+    DataFrame of (query_id, term) rows and scales to THOUSANDS of
+    queries with a fixed-size plan:
+
+    - explode tokens, broadcast-semi-prune against the distinct term
+      set IMMEDIATELY (the corpus-sized explode never shuffles — only
+      query-term hits survive to the (doc, term) tf aggregation);
+    - df/N/avgdl from tiny aggregations, broadcast back;
+    - per-(doc, term) scores join the query table (broadcast — the
+      query workload is the small side by construction), then sum per
+      (query, doc) THROUGH DECIMAL(28,12): the term partials arrive
+      shuffle-ordered, and a double sum would make score_e6 flip with
+      partition count (the registry determinism contract);
+    - salted two-phase top-k (`_salted_topk`).
+
+    Same scoring math and output schema as `bm25_topk`; the pytest
+    differential pins the two paths row-for-row equal on the shared
+    workload.
+    """
+    qterms = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    terms = qterms.select("term").distinct()
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col),
+        token_count(text_col).alias("dl"),
     )
-    return (
-        pruned.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", F.col("id").alias(id_col), "score_e6", "rnk")
+    posting = (
+        toked.select(
+            "id", "dl", F.explode(tokens(text_col)).alias("term")
+        )
+        .join(F.broadcast(terms), "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id")
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(28,12)")).cast("double")
+                * F.lit(1000000.0),
+                0,
+            ).cast("long").alias("score_e6")
+        )
+    )
+    return _salted_topk(scored, id_col, k, salt_buckets)

@@ -842,6 +842,71 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_table_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
+    )
+    terms = ", ".join(sorted({f"'{t}'" for _, ts in _BM25_QUERIES for t in ts}))
+    return f"""
+    WITH q(query_id, term) AS (VALUES {vals}),
+    base AS (SELECT doc_id, len({_D_TOKS}) AS dl, {_D_TOKS} AS toks
+             FROM documents),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
+    tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
+           WHERE tok IN ({terms})
+           GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(ROUND(CAST(SUM(CAST(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS DECIMAL(28,12))) AS DOUBLE) * 1000000) AS BIGINT)
+               AS score_e6
+        FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_e6, rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY score_e6 DESC, doc_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= {_BM25_TOPK}
+    """
+
+
+@query("x_bm25_table", oracle=_bm25_table_oracle(),
+       tags=("ext", "text", "retrieval"), driver=False)
+def x_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 via the posting-join path (bm25_topk_table): the
+    query workload arrives as a (query_id, term) DataFrame rather than
+    plan constants — the shape that scales to thousands of queries
+    with a fixed-size plan. The per-(query, doc) score sums through
+    DECIMAL(28,12) so the shuffle-ordered term partials reduce
+    deterministically (registry determinism contract). Runs the same
+    fixed workload as x_bm25_topk; pytest pins the two paths equal."""
+    from ..operators.retrieval import bm25_topk_table
+
+    raw = tables(spark, sf_dir)["documents"]
+    docs = _spread(raw, work_factor=32)
+    try:
+        nbytes = _local_input_bytes(raw.inputFiles())
+    except Exception:  # noqa: BLE001 — sizing is advisory
+        nbytes = None
+    salt = 1 if nbytes is not None and nbytes < (256 << 20) else 32
+    qrows = [
+        (qid, t) for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    return bm25_topk_table(
+        docs, qdf, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK, salt_buckets=salt,
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

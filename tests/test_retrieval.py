@@ -100,3 +100,46 @@ def test_bm25_empty_terms_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(docs, [(1, ())])
+
+
+def test_bm25_table_path_equals_constant_path(spark, sf_dir):
+    """The posting-join variant (bm25_topk_table) and the constant-term
+    plan (bm25_topk) must produce identical rows for the shared graded
+    workload — same math, two physical shapes. The decimal-summed and
+    double-chained scores agree because the workload's score values sit
+    far (>1e-9) from any .5e-6 rounding boundary."""
+    from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+    a = {
+        (r.query_id, r.doc_id): (r.score_e6, r.rnk)
+        for r in REGISTRY["x_bm25_topk"].build(spark, sf_dir).collect()
+    }
+    b = {
+        (r.query_id, r.doc_id): (r.score_e6, r.rnk)
+        for r in REGISTRY["x_bm25_table"].build(spark, sf_dir).collect()
+    }
+    assert a == b
+    assert a, "expected matches for the graded workload"
+
+
+def test_bm25_invalid_terms_raise(spark):
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    for bad in ("", "two words", "tab\tsep"):
+        with pytest.raises(ValueError):
+            bm25_topk(docs, [(1, (bad,))])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [(1, ("x",)), (1, ("y",))])  # duplicate query_id
+
+
+def test_editdist_rejects_degenerate_params(spark):
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        editdist_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        editdist_dedup_pairs(docs, "doc_id", "text", rare_cap=1)
+    with pytest.raises(ValueError):
+        editdist_dedup_pairs(docs, "doc_id", "text", shingle_n=0)
+    with pytest.raises(ValueError):
+        editdist_dedup_pairs(docs, "doc_id", "text", max_rel_dist=0.0)
