@@ -75,8 +75,12 @@ def _salted_topk(
     if salt_buckets <= 1:
         pruned = scored
     else:
+        # salt on xxhash64(id), not id itself: works for ANY id type
+        # (string doc ids would fail pmod's numeric cast under ANSI),
+        # and phase 1 is correct under any bucket assignment — it only
+        # needs each bucket's top-k superset
         salted = scored.withColumn(
-            "_salt", F.pmod(F.col("id"), F.lit(salt_buckets))
+            "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(salt_buckets))
         )
         w1 = Window.partitionBy("query_id", "_salt").orderBy(
             F.col("score_e6").desc(), F.col("id").asc()
@@ -238,7 +242,10 @@ def bm25_topk_table(
     - explode tokens, broadcast-semi-prune against the distinct term
       set IMMEDIATELY (the corpus-sized explode never shuffles — only
       query-term hits survive to the (doc, term) tf aggregation);
-    - df/N/avgdl from tiny aggregations, broadcast back;
+    - N/avgdl from one tiny aggregation broadcast back; df as a
+      window count over the PRUNED posting rows, so the corpus
+      explode executes exactly once — two corpus scans total (stats +
+      posting), matching the constant-term variant;
     - per-(doc, term) scores join the query table (broadcast — the
       query workload is the small side by construction), then sum per
       (query, doc) THROUGH DECIMAL(28,12): the term partials arrive
@@ -248,11 +255,20 @@ def bm25_topk_table(
 
     Same scoring math and output schema as `bm25_topk`; the pytest
     differential pins the two paths row-for-row equal on the shared
-    workload.
+    workload. One semantic difference, inherent to the lazy input: a
+    term that can never be a token (empty or whitespace-containing) is
+    FILTERED rather than raised — a DataFrame's contents can't be
+    validated at plan time, so the invalid-term contract is "ignored,
+    by construction matches nothing" instead of ValueError.
     """
-    qterms = queries.select(
-        F.col(qid_col).alias("query_id"), F.col(term_col).alias("term")
-    ).distinct()
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("query_id"), F.col(term_col).alias("term")
+        )
+        # terms that cannot equal any whitespace token (see docstring)
+        .filter(F.col("term").rlike(r"^\S+$"))
+        .distinct()
+    )
     terms = qterms.select("term").distinct()
     toked = docs.select(
         F.col(id_col).alias("id"),
@@ -271,7 +287,12 @@ def bm25_topk_table(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count over the PRUNED posting (tiny after the
+    # term prune) — a separate groupBy+broadcast-join would re-execute
+    # the whole corpus explode subtree a second time (the plan audit
+    # showed 3 corpus scans before this; 2 after, matching bm25_topk)
+    dfw = Window.partitionBy("term")
+    with_df = posting.withColumn("df", F.count(F.lit(1)).over(dfw))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -282,8 +303,7 @@ def bm25_topk_table(
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
     scored = (
-        posting.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        with_df.crossJoin(F.broadcast(stats))
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "id")
         .agg(

@@ -779,7 +779,11 @@ def x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload (x_bm25_topk — score_e6 rides the fingerprint slot),
     tagged into one superset. All parts share the same documents scan
     lineage; each component's full row set rides the driver hash
-    unchanged."""
+    unchanged. The posting-join variant (x_bm25_table) is deliberately
+    NOT folded: its 6-stage chain measured +3 s on the recorded sweep
+    for coverage the pytest differential mirror already provides
+    (identical DuckDB oracle, row-for-row equality vs x_bm25_topk
+    pinned in tests/test_retrieval.py)."""
     tf = REGISTRY["x_text_features"].build(spark, sf_dir)
     tk = REGISTRY["x_token_stats"].build(spark, sf_dir)
     bm = REGISTRY["x_bm25_topk"].build(spark, sf_dir)
@@ -805,18 +809,20 @@ def x_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb().alias("fingerprint"), _nd().alias("type_token_ratio"),
         _nbool().alias("kept_q25"),
     )
-    bm25 = bm.select(
-        F.lit("bm25").alias("part"), _b("doc_id").alias("doc_id"),
-        _ns().alias("token"), _b("query_id").alias("n1"),
-        _b("rnk").alias("n2"),
-        _nb().alias("n_chars"), _nb().alias("token_cnt"),
-        _nd().alias("avg_word_len"), _nd().alias("punct_ratio"),
-        _nd().alias("ws_ratio"), _nd().alias("stopword_en"),
-        _ns().alias("lang"), _ns().alias("lang_pred"), _nd().alias("score"),
-        _b("score_e6").alias("fingerprint"),
-        _nd().alias("type_token_ratio"), _nbool().alias("kept_q25"),
-    )
-    return feat.unionByName(toks).unionByName(bm25)
+    def _bm_part(df, tag):
+        return df.select(
+            F.lit(tag).alias("part"), _b("doc_id").alias("doc_id"),
+            _ns().alias("token"), _b("query_id").alias("n1"),
+            _b("rnk").alias("n2"),
+            _nb().alias("n_chars"), _nb().alias("token_cnt"),
+            _nd().alias("avg_word_len"), _nd().alias("punct_ratio"),
+            _nd().alias("ws_ratio"), _nd().alias("stopword_en"),
+            _ns().alias("lang"), _ns().alias("lang_pred"), _nd().alias("score"),
+            _b("score_e6").alias("fingerprint"),
+            _nd().alias("type_token_ratio"), _nbool().alias("kept_q25"),
+        )
+
+    return feat.unionByName(toks).unionByName(_bm_part(bm, "bm25"))
 
 
 # ---------------------------------------------------------------------------

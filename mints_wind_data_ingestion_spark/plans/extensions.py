@@ -772,13 +772,30 @@ _BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
     (3, ("window", "agg", "stream")),
 )
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+#: the workload as (query_id, term) rows — the single source the
+#: oracles' VALUES lists, the table-variant's input DataFrame, and
+#: the IN-list prune all derive from
+_BM25_QROWS = [
+    (qid, t) for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
+]
 
 
-def _bm25_oracle() -> str:
-    vals = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
-    )
-    terms = ", ".join(sorted({f"'{t}'" for _, ts in _BM25_QUERIES for t in ts}))
+def _bm25_oracle(decimal_sum: bool = False) -> str:
+    """Engine-free BM25 oracle over the fixed workload. `decimal_sum`
+    mirrors the table-variant's DECIMAL(28,12) per-(query, doc)
+    reduction; False mirrors the constant-term variant's double
+    chain (both agree to 1e-6 on this workload — pytest pins it)."""
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in _BM25_QROWS)
+    terms = ", ".join(sorted({f"'{t}'" for _, t in _BM25_QROWS}))
+    term_score = f"""
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"""
+    if decimal_sum:
+        qsum = f"CAST(SUM(CAST({term_score} AS DECIMAL(28,12))) AS DOUBLE)"
+    else:
+        qsum = f"SUM({term_score})"
     return f"""
     WITH q(query_id, term) AS (VALUES {vals}),
     base AS (SELECT doc_id, len({_D_TOKS}) AS dl,
@@ -792,12 +809,7 @@ def _bm25_oracle() -> str:
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
     scored AS (
         SELECT q.query_id, tf.doc_id,
-               CAST(ROUND(SUM(
-                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                   * tf * ({_BM25_K1} + 1)
-                   / (tf + {_BM25_K1}
-                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-               ) * 1000000) AS BIGINT) AS score_e6
+               CAST(ROUND({qsum} * 1000000) AS BIGINT) AS score_e6
         FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
         GROUP BY 1, 2
     )
@@ -808,6 +820,21 @@ def _bm25_oracle() -> str:
           FROM scored)
     WHERE rnk <= {_BM25_TOPK}
     """
+
+
+def _bm25_salt_buckets(raw) -> int:
+    """Size gate shared by both BM25 queries: below ~256 MB a query's
+    matched set is at most a few million rows — one reducer ranks that
+    faster than the pruning window's extra stage costs (A/B at sf0.1:
+    1.25 s vs 1.47 s). Above it (or on a remote store) the salted
+    two-phase path is mandatory: Window.partitionBy(query_id) alone
+    would funnel every matching document of a query through one
+    task."""
+    try:
+        nbytes = _local_input_bytes(raw.inputFiles())
+    except Exception:  # noqa: BLE001 — sizing is advisory
+        nbytes = None
+    return 1 if nbytes is not None and nbytes < (256 << 20) else 32
 
 
 @query("x_bm25_topk", oracle=_bm25_oracle(), tags=("ext", "text", "retrieval"),
@@ -825,61 +852,13 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the spread 1.11 s vs 1.69 s unspread (min of 4)
     raw = tables(spark, sf_dir)["documents"]
     docs = _spread(raw, work_factor=32)
-    # salt gate: below ~256 MB a query's matched set is at most a few
-    # million rows — one reducer ranks that faster than the pruning
-    # window's extra stage costs (A/B at sf0.1: 1.25 s vs 1.47 s).
-    # Above it (or on a remote store) the salted two-phase path is
-    # mandatory: Window.partitionBy(query_id) alone would funnel every
-    # matching document of a query through one task.
-    try:
-        nbytes = _local_input_bytes(raw.inputFiles())
-    except Exception:  # noqa: BLE001 — sizing is advisory
-        nbytes = None
-    salt = 1 if nbytes is not None and nbytes < (256 << 20) else 32
     return bm25_topk(
         docs, _BM25_QUERIES, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK,
-        salt_buckets=salt,
+        salt_buckets=_bm25_salt_buckets(raw),
     )
 
 
-def _bm25_table_oracle() -> str:
-    vals = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
-    )
-    terms = ", ".join(sorted({f"'{t}'" for _, ts in _BM25_QUERIES for t in ts}))
-    return f"""
-    WITH q(query_id, term) AS (VALUES {vals}),
-    base AS (SELECT doc_id, len({_D_TOKS}) AS dl, {_D_TOKS} AS toks
-             FROM documents),
-    stats AS (SELECT count(*) AS n_docs,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM base),
-    tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
-           FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM base)
-           WHERE tok IN ({terms})
-           GROUP BY 1, 2, 3),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    scored AS (
-        SELECT q.query_id, tf.doc_id,
-               CAST(ROUND(CAST(SUM(CAST(
-                   ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                   * tf * ({_BM25_K1} + 1)
-                   / (tf + {_BM25_K1}
-                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-               AS DECIMAL(28,12))) AS DOUBLE) * 1000000) AS BIGINT)
-               AS score_e6
-        FROM q JOIN tf USING (term) JOIN dfreq USING (term), stats
-        GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score_e6, rnk
-    FROM (SELECT *, row_number() OVER (
-              PARTITION BY query_id
-              ORDER BY score_e6 DESC, doc_id ASC) AS rnk
-          FROM scored)
-    WHERE rnk <= {_BM25_TOPK}
-    """
-
-
-@query("x_bm25_table", oracle=_bm25_table_oracle(),
+@query("x_bm25_table", oracle=_bm25_oracle(decimal_sum=True),
        tags=("ext", "text", "retrieval"), driver=False)
 def x_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 via the posting-join path (bm25_topk_table): the
@@ -893,17 +872,10 @@ def x_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = tables(spark, sf_dir)["documents"]
     docs = _spread(raw, work_factor=32)
-    try:
-        nbytes = _local_input_bytes(raw.inputFiles())
-    except Exception:  # noqa: BLE001 — sizing is advisory
-        nbytes = None
-    salt = 1 if nbytes is not None and nbytes < (256 << 20) else 32
-    qrows = [
-        (qid, t) for qid, ts in _BM25_QUERIES for t in sorted(set(ts))
-    ]
-    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    qdf = spark.createDataFrame(_BM25_QROWS, "query_id long, term string")
     return bm25_topk_table(
-        docs, qdf, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK, salt_buckets=salt,
+        docs, qdf, k1=_BM25_K1, b=_BM25_B, k=_BM25_TOPK,
+        salt_buckets=_bm25_salt_buckets(raw),
     )
 
 
