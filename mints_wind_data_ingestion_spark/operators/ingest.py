@@ -24,9 +24,12 @@ offsets (converter.py:132's frozen `hourWithinRef` advanced), and an
 atomic replace instead of the reference's separate DELETE/INSERT
 commits.
 
-Driver pulls are bounded: the probe winner is one row; everything else
-stays a plan. At cluster scale the probe fans out over executors and
-the fetch transfers exactly one object per tick.
+Driver pulls are bounded — and the whole pre-fetch decision is ONE
+action: the stored bucket's max ref_time joins onto the probe-winner
+row inside the same plan, so each tick pulls exactly one ≤1-row result
+before the (single-object) body fetch. Everything else stays a plan.
+At cluster scale the probe fans out over executors and the fetch
+transfers exactly one object per tick.
 """
 
 from __future__ import annotations
@@ -64,28 +67,43 @@ def ingest_once(
         "url", F.concat(F.lit(base_url.rstrip("/") + "/"), F.col("url_path"))
     )
     probed = probe_binary(urls)
-    winner = (
-        probed.filter("ok").orderBy("rank").limit(1).collect()
-    )  # bounded: ≤1 row
+    win = probed.filter("ok").orderBy("rank").limit(1)
+
+    # staleness gate (converter.py:160-171) folded into the SAME plan
+    # as the probe winner: the stored bucket's max ref_time rides the
+    # winner row as `stored_ref`, so the whole pre-fetch decision is
+    # ONE bounded driver action (≤1 row). The stored side semi-joins
+    # against the candidate buckets (a broadcast ≤`attempts`-row set,
+    # usually 1 distinct bucket) BEFORE aggregating — at cluster scale
+    # that is a partition-prunable probe of the stored table, never a
+    # full-table max.
+    _recover_table(spark, table_path)
+    stored = _read_if_exists(spark, table_path)
+    if stored is not None:
+        buckets = urls.select(
+            F.col("obs_ts").alias("recorded_time")
+        ).distinct()
+        stored_max = (
+            stored.join(F.broadcast(buckets), "recorded_time", "leftsemi")
+            .groupBy("recorded_time")
+            .agg(F.max("ref_time").alias("stored_ref"))
+        )
+        win = win.join(
+            F.broadcast(stored_max),
+            win["obs_ts"] == stored_max["recorded_time"],
+            "left",
+        ).drop("recorded_time")
+    else:
+        win = win.withColumn("stored_ref", F.lit(None).cast("timestamp"))
+    winner = win.collect()  # bounded: ≤1 row, the tick's only pre-fetch pull
     if not winner:
         return {"status": "no_candidate", "run_ts": None, "obs_ts": None,
                 "records": 0}
     w = winner[0]
-
-    # staleness gate (converter.py:160-171): stop BEFORE the body
-    # transfer if the stored observation bucket already holds a run at
-    # least as new — strict `<` staleness, ties keep stored
-    _recover_table(spark, table_path)
-    stored = _read_if_exists(spark, table_path)
-    if stored is not None:
-        newest = (
-            stored.filter(F.col("recorded_time") == F.lit(w.obs_ts))
-            .agg(F.max("ref_time").alias("r"))
-            .first()["r"]
-        )
-        if newest is not None and newest >= w.run_ts:
-            return {"status": "skip_current", "run_ts": w.run_ts,
-                    "obs_ts": w.obs_ts, "records": 0}
+    # strict `<` staleness, ties keep stored
+    if w.stored_ref is not None and w.stored_ref >= w.run_ts:
+        return {"status": "skip_current", "run_ts": w.run_ts,
+                "obs_ts": w.obs_ts, "records": 0}
 
     one = spark.createDataFrame([(w.rank, w.url)], "rank int, url string")
     fetched = fetch_binary(one, "url")

@@ -61,7 +61,17 @@ def split_col(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
     CLUSTER id for near-dup-leakage-safe splits (x_dedup_cluster) —
     both split surfaces share this one rule, so a rate change cannot
     desynchronize them. Default 80/10/10 boundaries are the hex
-    thresholds 'cccccc'/'e66666' (0.8/0.9 at width 6)."""
+    thresholds 'cccccc'/'e66666' (0.8/0.9 at width 6).
+
+    Rates are validated eagerly: train+val > 1.0 would silently yield
+    an empty 'test' split (the 1.0 threshold 'gggggg' absorbs it into
+    'val'), and negative or oversized rates would produce malformed
+    hex thresholds with broken lexicographic semantics."""
+    if not (0.0 < train and 0.0 <= val and train + val <= 1.0):
+        raise ValueError(
+            "split_col: need 0 < train, 0 <= val, train + val <= 1.0 "
+            f"(got train={train}, val={val})"
+        )
     h = hash_bucket(key)
     return (
         F.when(h < F.lit(_threshold(train)), "train")

@@ -464,7 +464,7 @@ def test_spread_skips_small_local_scan(spark, sf_dir):
 def test_spread_work_factor_engages_on_amplified_work(spark, sf_dir):
     """A caller declaring heavy downstream CPU amplification (the
     8-gram posting explosion) must still get the spread even on a
-    small scan: bytes x work_factor clears the 32 MB threshold."""
+    small scan: bytes x work_factor clears _SPREAD_MIN_BYTES."""
     from mints_wind_data_ingestion_spark.plans.extensions import _spread
     from mints_wind_data_ingestion_spark.sources.tables import load_tables
 
