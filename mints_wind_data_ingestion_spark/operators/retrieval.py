@@ -183,10 +183,14 @@ def bm25_topk(
             + F.lit(1.0)
         )
 
+    # index lookup is a dict, not list.index: plan construction stays
+    # O(total query terms), not O(T^2), for large ad-hoc term sets
+    term_ix = {t: i for i, t in enumerate(terms)}
+
     def qscore(ts: list[str]) -> Column:
         s = F.lit(0.0)
         for t in ts:
-            i = terms.index(t)
+            i = term_ix[t]
             tf = F.col(f"tf_{i}")
             s = s + F.when(
                 tf > 0, idf(i) * tf * F.lit(k1 + 1.0) / (tf + norm)
@@ -194,7 +198,7 @@ def bm25_topk(
         return s
 
     def qmatched(ts: list[str]) -> Column:
-        return F.greatest(*[F.col(f"tf_{terms.index(t)}") for t in ts], F.lit(0)) > 0
+        return F.greatest(*[F.col(f"tf_{term_ix[t]}") for t in ts], F.lit(0)) > 0
 
     stack_args: list[Column] = []
     for qid, ts in qlist:

@@ -859,7 +859,7 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("x_bm25_table", oracle=_bm25_oracle(decimal_sum=True),
-       tags=("ext", "text", "retrieval"), driver=False)
+       tags=("ext", "text", "retrieval"))
 def x_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 via the posting-join path (bm25_topk_table): the
     query workload arrives as a (query_id, term) DataFrame rather than
@@ -867,7 +867,11 @@ def x_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fixed-size plan. The per-(query, doc) score sums through
     DECIMAL(28,12) so the shuffle-ordered term partials reduce
     deterministically (registry determinism contract). Runs the same
-    fixed workload as x_bm25_topk; pytest pins the two paths equal."""
+    fixed workload as x_bm25_topk; pytest pins the two paths equal.
+
+    Driver-verified since r6 (VERDICT r5 #1): its own slot (27th) so
+    the posting-join path's output is hash-checked directly, not just
+    through the pytest mirror's path-equality differential."""
     from ..operators.retrieval import bm25_topk_table
 
     raw = tables(spark, sf_dir)["documents"]
