@@ -121,12 +121,26 @@ def main() -> None:
                 break
         timings[name] = round(min(runs), 4)
 
+    # second full sweep, unconditional (r5 verdict #5): a query's
+    # initial runs are ADJACENT in time, so one multi-minute burst
+    # poisons every retry of the queries that land inside it. A full
+    # second pass minutes later samples a different host window for
+    # every query; min-over-two-sweeps is the cheapest estimator that
+    # defeats window-correlated noise (the r5 recording's 6.7 s
+    # recorded-vs-ledger gap was exactly this failure mode).
+    if elapsed() + sum(timings.values()) < budget:
+        for name in names:
+            timings[name] = round(min(timings[name], run_once(name)), 4)
+            if elapsed() > budget:
+                break
+
     # burst recovery: host-side CPU bursts last minutes and can poison
     # EVERY per-query retry inside one pass (observed: an 86 s sweep
     # bracketed by 46 s and 42 s ones, identical code). While the pass
-    # total looks burst-inflated and budget remains, run up to two more
-    # full passes keeping per-query minimums — the metric is defined as
-    # sum-of-mins, so this only sheds noise, never hides real cost.
+    # total looks burst-inflated and budget remains, run up to THREE
+    # more full passes keeping per-query minimums — the metric is
+    # defined as sum-of-mins, so this only sheds noise, never hides
+    # real cost.
     # Trigger: 12% over the ledger's cross-round capability for these
     # names (a calm host lands within a few percent of it) — the fixed
     # 48s→41s constants of earlier rounds drifted stale every time the
@@ -145,7 +159,7 @@ def main() -> None:
     recovery = 0
     while (
         sum(timings.values()) > trigger
-        and recovery < 2
+        and recovery < 3
         and elapsed() + sum(timings.values()) < budget
     ):
         recovery += 1
