@@ -210,10 +210,16 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf the driver grades (tests pin recall). 96 hashes rather than
     144: same detection power at the data's similarity knee, and the
     narrower aggregate compiles to much less generated code."""
-    # work_factor=64: the 3-gram shingle explosion dominates this
-    # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
-    # shapes at sf0.1 — see _spread)
-    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
+    # work_factor=1, NOT the shingle pipelines' 64: minhash is the one
+    # shingle shape where the pre-shuffle spread measured SLOWER —
+    # round-6 interleaved same-window A/B: sf0.1 spread-off min 2.37 s
+    # vs on 2.92 s (6 reps each), derived sf1 off 5.14 s vs on 5.38 s —
+    # while jaccard/editdist re-measured 2.4-3× FASTER spread-on in the
+    # same windows (they keep 64). The banded groupBy re-shuffles the
+    # signatures almost immediately, so the extra exchange buys little;
+    # factor 1 still spreads any genuinely big (>16 MB) single-file
+    # corpus, which is the 100 TB case the gate exists for.
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=1)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
     return minhash_dedup_pairs(
         with_sh, "doc_id", "shingles", threshold=0.5,
