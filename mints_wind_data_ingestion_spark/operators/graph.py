@@ -38,9 +38,11 @@ zero when the graph ALREADY fits. Near-dup pair sets are orders of
 magnitude smaller than the corpus (only documents with at least one
 candidate match appear), so in practice most dedup runs take this
 path; a 100 TB corpus with billions of pairs exceeds the gate and gets
-the full O(log² n) distributed rounds. The pull is bounded
-(LOCAL_SOLVE_EDGES × 16 bytes ≈ 16 MB of Arrow) and gated on an exact
-count — the same posture as the IVF trainer's bounded seed sample.
+the full O(log² n) distributed rounds. The pull is bounded by
+construction — LIMIT (LOCAL_SOLVE_EDGES + 1) rows ≈ 16 MB of Arrow —
+so the size check and the data pull are ONE narrow job (no
+symmetrize shuffle, no checkpoint, no separate count; r6), the same
+bounded-pull posture as the IVF trainer's seed sample.
 """
 
 from __future__ import annotations
@@ -57,12 +59,12 @@ __all__ = ["connected_components", "dedup_clusters"]
 #: signature already carries the count, so the gate is free).
 SKEW_CHECKPOINT_EDGES = 50_000
 
-#: symmetrized-edge count at or below which components are solved
-#: driver-side with union-find instead of distributed star rounds.
-#: 1M edges = two int64 columns ≈ 16 MB over Arrow and well under a
-#: second of union-find — cheaper than even ONE distributed round's
-#: two shuffles + checkpoint + probe. Above it, the shuffle rounds
-#: are the only shape that scales.
+#: raw-edge count at or below which components are solved driver-side
+#: with union-find instead of distributed star rounds. 1M edges = two
+#: int64 columns ≈ 16 MB over Arrow and well under a second of
+#: union-find — cheaper than even ONE distributed round's two
+#: shuffles + checkpoint + probe. Above it, the shuffle rounds are
+#: the only shape that scales.
 LOCAL_SOLVE_EDGES = 1_000_000
 
 
@@ -117,29 +119,43 @@ def connected_components(
     old = sess.conf.get(key)
     sess.conf.set(key, str(sess.sparkContext.defaultParallelism))
     try:
-        e = _symmetrize(edges, src, dst).localCheckpoint()
+        raw = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        if threshold > 0:
+            # probe-pull (r6): LIMIT threshold+1 in ONE narrow job — no
+            # symmetrize shuffle, no checkpoint, no separate count. If
+            # everything came back, the whole edge set is already in
+            # the driver's hands and union-find finishes it (raw
+            # duplicates/orientations are harmless to union-find, so
+            # the distinct the old path paid for is skipped too). Only
+            # a genuinely big graph falls through — paying one partial
+            # scan for the probe, noise next to its O(log² n) rounds;
+            # callers that KNOW they're huge pass local_solve_edges=0
+            # to skip the probe entirely.
+            pdf = raw.limit(threshold + 1).toPandas()
+            if len(pdf) <= threshold:
+                return _cc_local(sess, pdf)
+        e = _symmetrize(raw, "u", "v").localCheckpoint()
         sig = _edge_signature(e)
-        if sig[0] <= threshold:
-            return _cc_local(e)
         return _cc_rounds(e, sig, max_rounds)
     finally:
         sess.conf.set(key, old)
 
 
-def _cc_local(e: DataFrame) -> DataFrame:
-    """Union-find over a bounded, already-symmetrized edge pull.
+def _cc_local(sess, pdf) -> DataFrame:
+    """Union-find over a bounded raw-edge pull (pandas DataFrame of
+    (u, v), self-loops already filtered; duplicates and either
+    orientation are fine — union is idempotent and symmetric).
 
-    One Arrow toPandas (two int64 columns), path-halving union-find
-    with union-by-min so every root IS its component's minimum id —
-    bit-identical to the star rounds' fixpoint. Output is created
-    through Arrow too, so the driver round-trip is columnar both ways.
+    Path-halving union-find with union-by-min so every root IS its
+    component's minimum id — bit-identical to the star rounds'
+    fixpoint. Output is created through Arrow, so the driver
+    round-trip is columnar both ways.
     """
     import pandas as pd
 
-    sess = e.sparkSession
     schema = "node long, component long"
-    # symmetric set: u < v keeps each undirected edge once
-    pdf = e.filter(F.col("u") < F.col("v")).toPandas()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

@@ -132,87 +132,97 @@ def bm25_topk(
             raise ValueError(f"bm25_topk: unsupported term {t!r}")
         return r"(?:^|\s)\Q" + t + r"\E(?:$|\s)"
 
+    # The whole scoring plan is assembled as SQL STRINGS, not Column
+    # trees: every Column operator costs py4j round-trips (~0.15 ms
+    # each), and the per-term/per-query expression forest measured
+    # 3 000+ round-trips ≈ 0.5 s of DRIVER latency per build (r6
+    # cProfile). The strings parse JVM-side in a handful of calls and
+    # produce the identical analyzed plan. All float literals carry
+    # the D suffix — a bare `0.5` is DECIMAL in Spark SQL and would
+    # silently change the arithmetic's type lattice.
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     # per-term tf as a codegen'd regexp count: zero-width lookahead at
     # a token boundary, so overlapping boundaries ("a a a") all count —
     # value-identical to counting exact matches in tokens(text), but
     # JVM-side whole-stage codegen instead of an interpreted per-element
     # HOF (the HOF variant measured 1.5 s vs ~0.5 s at sf0.1). \Q..\E
     # quotes the term so it is matched literally.
-    def tf_col(t: str) -> Column:
-        return F.regexp_count(F.col(text_col), F.lit("(?=" + _boundary_pat(t) + ")"))
+    def tf_sql(t: str) -> str:
+        return (
+            f"regexp_count(`{text_col}`, "
+            + _sql_str("(?=" + _boundary_pat(t) + ")")
+            + ")"
+        )
 
-    def has_col(t: str) -> Column:
+    def has_sql(t: str) -> str:
         # df needs EXISTENCE, not the count: rlike stops at the first
         # match (interleaved A/B on the stats pass: 0.27 s vs 0.31 s
         # min-of-5 at sf0.1)
-        return F.col(text_col).rlike(_boundary_pat(t))
+        return f"`{text_col}` RLIKE " + _sql_str(_boundary_pat(t))
 
     # pass 1 — corpus statistics, ONE map-side-combined global agg:
     # df per term (sum of tf>0 flags), N, Σdl; avgdl is an
     # exact-int ratio → bit-stable double
-    toked = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col),
-        token_count(text_col).alias("dl"),
+    toked = docs.selectExpr(
+        f"`{id_col}` AS id",
+        f"`{text_col}`",
+        f"regexp_count(`{text_col}`, '\\\\S+') AS dl",
     )
     stats = toked.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl"),
         *[
-            F.sum(has_col(t).cast("long")).alias(f"df_{i}")
+            F.expr(f"sum(CAST(({has_sql(t)}) AS LONG)) AS df_{i}")
             for i, t in enumerate(terms)
         ],
     )
 
-    scored_wide = toked.crossJoin(F.broadcast(stats)).select(
+    scored_wide = toked.crossJoin(F.broadcast(stats)).selectExpr(
         "id",
         "dl",
         "n_docs",
         "avgdl",
-        *[F.col(f"df_{i}") for i in range(len(terms))],
-        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+        *[f"df_{i}" for i in range(len(terms))],
+        *[f"{tf_sql(t)} AS tf_{i}" for i, t in enumerate(terms)],
     )
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
-    )
+    norm_sql = f"{k1!r}D * ({(1.0 - b)!r}D + {b!r}D * dl / avgdl)"
 
-    def idf(i: int) -> Column:
-        dfc = F.col(f"df_{i}")
-        return F.log(
-            (F.col("n_docs") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
-            + F.lit(1.0)
-        )
+    def idf_sql(i: int) -> str:
+        return f"ln((n_docs - df_{i} + 0.5D) / (df_{i} + 0.5D) + 1.0D)"
 
     # index lookup is a dict, not list.index: plan construction stays
     # O(total query terms), not O(T^2), for large ad-hoc term sets
     term_ix = {t: i for i, t in enumerate(terms)}
 
-    def qscore(ts: list[str]) -> Column:
-        s = F.lit(0.0)
+    def qscore_sql(ts: list[str]) -> str:
+        # 0.0D + term1 + term2 … — identical association order to the
+        # old Column fold, so scores are bit-for-bit unchanged
+        parts = ["0.0D"]
         for t in ts:
             i = term_ix[t]
-            tf = F.col(f"tf_{i}")
-            s = s + F.when(
-                tf > 0, idf(i) * tf * F.lit(k1 + 1.0) / (tf + norm)
-            ).otherwise(F.lit(0.0))
-        return s
+            parts.append(
+                f"CASE WHEN tf_{i} > 0 THEN {idf_sql(i)} * tf_{i} "
+                f"* {(k1 + 1.0)!r}D / (tf_{i} + {norm_sql}) "
+                "ELSE 0.0D END"
+            )
+        return " + ".join(parts)
 
-    def qmatched(ts: list[str]) -> Column:
-        return F.greatest(*[F.col(f"tf_{term_ix[t]}") for t in ts], F.lit(0)) > 0
+    def qmatched_sql(ts: list[str]) -> str:
+        tfs = ", ".join(f"tf_{term_ix[t]}" for t in ts)
+        return f"greatest({tfs}, 0) > 0"
 
-    stack_args: list[Column] = []
-    for qid, ts in qlist:
-        stack_args += [
-            F.lit(qid),
-            F.round(qscore(ts) * F.lit(1000000.0), 0).cast("long"),
-            qmatched(ts),
-        ]
+    stack_args = ", ".join(
+        f"{qid}L, CAST(round(({qscore_sql(ts)}) * 1000000.0D, 0) AS LONG), "
+        f"({qmatched_sql(ts)})"
+        for qid, ts in qlist
+    )
     scored = (
-        scored_wide.select(
+        scored_wide.selectExpr(
             "id",
-            F.stack(
-                F.lit(len(qlist)), *stack_args
-            ).alias("query_id", "score_e6", "matched"),
+            f"stack({len(qlist)}, {stack_args}) "
+            "AS (query_id, score_e6, matched)",
         )
         .filter("matched")
         .drop("matched")

@@ -1,6 +1,13 @@
 """Query surface: importing this package populates the registry."""
 
-from .registry import REGISTRY, Query, query, resolve_oracle, tables  # noqa: F401
+from .registry import (  # noqa: F401
+    REGISTRY,
+    Query,
+    enable_plan_cache,
+    query,
+    resolve_oracle,
+    tables,
+)
 
 # side-effect imports: each module registers its queries; composites
 # must come last (their oracles embed component oracle SQL)

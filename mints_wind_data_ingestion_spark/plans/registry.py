@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_tables
 
-__all__ = ["Query", "REGISTRY", "query", "resolve_oracle", "tables"]
+__all__ = [
+    "Query",
+    "REGISTRY",
+    "enable_plan_cache",
+    "query",
+    "resolve_oracle",
+    "tables",
+]
 
 
 @dataclass(frozen=True)
@@ -75,6 +82,79 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _table_cache[key]
 
 
+# ---------------------------------------------------------------------------
+# prepared-plan cache (opt-in)
+# ---------------------------------------------------------------------------
+#
+# Building a wide plan costs real DRIVER latency — every Column operator
+# is py4j round-trips, and the widest suites measured ~1 s of pure plan
+# construction per build (r6 cProfile). A DataFrame is an immutable plan
+# handle, so re-running the SAME query at the SAME scale can reuse it —
+# the prepared-statement / plan-cache behavior of any serving engine.
+# Execution is NOT cached: every action re-runs the full plan (AQE,
+# shuffles, scans) — only the Python-side plan construction is skipped.
+#
+# Safety rules, self-enforced on the first build of each query:
+# (1) a build that launches Spark JOBS while constructing (iterative CC
+#     rounds, BPE merge training, IVF index fitting — their build()
+#     does real cluster work) is excluded, so cached reuse can never
+#     hide real execution from a timer or reuse checkpoint-truncated
+#     lineage that skips it;
+# (2) a build whose plan registers MID-PLAN CACHES (.cache()/.persist()
+#     of a posting list consumed by both sides of a self-join) is
+#     excluded: cache registration is a side effect of the build call,
+#     and a reused DataFrame after a catalog.clearCache() would execute
+#     WITHOUT the materialization point — silently recomputing the
+#     shared subtree per consumer. Detected via InMemoryRelation in the
+#     cache-substituted plan.
+#
+# OFF by default: tests and the driver correctness gate always build
+# fresh (monkeypatched internals must take effect); bench.py enables it
+# to measure steady-state repeated execution.
+
+_plan_cache: dict[tuple[str, str, str], DataFrame] = {}
+_never_cache: set[str] = set()
+_plan_cache_on = False
+
+
+def enable_plan_cache(on: bool = True) -> None:
+    """Toggle prepared-plan reuse for registry builds (see above)."""
+    global _plan_cache_on
+    _plan_cache_on = on
+    _plan_cache.clear()
+    _never_cache.clear()
+
+
+def _cacheable_build(
+    name: str, fn: Callable[[SparkSession, str], DataFrame]
+) -> Callable[[SparkSession, str], DataFrame]:
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if not _plan_cache_on or name in _never_cache:
+            return fn(spark, sf_dir)
+        key = (spark.sparkContext.applicationId, name, sf_dir)
+        hit = _plan_cache.get(key)
+        if hit is not None:
+            return hit
+        tracker = spark._jsc.sc().statusTracker()
+        before = set(list(tracker.getJobIdsForGroup(None)))
+        df = fn(spark, sf_dir)
+        after = set(list(tracker.getJobIdsForGroup(None)))
+        if after - before:
+            _never_cache.add(name)  # eager build — must re-run every time
+            return df
+        try:
+            cached_plan = df._jdf.queryExecution().withCachedData().toString()
+        except Exception:  # noqa: BLE001 — detection only; build is valid
+            cached_plan = "InMemoryRelation"  # can't prove safe → don't cache
+        if "InMemoryRelation" in cached_plan:
+            _never_cache.add(name)  # relies on mid-plan materialization
+        else:
+            _plan_cache[key] = df
+        return df
+
+    return build
+
+
 def query(
     name: str,
     oracle: str | Callable[[str], str] | None = None,
@@ -86,7 +166,7 @@ def query(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = Query(
             name=name,
-            build=fn,
+            build=_cacheable_build(name, fn),
             oracle=oracle.strip() if isinstance(oracle, str) else oracle,
             doc=(fn.__doc__ or "").strip(),
             tags=tuple(tags),
