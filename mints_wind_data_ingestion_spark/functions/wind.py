@@ -8,10 +8,19 @@ Catalyst expressions; `posexplode` turns the raster into a relational
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cell_lat", "cell_lon", "speed", "direction_deg", "explode_grid"]
+__all__ = [
+    "cell_lat",
+    "cell_lon",
+    "lambert_cell_latlon",
+    "speed",
+    "direction_deg",
+    "explode_grid",
+]
 
 
 def cell_lat(idx: Column, nx: Column | int = 360, la1: Column | float = 90.0, dy: Column | float = 1.0) -> Column:
@@ -22,6 +31,72 @@ def cell_lat(idx: Column, nx: Column | int = 360, la1: Column | float = 90.0, dy
 def cell_lon(idx: Column, nx: Column | int = 360, lo1: Column | float = 0.0, dx: Column | float = 1.0) -> Column:
     """lon(i) = lo1 + (i mod nx) * dx  (C13; lon fastest W→E)."""
     return F.lit(lo1) + F.pmod(idx, F.lit(nx)) * F.lit(dx)
+
+
+def lambert_cell_latlon(
+    idx: Column,
+    *,
+    nx: int,
+    la1: float,
+    lo1: float,
+    laD: float,
+    loV: float,
+    latin1: float,
+    latin2: float,
+    dx: float,
+    dy: float,
+    radius: float = 6371229.0,
+) -> tuple[Column, Column]:
+    """Inverse Lambert conformal projection as native Catalyst
+    expressions: cell index → (lat, lon) degrees for a template-3.30
+    grid (the HRRR/NAM projection; header fields laD/loV/latin1/latin2
+    and metre-valued dx/dy come straight from the 3.30 decode).
+
+    Spherical Lambert (the GRIB shape-6 earth), standard formulas from
+    the public literature (Snyder, *Map Projections — A Working
+    Manual*, USGS PP 1395, eqs. 15-1..15-11): everything that depends
+    only on the projection constants (cone constant n, scale constant
+    F, origin radius rho0, and the metre offset of the first grid
+    point) is a driver-side Python float; the per-cell work is five
+    codegen'd expressions (two muls, sqrt, atan2, pow) — no UDF, no
+    shuffle, whole-stage codegen keeps it JVM-side at any scale.
+
+    Assumes the NOAA layout: scan mode 64 (+x east, +y north,
+    row-major) and projection centre flag 0 (north pole, single cone —
+    n > 0). lon is normalized to [0, 360) as GRIB convention has it.
+    """
+    phi1, phi2 = math.radians(latin1), math.radians(latin2)
+    phi_d, lam0 = math.radians(laD), math.radians(loV)
+    phi_a, lam_a = math.radians(la1), math.radians(lo1)
+
+    def _t(phi: float) -> float:
+        return math.tan(math.pi / 4 + phi / 2)
+
+    if abs(phi1 - phi2) < 1e-12:
+        n = math.sin(phi1)
+    else:
+        n = math.log(math.cos(phi1) / math.cos(phi2)) / math.log(
+            _t(phi2) / _t(phi1)
+        )
+    f_const = math.cos(phi1) * _t(phi1) ** n / n
+    rho0 = radius * f_const / _t(phi_d) ** n
+    # metre coordinates of the first grid point relative to the
+    # projection origin (laD, loV)
+    rho_a = radius * f_const / _t(phi_a) ** n
+    th_a = n * (lam_a - lam0)
+    x1, y1 = rho_a * math.sin(th_a), rho0 - rho_a * math.cos(th_a)
+
+    x = F.lit(x1) + F.pmod(idx, F.lit(nx)).cast("double") * F.lit(dx)
+    y = F.lit(y1) + F.floor(idx / F.lit(nx)).cast("double") * F.lit(dy)
+    rho = F.sqrt(x * x + (F.lit(rho0) - y) * (F.lit(rho0) - y))
+    theta = F.atan2(x, F.lit(rho0) - y)
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.pow(F.lit(radius * f_const) / rho, F.lit(1.0 / n)))
+        - F.lit(math.pi / 2)
+    )
+    lon = F.pmod(F.lit(math.degrees(lam0)) + F.degrees(theta) / F.lit(n),
+                 F.lit(360.0))
+    return lat, lon
 
 
 def speed(u: Column, v: Column) -> Column:

@@ -1358,24 +1358,42 @@ _GRIB_NX, _GRIB_NY = 12, 6
 _GRIB_REFS = ["2020-08-12T00:00:00.000Z", "2020-08-12T06:00:00.000Z",
               "2020-08-12T12:00:00.000Z"]
 
+_GRIB_ENDS = ["2020-08-12T06:00:00.000Z", "2020-08-12T12:00:00.000Z",
+              "2020-08-12T18:00:00.000Z"]
+
 _D_GRIB_STATS = f"""
-    WITH g AS (
+    WITH w AS (
         SELECT t.t AS t, p.p AS p, i.i AS i,
-               (i.i * 7 + t.t * 13 + p.p * 29) % 3800 AS v_e2
+               (i.i * 7 + t.t * 13 + p.p * 29) % 3800 AS v_e2,
+               CAST(NULL AS INT) AS stat,
+               CAST(NULL AS VARCHAR) AS interval_end
         FROM unnest(generate_series(0, 2)) AS t(t),
              unnest([2, 3]) AS p(p),
              unnest(generate_series(0, {_GRIB_NX * _GRIB_NY - 1})) AS i(i)
-    )
+    ),
+    a AS (
+        SELECT t.t AS t, 8 AS p, i.i AS i,
+               (i.i * 11 + t.t * 17) % 5500 AS v_e2,
+               1 AS stat,
+               CASE t.t WHEN 0 THEN '{_GRIB_ENDS[0]}'
+                        WHEN 1 THEN '{_GRIB_ENDS[1]}'
+                        ELSE '{_GRIB_ENDS[2]}' END AS interval_end
+        FROM unnest(generate_series(0, 2)) AS t(t),
+             unnest(generate_series(0, {_GRIB_NX * _GRIB_NY - 1})) AS i(i)
+    ),
+    g AS (SELECT * FROM w UNION ALL SELECT * FROM a)
     SELECT CASE t WHEN 0 THEN '{_GRIB_REFS[0]}'
                   WHEN 1 THEN '{_GRIB_REFS[1]}'
                   ELSE '{_GRIB_REFS[2]}' END AS ref_time,
            CAST(p AS INT) AS param,
+           stat,
+           interval_end,
            90.0 - (i // {_GRIB_NX}) AS lat,
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(v_e2) AS BIGINT) AS vmin_e2,
            CAST(max(v_e2) AS BIGINT) AS vmax_e2,
            CAST(sum(v_e2) AS BIGINT) AS vsum_e2
-    FROM g GROUP BY t, p, i // {_GRIB_NX}
+    FROM g GROUP BY t, p, stat, interval_end, i // {_GRIB_NX}
 """
 
 
@@ -1393,7 +1411,16 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     complex packing, spatial-difference integration, header decode
     (refTime/param ride the output), or the grid row math breaks the
     hash. 2dp values at decimal_scale=2 make the codec round-trip
-    exact, not approximate."""
+    exact, not approximate.
+
+    r6 folds in the interval-statistics breadth: each run also carries
+    a template-4.8 ACCUMULATION record (6 h interval starting at the
+    run time) packed as template-5.4 raw IEEE floats, so the 4.8
+    header parse (statisticalProcess + computed interval end) and the
+    IEEE decode ride the same hash — `stat`/`interval_end` are NULL
+    for the point-in-time wind records, exactly as in the typed
+    WIND_HEADER. IEEE float32 is exact to ≪ half a centivalue for
+    |v| < 55, so round(v*100) reproduces the closed-form ints."""
     from datetime import datetime, timezone
 
     from ..functions.wind import cell_lat
@@ -1412,6 +1439,14 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     packing="complex_diff",
                 ))
             )
+        accum = [((i * 11 + t * 17) % 5500) / 100.0 for i in range(nx * ny)]
+        blobs.append(
+            (t, 8, encode_grib2_message(
+                accum, parameter_number=8, parameter_category=1,
+                ref_time=ref, forecast_hours=0, nx=nx, ny=ny,
+                interval_hours=6, statistical_process=1, packing="ieee",
+            ))
+        )
     bdf = spark.createDataFrame(blobs, "t int, p int, blob binary")
 
     def decode(it):
@@ -1421,27 +1456,241 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for rec in decode_grib2_bytes(bytes(b)):
                     h = rec["header"]
                     rows.append((h["refTime"], h["parameterNumber"],
+                                 h["statisticalProcess"], h["intervalEnd"],
                                  rec["data"]))
-            yield pd.DataFrame(rows, columns=["ref_time", "param", "data"])
+            yield pd.DataFrame(
+                rows,
+                columns=["ref_time", "param", "stat", "interval_end", "data"],
+            )
 
     import pandas as pd  # noqa: F811
 
     decoded = bdf.mapInPandas(
-        decode, schema="ref_time string, param int, data array<double>"
+        decode,
+        schema="ref_time string, param int, stat int, "
+               "interval_end string, data array<double>",
     )
     cells = decoded.select(
-        "ref_time", "param", F.posexplode("data").alias("idx", "v")
+        "ref_time", "param", "stat", "interval_end",
+        F.posexplode("data").alias("idx", "v"),
     ).select(
-        "ref_time", "param",
+        "ref_time", "param", "stat", "interval_end",
         cell_lat(F.col("idx"), nx=nx).alias("lat"),
         F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
     )
-    return cells.groupBy("ref_time", "param", "lat").agg(
+    return cells.groupBy("ref_time", "param", "stat", "interval_end", "lat").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v_e2").alias("vmin_e2"),
         F.max("v_e2").alias("vmax_e2"),
         F.sum("v_e2").alias("vsum_e2"),
     )
+
+
+def _repetition_oracle(sf_dir: str) -> str:
+    th = {"top2": 200_000, "top3": 180_000, "dup5": 150_000}
+    return rf"""
+    WITH b AS (SELECT doc_id, length(text) AS n_chars,
+                      string_split_regex(trim(text), '\s+') AS ws
+               FROM documents),
+    b2 AS (SELECT doc_id, n_chars, len(ws) AS n_words,
+                  len(list_distinct(ws)) AS n_distinct, ws FROM b),
+    g AS (
+      SELECT doc_id, 2 AS n, array_to_string(ws[i.i : i.i + 1], ' ') AS gram
+      FROM b2, unnest(generate_series(1, len(ws) - 1)) AS i(i)
+      UNION ALL
+      SELECT doc_id, 3, array_to_string(ws[i.i : i.i + 2], ' ')
+      FROM b2, unnest(generate_series(1, len(ws) - 2)) AS i(i)
+      UNION ALL
+      SELECT doc_id, 5, array_to_string(ws[i.i : i.i + 4], ' ')
+      FROM b2, unnest(generate_series(1, len(ws) - 4)) AS i(i)
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    top AS (SELECT doc_id, n, c, gram,
+                   row_number() OVER (PARTITION BY doc_id, n
+                                      ORDER BY c DESC, gram DESC) AS rn
+            FROM c WHERE n IN (2, 3)),
+    dup AS (SELECT doc_id AS ddoc, sum(c * length(gram)) AS s
+            FROM c WHERE n = 5 AND c > 1 GROUP BY 1),
+    e AS (
+      SELECT b2.doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(round((n_words - n_distinct) * 1000000.0 / n_words)
+                  AS BIGINT) AS word_rep_e6,
+             CAST(round(coalesce(t2.c * length(t2.gram), 0) * 1000000.0
+                        / n_chars) AS BIGINT) AS top2_char_e6,
+             CAST(round(coalesce(t3.c * length(t3.gram), 0) * 1000000.0
+                        / n_chars) AS BIGINT) AS top3_char_e6,
+             CAST(round(coalesce(dup.s, 0) * 1000000.0 / n_chars)
+                  AS BIGINT) AS dup5_char_e6
+      FROM b2
+      LEFT JOIN top t2 ON t2.doc_id = b2.doc_id AND t2.n = 2 AND t2.rn = 1
+      LEFT JOIN top t3 ON t3.doc_id = b2.doc_id AND t3.n = 3 AND t3.rn = 1
+      LEFT JOIN dup ON dup.ddoc = b2.doc_id
+    )
+    SELECT e.*,
+           (top2_char_e6 <= {th["top2"]} AND top3_char_e6 <= {th["top3"]}
+            AND dup5_char_e6 <= {th["dup5"]}) AS gopher_pass
+    FROM e
+"""
+
+
+@query("x_quality_repetition", oracle=_repetition_oracle,
+       tags=("ext", "text", "quality"))
+def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-class repetition quality gates over the documents table
+    (operators.quality.repetition_features): most-frequent 2-/3-gram
+    character coverage, duplicate-5-gram coverage, word repetition
+    ratio, and the published pass thresholds — the repetition half of
+    an LLM curation pipeline's quality stage, next to x_text_suite's
+    length/punct/stopword features. One explode + two map-side-
+    combinable aggs, join-free (doc-functional columns ride the group
+    keys); the exact-integer micro-unit encoding makes the DuckDB
+    replay hash-stable."""
+    from ..operators.quality import repetition_features
+
+    return repetition_features(
+        _spread(tables(spark, sf_dir)["documents"], work_factor=8)
+    )
+
+
+# two Lambert grids: a tangent cone (HRRR-like, latin1 == latin2) and
+# a secant cone (NAM-like) — the two algebraic branches of the cone
+# constant n
+_LAMBERT_GRIDS = [
+    dict(g=0, nx=9, ny=6, la1=21.138, lo1=237.28, laD=38.5, loV=262.5,
+         latin1=38.5, latin2=38.5, dx=3000.0, dy=3000.0,
+         packing="complex_diff"),
+    dict(g=1, nx=8, ny=5, la1=12.19, lo1=226.541, laD=25.0, loV=265.0,
+         latin1=25.0, latin2=47.0, dx=12191.0, dy=12191.0,
+         packing="ieee"),
+]
+
+
+def _lambert_oracle_sql() -> str:
+    """Closed-form DuckDB replay of the Lambert suite: per grid,
+    recompute the cone constants and the columnar inverse in SQL
+    (same Snyder spherical formulas), plus the closed-form field."""
+    parts = []
+    for spec in _LAMBERT_GRIDS:
+        # SQL scalar constants per grid (radians inline)
+        t = "tan(pi()/4 + radians({v})/2)"
+        p1, p2 = spec["latin1"], spec["latin2"]
+        if p1 == p2:
+            n_sql = f"sin(radians({p1}))"
+        else:
+            n_sql = (
+                f"ln(cos(radians({p1}))/cos(radians({p2})))"
+                f" / ln(({t.format(v=p2)})/({t.format(v=p1)}))"
+            )
+        parts.append(f"""
+    SELECT {spec['g']} AS g, i.i AS idx,
+           {spec['laD']} AS la_d, {spec['loV']} AS lo_v,
+           {spec['latin1']} AS lat1, {spec['latin2']} AS lat2,
+           {spec['dx']} AS dx_m,
+           ((i.i * 5 + {spec['g']} * 23) % 2600) AS v_e2,
+           c.n AS n, c.rf AS rf, c.rho0 AS rho0, c.x1 AS x1, c.y1 AS y1,
+           c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
+           c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y
+    FROM unnest(generate_series(0, {spec['nx'] * spec['ny'] - 1})) AS i(i),
+         (SELECT n, rf, rho0, x1, y1,
+                 6371229.0 * rf / pow({t.format(v=spec['la1'])}, n) AS rho_a
+          FROM (SELECT n, rf,
+                       6371229.0 * rf / pow({t.format(v=spec['laD'])}, n) AS rho0,
+                       6371229.0 * rf / pow({t.format(v=spec['la1'])}, n)
+                         * sin(n * (radians({spec['lo1']}) - radians({spec['loV']}))) AS x1,
+                       6371229.0 * rf / pow({t.format(v=spec['laD'])}, n) -
+                       6371229.0 * rf / pow({t.format(v=spec['la1'])}, n)
+                         * cos(n * (radians({spec['lo1']}) - radians({spec['loV']}))) AS y1
+                FROM (SELECT ({n_sql}) AS n,
+                             cos(radians({p1})) * pow({t.format(v=p1)}, ({n_sql})) / ({n_sql}) AS rf))
+         ) AS c""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH cells AS ({union})
+    SELECT g, idx, la_d, lo_v, lat1, lat2, dx_m,
+           CAST(round(degrees(2 * atan(pow(6371229.0 * rf / sqrt(x*x + (rho0-y)*(rho0-y)), 1.0/n)) - pi()/2) * 10000) AS BIGINT) AS lat_e4,
+           CAST(round((((degrees(radians(lo_v) + atan2(x, rho0 - y) / n) % 360) + 360) % 360) * 10000) AS BIGINT) AS lon_e4,
+           CAST(v_e2 AS BIGINT) AS v_e2
+    FROM cells
+"""
+
+
+@query("x_grib_lambert", oracle=_lambert_oracle_sql(),
+       tags=("ext", "grib", "S2", "C13"))
+def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert conformal (template 3.30, the HRRR/NAM projection)
+    driver-verified end-to-end: two closed-form fields — one on a
+    tangent-cone grid (latin1 == latin2, complex-diff packed), one on
+    a secant-cone grid (IEEE packed) — are encoded as REAL 3.30
+    GRIB2 binary, decoded executor-side by the Arrow UDTF, and every
+    cell is mapped to (lat, lon) by the columnar inverse projection
+    (`functions.wind.lambert_cell_latlon` — pure codegen'd
+    expressions, no UDF). Output pins the projection header fields
+    (laD/loV/latin1/latin2/dx straight from the typed header struct),
+    the inverse-projected coordinates at 1e-4° (≈11 m — far above the
+    ~1e-12° cross-engine trig divergence, far below any formula
+    error), and the decoded values; the DuckDB oracle recomputes the
+    cone constants and the inverse from the same public formulas in
+    SQL. A wrong cone branch, a swapped octet in the 3.30 parse, or a
+    degree/metre mix-up anywhere breaks the hash."""
+    from datetime import datetime, timezone
+
+    from ..functions.wind import lambert_cell_latlon
+    from ..sources.grib2codec import decode_grib2_bytes, encode_grib2_message
+
+    import pandas as pd  # noqa: F811
+
+    ref = datetime(2020, 8, 12, 6, tzinfo=timezone.utc)
+    blobs = []
+    for spec in _LAMBERT_GRIDS:
+        vals = [((i * 5 + spec["g"] * 23) % 2600) / 100.0
+                for i in range(spec["nx"] * spec["ny"])]
+        blobs.append((spec["g"], encode_grib2_message(
+            vals, parameter_number=2, ref_time=ref,
+            nx=spec["nx"], ny=spec["ny"], la1=spec["la1"], lo1=spec["lo1"],
+            scan_mode=64, packing=spec["packing"],
+            lambert={k: spec[k]
+                     for k in ("laD", "loV", "latin1", "latin2", "dx", "dy")},
+        )))
+    bdf = spark.createDataFrame(blobs, "g int, blob binary")
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for g, b in zip(pdf["g"], pdf["blob"]):
+                for rec in decode_grib2_bytes(bytes(b)):
+                    h = rec["header"]
+                    rows.append((int(g), h["laD"], h["loV"], h["latin1"],
+                                 h["latin2"], h["dx"], rec["data"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["g", "la_d", "lo_v", "lat1", "lat2", "dx_m", "data"],
+            )
+
+    decoded = bdf.mapInPandas(
+        decode,
+        schema="g int, la_d double, lo_v double, lat1 double, "
+               "lat2 double, dx_m double, data array<double>",
+    )
+    outs = []
+    for spec in _LAMBERT_GRIDS:
+        lat, lon = lambert_cell_latlon(
+            F.col("idx"), nx=spec["nx"], la1=spec["la1"], lo1=spec["lo1"],
+            laD=spec["laD"], loV=spec["loV"], latin1=spec["latin1"],
+            latin2=spec["latin2"], dx=spec["dx"], dy=spec["dy"],
+        )
+        outs.append(
+            decoded.filter(F.col("g") == spec["g"])
+            .select("g", "la_d", "lo_v", "lat1", "lat2", "dx_m",
+                    F.posexplode("data").alias("idx", "v"))
+            .select(
+                "g", "idx", "la_d", "lo_v", "lat1", "lat2", "dx_m",
+                F.round(lat * 10000).cast("bigint").alias("lat_e4"),
+                F.round(lon * 10000).cast("bigint").alias("lon_e4"),
+                F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 def _ivf_index_oracle(sf_dir: str) -> str:

@@ -27,8 +27,12 @@ def _f(name: str, dtype) -> StructField:
     return StructField(name, dtype, nullable=True)
 
 
-#: GRIB2 metadata header — 48 keys, typed (reference: opaque jsonb,
-#: dbwindsetup.sql:7).
+#: GRIB2 metadata header — 57 keys, typed (reference: opaque jsonb,
+#: dbwindsetup.sql:7). The four interval-statistics keys are NULL for
+#: point-in-time (template 4.0) records and populated for statistical
+#: (template 4.8) records; the five Lambert projection keys are NULL
+#: for lat/lon (template 3.0) grids and populated for Lambert
+#: conformal (template 3.30) grids.
 WIND_HEADER = StructType(
     [
         # identity / provenance
@@ -49,6 +53,11 @@ WIND_HEADER = StructType(
         _f("productTypeName", StringType()),
         _f("productDefinitionTemplate", IntegerType()),
         _f("productDefinitionTemplateName", StringType()),
+        # interval statistics (template 4.8; NULL for 4.0)
+        _f("statisticalProcess", IntegerType()),
+        _f("statisticalProcessName", StringType()),
+        _f("intervalHours", IntegerType()),
+        _f("intervalEnd", StringType()),
         _f("genProcessType", IntegerType()),
         _f("genProcessTypeName", StringType()),
         # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)
@@ -79,6 +88,12 @@ WIND_HEADER = StructType(
         _f("basicAngle", IntegerType()),
         _f("scanMode", IntegerType()),  # 0: lon fastest W→E, rows N→S
         _f("resolution", IntegerType()),
+        # Lambert conformal projection (template 3.30; NULL for 3.0)
+        _f("laD", DoubleType()),
+        _f("loV", DoubleType()),
+        _f("latin1", DoubleType()),
+        _f("latin2", DoubleType()),
+        _f("projectionCentre", IntegerType()),
         _f("shape", IntegerType()),
         _f("shapeName", StringType()),
         _f("winds", StringType()),  # "true" (string in fixture)

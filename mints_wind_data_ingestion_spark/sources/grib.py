@@ -12,10 +12,11 @@ record), decoded executor-side in Arrow batches, with the record filter
 reference's --fp/--fs/--fv pushdown.
 
 The GRIB2 bit-unpacking is real: `grib2codec` implements the WMO
-spec's sections 0-8 for the template family GFS wind extracts use
-(lat/lon grid 3.0, point-in-time product 4.0, simple packing 5.0,
-optional bitmap), numpy-vectorized, round-tripped in tests against
-the reference's own golden field (data/u_comp.json, 65 160 points).
+spec's sections 0-8 for the template family real NOAA pgrb2 files use
+(lat/lon grid 3.0, point-in-time product 4.0 and interval-statistics
+product 4.8, packings 5.0/5.2/5.3/5.4, optional bitmap),
+numpy-vectorized, round-tripped in tests against the reference's own
+golden field (data/u_comp.json, 65 160 points).
 `fake_decoder` remains as a unit-test helper for plumbing tests that
 don't want to construct binary fixtures.
 """

@@ -8,11 +8,15 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 
 - section 3 template 3.0  (latitude/longitude grid)
 - section 4 template 4.0  (analysis/forecast at a point in time)
+- section 4 template 4.8  (average/accumulation/extreme over a time
+  interval — APCP/max-min-temp class records in the same NOAA pgrb2
+  files the wind extracts ride in; r6)
 - section 5 template 5.0  (grid-point simple packing)
 - section 5 template 5.2  (grid-point complex packing)
 - section 5 template 5.3  (complex packing with spatial differencing,
   order 1 or 2 — the packing real NOAA pgrb2 files, the exact files
   the reference downloads via converter.py:136-142, predominantly use)
+- section 5 template 5.4  (IEEE floating point, 32-bit; r6)
 - section 6 bitmap indicator 255 (no bitmap) or 0 (bitmap present)
 
 Decoding is numpy-vectorized (unpackbits + matmul — no per-point
@@ -35,7 +39,7 @@ from __future__ import annotations
 
 import math
 import struct
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import numpy as np
 
@@ -63,9 +67,24 @@ _SURFACE = {
 _SIGNIFICANCE_RT = {1: "Start of forecast"}
 _PRODUCT_STATUS = {0: "Operational products"}
 _PRODUCT_TYPE = {1: "Forecast products"}
-_PDT_NAME = {0: "Analysis/forecast at horizontal level/layer at a point in time"}
+_PDT_NAME = {
+    0: "Analysis/forecast at horizontal level/layer at a point in time",
+    8: "Average, accumulation, extreme values or other statistically "
+       "processed values at a horizontal level or in a horizontal layer "
+       "in a continuous or non-continuous time interval",
+}
+# WMO code table 4.10 — type of statistical processing
+_STAT_PROCESS = {
+    0: "Average",
+    1: "Accumulation",
+    2: "Maximum",
+    3: "Minimum",
+    4: "Difference (end minus beginning)",
+    5: "Root mean square",
+    6: "Standard deviation",
+}
 _GEN_PROCESS = {2: "Forecast"}
-_GDT_NAME = {0: "Latitude_Longitude"}
+_GDT_NAME = {0: "Latitude_Longitude", 30: "Lambert_Conformal"}
 _SHAPE = {6: "Earth spherical with radius of 6,371,229.0 m"}
 
 
@@ -349,7 +368,7 @@ def decode_grib2_bytes(
     (data/u_comp.json) — numeric codes plus the human-readable *Name
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
     For a framed-valid message using a template outside the GFS wind
-    family (grid 3.0 / product 4.0 / packing 5.0/5.2/5.3):
+    family (grid 3.0 / product 4.0/4.8 / packing 5.0/5.2/5.3/5.4):
     `on_unsupported='raise'` (default) fails the whole file loud;
     `'skip'` drops that message and decodes the rest — the
     quarantine-not-corrupt mode (see scan_grib2_bytes for the variant
@@ -403,23 +422,84 @@ def _decode_message(msg: bytes) -> dict:
 
     o3, slen3 = sec[3]
     gdt = _u(msg, o3 + 12, 2)
-    if gdt != 0:
+    if gdt not in (0, 30):
         raise ValueError(f"grid definition template 3.{gdt} unsupported")
     n_points = _u(msg, o3 + 6, 4)
-    resolution = msg[o3 + 54]
+    if gdt == 0:
+        grid = {
+            "gridUnits": "degrees",
+            "la1": _deg(msg, o3 + 46),
+            "lo1": _deg(msg, o3 + 50),
+            "la2": _deg(msg, o3 + 55),
+            "lo2": _deg(msg, o3 + 59),
+            "dx": _deg(msg, o3 + 63),
+            "dy": _deg(msg, o3 + 67),
+            "basicAngle": _u(msg, o3 + 38, 4),
+            "scanMode": msg[o3 + 71],
+            "resolution": msg[o3 + 54],
+            "laD": None, "loV": None,
+            "latin1": None, "latin2": None, "projectionCentre": None,
+        }
+    else:  # template 3.30 — Lambert conformal (the HRRR/NAM grid)
+        grid = {
+            "gridUnits": "m",  # dx/dy are grid lengths in metres at laD
+            "la1": _deg(msg, o3 + 38),
+            "lo1": _deg(msg, o3 + 42),
+            "la2": None, "lo2": None,  # no closing corner in 3.30
+            "dx": _u(msg, o3 + 55, 4) / 1000.0,
+            "dy": _u(msg, o3 + 59, 4) / 1000.0,
+            "basicAngle": None,
+            "scanMode": msg[o3 + 64],
+            "resolution": msg[o3 + 46],
+            "laD": _deg(msg, o3 + 47),
+            "loV": _deg(msg, o3 + 51),
+            "latin1": _deg(msg, o3 + 65),
+            "latin2": _deg(msg, o3 + 69),
+            "projectionCentre": msg[o3 + 63],
+        }
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt != 0:
+    if pdt not in (0, 8):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
     s1t, s1f, s1v = msg[o4 + 22], _s(msg, o4 + 23, 1), _u(msg, o4 + 24, 4)
     s2t, s2f, s2v = msg[o4 + 28], _s(msg, o4 + 29, 1), _u(msg, o4 + 30, 4)
 
+    # template 4.8 extends 4.0 (octets 10-34 are identical) with the
+    # end of the overall time interval and per-range statistical specs;
+    # a single range covers the APCP/extreme-temp records in NOAA pgrb2
+    # files, and >1 range stays fail-loud rather than half-decoded
+    stat_proc = stat_name = interval_len = interval_end = None
+    if pdt == 8:
+        if sec[4][1] < 58:  # a 4.0-sized section relabeled 4.8 would
+            # otherwise read interval octets out of the next section
+            raise ValueError(
+                f"product template 4.8 truncated (section 4 is {sec[4][1]} "
+                "octets, needs 58)"
+            )
+        n_ranges = msg[o4 + 41]
+        if n_ranges != 1:
+            raise ValueError(
+                f"product template 4.8 with {n_ranges} time ranges unsupported"
+            )
+        interval_end = datetime(
+            _u(msg, o4 + 34, 2), msg[o4 + 36], msg[o4 + 37],
+            msg[o4 + 38], msg[o4 + 39], msg[o4 + 40], tzinfo=timezone.utc,
+        ).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+        stat_proc = msg[o4 + 46]
+        stat_name = _STAT_PROCESS.get(stat_proc)
+        time_unit = msg[o4 + 48]
+        if time_unit != 1:  # table 4.4: 1 = hour (what NOAA emits)
+            raise ValueError(
+                f"product template 4.8 time-range unit {time_unit} unsupported"
+            )
+        interval_len = _u(msg, o4 + 49, 4)
+
     o5 = sec[5][0]
     drt = _u(msg, o5 + 9, 2)
-    if drt not in (0, 2, 3):
+    if drt not in (0, 2, 3, 4):
         raise ValueError(f"data representation template 5.{drt} unsupported")
 
     o6, slen6 = sec[6]
@@ -436,6 +516,17 @@ def _decode_message(msg: bytes) -> dict:
         vals = _unpack_values(
             msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d
         )
+    elif drt == 4:
+        # template 5.4: section 7 is raw big-endian IEEE floats;
+        # octet 12 is the precision (table 5.7: 1 = 32-bit)
+        precision = msg[o5 + 11]
+        if precision != 1:
+            raise ValueError(
+                f"IEEE packing precision {precision} unsupported (32-bit only)"
+            )
+        vals = np.frombuffer(
+            msg[o7 + 5 : o7 + slen7], dtype=">f4", count=n_packed
+        ).astype(np.float32)
     else:
         vals = _unpack_complex(msg, o5, o7, slen7)
     if bitmap_ind == 0:
@@ -465,6 +556,11 @@ def _decode_message(msg: bytes) -> dict:
         "productTypeName": _PRODUCT_TYPE.get(msg[o1 + 20]),
         "productDefinitionTemplate": pdt,
         "productDefinitionTemplateName": _PDT_NAME.get(pdt),
+        # template 4.8 interval statistics (None for point-in-time 4.0)
+        "statisticalProcess": stat_proc,
+        "statisticalProcessName": stat_name,
+        "intervalHours": interval_len,
+        "intervalEnd": interval_end,
         "genProcessType": msg[o4 + 11],
         "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
         "parameterCategory": category,
@@ -480,24 +576,15 @@ def _decode_message(msg: bytes) -> dict:
         "surface2Value": 0.0 if s2t == 255 else float(s2v) / 10.0**s2f,
         "gridDefinitionTemplate": gdt,
         "gridDefinitionTemplateName": _GDT_NAME.get(gdt),
-        "gridUnits": "degrees",
         "numberPoints": n_points,
-        "nx": _u(msg, o3 + 30, 4),
+        "nx": _u(msg, o3 + 30, 4),  # same octets in 3.0 and 3.30
         "ny": _u(msg, o3 + 34, 4),
-        "la1": _deg(msg, o3 + 46),
-        "lo1": _deg(msg, o3 + 50),
-        "la2": _deg(msg, o3 + 55),
-        "lo2": _deg(msg, o3 + 59),
-        "dx": _deg(msg, o3 + 63),
-        "dy": _deg(msg, o3 + 67),
-        "basicAngle": _u(msg, o3 + 38, 4),
-        "scanMode": msg[o3 + 71],
-        "resolution": resolution,
+        **grid,
         "shape": msg[o3 + 14],
         "shapeName": _SHAPE.get(msg[o3 + 14]),
         # flag table 3.3 bit 5: u/v relative to east/north ("true")
         # vs the grid axes — grib2json's `winds` field
-        "winds": "true" if not resolution & 0x08 else "grid",
+        "winds": "true" if not grid["resolution"] & 0x08 else "grid",
     }
     return {"header": header, "data": [float(v) for v in vals]}
 
@@ -524,19 +611,35 @@ def encode_grib2_message(
     nbits: int = 12,
     decimal_scale: int = 2,
     packing: str = "simple",
+    interval_hours: int | None = None,
+    statistical_process: int = 1,
+    lambert: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
-    "complex" (5.2), or "complex_diff" / "complex_diff1" (5.3 with
-    second/first-order spatial differencing). la2/lo2 derive from the
-    grid shape the way scanMode 0 lays it out (rows N→S, lon W→E)."""
+    "complex" (5.2), "complex_diff" / "complex_diff1" (5.3 with
+    second/first-order spatial differencing), or "ieee" (5.4, raw
+    32-bit floats — decimal_scale/nbits ignored). `interval_hours`
+    switches section 4 to template 4.8 (statistics over a time
+    interval): `forecast_hours` becomes the START of the interval,
+    `statistical_process` is WMO table 4.10 (1 = accumulation), and
+    the overall-interval end time derives as ref + start + length.
+    `lambert` switches section 3 to template 3.30 (Lambert conformal,
+    the HRRR/NAM projection): a dict with keys laD, loV, latin1,
+    latin2 (degrees) and dx, dy (metres); la1/lo1 stay the first grid
+    point and scan_mode should be 64 (+x/+y row-major) as NOAA emits.
+    Otherwise la2/lo2 derive from the grid shape the way scanMode 0
+    lays it out (rows N→S, lon W→E)."""
     values = np.asarray(values, dtype=np.float64)
     n = values.size
     if n != nx * ny:
         raise ValueError(f"{n} values for a {nx}x{ny} grid")
     la2, lo2 = la1 - dy * (ny - 1), lo1 + dx * (nx - 1)
 
-    if packing == "simple":
+    if packing == "ieee":
+        packed = values.astype(">f4").tobytes()
+        s5_tail = (4).to_bytes(2, "big") + bytes([1])  # precision: 32-bit
+    elif packing == "simple":
         packed, ref, e, d, nbits_used = _pack_values(values, nbits, decimal_scale)
         s5_tail = (
             (0).to_bytes(2, "big")  # template 5.0
@@ -561,29 +664,44 @@ def encode_grib2_message(
                  ref_time.minute, ref_time.second])
         + bytes([0, 1])  # productStatus 0, productType 1
     )
-    s3 = (
+    s3_prefix = (
         b"\x03\x00"
         + n.to_bytes(4, "big")
         + bytes([0, 0])
-        + (0).to_bytes(2, "big")  # template 3.0
+        + (30 if lambert else 0).to_bytes(2, "big")
         + bytes([6])  # shape of earth
         + bytes([0]) + (0).to_bytes(4, "big")  # radius scale/value
         + bytes([0]) + (0).to_bytes(4, "big")  # major axis
         + bytes([0]) + (0).to_bytes(4, "big")  # minor axis
         + nx.to_bytes(4, "big")
         + ny.to_bytes(4, "big")
-        + (0).to_bytes(4, "big")  # basic angle
-        + (0).to_bytes(4, "big")  # subdivisions
-        + _put_deg(la1) + _put_deg(lo1)
-        + bytes([48])  # resolution/component flags (di, dj given)
-        + _put_deg(la2) + _put_deg(lo2)
-        + _put_deg(dx) + _put_deg(dy)
-        + bytes([scan_mode])
     )
+    if lambert:
+        s3 = s3_prefix + (
+            _put_deg(la1) + _put_deg(lo1)
+            + bytes([8])  # resolution/component flags: winds grid-relative
+            + _put_deg(lambert["laD"]) + _put_deg(lambert["loV"])
+            + round(lambert["dx"] * 1000).to_bytes(4, "big")  # 10^-3 m
+            + round(lambert["dy"] * 1000).to_bytes(4, "big")
+            + bytes([0])  # projection centre: north pole, one cone
+            + bytes([scan_mode])
+            + _put_deg(lambert["latin1"]) + _put_deg(lambert["latin2"])
+            + _put_deg(-90.0) + _put_deg(0.0)  # southern pole (unused)
+        )
+    else:
+        s3 = s3_prefix + (
+            (0).to_bytes(4, "big")  # basic angle
+            + (0).to_bytes(4, "big")  # subdivisions
+            + _put_deg(la1) + _put_deg(lo1)
+            + bytes([48])  # resolution/component flags (di, dj given)
+            + _put_deg(la2) + _put_deg(lo2)
+            + _put_deg(dx) + _put_deg(dy)
+            + bytes([scan_mode])
+        )
     s4 = (
         b"\x04"
         + (0).to_bytes(2, "big")  # NV
-        + (0).to_bytes(2, "big")  # template 4.0
+        + (8 if interval_hours is not None else 0).to_bytes(2, "big")
         + bytes([parameter_category, parameter_number, 2, 0, 96])
         + (0).to_bytes(2, "big") + bytes([0])  # cutoff
         + bytes([1])  # time unit: hour
@@ -592,6 +710,19 @@ def encode_grib2_message(
         + round(surface1_value).to_bytes(4, "big")
         + bytes([255, 0]) + (0).to_bytes(4, "big")  # surface 2 missing
     )
+    if interval_hours is not None:
+        end = ref_time + timedelta(hours=forecast_hours + interval_hours)
+        s4 += (
+            end.year.to_bytes(2, "big")
+            + bytes([end.month, end.day, end.hour, end.minute, end.second])
+            + bytes([1])  # one time-range specification
+            + (0).to_bytes(4, "big")  # no values missing
+            # range: stat process, increment type 2 (same start), unit
+            # hour, length, increment unit hour, increment 0
+            + bytes([statistical_process, 2, 1])
+            + interval_hours.to_bytes(4, "big")
+            + bytes([1]) + (0).to_bytes(4, "big")
+        )
     s5 = b"\x05" + n.to_bytes(4, "big") + s5_tail
     s6 = b"\x06" + bytes([255])
     s7 = b"\x07" + packed

@@ -251,3 +251,439 @@ def test_split_col_validates_rates(spark):
         split_col(F.col("id"), train=0.5, val=0.0).alias("s")
     )
     assert {r.s for r in df.distinct().collect()} <= {"train", "test"}
+
+
+# ---------------------------------------------------------------------------
+# GRIB2 breadth (r6): product template 4.8 + IEEE packing 5.4
+# ---------------------------------------------------------------------------
+
+def _rt():
+    return datetime(2020, 8, 12, 6).replace(tzinfo=__import__("datetime").timezone.utc)
+
+
+def test_ieee_packing_roundtrip_exact():
+    """Template 5.4 carries raw 32-bit floats: decode is bit-exact for
+    float32-representable values, no quantization tolerance needed."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+    )
+
+    field = np.array(
+        [0.0, -40.5, 99.875, 3.140625, -0.0078125, 1e6, -1e-3, 7.25,
+         123.456, -987.654, 0.1, 2.5], dtype=np.float32,
+    )
+    msg = encode_grib2_message(
+        field, parameter_number=2, ref_time=_rt(), nx=4, ny=3,
+        packing="ieee",
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    got = np.asarray(rec["data"], dtype=np.float32)
+    assert np.array_equal(got, field)  # exact, not within-tolerance
+    assert rec["header"]["productDefinitionTemplate"] == 0
+    assert rec["header"]["statisticalProcess"] is None
+
+
+def test_ieee_64bit_precision_quarantines():
+    """Only 32-bit IEEE (precision 1) is implemented; a 64-bit message
+    must fail loud, not decode garbage."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+        scan_grib2_bytes,
+    )
+
+    msg = bytearray(encode_grib2_message(
+        [1.0] * 6, parameter_number=2, ref_time=_rt(), nx=3, ny=2,
+        packing="ieee",
+    ))
+    # locate section 5 (walk sections like the decoder does) and bump
+    # the precision octet to 2 (64-bit)
+    o = 16
+    while True:
+        slen, snum = int.from_bytes(msg[o:o + 4], "big"), msg[o + 4]
+        if snum == 5:
+            msg[o + 11] = 2
+            break
+        o += slen
+    with pytest.raises(ValueError, match="precision 2"):
+        decode_grib2_bytes(bytes(msg))
+    report = scan_grib2_bytes(bytes(msg))
+    assert report[0]["record"] is None
+    assert "precision 2" in report[0]["error"]
+
+
+def test_interval_statistics_template_roundtrip():
+    """Template 4.8 (accumulation over an interval): the four interval
+    header keys populate, forecastTime stays the interval START, and
+    the data round-trips like any 4.0 message."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+    )
+
+    field = np.linspace(0.0, 25.5, 12)
+    msg = encode_grib2_message(
+        field, parameter_number=8, parameter_category=1,
+        ref_time=_rt(), forecast_hours=3, nx=4, ny=3,
+        interval_hours=6, statistical_process=1, packing="complex_diff",
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 8
+    assert "statistically processed" in h["productDefinitionTemplateName"]
+    assert h["statisticalProcess"] == 1
+    assert h["statisticalProcessName"] == "Accumulation"
+    assert h["intervalHours"] == 6
+    assert h["forecastTime"] == 3  # start of the interval
+    # ref 06:00 + start 3h + length 6h = 15:00 same day
+    assert h["intervalEnd"] == "2020-08-12T15:00:00.000Z"
+    got = np.asarray(decode_grib2_bytes(msg)[0]["data"])
+    assert np.abs(got - field).max() <= 0.5e-2 + 1e-9
+
+
+@pytest.mark.parametrize("stat,name", [(0, "Average"), (2, "Maximum"),
+                                       (3, "Minimum")])
+def test_interval_statistical_process_names(stat, name):
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+    )
+
+    msg = encode_grib2_message(
+        [1.5] * 6, parameter_number=0, parameter_category=0,
+        ref_time=_rt(), nx=3, ny=2, interval_hours=12,
+        statistical_process=stat,
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert (h["statisticalProcess"], h["statisticalProcessName"]) == (stat, name)
+
+
+def test_interval_multi_range_quarantines():
+    """>1 time-range specification stays fail-loud (never half-decoded):
+    the scan surface reports it, the strict decode raises."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+        scan_grib2_bytes,
+    )
+
+    msg = bytearray(encode_grib2_message(
+        [2.0] * 6, parameter_number=8, parameter_category=1,
+        ref_time=_rt(), nx=3, ny=2, interval_hours=6,
+    ))
+    o = 16
+    while True:
+        slen, snum = int.from_bytes(msg[o:o + 4], "big"), msg[o + 4]
+        if snum == 4:
+            msg[o + 41] = 2  # octet 42: number of time ranges
+            break
+        o += slen
+    with pytest.raises(ValueError, match="2 time ranges"):
+        decode_grib2_bytes(bytes(msg))
+    assert "2 time ranges" in scan_grib2_bytes(bytes(msg))[0]["error"]
+
+
+def test_mixed_wind_and_accumulation_file_through_spark(spark):
+    """A file mixing point-in-time wind (4.0/5.3) and an interval
+    accumulation (4.8/5.4) decodes end-to-end through the Spark scan
+    surface: both records land, the interval keys ride the typed
+    header struct (NULL for the 4.0 record), nothing quarantines."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib import (
+        make_selector,
+        scan_binary_df,
+    )
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        encode_grib2_file,
+        encode_grib2_message,
+    )
+
+    wind = np.linspace(-20.0, 20.0, 12)
+    precip = np.abs(np.linspace(0.0, 5.5, 12)).astype(np.float32)
+    blob = encode_grib2_file([
+        encode_grib2_message(wind, parameter_number=2, ref_time=_rt(),
+                             nx=4, ny=3, packing="complex_diff"),
+        encode_grib2_message(precip, parameter_number=8,
+                             parameter_category=1, ref_time=_rt(),
+                             forecast_hours=0, nx=4, ny=3,
+                             interval_hours=6, statistical_process=1,
+                             packing="ieee"),
+    ])
+    binary = spark.createDataFrame(
+        [("mem://mixed.grb2", bytearray(blob))], "path string, content binary"
+    )
+    rows = (
+        scan_binary_df(binary, selector=make_selector(fp=None, fs=None, fv=None))
+        .select(
+            "error",
+            "header.parameterNumber",
+            "header.productDefinitionTemplate",
+            "header.statisticalProcess",
+            "header.intervalHours",
+            "header.intervalEnd",
+            F.element_at("data", 12).alias("last"),
+        )
+        .orderBy("parameterNumber")
+        .collect()
+    )
+    assert [r.error for r in rows] == [None, None]
+    assert [r.productDefinitionTemplate for r in rows] == [0, 8]
+    assert rows[0].statisticalProcess is None
+    assert rows[0].intervalHours is None
+    assert (rows[1].statisticalProcess, rows[1].intervalHours) == (1, 6)
+    assert rows[1].intervalEnd == "2020-08-12T12:00:00.000Z"
+    assert rows[1].last == pytest.approx(5.5, abs=1e-6)
+
+
+def test_truncated_48_section_quarantines():
+    """A 4.0-sized section 4 relabeled as template 4.8 (34 octets, no
+    interval block) must fail loud on the length guard — never read
+    interval octets out of the following section."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+    )
+    from tests.test_round5 import _patch_pdt
+
+    msg = _patch_pdt(
+        encode_grib2_message([1.0] * 6, parameter_number=2,
+                             ref_time=_rt(), nx=3, ny=2),
+        8,
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_grib2_bytes(msg)
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal grid (template 3.30) — the HRRR/NAM projection
+# ---------------------------------------------------------------------------
+
+HRRR_LAMBERT = dict(laD=38.5, loV=262.5, latin1=38.5, latin2=38.5,
+                    dx=3000.0, dy=3000.0)
+
+
+def test_lambert_grid_header_roundtrip():
+    """Template 3.30 header decode: projection keys populate, lat/lon
+    corner keys go NULL, dx/dy come back in metres, and the packed
+    values round-trip exactly as on a lat/lon grid."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+    )
+
+    field = np.linspace(-12.0, 14.5, 20)
+    msg = encode_grib2_message(
+        field, parameter_number=2, ref_time=_rt(), nx=5, ny=4,
+        la1=21.138, lo1=237.28, scan_mode=64, packing="complex_diff",
+        lambert=HRRR_LAMBERT,
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    h = rec["header"]
+    assert h["gridDefinitionTemplate"] == 30
+    assert h["gridDefinitionTemplateName"] == "Lambert_Conformal"
+    assert h["gridUnits"] == "m"
+    assert (h["la1"], h["lo1"]) == (21.138, 237.28)
+    assert h["la2"] is None and h["lo2"] is None and h["basicAngle"] is None
+    assert (h["laD"], h["loV"]) == (38.5, 262.5)
+    assert (h["latin1"], h["latin2"]) == (38.5, 38.5)
+    assert (h["dx"], h["dy"]) == (3000.0, 3000.0)
+    assert h["projectionCentre"] == 0
+    assert h["scanMode"] == 64
+    assert h["winds"] == "grid"  # flag 3.3 bit 5 set: grid-relative u/v
+    got = np.asarray(rec["data"])
+    assert np.abs(got - field).max() <= 0.5e-2 + 1e-9
+    # a lat/lon message keeps the projection keys NULL
+    h0 = decode_grib2_bytes(encode_grib2_message(
+        field, parameter_number=2, ref_time=_rt(), nx=5, ny=4,
+    ))[0]["header"]
+    assert all(h0[k] is None
+               for k in ("laD", "loV", "latin1", "latin2", "projectionCentre"))
+
+
+def _np_lambert_forward(lat_deg, lon_deg, *, laD, loV, latin1, latin2,
+                        radius=6371229.0):
+    """Independent numpy FORWARD projection (Snyder 15-1..15-4) used to
+    verify the engine's columnar INVERSE actually inverts it."""
+    import numpy as np
+
+    p1, p2 = np.radians(latin1), np.radians(latin2)
+    pd_, l0 = np.radians(laD), np.radians(loV)
+    t = lambda p: np.tan(np.pi / 4 + p / 2)  # noqa: E731
+    n = (np.sin(p1) if abs(latin1 - latin2) < 1e-12
+         else np.log(np.cos(p1) / np.cos(p2)) / np.log(t(p2) / t(p1)))
+    F_ = np.cos(p1) * t(p1) ** n / n
+    rho0 = radius * F_ / t(pd_) ** n
+    phi, lam = np.radians(lat_deg), np.radians(lon_deg)
+    rho = radius * F_ / t(phi) ** n
+    th = n * (lam - l0)
+    return rho * np.sin(th), rho0 - rho * np.cos(th), rho0
+
+
+@pytest.mark.parametrize("lamb", [
+    HRRR_LAMBERT,  # tangent cone (latin1 == latin2): n = sin(lat1)
+    dict(laD=25.0, loV=265.0, latin1=25.0, latin2=47.0,
+         dx=12191.0, dy=12191.0),  # secant cone (NAM-like)
+])
+def test_lambert_inverse_inverts_forward(spark, lamb):
+    """The columnar inverse must invert an independently-coded numpy
+    forward projection: project every decoded (lat, lon) back to metre
+    coordinates and recover the exact cell offsets (x1 + i*dx,
+    y1 + j*dy) to sub-millimetre."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.functions.wind import (
+        lambert_cell_latlon,
+    )
+
+    nx, ny = 9, 7
+    la1, lo1 = 21.138, 237.28
+    lat, lon = lambert_cell_latlon(
+        F.col("idx"), nx=nx, la1=la1, lo1=lo1, **lamb
+    )
+    pdf = (
+        spark.range(nx * ny).select(
+            F.col("id").alias("idx"),
+            lat.alias("lat"), lon.alias("lon"),
+        )
+    ).toPandas()
+
+    # anchor: cell 0 IS the first grid point
+    assert pdf.loc[0, "lat"] == pytest.approx(la1, abs=1e-9)
+    assert pdf.loc[0, "lon"] == pytest.approx(lo1, abs=1e-9)
+
+    x, y, rho0 = _np_lambert_forward(
+        pdf["lat"].to_numpy(), pdf["lon"].to_numpy(),
+        laD=lamb["laD"], loV=lamb["loV"],
+        latin1=lamb["latin1"], latin2=lamb["latin2"],
+    )
+    x1, y1, _ = _np_lambert_forward(
+        np.array([la1]), np.array([lo1]),
+        laD=lamb["laD"], loV=lamb["loV"],
+        latin1=lamb["latin1"], latin2=lamb["latin2"],
+    )
+    i = np.arange(nx * ny) % nx
+    j = np.arange(nx * ny) // nx
+    assert np.abs(x - (x1[0] + i * lamb["dx"])).max() < 1e-3
+    assert np.abs(y - (y1[0] + j * lamb["dy"])).max() < 1e-3
+
+
+def test_lambert_grid_spacing_at_standard_parallel(spark):
+    """Sanity on real-world geometry: at the standard parallel the
+    projection is true-scale, so adjacent cells sit ~dx metres apart
+    on the sphere (haversine), within 0.2% a few rows off it."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.functions.wind import (
+        lambert_cell_latlon,
+    )
+
+    nx = 11
+    lat, lon = lambert_cell_latlon(
+        F.col("idx"), nx=nx, la1=38.45, lo1=261.9, **HRRR_LAMBERT
+    )
+    pdf = spark.range(nx * 3).select(
+        F.col("id").alias("idx"), lat.alias("lat"), lon.alias("lon")
+    ).toPandas()
+    R = 6371229.0
+    p = np.radians(pdf[["lat", "lon"]].to_numpy())
+    a, b = p[:-1], p[1:]
+    same_row = (np.arange(len(p) - 1) % nx) != nx - 1
+    d = 2 * R * np.arcsin(np.sqrt(
+        np.sin((b[:, 0] - a[:, 0]) / 2) ** 2
+        + np.cos(a[:, 0]) * np.cos(b[:, 0]) * np.sin((b[:, 1] - a[:, 1]) / 2) ** 2
+    ))
+    assert np.abs(d[same_row] - 3000.0).max() < 6.0  # 0.2%
+
+
+def test_lambert_end_to_end_through_spark_scan(spark):
+    """Encode a Lambert-grid wind field, scan it through the Spark
+    binary surface, pull the projection constants out of the typed
+    header struct, and map cell indices to lat/lon with the columnar
+    inverse — the full consumer path for an HRRR-class file."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.functions.wind import (
+        lambert_cell_latlon,
+    )
+    from mints_wind_data_ingestion_spark.sources.grib import (
+        make_selector,
+        scan_binary_df,
+    )
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        encode_grib2_message,
+    )
+
+    nx, ny = 6, 4
+    field = np.linspace(-9.0, 9.0, nx * ny)
+    blob = encode_grib2_message(
+        field, parameter_number=2, ref_time=_rt(), nx=nx, ny=ny,
+        la1=21.138, lo1=237.28, scan_mode=64, lambert=HRRR_LAMBERT,
+    )
+    binary = spark.createDataFrame(
+        [("mem://hrrr.grb2", bytearray(blob))], "path string, content binary"
+    )
+    decoded = scan_binary_df(binary, selector=make_selector(fv=None, fs=None))
+    h = decoded.select("header.*").collect()[0]
+    assert h.gridDefinitionTemplate == 30
+    lat, lon = lambert_cell_latlon(
+        F.col("idx"), nx=h.nx, la1=h.la1, lo1=h.lo1, laD=h.laD, loV=h.loV,
+        latin1=h.latin1, latin2=h.latin2, dx=h.dx, dy=h.dy,
+    )
+    cells = (
+        decoded.select(F.posexplode("data").alias("idx", "v"))
+        .select("idx", lat.alias("lat"), lon.alias("lon"), "v")
+        .orderBy("idx")
+        .collect()
+    )
+    assert cells[0].lat == pytest.approx(21.138, abs=1e-9)
+    assert cells[0].lon == pytest.approx(237.28, abs=1e-9)
+    # +y is north under scan mode 64: last row sits north of the first
+    assert cells[-1].lat > cells[0].lat
+    assert cells[0].v == pytest.approx(field[0], abs=0.5e-2 + 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-class repetition quality gates
+# ---------------------------------------------------------------------------
+
+def test_repetition_features_hand_computed(spark):
+    """Every feature against hand-computed values, including the
+    overlap semantics ('a a a a a a': five overlapping 'a a' bigrams
+    → coverage > 1) and the short-doc guards (no 5-grams, one word)."""
+    from mints_wind_data_ingestion_spark.operators.quality import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 25 chars, 13 words; 'x y'/'y x' tie at 2 → 'y x' (gram DESC)
+            (1, "x y x y x z w q r s t u v"),
+            # 11 chars, 6 words; top2 'a a' x5 → 15/11; dup5 2*9/11
+            (2, "a a a a a a"),
+            (3, "lone"),  # 1 word: no grams at all, zero ratios
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+
+    r1 = rows[1]
+    assert r1.n_words == 13
+    assert r1.word_rep_e6 == round((13 - 10) * 1e6 / 13)  # x,y dup; z..v uniq
+    assert r1.top2_char_e6 == round(2 * 3 * 1e6 / 25)  # 'y x' twice
+    assert r1.dup5_char_e6 == 0
+    assert not r1.gopher_pass  # top2 24% exceeds the 20% gate
+    r2 = rows[2]
+    assert r2.top2_char_e6 == round(5 * 3 * 1e6 / 11)  # overlapping > 1e6
+    assert r2.dup5_char_e6 == round(2 * 9 * 1e6 / 11)
+    assert not r2.gopher_pass
+    r3 = rows[3]
+    assert (r3.word_rep_e6, r3.top2_char_e6, r3.top3_char_e6,
+            r3.dup5_char_e6) == (0, 0, 0, 0)
+    assert r3.gopher_pass
