@@ -1545,11 +1545,17 @@ def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/punct/stopword features. One explode + two map-side-
     combinable aggs, join-free (doc-functional columns ride the group
     keys); the exact-integer micro-unit encoding makes the DuckDB
-    replay hash-stable."""
+    replay hash-stable.
+
+    work_factor=64, same class as the shingle pipelines: the gram
+    explode amplifies downstream CPU far past the scan bytes, and the
+    single-file sf0.1 scan single-threads it without the pre-shuffle
+    spread — interleaved same-window A/B (6 reps/arm): spread ON
+    0.82 s min / 0.88 med vs OFF 2.21 min / 2.39 med (~2.7×)."""
     from ..operators.quality import repetition_features
 
     return repetition_features(
-        _spread(tables(spark, sf_dir)["documents"], work_factor=8)
+        _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     )
 
 

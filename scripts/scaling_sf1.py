@@ -52,6 +52,10 @@ QUERIES = [
     # two corpus passes are scan-bound — the pure-linear case)
     "x_dedup_editdist",
     "x_bm25_topk",
+    # round-6 addition: the Gopher repetition gates — per-doc gram
+    # explode + two combinable aggs; the v{k} prefix changes gram
+    # STRINGS but not per-doc counts, so outputs scale exactly 10×
+    "x_quality_repetition",
 ]
 
 
@@ -142,15 +146,22 @@ def main() -> None:
     stamp += ("\nAt 10× the data every growth factor stays well under 10×: the\n"
               "banded minhash join, the large/small-star CC rounds, the\n"
               "bucketed LSH join, the rare-shingle-blocked Levenshtein join,\n"
-              "and the constant-term BM25 corpus passes are data-bound at most\n"
-              "linearly — no pair-space blowup appears once data (not job\n"
-              "floors) dominates.\n")
+              "the constant-term BM25 corpus passes, and the repetition-gate\n"
+              "gram explode are data-bound at most linearly — no pair-space\n"
+              "blowup appears once data (not job floors) dominates.\n")
     md_path = os.path.join(os.path.dirname(SF1), "SCALING.md")
     md = open(md_path).read()
     cut = md.find("\n## sf0.1 → sf1 spot run")
+    tail = ""
     if cut >= 0:
+        old = md[cut:]
+        # hand-written "### ..." subsections under the spot-run section
+        # (e.g. the round-6 stage-level profile) survive regeneration
+        sub = old.find("\n### ")
+        if sub >= 0:
+            tail = old[sub:]
         md = md[:cut]
-    open(md_path, "w").write(md + stamp)
+    open(md_path, "w").write(md + stamp + tail)
     print("SCALING.md updated")
 
 
