@@ -110,7 +110,12 @@ def direction_deg(u: Column, v: Column) -> Column:
 
 
 def explode_grid(df: DataFrame, data_col: str = "data") -> DataFrame:
-    """Raster → relational per-cell view: adds (idx, lat, lon, value).
+    """Raster → relational per-cell view: adds (idx, lat, lon, value)
+    for the reference's 360×181 1° lat/lon grid (template 3.0
+    defaults). For a Lambert-conformal (3.30) raster compose
+    `posexplode` with `lambert_cell_latlon` and the header's
+    projection constants instead — see the end-to-end pattern in
+    tests/test_round6.py::test_lambert_end_to_end_through_spark_scan.
 
     At scale this multiplies rows by 65k; downstream filters on lat/lon
     bands should be applied in the same select so Catalyst collapses

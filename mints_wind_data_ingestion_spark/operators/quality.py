@@ -68,9 +68,12 @@ def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document repetition features + the Gopher pass flag."""
+    # greatest(n_chars, 1): an empty document must yield zero ratios in
+    # BOTH engines, not ride each engine's own x/0 convention (Spark
+    # NULL vs IEEE inf) into a hash divergence
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars"),
+        F.greatest(F.length(text_col), F.lit(1)).alias("n_chars"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
     ).select(
         "doc_id",

@@ -1489,7 +1489,7 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _repetition_oracle(sf_dir: str) -> str:
     th = {"top2": 200_000, "top3": 180_000, "dup5": 150_000}
     return rf"""
-    WITH b AS (SELECT doc_id, length(text) AS n_chars,
+    WITH b AS (SELECT doc_id, greatest(length(text), 1) AS n_chars,
                       string_split_regex(trim(text), '\s+') AS ws
                FROM documents),
     b2 AS (SELECT doc_id, n_chars, len(ws) AS n_words,

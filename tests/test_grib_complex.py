@@ -203,3 +203,43 @@ def test_any_field_roundtrips_within_quantization(nx, ny, seed, packing, scale):
     # tolerance: half a quantization step plus float32-reference slack
     tol = 0.5 * 10.0**-scale + abs(base) * 1e-6 + 1e-6
     assert np.abs(got - field).max() <= tol
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nx=st.integers(3, 30),
+    ny=st.integers(2, 15),
+    seed=st.integers(0, 2**31 - 1),
+    packing=st.sampled_from(["simple", "complex_diff", "ieee"]),
+    interval=st.sampled_from([None, 1, 6, 24]),
+    lamb=st.booleans(),
+)
+def test_any_template_combination_roundtrips(nx, ny, seed, packing,
+                                             interval, lamb):
+    """Property over the r6-widened template matrix: any packing
+    (incl. raw IEEE) × any product (point-in-time 4.0 / interval 4.8)
+    × any grid (lat/lon 3.0 / Lambert 3.30) frames, decodes, and
+    round-trips; the interval and projection header keys populate
+    exactly when their templates are present."""
+    rng = np.random.default_rng(seed)
+    field = rng.normal(0, 20, nx * ny) + rng.normal(0, 1) * 40
+    kw = dict(parameter_number=2, ref_time=RT, nx=nx, ny=ny,
+              decimal_scale=2, packing=packing)
+    if interval is not None:
+        kw.update(interval_hours=interval, statistical_process=2)
+    if lamb:
+        kw.update(scan_mode=64, lambert=dict(
+            laD=38.5, loV=262.5, latin1=25.0, latin2=47.0,
+            dx=3000.0, dy=3000.0))
+    rec = decode_grib2_bytes(encode_grib2_message(field, **kw))[0]
+    got = np.asarray(rec["data"], dtype=np.float64)
+    if packing == "ieee":
+        tol = np.abs(field).max() * 2**-23 + 1e-9  # float32 ulp only
+    else:
+        tol = 0.5e-2 + np.abs(field).max() * 1e-6 + 1e-6
+    assert np.abs(got - field).max() <= tol
+    h = rec["header"]
+    assert (h["productDefinitionTemplate"] == 8) == (interval is not None)
+    assert (h["intervalHours"] == interval) or interval is None
+    assert (h["gridDefinitionTemplate"] == 30) == lamb
+    assert (h["latin2"] == 47.0) if lamb else (h["latin2"] is None)

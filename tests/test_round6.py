@@ -687,3 +687,23 @@ def test_repetition_features_hand_computed(spark):
     assert (r3.word_rep_e6, r3.top2_char_e6, r3.top3_char_e6,
             r3.dup5_char_e6) == (0, 0, 0, 0)
     assert r3.gopher_pass
+
+
+def test_repetition_features_empty_and_whitespace_docs(spark):
+    """Empty/whitespace documents survive with zero ratios (no x/0 —
+    Spark NULL vs IEEE conventions must never reach the output)."""
+    from mints_wind_data_ingestion_spark.operators.quality import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "w w w w w w w w")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+    for d in (1, 2):
+        r = rows[d]
+        assert (r.top2_char_e6, r.top3_char_e6, r.dup5_char_e6) == (0, 0, 0)
+        assert r.gopher_pass
+        assert r.word_rep_e6 == 0
+    assert not rows[3].gopher_pass  # pure repetition trips every gate
