@@ -65,6 +65,14 @@ def lambert_cell_latlon(
     row-major) and projection centre flag 0 (north pole, single cone —
     n > 0). lon is normalized to [0, 360) as GRIB convention has it.
     """
+    if latin1 <= 0 or latin2 <= 0:
+        # n ≤ 0 flips every rho/theta sign — the southern/equatorial
+        # cone needs the mirrored formulas; fail loud, never a wrong map
+        raise ValueError(
+            "lambert_cell_latlon: northern-hemisphere cone only "
+            f"(latin1={latin1}, latin2={latin2}; projection centre flag "
+            "bit 0x80 grids are unsupported)"
+        )
     phi1, phi2 = math.radians(latin1), math.radians(latin2)
     phi_d, lam0 = math.radians(laD), math.radians(loV)
     phi_a, lam_a = math.radians(la1), math.radians(lo1)

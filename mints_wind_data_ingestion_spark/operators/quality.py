@@ -1,36 +1,42 @@
 """Repetition-based document quality features (Gopher-class filters).
 
-The standard LLM-curation repetition gates — published in the Gopher
-appendix (Rae et al. 2021, table A1) and reused by MassiveText/
-FineWeb-class pipelines — measure how much of a document is the same
-n-gram repeated:
+The FULL repetition half of the Gopher quality table (Rae et al. 2021,
+appendix A1), reused by MassiveText/FineWeb-class pipelines — how much
+of a document is the same n-gram repeated:
 
-- ``top{2,3}_char_e6`` — fraction of characters covered by the single
+- ``top{2,3,4}_char_e6`` — fraction of characters covered by the single
   most frequent word n-gram (count × gram length / total chars), the
-  "most common 2-gram > 20%" style gate. Occurrences may overlap, so
+  "most common 2-gram > 20%" style gates. Occurrences may overlap, so
   the ratio can exceed 1 for degenerate docs ("a a a a") — the
   standard definition, kept as-is (thresholds already account for it).
-- ``dup5_char_e6`` — characters covered by all 5-grams occurring more
-  than once (Σ count × length / total chars), the "duplicate 5-grams
-  > 15%" gate.
+- ``dup{5..10}_char_e6`` — characters covered by all n-grams occurring
+  more than once (Σ count × length / total chars), the "duplicate
+  5-grams > 15%" family.
 - ``word_rep_e6`` — 1 − distinct/total words, a cheap whole-doc
-  repetition summary.
-- ``gopher_pass`` — the published thresholds applied (top-2 ≤ 0.20,
-  top-3 ≤ 0.18, dup-5 ≤ 0.15).
+  repetition summary (not a Gopher gate; informational).
+- ``gopher_pass`` — the published thresholds applied: top-2/3/4-gram
+  ≤ 0.20/0.18/0.16, duplicate-5..10-gram ≤ 0.15/0.14/0.13/0.12/
+  0.11/0.10.
 
 Ratios are emitted as micro-units (``round(x * 1e6)`` BIGINT) so the
 driver hash is integer-stable; numerators and denominators are exact
 ints and both engines perform the identical IEEE multiply-then-divide.
+``greatest(n_chars, 1)``: an empty document must yield zero ratios in
+BOTH engines, not ride each engine's own x/0 convention (Spark NULL vs
+IEEE inf) into a hash divergence.
 
-Scale shape: ONE narrow projection builds all three gram families as
-arrays (slice/transform expressions — no UDF), ONE explode, ONE
-shuffle on (doc_id, n, gram) — well-distributed keys, map-side
-combinable — then a second map-side-combinable agg back to doc_id.
-Ties for the top gram resolve by the lexicographically largest gram
-(max over struct(count, gram)), mirrored exactly in the SQL oracle's
-``ORDER BY c DESC, gram DESC``. No driver pulls, no cartesian
-anything; at 100 TB the explode multiplies rows ~3× word count per
-doc, the same envelope as the shingle pipelines.
+Scale shape: ONE narrow projection builds all nine gram families as
+arrays (slice/transform expressions — no UDF), ONE explode_outer (a
+doc too short for even one 2-gram must survive with zero ratios, not
+vanish from the corpus), ONE shuffle on (doc_id, n, gram) —
+well-distributed keys, map-side combinable — then a second map-side-
+combinable agg back to doc_id. Ties for the top gram resolve by the
+lexicographically largest gram (max over struct(count, gram)),
+mirrored exactly in the SQL oracle's ``ORDER BY c DESC, gram DESC``.
+No driver pulls, no cartesian anything; at 100 TB the explode
+multiplies rows ~9× word count per doc, the same envelope as the
+shingle pipelines (and why callers pass it through the size-gated
+pre-shuffle spread).
 
 No counterpart in the reference (its 278-LoC cron ETL has no text
 surface); the semantics follow the public Gopher paper.
@@ -43,9 +49,17 @@ from pyspark.sql import functions as F
 
 __all__ = ["repetition_features", "GOPHER_THRESHOLDS_E6"]
 
-#: published Gopher gates in micro-units: top-2-gram 20%, top-3-gram
-#: 18%, duplicate-5-gram 15% of characters
-GOPHER_THRESHOLDS_E6 = {"top2": 200_000, "top3": 180_000, "dup5": 150_000}
+#: published Gopher gates in micro-units (appendix A1): most-common
+#: 2/3/4-gram character fractions and duplicate 5..10-gram fractions
+GOPHER_THRESHOLDS_E6 = {
+    "top2": 200_000, "top3": 180_000, "top4": 160_000,
+    "dup5": 150_000, "dup6": 140_000, "dup7": 130_000,
+    "dup8": 120_000, "dup9": 110_000, "dup10": 100_000,
+}
+
+#: the "most common n-gram" ns and the "duplicate n-gram" ns
+TOP_NS = (2, 3, 4)
+DUP_NS = (5, 6, 7, 8, 9, 10)
 
 
 def _grams(n: int) -> Column:
@@ -68,9 +82,6 @@ def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document repetition features + the Gopher pass flag."""
-    # greatest(n_chars, 1): an empty document must yield zero ratios in
-    # BOTH engines, not ride each engine's own x/0 convention (Spark
-    # NULL vs IEEE inf) into a hash divergence
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.greatest(F.length(text_col), F.lit(1)).alias("n_chars"),
@@ -82,12 +93,11 @@ def repetition_features(
         F.size(F.array_distinct("ws")).alias("n_distinct"),
         "ws",
     )
-    # explode_OUTER: a doc too short for even one 2-gram must survive
-    # to the output with zero ratios, not vanish from the corpus (the
-    # null gram row groups under a null key and no branch counts it)
     ex = base.select(
         "doc_id", "n_chars", "n_words", "n_distinct",
-        F.explode_outer(F.concat(_grams(2), _grams(3), _grams(5))).alias("g"),
+        F.explode_outer(
+            F.concat(*[_grams(n) for n in (*TOP_NS, *DUP_NS)])
+        ).alias("g"),
     )
     # n_chars/n_words/n_distinct are functionally dependent on doc_id —
     # carrying them as group keys keeps the plan join-free
@@ -96,14 +106,21 @@ def repetition_features(
         F.col("g.n").alias("n"), F.col("g.gram").alias("gram"),
     ).agg(F.count(F.lit(1)).alias("c"))
     per = counts.groupBy("doc_id", "n_chars", "n_words", "n_distinct").agg(
-        F.max(F.when(F.col("n") == 2, F.struct("c", "gram"))).alias("t2"),
-        F.max(F.when(F.col("n") == 3, F.struct("c", "gram"))).alias("t3"),
-        F.sum(
-            F.when(
-                (F.col("n") == 5) & (F.col("c") > 1),
-                F.col("c") * F.length("gram"),
-            ).otherwise(F.lit(0))
-        ).alias("dup5"),
+        *[
+            F.max(F.when(F.col("n") == n, F.struct("c", "gram"))).alias(
+                f"t{n}"
+            )
+            for n in TOP_NS
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("n") == n) & (F.col("c") > 1),
+                    F.col("c") * F.length("gram"),
+                ).otherwise(F.lit(0))
+            ).alias(f"d{n}")
+            for n in DUP_NS
+        ],
     )
 
     def _e6(num: Column, den: Column) -> Column:
@@ -115,22 +132,26 @@ def repetition_features(
         _e6(F.col("n_words") - F.col("n_distinct"), F.col("n_words")).alias(
             "word_rep_e6"
         ),
-        _e6(
-            F.coalesce(F.col("t2.c") * F.length("t2.gram"), F.lit(0)),
-            F.col("n_chars"),
-        ).alias("top2_char_e6"),
-        _e6(
-            F.coalesce(F.col("t3.c") * F.length("t3.gram"), F.lit(0)),
-            F.col("n_chars"),
-        ).alias("top3_char_e6"),
-        _e6(F.coalesce(F.col("dup5"), F.lit(0)), F.col("n_chars")).alias(
-            "dup5_char_e6"
-        ),
+        *[
+            _e6(
+                F.coalesce(
+                    F.col(f"t{n}.c") * F.length(f"t{n}.gram"), F.lit(0)
+                ),
+                F.col("n_chars"),
+            ).alias(f"top{n}_char_e6")
+            for n in TOP_NS
+        ],
+        *[
+            _e6(F.coalesce(F.col(f"d{n}"), F.lit(0)), F.col("n_chars")).alias(
+                f"dup{n}_char_e6"
+            )
+            for n in DUP_NS
+        ],
     )
     th = GOPHER_THRESHOLDS_E6
-    return out.withColumn(
-        "gopher_pass",
-        (F.col("top2_char_e6") <= th["top2"])
-        & (F.col("top3_char_e6") <= th["top3"])
-        & (F.col("dup5_char_e6") <= th["dup5"]),
-    )
+    gates = [F.col(f"top{n}_char_e6") <= th[f"top{n}"] for n in TOP_NS]
+    gates += [F.col(f"dup{n}_char_e6") <= th[f"dup{n}"] for n in DUP_NS]
+    flag = gates[0]
+    for g in gates[1:]:
+        flag = flag & g
+    return out.withColumn("gopher_pass", flag)

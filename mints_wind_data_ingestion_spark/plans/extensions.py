@@ -1487,7 +1487,38 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _repetition_oracle(sf_dir: str) -> str:
-    th = {"top2": 200_000, "top3": 180_000, "dup5": 150_000}
+    from ..operators.quality import DUP_NS, GOPHER_THRESHOLDS_E6, TOP_NS
+
+    gram_sel = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, "
+        f"array_to_string(ws[i.i : i.i + {n - 1}], ' ') AS gram\n"
+        f"      FROM b2, unnest(generate_series(1, len(ws) - {n - 1})) AS i(i)"
+        for n in (*TOP_NS, *DUP_NS)
+    )
+    top_cols = "\n".join(
+        f"             CAST(round(coalesce(t{n}.c * length(t{n}.gram), 0)"
+        f" * 1000000.0 / n_chars) AS BIGINT) AS top{n}_char_e6,"
+        for n in TOP_NS
+    )
+    dup_cols = "\n".join(
+        f"             CAST(round(coalesce(d{n}.s, 0) * 1000000.0 / n_chars)"
+        f" AS BIGINT) AS dup{n}_char_e6,"
+        for n in DUP_NS
+    ).rstrip(",")
+    top_joins = "\n".join(
+        f"      LEFT JOIN top t{n} ON t{n}.doc_id = b2.doc_id"
+        f" AND t{n}.n = {n} AND t{n}.rn = 1"
+        for n in TOP_NS
+    )
+    dup_joins = "\n".join(
+        f"      LEFT JOIN dup d{n} ON d{n}.ddoc = b2.doc_id AND d{n}.dn = {n}"
+        for n in DUP_NS
+    )
+    th = GOPHER_THRESHOLDS_E6
+    gate = " AND ".join(
+        [f"top{n}_char_e6 <= {th[f'top{n}']}" for n in TOP_NS]
+        + [f"dup{n}_char_e6 <= {th[f'dup{n}']}" for n in DUP_NS]
+    )
     return rf"""
     WITH b AS (SELECT doc_id, greatest(length(text), 1) AS n_chars,
                       string_split_regex(trim(text), '\s+') AS ws
@@ -1495,41 +1526,27 @@ def _repetition_oracle(sf_dir: str) -> str:
     b2 AS (SELECT doc_id, n_chars, len(ws) AS n_words,
                   len(list_distinct(ws)) AS n_distinct, ws FROM b),
     g AS (
-      SELECT doc_id, 2 AS n, array_to_string(ws[i.i : i.i + 1], ' ') AS gram
-      FROM b2, unnest(generate_series(1, len(ws) - 1)) AS i(i)
-      UNION ALL
-      SELECT doc_id, 3, array_to_string(ws[i.i : i.i + 2], ' ')
-      FROM b2, unnest(generate_series(1, len(ws) - 2)) AS i(i)
-      UNION ALL
-      SELECT doc_id, 5, array_to_string(ws[i.i : i.i + 4], ' ')
-      FROM b2, unnest(generate_series(1, len(ws) - 4)) AS i(i)
+      {gram_sel}
     ),
     c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
     top AS (SELECT doc_id, n, c, gram,
                    row_number() OVER (PARTITION BY doc_id, n
                                       ORDER BY c DESC, gram DESC) AS rn
-            FROM c WHERE n IN (2, 3)),
-    dup AS (SELECT doc_id AS ddoc, sum(c * length(gram)) AS s
-            FROM c WHERE n = 5 AND c > 1 GROUP BY 1),
+            FROM c WHERE n IN {tuple(TOP_NS)}),
+    dup AS (SELECT doc_id AS ddoc, n AS dn, sum(c * length(gram)) AS s
+            FROM c WHERE n IN {tuple(DUP_NS)} AND c > 1 GROUP BY 1, 2),
     e AS (
       SELECT b2.doc_id,
              CAST(n_words AS BIGINT) AS n_words,
              CAST(round((n_words - n_distinct) * 1000000.0 / n_words)
                   AS BIGINT) AS word_rep_e6,
-             CAST(round(coalesce(t2.c * length(t2.gram), 0) * 1000000.0
-                        / n_chars) AS BIGINT) AS top2_char_e6,
-             CAST(round(coalesce(t3.c * length(t3.gram), 0) * 1000000.0
-                        / n_chars) AS BIGINT) AS top3_char_e6,
-             CAST(round(coalesce(dup.s, 0) * 1000000.0 / n_chars)
-                  AS BIGINT) AS dup5_char_e6
+{top_cols}
+{dup_cols}
       FROM b2
-      LEFT JOIN top t2 ON t2.doc_id = b2.doc_id AND t2.n = 2 AND t2.rn = 1
-      LEFT JOIN top t3 ON t3.doc_id = b2.doc_id AND t3.n = 3 AND t3.rn = 1
-      LEFT JOIN dup ON dup.ddoc = b2.doc_id
+{top_joins}
+{dup_joins}
     )
-    SELECT e.*,
-           (top2_char_e6 <= {th["top2"]} AND top3_char_e6 <= {th["top3"]}
-            AND dup5_char_e6 <= {th["dup5"]}) AS gopher_pass
+    SELECT e.*, ({gate}) AS gopher_pass
     FROM e
 """
 
@@ -1537,9 +1554,9 @@ def _repetition_oracle(sf_dir: str) -> str:
 @query("x_quality_repetition", oracle=_repetition_oracle,
        tags=("ext", "text", "quality"))
 def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-class repetition quality gates over the documents table
-    (operators.quality.repetition_features): most-frequent 2-/3-gram
-    character coverage, duplicate-5-gram coverage, word repetition
+    """The FULL Gopher A1 repetition table over the documents table
+    (operators.quality.repetition_features): most-frequent 2/3/4-gram
+    character coverage, duplicate 5..10-gram coverage, word repetition
     ratio, and the published pass thresholds — the repetition half of
     an LLM curation pipeline's quality stage, next to x_text_suite's
     length/punct/stopword features. One explode + two map-side-

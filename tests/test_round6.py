@@ -681,7 +681,9 @@ def test_repetition_features_hand_computed(spark):
     assert not r1.gopher_pass  # top2 24% exceeds the 20% gate
     r2 = rows[2]
     assert r2.top2_char_e6 == round(5 * 3 * 1e6 / 11)  # overlapping > 1e6
+    assert r2.top4_char_e6 == round(3 * 7 * 1e6 / 11)  # 'a a a a' x3
     assert r2.dup5_char_e6 == round(2 * 9 * 1e6 / 11)
+    assert r2.dup6_char_e6 == 0  # the single 6-gram is not duplicated
     assert not r2.gopher_pass
     r3 = rows[3]
     assert (r3.word_rep_e6, r3.top2_char_e6, r3.top3_char_e6,
