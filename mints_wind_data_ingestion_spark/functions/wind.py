@@ -62,16 +62,19 @@ def lambert_cell_latlon(
     shuffle, whole-stage codegen keeps it JVM-side at any scale.
 
     Assumes the NOAA layout: scan mode 64 (+x east, +y north,
-    row-major) and projection centre flag 0 (north pole, single cone —
-    n > 0). lon is normalized to [0, 360) as GRIB convention has it.
+    row-major). Both cones are supported — the sign of the standard
+    parallels (not the projection-centre flag byte) selects the
+    hemisphere: n < 0 (southern cone) applies Snyder's sign-reversal
+    rule (ρ, and the atan2 arguments, flip). A cone straddling the
+    equator (latin1/latin2 of opposite sign, or a standard parallel at
+    0°) has n ≈ 0 and no Lambert conformal form — fail loud. lon is
+    normalized to [0, 360) as GRIB convention has it.
     """
-    if latin1 <= 0 or latin2 <= 0:
-        # n ≤ 0 flips every rho/theta sign — the southern/equatorial
-        # cone needs the mirrored formulas; fail loud, never a wrong map
+    if (latin1 == 0 and latin2 == 0) or (latin1 * latin2 < 0):
         raise ValueError(
-            "lambert_cell_latlon: northern-hemisphere cone only "
-            f"(latin1={latin1}, latin2={latin2}; projection centre flag "
-            "bit 0x80 grids are unsupported)"
+            "lambert_cell_latlon: cone constant n ≈ 0 — standard "
+            f"parallels latin1={latin1}, latin2={latin2} do not define "
+            "a Lambert conformal cone (use Mercator for the equator)"
         )
     phi1, phi2 = math.radians(latin1), math.radians(latin2)
     phi_d, lam0 = math.radians(laD), math.radians(loV)
@@ -94,10 +97,13 @@ def lambert_cell_latlon(
     th_a = n * (lam_a - lam0)
     x1, y1 = rho_a * math.sin(th_a), rho0 - rho_a * math.cos(th_a)
 
+    # Snyder 15-11: for n < 0 reverse the signs of x, (rho0 - y), rho
+    # before the inverse — s folds that rule into both hemispheres
+    s = 1.0 if n > 0 else -1.0
     x = F.lit(x1) + F.pmod(idx, F.lit(nx)).cast("double") * F.lit(dx)
     y = F.lit(y1) + F.floor(idx / F.lit(nx)).cast("double") * F.lit(dy)
-    rho = F.sqrt(x * x + (F.lit(rho0) - y) * (F.lit(rho0) - y))
-    theta = F.atan2(x, F.lit(rho0) - y)
+    rho = F.lit(s) * F.sqrt(x * x + (F.lit(rho0) - y) * (F.lit(rho0) - y))
+    theta = F.atan2(F.lit(s) * x, F.lit(s) * (F.lit(rho0) - y))
     lat = F.degrees(
         F.lit(2.0) * F.atan(F.pow(F.lit(radius * f_const) / rho, F.lit(1.0 / n)))
         - F.lit(math.pi / 2)

@@ -526,16 +526,21 @@ def _np_lambert_forward(lat_deg, lon_deg, *, laD, loV, latin1, latin2,
     return rho * np.sin(th), rho0 - rho * np.cos(th), rho0
 
 
-@pytest.mark.parametrize("lamb", [
-    HRRR_LAMBERT,  # tangent cone (latin1 == latin2): n = sin(lat1)
-    dict(laD=25.0, loV=265.0, latin1=25.0, latin2=47.0,
-         dx=12191.0, dy=12191.0),  # secant cone (NAM-like)
+@pytest.mark.parametrize("lamb,la1,lo1", [
+    # tangent cone (latin1 == latin2): n = sin(lat1)
+    (HRRR_LAMBERT, 21.138, 237.28),
+    # secant cone (NAM-like)
+    (dict(laD=25.0, loV=265.0, latin1=25.0, latin2=47.0,
+          dx=12191.0, dy=12191.0), 21.138, 237.28),
+    # SOUTHERN secant cone (n < 0 — Snyder's sign-reversal branch)
+    (dict(laD=-35.0, loV=295.0, latin1=-25.0, latin2=-47.0,
+          dx=12191.0, dy=12191.0), -55.0, 280.0),
 ])
-def test_lambert_inverse_inverts_forward(spark, lamb):
+def test_lambert_inverse_inverts_forward(spark, lamb, la1, lo1):
     """The columnar inverse must invert an independently-coded numpy
     forward projection: project every decoded (lat, lon) back to metre
     coordinates and recover the exact cell offsets (x1 + i*dx,
-    y1 + j*dy) to sub-millimetre."""
+    y1 + j*dy) to sub-millimetre — on both hemispheres' cones."""
     import numpy as np
 
     from mints_wind_data_ingestion_spark.functions.wind import (
@@ -543,7 +548,6 @@ def test_lambert_inverse_inverts_forward(spark, lamb):
     )
 
     nx, ny = 9, 7
-    la1, lo1 = 21.138, 237.28
     lat, lon = lambert_cell_latlon(
         F.col("idx"), nx=nx, la1=la1, lo1=lo1, **lamb
     )
@@ -709,3 +713,18 @@ def test_repetition_features_empty_and_whitespace_docs(spark):
         assert r.gopher_pass
         assert r.word_rep_e6 == 0
     assert not rows[3].gopher_pass  # pure repetition trips every gate
+
+
+def test_lambert_degenerate_cone_rejected():
+    """latin parallels straddling (or pinned to) the equator have no
+    Lambert conformal cone — fail loud, never a wrong map."""
+    from mints_wind_data_ingestion_spark.functions.wind import (
+        lambert_cell_latlon,
+    )
+
+    for lat1, lat2 in ((0.0, 0.0), (-10.0, 30.0), (15.0, -15.0)):
+        with pytest.raises(ValueError, match="cone constant"):
+            lambert_cell_latlon(
+                F.col("idx"), nx=4, la1=5.0, lo1=200.0, laD=10.0,
+                loV=200.0, latin1=lat1, latin2=lat2, dx=1000.0, dy=1000.0,
+            )
