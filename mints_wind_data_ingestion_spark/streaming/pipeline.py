@@ -36,6 +36,7 @@ __all__ = [
     "run_dedup_ingest",
     "run_neardup_ingest",
     "run_decontam_ingest",
+    "run_quality_gate_ingest",
     "build_gram_index",
 ]
 
@@ -618,6 +619,59 @@ def run_decontam_ingest(
         contaminated = posting.join(grams, "h").select(id_col).distinct()
         fresh = batch.join(contaminated, id_col, "left_anti")
         fresh.write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_quality_gate_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming Gopher repetition gate: documents landing as files are
+    scored batch-wise (`operators.quality.repetition_features`, the
+    full A1 table) and only `gopher_pass` documents reach the corpus —
+    the streaming complement of the batch `x_quality_repetition`
+    query, enforcing the quality boundary at ingest time the way
+    `run_decontam_ingest` enforces the eval boundary. Rejects land in
+    `quarantine_path` WITH their failing metrics (per-epoch subdirs),
+    so curation review sees why each document was dropped rather than
+    just that it vanished.
+
+    Shape per epoch: one explode + two map-side-combinable aggs over
+    the BATCH (never the accumulated corpus), a broadcast-sized join
+    back on the id, and the same exactly-once/replay contract as
+    `run_dedup_ingest` (epoch-keyed overwrite)."""
+    from ..operators.quality import repetition_features
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        feats = repetition_features(batch, id_col, text_col)
+        verdict = feats.select(id_col, "gopher_pass")
+        kept = batch.join(verdict.filter("gopher_pass"), id_col).drop(
+            "gopher_pass"
+        )
+        kept.write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
+        if quarantine_path is not None:
+            feats.filter(~F.col("gopher_pass")).write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_path}/epoch={epoch_id}")
 
     return (
         raw.writeStream.outputMode("append")

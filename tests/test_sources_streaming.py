@@ -869,3 +869,59 @@ def test_decontam_ingest_blocks_protected_grams(spark, tmp_path, sf_dir):
     }
     assert kept == want
     assert len(kept) < incoming.count()  # planted overlaps were blocked
+
+
+def test_quality_gate_ingest_filters_and_quarantines(spark, tmp_path, sf_dir):
+    """Streaming Gopher gate: only gopher_pass documents reach the
+    corpus, rejects land in quarantine WITH their metrics, the union
+    is exactly the input, and the gate agrees with the batch
+    repetition_features verdict on the same documents."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.operators.quality import (
+        repetition_features,
+    )
+    from mints_wind_data_ingestion_spark.sources.tables import load_tables
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_quality_gate_ingest,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    # add a guaranteed-degenerate landing doc so quarantine is non-empty
+    bad = spark.createDataFrame(
+        [(99_000_001, "spam " * 40)], "doc_id long, text string"
+    )
+    incoming = docs.unionByName(bad)
+
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    quarantine = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_quality_gate_ingest(
+        spark, landing, corpus, ckpt, schema, quarantine_path=quarantine
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    kept = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    quar = spark.read.parquet(quarantine)
+    dropped = {r.doc_id for r in quar.select("doc_id").collect()}
+
+    want_pass = {
+        r.doc_id
+        for r in repetition_features(incoming).filter("gopher_pass").collect()
+    }
+    assert kept == want_pass
+    assert kept | dropped == {r.doc_id for r in incoming.collect()}
+    assert kept.isdisjoint(dropped)
+    assert 99_000_001 in dropped
+    # quarantine carries the evidence, not just the ids
+    spam = quar.filter("doc_id = 99000001").first()
+    assert spam.top2_char_e6 > 200000 and not spam.gopher_pass
