@@ -17,6 +17,7 @@ __all__ = [
     "cell_lat",
     "cell_lon",
     "lambert_cell_latlon",
+    "polar_cell_latlon",
     "speed",
     "direction_deg",
     "explode_grid",
@@ -110,6 +111,55 @@ def lambert_cell_latlon(
     )
     lon = F.pmod(F.lit(math.degrees(lam0)) + F.degrees(theta) / F.lit(n),
                  F.lit(360.0))
+    return lat, lon
+
+
+def polar_cell_latlon(
+    idx: Column,
+    *,
+    nx: int,
+    la1: float,
+    lo1: float,
+    laD: float,
+    loV: float,
+    dx: float,
+    dy: float,
+    south: bool = False,
+    radius: float = 6371229.0,
+) -> tuple[Column, Column]:
+    """Inverse polar stereographic projection as native Catalyst
+    expressions: cell index → (lat, lon) degrees for a template-3.20
+    grid (the NOAA Alaska/polar geometry; laD is the true-scale
+    latitude, loV the orientation longitude, dx/dy in metres).
+
+    Spherical form (Snyder eqs. 21-1/21-4 reduced): with
+    c = R·(1 + sin φD), the radius from the pole is
+    ρ = c·tan(π/4 − φ/2), x = ρ·sin(λ−λ0), y = −ρ·cos(λ−λ0) (north
+    aspect; the south aspect is the φ→−φ mirror, selected by `south`
+    to match the projection-centre flag bit 0x80). All projection
+    constants — c and the metre offset of the first grid point — are
+    driver-side floats; the per-cell work is sqrt/atan/atan2
+    expressions in whole-stage codegen, no UDF. Scan mode 64 (+x east,
+    +y toward the pole along λ0+180) as NOAA emits.
+    """
+    p = -1.0 if south else 1.0
+    lam0 = math.radians(loV)
+    c = radius * (1.0 + math.sin(math.radians(p * laD)))
+    rho_a = c * math.tan(math.pi / 4 - math.radians(p * la1) / 2)
+    th_a = math.radians(lo1) - lam0
+    x1 = rho_a * math.sin(th_a)
+    y1 = -p * rho_a * math.cos(th_a)
+
+    x = F.lit(x1) + F.pmod(idx, F.lit(nx)).cast("double") * F.lit(dx)
+    y = F.lit(y1) + F.floor(idx / F.lit(nx)).cast("double") * F.lit(dy)
+    rho = F.sqrt(x * x + y * y)
+    lat = F.lit(p) * F.degrees(
+        F.lit(math.pi / 2) - F.lit(2.0) * F.atan(rho / F.lit(c))
+    )
+    lon = F.pmod(
+        F.lit(math.degrees(lam0)) + F.degrees(F.atan2(x, F.lit(-p) * y)),
+        F.lit(360.0),
+    )
     return lat, lon
 
 

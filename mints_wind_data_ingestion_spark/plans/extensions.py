@@ -1576,89 +1576,120 @@ def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# two Lambert grids: a tangent cone (HRRR-like, latin1 == latin2) and
-# a secant cone (NAM-like) — the two algebraic branches of the cone
-# constant n
+# three projected grids: a tangent Lambert cone (HRRR-like,
+# latin1 == latin2) and a secant cone (NAM-like) — the two algebraic
+# branches of the cone constant n — plus a polar stereographic grid
+# (Alaska-like, template 3.20; r6)
 _LAMBERT_GRIDS = [
-    dict(g=0, nx=9, ny=6, la1=21.138, lo1=237.28, laD=38.5, loV=262.5,
-         latin1=38.5, latin2=38.5, dx=3000.0, dy=3000.0,
-         packing="complex_diff"),
-    dict(g=1, nx=8, ny=5, la1=12.19, lo1=226.541, laD=25.0, loV=265.0,
-         latin1=25.0, latin2=47.0, dx=12191.0, dy=12191.0,
-         packing="ieee"),
+    dict(g=0, kind="lambert", nx=9, ny=6, la1=21.138, lo1=237.28,
+         laD=38.5, loV=262.5, latin1=38.5, latin2=38.5,
+         dx=3000.0, dy=3000.0, packing="complex_diff"),
+    dict(g=1, kind="lambert", nx=8, ny=5, la1=12.19, lo1=226.541,
+         laD=25.0, loV=265.0, latin1=25.0, latin2=47.0,
+         dx=12191.0, dy=12191.0, packing="ieee"),
+    dict(g=2, kind="polar", nx=7, ny=5, la1=44.0, lo1=195.0,
+         laD=60.0, loV=210.0, latin1=None, latin2=None,
+         dx=11250.0, dy=11250.0, packing="simple"),
 ]
 
 
 def _lambert_oracle_sql() -> str:
-    """Closed-form DuckDB replay of the Lambert suite: per grid,
-    recompute the cone constants and the columnar inverse in SQL
-    (same Snyder spherical formulas), plus the closed-form field."""
+    """Closed-form DuckDB replay of the projected-grid suite: per grid,
+    recompute the projection constants and the columnar inverse in SQL
+    (same Snyder spherical formulas — conic for 3.30, azimuthal for
+    3.20), plus the closed-form field."""
     parts = []
     for spec in _LAMBERT_GRIDS:
-        # SQL scalar constants per grid (radians inline)
-        t = "tan(pi()/4 + radians({v})/2)"
-        p1, p2 = spec["latin1"], spec["latin2"]
-        if p1 == p2:
-            n_sql = f"sin(radians({p1}))"
-        else:
-            n_sql = (
-                f"ln(cos(radians({p1}))/cos(radians({p2})))"
-                f" / ln(({t.format(v=p2)})/({t.format(v=p1)}))"
-            )
-        parts.append(f"""
-    SELECT {spec['g']} AS g, i.i AS idx,
-           {spec['laD']} AS la_d, {spec['loV']} AS lo_v,
-           {spec['latin1']} AS lat1, {spec['latin2']} AS lat2,
-           {spec['dx']} AS dx_m,
-           ((i.i * 5 + {spec['g']} * 23) % 2600) AS v_e2,
-           c.n AS n, c.rf AS rf, c.rho0 AS rho0, c.x1 AS x1, c.y1 AS y1,
-           c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
-           c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y
-    FROM unnest(generate_series(0, {spec['nx'] * spec['ny'] - 1})) AS i(i),
-         (SELECT n, rf, rho0, x1, y1,
-                 6371229.0 * rf / pow({t.format(v=spec['la1'])}, n) AS rho_a
-          FROM (SELECT n, rf,
-                       6371229.0 * rf / pow({t.format(v=spec['laD'])}, n) AS rho0,
-                       6371229.0 * rf / pow({t.format(v=spec['la1'])}, n)
-                         * sin(n * (radians({spec['lo1']}) - radians({spec['loV']}))) AS x1,
-                       6371229.0 * rf / pow({t.format(v=spec['laD'])}, n) -
-                       6371229.0 * rf / pow({t.format(v=spec['la1'])}, n)
-                         * cos(n * (radians({spec['lo1']}) - radians({spec['loV']}))) AS y1
-                FROM (SELECT ({n_sql}) AS n,
-                             cos(radians({p1})) * pow({t.format(v=p1)}, ({n_sql})) / ({n_sql}) AS rf))
-         ) AS c""")
-    union = " UNION ALL ".join(parts)
+        common = (
+            f"SELECT {spec['g']} AS g, i.i AS idx,\n"
+            f"           {spec['laD']} AS la_d, {spec['loV']} AS lo_v,\n"
+            f"           {spec['latin1'] if spec['latin1'] is not None else 'CAST(NULL AS DOUBLE)'} AS lat1,\n"
+            f"           {spec['latin2'] if spec['latin2'] is not None else 'CAST(NULL AS DOUBLE)'} AS lat2,\n"
+            f"           {spec['dx']} AS dx_m,\n"
+            f"           ((i.i * 5 + {spec['g']} * 23) % 2600) AS v_e2,\n"
+        )
+        cells = (
+            f"    FROM unnest(generate_series(0, "
+            f"{spec['nx'] * spec['ny'] - 1})) AS i(i),\n"
+        )
+        if spec["kind"] == "lambert":
+            t = "tan(pi()/4 + radians({v})/2)"
+            p1, p2 = spec["latin1"], spec["latin2"]
+            if p1 == p2:
+                n_sql = f"sin(radians({p1}))"
+            else:
+                n_sql = (
+                    f"ln(cos(radians({p1}))/cos(radians({p2})))"
+                    f" / ln(({t.format(v=p2)})/({t.format(v=p1)}))"
+                )
+            parts.append(common + (
+                "           CAST(round(degrees(2 * atan(pow(6371229.0 * c.rf"
+                " / sqrt(xy.x*xy.x + (c.rho0-xy.y)*(c.rho0-xy.y)), 1.0/c.n))"
+                " - pi()/2) * 10000) AS BIGINT) AS lat_e4,\n"
+                f"           CAST(round((((degrees(radians({spec['loV']})"
+                " + atan2(xy.x, c.rho0 - xy.y) / c.n) % 360) + 360) % 360)"
+                " * 10000) AS BIGINT) AS lon_e4\n"
+            ) + cells + f"""         (SELECT n, rf,
+                 6371229.0 * rf / pow({t.format(v=spec['laD'])}, n) AS rho0,
+                 6371229.0 * rf / pow({t.format(v=spec['la1'])}, n)
+                   * sin(n * (radians({spec['lo1']}) - radians({spec['loV']}))) AS x1,
+                 6371229.0 * rf / pow({t.format(v=spec['laD'])}, n) -
+                 6371229.0 * rf / pow({t.format(v=spec['la1'])}, n)
+                   * cos(n * (radians({spec['lo1']}) - radians({spec['loV']}))) AS y1
+          FROM (SELECT ({n_sql}) AS n,
+                       cos(radians({p1})) * pow({t.format(v=p1)}, ({n_sql})) / ({n_sql}) AS rf)
+         ) AS c,
+         LATERAL (SELECT c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
+                         c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y) AS xy""")
+        else:  # polar stereographic, north aspect (p = 1)
+            parts.append(common + (
+                "           CAST(round(1.0 * degrees(pi()/2 - 2 *"
+                " atan(sqrt(xy.x*xy.x + xy.y*xy.y) / c.c)) * 10000)"
+                " AS BIGINT) AS lat_e4,\n"
+                f"           CAST(round(((({spec['loV']}"
+                " + degrees(atan2(xy.x, -xy.y))) % 360) + 360) % 360"
+                " * 10000) AS BIGINT) AS lon_e4\n"
+            ) + cells + f"""         (SELECT c,
+                 c * tan(pi()/4 - radians({spec['la1']})/2) *
+                   sin(radians({spec['lo1']}) - radians({spec['loV']})) AS x1,
+                 -(c * tan(pi()/4 - radians({spec['la1']})/2)) *
+                   cos(radians({spec['lo1']}) - radians({spec['loV']})) AS y1
+          FROM (SELECT 6371229.0 * (1 + sin(radians({spec['laD']}))) AS c)
+         ) AS c,
+         LATERAL (SELECT c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
+                         c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y) AS xy""")
+    union = "\n    UNION ALL\n    ".join(parts)
     return f"""
-    WITH cells AS ({union})
-    SELECT g, idx, la_d, lo_v, lat1, lat2, dx_m,
-           CAST(round(degrees(2 * atan(pow(6371229.0 * rf / sqrt(x*x + (rho0-y)*(rho0-y)), 1.0/n)) - pi()/2) * 10000) AS BIGINT) AS lat_e4,
-           CAST(round((((degrees(radians(lo_v) + atan2(x, rho0 - y) / n) % 360) + 360) % 360) * 10000) AS BIGINT) AS lon_e4,
+    SELECT g, idx, la_d, lo_v, lat1, lat2, dx_m, lat_e4, lon_e4,
            CAST(v_e2 AS BIGINT) AS v_e2
-    FROM cells
+    FROM ({union})
 """
 
 
 @query("x_grib_lambert", oracle=_lambert_oracle_sql(),
        tags=("ext", "grib", "S2", "C13"))
 def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lambert conformal (template 3.30, the HRRR/NAM projection)
-    driver-verified end-to-end: two closed-form fields — one on a
-    tangent-cone grid (latin1 == latin2, complex-diff packed), one on
-    a secant-cone grid (IEEE packed) — are encoded as REAL 3.30
-    GRIB2 binary, decoded executor-side by the Arrow UDTF, and every
-    cell is mapped to (lat, lon) by the columnar inverse projection
-    (`functions.wind.lambert_cell_latlon` — pure codegen'd
-    expressions, no UDF). Output pins the projection header fields
-    (laD/loV/latin1/latin2/dx straight from the typed header struct),
-    the inverse-projected coordinates at 1e-4° (≈11 m — far above the
-    ~1e-12° cross-engine trig divergence, far below any formula
-    error), and the decoded values; the DuckDB oracle recomputes the
-    cone constants and the inverse from the same public formulas in
-    SQL. A wrong cone branch, a swapped octet in the 3.30 parse, or a
-    degree/metre mix-up anywhere breaks the hash."""
+    """Projected NOAA grids (templates 3.30 Lambert conformal —
+    HRRR/NAM — and 3.20 polar stereographic — Alaska) driver-verified
+    end-to-end: three closed-form fields — a tangent-cone grid
+    (latin1 == latin2, complex-diff packed), a secant-cone grid (IEEE
+    packed), and a polar stereographic grid (simple packed) — are
+    encoded as REAL GRIB2 binary, decoded executor-side by the Arrow
+    UDTF, and every cell is mapped to (lat, lon) by the matching
+    columnar inverse projection (`functions.wind.lambert_cell_latlon`
+    / `polar_cell_latlon` — pure codegen'd expressions, no UDF).
+    Output pins the projection header fields (laD/loV/latin1/latin2/dx
+    straight from the typed header struct; latin NULL for the
+    azimuthal grid), the inverse-projected coordinates at 1e-4° (≈11 m
+    — far above the ~1e-12° cross-engine trig divergence, far below
+    any formula error), and the decoded values; the DuckDB oracle
+    recomputes the projection constants and both inverses from the
+    same public formulas in SQL. A wrong cone branch, a swapped octet
+    in the 3.20/3.30 parse, or a degree/metre mix-up anywhere breaks
+    the hash."""
     from datetime import datetime, timezone
 
-    from ..functions.wind import lambert_cell_latlon
+    from ..functions.wind import lambert_cell_latlon, polar_cell_latlon
     from ..sources.grib2codec import decode_grib2_bytes, encode_grib2_message
 
     import pandas as pd  # noqa: F811
@@ -1668,12 +1699,16 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
     for spec in _LAMBERT_GRIDS:
         vals = [((i * 5 + spec["g"] * 23) % 2600) / 100.0
                 for i in range(spec["nx"] * spec["ny"])]
+        proj = (
+            dict(lambert={k: spec[k] for k in
+                          ("laD", "loV", "latin1", "latin2", "dx", "dy")})
+            if spec["kind"] == "lambert"
+            else dict(polar={k: spec[k] for k in ("laD", "loV", "dx", "dy")})
+        )
         blobs.append((spec["g"], encode_grib2_message(
             vals, parameter_number=2, ref_time=ref,
             nx=spec["nx"], ny=spec["ny"], la1=spec["la1"], lo1=spec["lo1"],
-            scan_mode=64, packing=spec["packing"],
-            lambert={k: spec[k]
-                     for k in ("laD", "loV", "latin1", "latin2", "dx", "dy")},
+            scan_mode=64, packing=spec["packing"], **proj,
         )))
     bdf = spark.createDataFrame(blobs, "g int, blob binary")
 
@@ -1697,11 +1732,19 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outs = []
     for spec in _LAMBERT_GRIDS:
-        lat, lon = lambert_cell_latlon(
-            F.col("idx"), nx=spec["nx"], la1=spec["la1"], lo1=spec["lo1"],
-            laD=spec["laD"], loV=spec["loV"], latin1=spec["latin1"],
-            latin2=spec["latin2"], dx=spec["dx"], dy=spec["dy"],
-        )
+        if spec["kind"] == "lambert":
+            lat, lon = lambert_cell_latlon(
+                F.col("idx"), nx=spec["nx"], la1=spec["la1"],
+                lo1=spec["lo1"], laD=spec["laD"], loV=spec["loV"],
+                latin1=spec["latin1"], latin2=spec["latin2"],
+                dx=spec["dx"], dy=spec["dy"],
+            )
+        else:
+            lat, lon = polar_cell_latlon(
+                F.col("idx"), nx=spec["nx"], la1=spec["la1"],
+                lo1=spec["lo1"], laD=spec["laD"], loV=spec["loV"],
+                dx=spec["dx"], dy=spec["dy"],
+            )
         outs.append(
             decoded.filter(F.col("g") == spec["g"])
             .select("g", "la_d", "lo_v", "lat1", "lat2", "dx_m",
@@ -1713,7 +1756,10 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
             )
         )
-    return outs[0].unionByName(outs[1])
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def _ivf_index_oracle(sf_dir: str) -> str:

@@ -7,6 +7,9 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 0-8) for the template family GFS wind extracts use:
 
 - section 3 template 3.0  (latitude/longitude grid)
+- section 3 template 3.20 (polar stereographic — the NOAA Alaska and
+  polar grids; r6)
+- section 3 template 3.30 (Lambert conformal — the HRRR/NAM grid; r6)
 - section 4 template 4.0  (analysis/forecast at a point in time)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
@@ -84,7 +87,11 @@ _STAT_PROCESS = {
     6: "Standard deviation",
 }
 _GEN_PROCESS = {2: "Forecast"}
-_GDT_NAME = {0: "Latitude_Longitude", 30: "Lambert_Conformal"}
+_GDT_NAME = {
+    0: "Latitude_Longitude",
+    20: "Polar_Stereographic",
+    30: "Lambert_Conformal",
+}
 _SHAPE = {6: "Earth spherical with radius of 6,371,229.0 m"}
 
 
@@ -368,7 +375,8 @@ def decode_grib2_bytes(
     (data/u_comp.json) — numeric codes plus the human-readable *Name
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
     For a framed-valid message using a template outside the GFS wind
-    family (grid 3.0 / product 4.0/4.8 / packing 5.0/5.2/5.3/5.4):
+    family (grid 3.0/3.20/3.30 / product 4.0/4.8 / packing
+    5.0/5.2/5.3/5.4):
     `on_unsupported='raise'` (default) fails the whole file loud;
     `'skip'` drops that message and decodes the rest — the
     quarantine-not-corrupt mode (see scan_grib2_bytes for the variant
@@ -422,7 +430,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o3, slen3 = sec[3]
     gdt = _u(msg, o3 + 12, 2)
-    if gdt not in (0, 30):
+    if gdt not in (0, 20, 30):
         raise ValueError(f"grid definition template 3.{gdt} unsupported")
     n_points = _u(msg, o3 + 6, 4)
     if gdt == 0:
@@ -440,12 +448,16 @@ def _decode_message(msg: bytes) -> dict:
             "laD": None, "loV": None,
             "latin1": None, "latin2": None, "projectionCentre": None,
         }
-    else:  # template 3.30 — Lambert conformal (the HRRR/NAM grid)
+    else:
+        # templates 3.20 (polar stereographic — the NOAA Alaska/polar
+        # grids) and 3.30 (Lambert conformal — HRRR/NAM) share their
+        # layout through octet 65; 3.30 appends the two standard
+        # parallels (and the unused southern-pole octets) after it
         grid = {
             "gridUnits": "m",  # dx/dy are grid lengths in metres at laD
             "la1": _deg(msg, o3 + 38),
             "lo1": _deg(msg, o3 + 42),
-            "la2": None, "lo2": None,  # no closing corner in 3.30
+            "la2": None, "lo2": None,  # no closing corner
             "dx": _u(msg, o3 + 55, 4) / 1000.0,
             "dy": _u(msg, o3 + 59, 4) / 1000.0,
             "basicAngle": None,
@@ -453,8 +465,8 @@ def _decode_message(msg: bytes) -> dict:
             "resolution": msg[o3 + 46],
             "laD": _deg(msg, o3 + 47),
             "loV": _deg(msg, o3 + 51),
-            "latin1": _deg(msg, o3 + 65),
-            "latin2": _deg(msg, o3 + 69),
+            "latin1": _deg(msg, o3 + 65) if gdt == 30 else None,
+            "latin2": _deg(msg, o3 + 69) if gdt == 30 else None,
             "projectionCentre": msg[o3 + 63],
         }
 
@@ -614,6 +626,7 @@ def encode_grib2_message(
     interval_hours: int | None = None,
     statistical_process: int = 1,
     lambert: dict | None = None,
+    polar: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -626,10 +639,13 @@ def encode_grib2_message(
     the overall-interval end time derives as ref + start + length.
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
-    latin2 (degrees) and dx, dy (metres); la1/lo1 stay the first grid
-    point and scan_mode should be 64 (+x/+y row-major) as NOAA emits.
-    Otherwise la2/lo2 derive from the grid shape the way scanMode 0
-    lays it out (rows N→S, lon W→E)."""
+    latin2 (degrees) and dx, dy (metres). `polar` switches it to
+    template 3.20 (polar stereographic, the Alaska/polar grids): keys
+    laD, loV, dx, dy and optional south=True for the south-pole
+    aspect. For both, la1/lo1 stay the first grid point and scan_mode
+    should be 64 (+x/+y row-major) as NOAA emits. Otherwise la2/lo2
+    derive from the grid shape the way scanMode 0 lays it out (rows
+    N→S, lon W→E)."""
     values = np.asarray(values, dtype=np.float64)
     n = values.size
     if n != nx * ny:
@@ -664,11 +680,14 @@ def encode_grib2_message(
                  ref_time.minute, ref_time.second])
         + bytes([0, 1])  # productStatus 0, productType 1
     )
+    if lambert and polar:
+        raise ValueError("at most one of lambert/polar")
+    gdt_code = 30 if lambert else (20 if polar else 0)
     s3_prefix = (
         b"\x03\x00"
         + n.to_bytes(4, "big")
         + bytes([0, 0])
-        + (30 if lambert else 0).to_bytes(2, "big")
+        + gdt_code.to_bytes(2, "big")
         + bytes([6])  # shape of earth
         + bytes([0]) + (0).to_bytes(4, "big")  # radius scale/value
         + bytes([0]) + (0).to_bytes(4, "big")  # major axis
@@ -676,18 +695,23 @@ def encode_grib2_message(
         + nx.to_bytes(4, "big")
         + ny.to_bytes(4, "big")
     )
-    if lambert:
+    if lambert or polar:
+        proj = lambert or polar
+        centre = 0x80 if (polar or {}).get("south") else 0
         s3 = s3_prefix + (
             _put_deg(la1) + _put_deg(lo1)
             + bytes([8])  # resolution/component flags: winds grid-relative
-            + _put_deg(lambert["laD"]) + _put_deg(lambert["loV"])
-            + round(lambert["dx"] * 1000).to_bytes(4, "big")  # 10^-3 m
-            + round(lambert["dy"] * 1000).to_bytes(4, "big")
-            + bytes([0])  # projection centre: north pole, one cone
+            + _put_deg(proj["laD"]) + _put_deg(proj["loV"])
+            + round(proj["dx"] * 1000).to_bytes(4, "big")  # 10^-3 m
+            + round(proj["dy"] * 1000).to_bytes(4, "big")
+            + bytes([centre])
             + bytes([scan_mode])
-            + _put_deg(lambert["latin1"]) + _put_deg(lambert["latin2"])
-            + _put_deg(-90.0) + _put_deg(0.0)  # southern pole (unused)
         )
+        if lambert:
+            s3 += (
+                _put_deg(lambert["latin1"]) + _put_deg(lambert["latin2"])
+                + _put_deg(-90.0) + _put_deg(0.0)  # southern pole (unused)
+            )
     else:
         s3 = s3_prefix + (
             (0).to_bytes(4, "big")  # basic angle
