@@ -20,6 +20,10 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
   order 1 or 2 — the packing real NOAA pgrb2 files, the exact files
   the reference downloads via converter.py:136-142, predominantly use)
 - section 5 template 5.4  (IEEE floating point, 32-bit; r6)
+- section 5 template 5.41 (PNG packing — NCEP MRMS-class products;
+  from-scratch RFC 2083 decode over stdlib zlib: chunk walk, all five
+  scanline filters, 1/2/4/8/16-bit grayscale + 24/32-bit RGB(A)
+  sample layouts per the g2clib convention; r6)
 - section 6 bitmap indicator 255 (no bitmap) or 0 (bitmap present)
 
 Decoding is numpy-vectorized (unpackbits + matmul — no per-point
@@ -177,6 +181,180 @@ def _unpack_uints(bits: np.ndarray, off: int, n: int, w: int):
 
 def _octet_align(off: int) -> int:
     return (off + 7) & ~7
+
+
+# --- PNG packing (template 5.41) -------------------------------------------
+#
+# NCEP's PNG packing stores the scaled integers X as a PNG image whose
+# pixel layout follows the g2clib convention: grayscale (colour type 0)
+# for depths 1/2/4/8/16, RGB (2) for 24, RGBA (6) for 32 — the sample
+# depth is the packing's nbits rounded up to the nearest legal PNG
+# depth. The decoder below is a from-scratch implementation of the
+# public PNG spec (RFC 2083): chunk walk → concatenated IDAT → zlib
+# (stdlib) → per-scanline filter reconstruction (all five filter
+# types) → big-endian sample reassembly. No external imaging library.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: packing nbits → (PNG bit depth per channel, colour type, channels)
+_PNG_LAYOUT = {1: (1, 0, 1), 2: (2, 0, 1), 4: (4, 0, 1), 8: (8, 0, 1),
+               16: (16, 0, 1), 24: (8, 2, 3), 32: (8, 6, 4)}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline PNG filtering → (h, stride) uint8 matrix.
+
+    Filters 0 (none) and 2 (up) reconstruct vectorized; 1 (sub),
+    3 (average) and 4 (Paeth) depend on the left neighbour, so those
+    rows walk columns — bounded by the row width, and real GRIB fields
+    are a few hundred columns wide."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft, cur = int(rows[r, 0]), rows[r, 1:].astype(np.int64)
+        prev = out[r - 1].astype(np.int64) if r else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:
+            rec = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ft == 1:
+                    x = cur[i] + a
+                elif ft == 3:
+                    x = cur[i] + (a + b) // 2
+                else:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    x = cur[i] + pred
+                rec[i] = x & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[r] = rec.astype(np.uint8)
+    return out
+
+
+def _png_decode_samples(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG byte stream → (width, height, sample bits, samples)
+    where samples is a (h*w,) int64 array of big-endian pixel values
+    (channels concatenated per the g2clib 24/32-bit convention)."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("PNG packing: bad signature")
+    o, w = 8, None
+    idat = b""
+    while o < len(data):
+        ln = _u(data, o, 4)
+        typ = data[o + 4 : o + 8]
+        body = data[o + 8 : o + 8 + ln]
+        if typ == b"IHDR":
+            w, h = _u(body, 0, 4), _u(body, 4, 4)
+            depth, ctype = body[8], body[9]
+            if body[10] or body[11] or body[12]:
+                raise ValueError("PNG packing: interlace/filter method")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        o += 12 + ln
+    if w is None:
+        raise ValueError("PNG packing: no IHDR")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG packing: colour type {ctype} unsupported")
+    bits_px = depth * channels
+    stride = (w * bits_px + 7) // 8
+    bpp = max(1, bits_px // 8)
+    mat = _png_unfilter(zlib.decompress(idat), h, stride, bpp)
+    if depth < 8:  # sub-byte grayscale: bit-unpack each row, drop pad
+        bits = np.unpackbits(mat, axis=1)[:, : w * depth]
+        vals = bits.reshape(h, w, depth).astype(np.int64)
+        samples = (vals @ (1 << np.arange(depth - 1, -1, -1))).reshape(-1)
+    else:
+        nby = bits_px // 8
+        by = mat.reshape(h, w, nby).astype(np.int64)
+        weights = (1 << (8 * np.arange(nby - 1, -1, -1))).astype(np.int64)
+        samples = (by @ weights).reshape(-1)
+    return w, h, bits_px, samples
+
+
+def _png_encode_samples(
+    x: np.ndarray, w: int, h: int, nbits: int, filter_type: int = 0
+) -> bytes:
+    """Encode scaled ints as the PNG stream template 5.41 carries
+    (depth per _PNG_LAYOUT; `filter_type` lets tests exercise every
+    reconstruction path in the decoder — real encoders may choose any
+    per scanline)."""
+    import zlib
+
+    depth, ctype, channels = _PNG_LAYOUT[nbits]
+    bits_px = depth * channels
+    stride = (w * bits_px + 7) // 8
+    bpp = max(1, bits_px // 8)
+    x = np.asarray(x, dtype=np.int64).reshape(h, w)
+    if depth < 8:
+        bits = (
+            (x[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(h, -1)
+        mat = np.packbits(bits, axis=1)[:, :stride]
+    else:
+        nby = bits_px // 8
+        by = (x[:, :, None] >> (8 * np.arange(nby - 1, -1, -1))) & 0xFF
+        mat = by.astype(np.uint8).reshape(h, stride)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        cur = mat[r].astype(np.int64)
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        elif filter_type in (1, 3, 4):
+            enc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                enc[i] = (cur[i] - pred) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        lines.append(filter_type)
+        lines += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
@@ -511,7 +689,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o5 = sec[5][0]
     drt = _u(msg, o5 + 9, 2)
-    if drt not in (0, 2, 3, 4):
+    if drt not in (0, 2, 3, 4, 41):
         raise ValueError(f"data representation template 5.{drt} unsupported")
 
     o6, slen6 = sec[6]
@@ -538,6 +716,19 @@ def _decode_message(msg: bytes) -> dict:
             )
         vals = np.frombuffer(
             msg[o7 + 5 : o7 + slen7], dtype=">f4", count=n_packed
+        ).astype(np.float32)
+    elif drt == 41:
+        # template 5.41: same R/E/D head as simple packing, the scaled
+        # ints ride a PNG stream in section 7 (NCEP MRMS-class files)
+        ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
+        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        _w, _h, _bits, x = _png_decode_samples(msg[o7 + 5 : o7 + slen7])
+        if x.size < n_packed:
+            raise ValueError(
+                f"PNG packing: {x.size} samples for {n_packed} points"
+            )
+        vals = (
+            (ref + x[:n_packed] * math.ldexp(1.0, e)) / 10.0**d
         ).astype(np.float32)
     else:
         vals = _unpack_complex(msg, o5, o7, slen7)
@@ -631,8 +822,9 @@ def encode_grib2_message(
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
     "complex" (5.2), "complex_diff" / "complex_diff1" (5.3 with
-    second/first-order spatial differencing), or "ieee" (5.4, raw
-    32-bit floats — decimal_scale/nbits ignored). `interval_hours`
+    second/first-order spatial differencing), "ieee" (5.4, raw
+    32-bit floats — decimal_scale/nbits ignored), or "png" (5.41,
+    scaled ints as a PNG stream, depth auto-selected from the range). `interval_hours`
     switches section 4 to template 4.8 (statistics over a time
     interval): `forecast_hours` becomes the START of the interval,
     `statistical_process` is WMO table 4.10 (1 = accumulation), and
@@ -655,6 +847,23 @@ def encode_grib2_message(
     if packing == "ieee":
         packed = values.astype(">f4").tobytes()
         s5_tail = (4).to_bytes(2, "big") + bytes([1])  # precision: 32-bit
+    elif packing == "png":
+        scaled = values * 10.0**decimal_scale
+        ref = np.float32(scaled.min())
+        x = np.maximum(np.rint(scaled - float(ref)).astype(np.int64), 0)
+        need = max(int(x.max()).bit_length(), 1)
+        if need > 32:
+            raise ValueError(
+                f"PNG packing: {need}-bit samples exceed the 32-bit layout"
+            )
+        depth_bits = min(b for b in _PNG_LAYOUT if b >= need)
+        packed = _png_encode_samples(x, nx, ny, depth_bits)
+        s5_tail = (
+            (41).to_bytes(2, "big")
+            + struct.pack(">f", float(ref))
+            + _put_s(0, 2) + _put_s(decimal_scale, 2)
+            + bytes([depth_bits, 0])
+        )
     elif packing == "simple":
         packed, ref, e, d, nbits_used = _pack_values(values, nbits, decimal_scale)
         s5_tail = (
