@@ -1433,10 +1433,14 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in (2, 3):
             vals = [((i * 7 + t * 13 + p * 29) % 3800) / 100.0
                     for i in range(nx * ny)]
+            # V rides PNG packing (5.41; r6): both packings quantize
+            # through the identical float32-ref rint, so the decoded
+            # values — and the oracle — are unchanged while the PNG
+            # decode path joins the driver hash
             blobs.append(
                 (t, p, encode_grib2_message(
                     vals, parameter_number=p, ref_time=ref, nx=nx, ny=ny,
-                    packing="complex_diff",
+                    packing="complex_diff" if p == 2 else "png",
                 ))
             )
         accum = [((i * 11 + t * 17) % 5500) / 100.0 for i in range(nx * ny)]
