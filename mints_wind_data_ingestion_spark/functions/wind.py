@@ -71,7 +71,7 @@ def lambert_cell_latlon(
     0°) has n ≈ 0 and no Lambert conformal form — fail loud. lon is
     normalized to [0, 360) as GRIB convention has it.
     """
-    if (latin1 == 0 and latin2 == 0) or (latin1 * latin2 < 0):
+    if latin1 == 0 or latin2 == 0 or latin1 * latin2 < 0:
         raise ValueError(
             "lambert_cell_latlon: cone constant n ≈ 0 — standard "
             f"parallels latin1={latin1}, latin2={latin2} do not define "

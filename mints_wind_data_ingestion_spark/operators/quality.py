@@ -82,10 +82,14 @@ def repetition_features(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document repetition features + the Gopher pass flag."""
+    # coalesce(text, ''): a NULL text must behave as empty — without it
+    # Spark's legacy size(NULL) = -1 makes n_words negative and
+    # diverges from the oracle's NULL
+    text = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.greatest(F.length(text_col), F.lit(1)).alias("n_chars"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+        F.greatest(F.length(text), F.lit(1)).alias("n_chars"),
+        F.split(F.trim(text), r"\s+").alias("ws"),
     ).select(
         "doc_id",
         "n_chars",

@@ -1524,8 +1524,9 @@ def _repetition_oracle(sf_dir: str) -> str:
         + [f"dup{n}_char_e6 <= {th[f'dup{n}']}" for n in DUP_NS]
     )
     return rf"""
-    WITH b AS (SELECT doc_id, greatest(length(text), 1) AS n_chars,
-                      string_split_regex(trim(text), '\s+') AS ws
+    WITH b AS (SELECT doc_id,
+                      greatest(length(coalesce(text, '')), 1) AS n_chars,
+                      string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
                FROM documents),
     b2 AS (SELECT doc_id, n_chars, len(ws) AS n_words,
                   len(list_distinct(ws)) AS n_distinct, ws FROM b),
@@ -1734,7 +1735,12 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="g int, la_d double, lo_v double, lat1 double, "
                "lat2 double, dx_m double, data array<double>",
     )
-    outs = []
+    # ONE decode pass for all grids: the per-grid inverse projections
+    # are constant-parameterized expressions over idx, so a CASE on g
+    # selects the right one per row — a filter/union per grid would
+    # duplicate the createDataFrame scan + decode UDTF into every
+    # branch (3× the decode work for the same rows)
+    lat_case = lon_case = None
     for spec in _LAMBERT_GRIDS:
         if spec["kind"] == "lambert":
             lat, lon = lambert_cell_latlon(
@@ -1749,21 +1755,19 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lo1=spec["lo1"], laD=spec["laD"], loV=spec["loV"],
                 dx=spec["dx"], dy=spec["dy"],
             )
-        outs.append(
-            decoded.filter(F.col("g") == spec["g"])
-            .select("g", "la_d", "lo_v", "lat1", "lat2", "dx_m",
-                    F.posexplode("data").alias("idx", "v"))
-            .select(
-                "g", "idx", "la_d", "lo_v", "lat1", "lat2", "dx_m",
-                F.round(lat * 10000).cast("bigint").alias("lat_e4"),
-                F.round(lon * 10000).cast("bigint").alias("lon_e4"),
-                F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
-            )
+        cond = F.col("g") == spec["g"]
+        lat_case = F.when(cond, lat) if lat_case is None else lat_case.when(cond, lat)
+        lon_case = F.when(cond, lon) if lon_case is None else lon_case.when(cond, lon)
+    return (
+        decoded.select("g", "la_d", "lo_v", "lat1", "lat2", "dx_m",
+                       F.posexplode("data").alias("idx", "v"))
+        .select(
+            "g", "idx", "la_d", "lo_v", "lat1", "lat2", "dx_m",
+            F.round(lat_case * 10000).cast("bigint").alias("lat_e4"),
+            F.round(lon_case * 10000).cast("bigint").alias("lon_e4"),
+            F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def _ivf_index_oracle(sf_dir: str) -> str:

@@ -30,9 +30,11 @@ def _f(name: str, dtype) -> StructField:
 #: GRIB2 metadata header — 57 keys, typed (reference: opaque jsonb,
 #: dbwindsetup.sql:7). The four interval-statistics keys are NULL for
 #: point-in-time (template 4.0) records and populated for statistical
-#: (template 4.8) records; the five Lambert projection keys are NULL
-#: for lat/lon (template 3.0) grids and populated for Lambert
-#: conformal (template 3.30) grids.
+#: (template 4.8) records; the five projection keys are NULL for
+#: lat/lon (template 3.0) grids — Lambert conformal (3.30) populates
+#: all five, polar stereographic (3.20) populates laD/loV/
+#: projectionCentre with latin1/latin2 staying NULL (an azimuthal
+#: projection has no standard parallels).
 WIND_HEADER = StructType(
     [
         # identity / provenance

@@ -243,27 +243,35 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 def _png_decode_samples(data: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a PNG byte stream → (width, height, sample bits, samples)
     where samples is a (h*w,) int64 array of big-endian pixel values
-    (channels concatenated per the g2clib 24/32-bit convention)."""
+    (channels concatenated per the g2clib 24/32-bit convention).
+
+    Every corruption mode raises ValueError — the only exception class
+    the per-message quarantine (`scan_grib2_bytes`) converts to an
+    error row — so a flipped byte in one message's deflate stream or a
+    truncated IHDR can never crash the scan of a whole file."""
     import zlib
 
     if data[:8] != _PNG_SIG:
         raise ValueError("PNG packing: bad signature")
     o, w = 8, None
     idat = b""
-    while o < len(data):
-        ln = _u(data, o, 4)
-        typ = data[o + 4 : o + 8]
-        body = data[o + 8 : o + 8 + ln]
-        if typ == b"IHDR":
-            w, h = _u(body, 0, 4), _u(body, 4, 4)
-            depth, ctype = body[8], body[9]
-            if body[10] or body[11] or body[12]:
-                raise ValueError("PNG packing: interlace/filter method")
-        elif typ == b"IDAT":
-            idat += body
-        elif typ == b"IEND":
-            break
-        o += 12 + ln
+    try:
+        while o < len(data):
+            ln = _u(data, o, 4)
+            typ = data[o + 4 : o + 8]
+            body = data[o + 8 : o + 8 + ln]
+            if typ == b"IHDR":
+                w, h = _u(body, 0, 4), _u(body, 4, 4)
+                depth, ctype = body[8], body[9]
+                if body[10] or body[11] or body[12]:
+                    raise ValueError("PNG packing: interlace/filter method")
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            o += 12 + ln
+    except IndexError as exc:  # truncated chunk/IHDR
+        raise ValueError(f"PNG packing: truncated stream ({exc})") from exc
     if w is None:
         raise ValueError("PNG packing: no IHDR")
     channels = {0: 1, 2: 3, 6: 4}.get(ctype)
@@ -272,7 +280,13 @@ def _png_decode_samples(data: bytes) -> tuple[int, int, int, np.ndarray]:
     bits_px = depth * channels
     stride = (w * bits_px + 7) // 8
     bpp = max(1, bits_px // 8)
-    mat = _png_unfilter(zlib.decompress(idat), h, stride, bpp)
+    try:
+        raw = zlib.decompress(idat)
+        mat = _png_unfilter(raw, h, stride, bpp)
+    except (zlib.error, ValueError) as exc:
+        # zlib.error (corrupt deflate) and reshape ValueError (wrong
+        # decompressed size) both mean a damaged message, same verdict
+        raise ValueError(f"PNG packing: corrupt image data ({exc})") from exc
     if depth < 8:  # sub-byte grayscale: bit-unpack each row, drop pad
         bits = np.unpackbits(mat, axis=1)[:, : w * depth]
         vals = bits.reshape(h, w, depth).astype(np.int64)

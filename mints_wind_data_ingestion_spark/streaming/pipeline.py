@@ -662,16 +662,28 @@ def run_quality_gate_ingest(
     )
 
     def ingest(batch: DataFrame, epoch_id: int) -> None:
-        feats = repetition_features(batch, id_col, text_col)
-        verdict = feats.select(id_col, "gopher_pass")
-        kept = batch.join(verdict.filter("gopher_pass"), id_col).drop(
-            "gopher_pass"
-        )
-        kept.write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
-        if quarantine_path is not None:
-            feats.filter(~F.col("gopher_pass")).write.mode(
-                "overwrite"
-            ).parquet(f"{quarantine_path}/epoch={epoch_id}")
+        # persist: the features plan (explode + two shuffles) feeds BOTH
+        # the corpus join and the quarantine write — without it the
+        # heavy work runs twice per epoch
+        feats = repetition_features(batch, id_col, text_col).persist()
+        try:
+            # repetition_features normalizes its id to doc_id — alias it
+            # back so caller-named id columns join correctly
+            verdict = feats.select(
+                F.col("doc_id").alias(id_col), "gopher_pass"
+            )
+            kept = batch.join(verdict.filter("gopher_pass"), id_col).drop(
+                "gopher_pass"
+            )
+            kept.write.mode("overwrite").parquet(
+                f"{corpus_path}/epoch={epoch_id}"
+            )
+            if quarantine_path is not None:
+                feats.filter(~F.col("gopher_pass")).write.mode(
+                    "overwrite"
+                ).parquet(f"{quarantine_path}/epoch={epoch_id}")
+        finally:
+            feats.unpersist()
 
     return (
         raw.writeStream.outputMode("append")

@@ -123,3 +123,29 @@ def test_png_hypothesis_roundtrip():
         assert np.abs(got - field).max() <= tol
 
     prop()
+
+
+def test_png_corrupt_idat_quarantines_not_crashes():
+    """A flipped byte inside the deflate stream raises zlib.error
+    internally — the quarantine contract requires it to surface as a
+    ValueError so scan_grib2_bytes records an error row instead of
+    crashing the whole file's scan task."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        scan_grib2_bytes,
+    )
+
+    msg = bytearray(encode_grib2_message(
+        np.linspace(0, 50, 24), parameter_number=2, ref_time=RT,
+        nx=6, ny=4, packing="png",
+    ))
+    o = 16
+    while True:
+        slen, snum = int.from_bytes(msg[o:o + 4], "big"), msg[o + 4]
+        if snum == 7:
+            # corrupt a byte deep inside the IDAT deflate payload
+            msg[o + 5 + 50] ^= 0xFF
+            break
+        o += slen
+    report = scan_grib2_bytes(bytes(msg))
+    assert report[0]["record"] is None
+    assert "PNG packing" in report[0]["error"]

@@ -703,11 +703,12 @@ def test_repetition_features_empty_and_whitespace_docs(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, ""), (2, "   "), (3, "w w w w w w w w")],
+        [(1, ""), (2, "   "), (3, "w w w w w w w w"), (4, None)],
         "doc_id int, text string",
     )
     rows = {r.doc_id: r for r in repetition_features(docs).collect()}
-    for d in (1, 2):
+    assert rows[4].n_words == 1  # NULL text behaves as empty, not -1
+    for d in (1, 2, 4):
         r = rows[d]
         assert (r.top2_char_e6, r.top3_char_e6, r.dup5_char_e6) == (0, 0, 0)
         assert r.gopher_pass
@@ -722,7 +723,8 @@ def test_lambert_degenerate_cone_rejected():
         lambert_cell_latlon,
     )
 
-    for lat1, lat2 in ((0.0, 0.0), (-10.0, 30.0), (15.0, -15.0)):
+    for lat1, lat2 in ((0.0, 0.0), (-10.0, 30.0), (15.0, -15.0),
+                       (0.0, 45.0), (38.5, 0.0)):
         with pytest.raises(ValueError, match="cone constant"):
             lambert_cell_latlon(
                 F.col("idx"), nx=4, la1=5.0, lo1=200.0, laD=10.0,

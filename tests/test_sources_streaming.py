@@ -925,3 +925,34 @@ def test_quality_gate_ingest_filters_and_quarantines(spark, tmp_path, sf_dir):
     # quarantine carries the evidence, not just the ids
     spam = quar.filter("doc_id = 99000001").first()
     assert spam.top2_char_e6 > 200000 and not spam.gopher_pass
+
+
+def test_quality_gate_ingest_custom_id_column(spark, tmp_path):
+    """The gate must work when the id column is not named doc_id —
+    repetition_features normalizes to doc_id internally and the
+    handler aliases it back for the join."""
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_quality_gate_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    # doc 1 must be long and diverse: in a short doc even a UNIQUE
+    # 2-gram covers >20% of the characters and trips the top-2 gate
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80))),
+         (2, "dup " * 30)],
+        "uid long, text string",
+    ).coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_quality_gate_ingest(
+        spark, landing, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        schema, id_col="uid",
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    kept = {r.uid for r in spark.read.parquet(
+        str(tmp_path / "corpus")).collect()}
+    quar = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "quarantine")).collect()}
+    assert kept == {1} and quar == {2}
