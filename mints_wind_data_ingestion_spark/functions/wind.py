@@ -17,6 +17,7 @@ __all__ = [
     "cell_lat",
     "cell_lon",
     "lambert_cell_latlon",
+    "mercator_cell_latlon",
     "polar_cell_latlon",
     "speed",
     "direction_deg",
@@ -111,6 +112,40 @@ def lambert_cell_latlon(
     )
     lon = F.pmod(F.lit(math.degrees(lam0)) + F.degrees(theta) / F.lit(n),
                  F.lit(360.0))
+    return lat, lon
+
+
+def mercator_cell_latlon(
+    idx: Column,
+    *,
+    nx: int,
+    la1: float,
+    lo1: float,
+    laD: float,
+    dx: float,
+    dy: float,
+    radius: float = 6371229.0,
+) -> tuple[Column, Column]:
+    """Inverse spherical Mercator as native Catalyst expressions: cell
+    index → (lat, lon) degrees for a template-3.10 grid (NCEP
+    tropical/regional products; laD is the true-scale latitude, dx/dy
+    in metres there).
+
+    With k = R·cos φD, the forward is x = k·λ,
+    y = k·ln tan(π/4 + φ/2); the grid anchors at (la1, lo1) so the
+    per-cell inverse is one exp and one atan in whole-stage codegen —
+    no UDF. Scan mode 64 (+x east, +y north) as NOAA emits; lon is
+    normalized to [0, 360)."""
+    k = radius * math.cos(math.radians(laD))
+    x1 = k * math.radians(lo1)
+    y1 = k * math.log(math.tan(math.pi / 4 + math.radians(la1) / 2))
+
+    x = F.lit(x1) + F.pmod(idx, F.lit(nx)).cast("double") * F.lit(dx)
+    y = F.lit(y1) + F.floor(idx / F.lit(nx)).cast("double") * F.lit(dy)
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(y / F.lit(k))) - F.lit(math.pi / 2)
+    )
+    lon = F.pmod(F.degrees(x / F.lit(k)), F.lit(360.0))
     return lat, lon
 
 

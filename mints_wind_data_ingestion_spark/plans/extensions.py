@@ -1595,6 +1595,9 @@ _LAMBERT_GRIDS = [
     dict(g=2, kind="polar", nx=7, ny=5, la1=44.0, lo1=195.0,
          laD=60.0, loV=210.0, latin1=None, latin2=None,
          dx=11250.0, dy=11250.0, packing="simple"),
+    dict(g=3, kind="mercator", nx=6, ny=4, la1=5.0, lo1=140.0,
+         laD=20.0, loV=None, latin1=None, latin2=None,
+         dx=8000.0, dy=8000.0, packing="complex"),
 ]
 
 
@@ -1605,9 +1608,11 @@ def _lambert_oracle_sql() -> str:
     3.20), plus the closed-form field."""
     parts = []
     for spec in _LAMBERT_GRIDS:
+        lo_v_sql = (spec["loV"] if spec["loV"] is not None
+                    else "CAST(NULL AS DOUBLE)")
         common = (
             f"SELECT {spec['g']} AS g, i.i AS idx,\n"
-            f"           {spec['laD']} AS la_d, {spec['loV']} AS lo_v,\n"
+            f"           {spec['laD']} AS la_d, {lo_v_sql} AS lo_v,\n"
             f"           {spec['latin1'] if spec['latin1'] is not None else 'CAST(NULL AS DOUBLE)'} AS lat1,\n"
             f"           {spec['latin2'] if spec['latin2'] is not None else 'CAST(NULL AS DOUBLE)'} AS lat2,\n"
             f"           {spec['dx']} AS dx_m,\n"
@@ -1646,6 +1651,19 @@ def _lambert_oracle_sql() -> str:
          ) AS c,
          LATERAL (SELECT c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
                          c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y) AS xy""")
+        elif spec["kind"] == "mercator":
+            parts.append(common + (
+                "           CAST(round(degrees(2.0 * atan(exp(xy.y / c.k))"
+                " - pi()/2) * 10000) AS BIGINT) AS lat_e4,\n"
+                "           CAST(round((((degrees(xy.x / c.k) % 360) + 360)"
+                " % 360) * 10000) AS BIGINT) AS lon_e4\n"
+            ) + cells + f"""         (SELECT k,
+                 k * radians({spec['lo1']}) AS x1,
+                 k * ln(tan(pi()/4 + radians({spec['la1']})/2)) AS y1
+          FROM (SELECT 6371229.0 * cos(radians({spec['laD']})) AS k)
+         ) AS c,
+         LATERAL (SELECT c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
+                         c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y) AS xy""")
         else:  # polar stereographic, north aspect (p = 1)
             parts.append(common + (
                 "           CAST(round(1.0 * degrees(pi()/2 - 2 *"
@@ -1675,26 +1693,32 @@ def _lambert_oracle_sql() -> str:
        tags=("ext", "grib", "S2", "C13"))
 def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected NOAA grids (templates 3.30 Lambert conformal —
-    HRRR/NAM — and 3.20 polar stereographic — Alaska) driver-verified
-    end-to-end: three closed-form fields — a tangent-cone grid
-    (latin1 == latin2, complex-diff packed), a secant-cone grid (IEEE
-    packed), and a polar stereographic grid (simple packed) — are
-    encoded as REAL GRIB2 binary, decoded executor-side by the Arrow
-    UDTF, and every cell is mapped to (lat, lon) by the matching
-    columnar inverse projection (`functions.wind.lambert_cell_latlon`
-    / `polar_cell_latlon` — pure codegen'd expressions, no UDF).
-    Output pins the projection header fields (laD/loV/latin1/latin2/dx
-    straight from the typed header struct; latin NULL for the
-    azimuthal grid), the inverse-projected coordinates at 1e-4° (≈11 m
-    — far above the ~1e-12° cross-engine trig divergence, far below
-    any formula error), and the decoded values; the DuckDB oracle
-    recomputes the projection constants and both inverses from the
-    same public formulas in SQL. A wrong cone branch, a swapped octet
-    in the 3.20/3.30 parse, or a degree/metre mix-up anywhere breaks
-    the hash."""
+    HRRR/NAM — 3.20 polar stereographic — Alaska — and 3.10 Mercator —
+    tropical) driver-verified end-to-end: four closed-form fields — a
+    tangent-cone grid (latin1 == latin2, complex-diff packed), a
+    secant-cone grid (IEEE packed), a polar stereographic grid (simple
+    packed), and a Mercator grid (complex packed) — are encoded as
+    REAL GRIB2 binary, decoded executor-side by the Arrow UDTF, and
+    every cell is mapped to (lat, lon) by the matching columnar
+    inverse projection (`functions.wind.lambert_cell_latlon` /
+    `polar_cell_latlon` / `mercator_cell_latlon` — pure codegen'd
+    expressions, no UDF). Output pins the projection header fields
+    (laD/loV/latin1/latin2/dx straight from the typed header struct;
+    NULL exactly per each template's nullability), the
+    inverse-projected coordinates at 1e-4° (≈11 m — far above the
+    ~1e-12° cross-engine trig divergence, far below any formula
+    error), and the decoded values; the DuckDB oracle recomputes the
+    projection constants and all three inverses from the same public
+    formulas in SQL. A wrong cone branch, a swapped octet in the
+    3.10/3.20/3.30 parse, or a degree/metre mix-up anywhere breaks the
+    hash."""
     from datetime import datetime, timezone
 
-    from ..functions.wind import lambert_cell_latlon, polar_cell_latlon
+    from ..functions.wind import (
+        lambert_cell_latlon,
+        mercator_cell_latlon,
+        polar_cell_latlon,
+    )
     from ..sources.grib2codec import decode_grib2_bytes, encode_grib2_message
 
     import pandas as pd  # noqa: F811
@@ -1704,12 +1728,15 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
     for spec in _LAMBERT_GRIDS:
         vals = [((i * 5 + spec["g"] * 23) % 2600) / 100.0
                 for i in range(spec["nx"] * spec["ny"])]
-        proj = (
-            dict(lambert={k: spec[k] for k in
-                          ("laD", "loV", "latin1", "latin2", "dx", "dy")})
-            if spec["kind"] == "lambert"
-            else dict(polar={k: spec[k] for k in ("laD", "loV", "dx", "dy")})
-        )
+        if spec["kind"] == "lambert":
+            proj = dict(lambert={k: spec[k] for k in
+                                 ("laD", "loV", "latin1", "latin2",
+                                  "dx", "dy")})
+        elif spec["kind"] == "mercator":
+            proj = dict(mercator={k: spec[k] for k in ("laD", "dx", "dy")})
+        else:
+            proj = dict(polar={k: spec[k] for k in
+                               ("laD", "loV", "dx", "dy")})
         blobs.append((spec["g"], encode_grib2_message(
             vals, parameter_number=2, ref_time=ref,
             nx=spec["nx"], ny=spec["ny"], la1=spec["la1"], lo1=spec["lo1"],
@@ -1747,6 +1774,12 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("idx"), nx=spec["nx"], la1=spec["la1"],
                 lo1=spec["lo1"], laD=spec["laD"], loV=spec["loV"],
                 latin1=spec["latin1"], latin2=spec["latin2"],
+                dx=spec["dx"], dy=spec["dy"],
+            )
+        elif spec["kind"] == "mercator":
+            lat, lon = mercator_cell_latlon(
+                F.col("idx"), nx=spec["nx"], la1=spec["la1"],
+                lo1=spec["lo1"], laD=spec["laD"],
                 dx=spec["dx"], dy=spec["dy"],
             )
         else:

@@ -7,6 +7,8 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 0-8) for the template family GFS wind extracts use:
 
 - section 3 template 3.0  (latitude/longitude grid)
+- section 3 template 3.10 (Mercator — NCEP tropical/regional grids;
+  r6)
 - section 3 template 3.20 (polar stereographic — the NOAA Alaska and
   polar grids; r6)
 - section 3 template 3.30 (Lambert conformal — the HRRR/NAM grid; r6)
@@ -93,6 +95,7 @@ _STAT_PROCESS = {
 _GEN_PROCESS = {2: "Forecast"}
 _GDT_NAME = {
     0: "Latitude_Longitude",
+    10: "Mercator",
     20: "Polar_Stereographic",
     30: "Lambert_Conformal",
 }
@@ -622,10 +625,34 @@ def _decode_message(msg: bytes) -> dict:
 
     o3, slen3 = sec[3]
     gdt = _u(msg, o3 + 12, 2)
-    if gdt not in (0, 20, 30):
+    if gdt not in (0, 10, 20, 30):
         raise ValueError(f"grid definition template 3.{gdt} unsupported")
     n_points = _u(msg, o3 + 6, 4)
-    if gdt == 0:
+    if gdt == 10:
+        # template 3.10 — Mercator (NCEP tropical/regional products):
+        # carries BOTH corner points (degrees) and metre dx/dy true at
+        # laD; a rotated grid (nonzero orientation) stays fail-loud
+        orient = _u(msg, o3 + 60, 4)
+        if orient != 0:
+            raise ValueError(
+                f"Mercator grid orientation {orient} unsupported (0 only)"
+            )
+        grid = {
+            "gridUnits": "m",
+            "la1": _deg(msg, o3 + 38),
+            "lo1": _deg(msg, o3 + 42),
+            "la2": _deg(msg, o3 + 51),
+            "lo2": _deg(msg, o3 + 55),
+            "dx": _u(msg, o3 + 64, 4) / 1000.0,
+            "dy": _u(msg, o3 + 68, 4) / 1000.0,
+            "basicAngle": None,
+            "scanMode": msg[o3 + 59],
+            "resolution": msg[o3 + 46],
+            "laD": _deg(msg, o3 + 47),
+            "loV": None,  # Mercator has no orientation longitude
+            "latin1": None, "latin2": None, "projectionCentre": None,
+        }
+    elif gdt == 0:
         grid = {
             "gridUnits": "degrees",
             "la1": _deg(msg, o3 + 46),
@@ -832,6 +859,7 @@ def encode_grib2_message(
     statistical_process: int = 1,
     lambert: dict | None = None,
     polar: dict | None = None,
+    mercator: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -848,10 +876,13 @@ def encode_grib2_message(
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
     template 3.20 (polar stereographic, the Alaska/polar grids): keys
     laD, loV, dx, dy and optional south=True for the south-pole
-    aspect. For both, la1/lo1 stay the first grid point and scan_mode
-    should be 64 (+x/+y row-major) as NOAA emits. Otherwise la2/lo2
-    derive from the grid shape the way scanMode 0 lays it out (rows
-    N→S, lon W→E)."""
+    aspect. `mercator` switches it to template 3.10 (NCEP tropical
+    grids): keys laD, dx, dy — the far corner (la2, lo2) derives from
+    the spherical Mercator forward at cell (nx-1, ny-1). For all
+    three, la1/lo1 stay the first grid point and scan_mode should be
+    64 (+x/+y row-major) as NOAA emits. Otherwise la2/lo2 derive from
+    the grid shape the way scanMode 0 lays it out (rows N→S, lon
+    W→E)."""
     values = np.asarray(values, dtype=np.float64)
     n = values.size
     if n != nx * ny:
@@ -903,9 +934,9 @@ def encode_grib2_message(
                  ref_time.minute, ref_time.second])
         + bytes([0, 1])  # productStatus 0, productType 1
     )
-    if lambert and polar:
-        raise ValueError("at most one of lambert/polar")
-    gdt_code = 30 if lambert else (20 if polar else 0)
+    if sum(x is not None for x in (lambert, polar, mercator)) > 1:
+        raise ValueError("at most one of lambert/polar/mercator")
+    gdt_code = (30 if lambert else 20 if polar else 10 if mercator else 0)
     s3_prefix = (
         b"\x03\x00"
         + n.to_bytes(4, "big")
@@ -918,7 +949,25 @@ def encode_grib2_message(
         + nx.to_bytes(4, "big")
         + ny.to_bytes(4, "big")
     )
-    if lambert or polar:
+    if mercator:
+        k = 6371229.0 * math.cos(math.radians(mercator["laD"]))
+        y1 = k * math.log(math.tan(math.pi / 4 + math.radians(la1) / 2))
+        la2m = math.degrees(
+            2 * math.atan(math.exp((y1 + (ny - 1) * mercator["dy"]) / k))
+            - math.pi / 2
+        )
+        lo2m = (lo1 + math.degrees((nx - 1) * mercator["dx"] / k)) % 360.0
+        s3 = s3_prefix + (
+            _put_deg(la1) + _put_deg(lo1)
+            + bytes([8])  # resolution/component flags
+            + _put_deg(mercator["laD"])
+            + _put_deg(la2m) + _put_deg(lo2m)
+            + bytes([scan_mode])
+            + (0).to_bytes(4, "big")  # orientation: 0
+            + round(mercator["dx"] * 1000).to_bytes(4, "big")
+            + round(mercator["dy"] * 1000).to_bytes(4, "big")
+        )
+    elif lambert or polar:
         proj = lambert or polar
         centre = 0x80 if (polar or {}).get("south") else 0
         s3 = s3_prefix + (
