@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cell_lat",
     "cell_lon",
+    "gaussian_cell_latlon",
     "lambert_cell_latlon",
     "mercator_cell_latlon",
     "polar_cell_latlon",
@@ -33,6 +34,37 @@ def cell_lat(idx: Column, nx: Column | int = 360, la1: Column | float = 90.0, dy
 def cell_lon(idx: Column, nx: Column | int = 360, lo1: Column | float = 0.0, dx: Column | float = 1.0) -> Column:
     """lon(i) = lo1 + (i mod nx) * dx  (C13; lon fastest W→E)."""
     return F.lit(lo1) + F.pmod(idx, F.lit(nx)) * F.lit(dx)
+
+
+def gaussian_cell_latlon(
+    idx: Column,
+    *,
+    nx: int,
+    n: int,
+    lo1: float,
+    dx: float,
+) -> tuple[Column, Column]:
+    """Cell index → (lat, lon) degrees for a regular Gaussian grid
+    (template 3.40, N parallels pole→equator): longitude is the same
+    uniform `lo1 + (i mod nx)·dx` as 3.0, latitude is a LOOKUP into
+    the 2N Gauss-Legendre quadrature latitudes
+    (sources.grib2codec.gaussian_latitudes — a driver-side Newton/
+    eigensolve, never per-row work).
+
+    The lookup ships as a plan-literal array (element_at on a
+    foldable array<double>) — ~12 KB of literals at the operational
+    N=768, well under plan-size limits and broadcast-free; at an
+    extreme N a caller can join a (row, lat) broadcast dim instead,
+    but every real grid family fits the literal. Pure codegen'd
+    expressions — no UDF, no shuffle. Scan mode 0/64 start at row 0 =
+    the northernmost latitude, matching gaussian_latitudes' order."""
+    from ..sources.grib2codec import gaussian_latitudes
+
+    lats = F.array(*[F.lit(float(v)) for v in gaussian_latitudes(n)])
+    lat = F.element_at(lats, (F.floor(idx / F.lit(nx)) + 1).cast("int"))
+    lon = F.pmod(F.lit(lo1) + F.pmod(idx, F.lit(nx)).cast("double")
+                 * F.lit(dx), F.lit(360.0))
+    return lat, lon
 
 
 def lambert_cell_latlon(

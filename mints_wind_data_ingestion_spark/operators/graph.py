@@ -133,6 +133,14 @@ def connected_components(
             # scan for the probe, noise next to its O(log² n) rounds;
             # callers that KNOW they're huge pass local_solve_edges=0
             # to skip the probe entirely.
+            # Caller contract: the probe counts RAW rows, so an edge
+            # list with >threshold duplicate rows over a tiny distinct
+            # edge set takes the distributed path (correct, just not
+            # the local fast path) and the pull may hold threshold+1
+            # duplicates. Every in-repo producer (dedup pair gens)
+            # emits near-deduped canonical pairs; a duplicate-heavy
+            # caller should .distinct() first or pass
+            # local_solve_edges=0.
             pdf = raw.limit(threshold + 1).toPandas()
             if len(pdf) <= threshold:
                 return _cc_local(sess, pdf)

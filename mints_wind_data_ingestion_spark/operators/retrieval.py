@@ -117,6 +117,11 @@ def bm25_topk(
     are collapsed (classic BM25 with binary query-term frequency).
     Ties rank by ascending document id, so output is deterministic.
     """
+    # k1/b are embedded into SQL strings via repr() below: a numpy
+    # scalar (repr "np.float64(1.2)" under numpy 2.x) or Decimal would
+    # produce unparsable SQL where the old F.lit() path accepted them —
+    # coerce to plain float first, same as int() already does for qids
+    k1, b = float(k1), float(b)
     qlist = [(int(qid), sorted(set(ts))) for qid, ts in queries]
     if len({qid for qid, _ in qlist}) != len(qlist):
         raise ValueError("bm25_topk: duplicate query_id in queries")

@@ -843,14 +843,18 @@ def _bm25_salt_buckets(raw) -> int:
     return 1 if nbytes is not None and nbytes < (256 << 20) else 32
 
 
-@query("x_bm25_topk", oracle=_bm25_oracle(), tags=("ext", "text", "retrieval"),
-       driver=False)
+@query("x_bm25_topk", oracle=_bm25_oracle(), tags=("ext", "text", "retrieval"))
 def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 per query for a fixed 3-query workload — lexical
     retrieval over `documents` (operators.retrieval.bm25_topk: one
     term-pruned corpus pass, broadcast df/idf, salted two-phase
     top-k). Scores ride the hash as round(score·1e6) bigints; ties
-    rank by doc_id, so the result set is fully deterministic."""
+    rank by doc_id, so the result set is fully deterministic.
+
+    Driver-verified since r7 (VERDICT r6 #5): the constant-term path
+    previously rode x_text_suite's composite hash; with free driver
+    slots the strongest retrieval operator carries the hard signal on
+    BOTH paths (this one and x_bm25_table) independently."""
     from ..operators.retrieval import bm25_topk
 
     # work_factor: ~17 codegen'd regex scans per row (8 terms × 2
@@ -1598,6 +1602,12 @@ _LAMBERT_GRIDS = [
     dict(g=3, kind="mercator", nx=6, ny=4, la1=5.0, lo1=140.0,
          laD=20.0, loV=None, latin1=None, latin2=None,
          dx=8000.0, dy=8000.0, packing="complex"),
+    # regular Gaussian lat/lon (template 3.40; r7): N=3 → 6 quadrature
+    # parallels; la1/laD derive from the quadrature (None here), dx is
+    # the uniform longitude step in DEGREES (gridUnits "degrees")
+    dict(g=4, kind="gaussian", nx=8, ny=6, la1=None, lo1=0.0,
+         laD=None, loV=None, latin1=None, latin2=None,
+         dx=45.0, dy=None, packing="complex_diff1", n_gauss=3),
 ]
 
 
@@ -1605,14 +1615,19 @@ def _lambert_oracle_sql() -> str:
     """Closed-form DuckDB replay of the projected-grid suite: per grid,
     recompute the projection constants and the columnar inverse in SQL
     (same Snyder spherical formulas — conic for 3.30, azimuthal for
-    3.20), plus the closed-form field."""
+    3.20), plus the closed-form field. The Gaussian grid's quadrature
+    latitudes are pure math (roots of P_{2N}) computed once here in
+    Python and embedded as an exact-repr list literal — the identical
+    doubles the Spark plan carries, so the 1e-4° rounding agrees."""
     parts = []
     for spec in _LAMBERT_GRIDS:
+        la_d_sql = (spec["laD"] if spec["laD"] is not None
+                    else "CAST(NULL AS DOUBLE)")
         lo_v_sql = (spec["loV"] if spec["loV"] is not None
                     else "CAST(NULL AS DOUBLE)")
         common = (
             f"SELECT {spec['g']} AS g, i.i AS idx,\n"
-            f"           {spec['laD']} AS la_d, {lo_v_sql} AS lo_v,\n"
+            f"           {la_d_sql} AS la_d, {lo_v_sql} AS lo_v,\n"
             f"           {spec['latin1'] if spec['latin1'] is not None else 'CAST(NULL AS DOUBLE)'} AS lat1,\n"
             f"           {spec['latin2'] if spec['latin2'] is not None else 'CAST(NULL AS DOUBLE)'} AS lat2,\n"
             f"           {spec['dx']} AS dx_m,\n"
@@ -1664,6 +1679,30 @@ def _lambert_oracle_sql() -> str:
          ) AS c,
          LATERAL (SELECT c.x1 + (i.i % {spec['nx']}) * {spec['dx']} AS x,
                          c.y1 + (i.i // {spec['nx']}) * {spec['dy']} AS y) AS xy""")
+        elif spec["kind"] == "gaussian":
+            # exact-repr quadrature latitudes — the same doubles the
+            # Spark plan embeds via gaussian_cell_latlon, so rounding
+            # to 1e-4° can never disagree
+            from ..sources.grib2codec import gaussian_latitudes
+
+            # CAST('…' AS DOUBLE): a bare high-precision literal parses
+            # as DECIMAL in DuckDB (overflows the *10000, and a
+            # decimal→double hop could round differently); the string
+            # path is the correctly-rounded double parser — identical
+            # bits to the Python float the Spark plan embeds
+            lat_list = ", ".join(
+                f"CAST('{float(v)!r}' AS DOUBLE)"
+                for v in gaussian_latitudes(spec["n_gauss"])
+            )
+            parts.append(common + (
+                f"           CAST(round(list_extract([{lat_list}],"
+                f" CAST(i.i // {spec['nx']} AS INT) + 1) * 10000)"
+                " AS BIGINT) AS lat_e4,\n"
+                f"           CAST(round(((({spec['lo1']}"
+                f" + (i.i % {spec['nx']}) * {spec['dx']}) % 360) + 360)"
+                " % 360 * 10000) AS BIGINT) AS lon_e4\n"
+                f"    FROM unnest(generate_series(0, "
+                f"{spec['nx'] * spec['ny'] - 1})) AS i(i)"))
         else:  # polar stereographic, north aspect (p = 1)
             parts.append(common + (
                 "           CAST(round(1.0 * degrees(pi()/2 - 2 *"
@@ -1692,17 +1731,22 @@ def _lambert_oracle_sql() -> str:
 @query("x_grib_lambert", oracle=_lambert_oracle_sql(),
        tags=("ext", "grib", "S2", "C13"))
 def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projected NOAA grids (templates 3.30 Lambert conformal —
-    HRRR/NAM — 3.20 polar stereographic — Alaska — and 3.10 Mercator —
-    tropical) driver-verified end-to-end: four closed-form fields — a
-    tangent-cone grid (latin1 == latin2, complex-diff packed), a
-    secant-cone grid (IEEE packed), a polar stereographic grid (simple
-    packed), and a Mercator grid (complex packed) — are encoded as
+    """Projected/non-uniform NOAA grids (templates 3.30 Lambert
+    conformal — HRRR/NAM — 3.20 polar stereographic — Alaska — 3.10
+    Mercator — tropical — and 3.40 regular Gaussian — the
+    spectral-era NCEP/ECMWF family; r7) driver-verified end-to-end:
+    five closed-form fields — a tangent-cone grid (latin1 == latin2,
+    complex-diff packed), a secant-cone grid (IEEE packed), a polar
+    stereographic grid (simple packed), a Mercator grid (complex
+    packed), and a Gaussian grid (first-order complex-diff packed;
+    rows at the Gauss-Legendre quadrature latitudes) — are encoded as
     REAL GRIB2 binary, decoded executor-side by the Arrow UDTF, and
     every cell is mapped to (lat, lon) by the matching columnar
     inverse projection (`functions.wind.lambert_cell_latlon` /
-    `polar_cell_latlon` / `mercator_cell_latlon` — pure codegen'd
-    expressions, no UDF). Output pins the projection header fields
+    `polar_cell_latlon` / `mercator_cell_latlon` /
+    `gaussian_cell_latlon` — pure codegen'd expressions, no UDF; the
+    Gaussian latitudes ship as a plan-literal array). Output pins the
+    projection header fields
     (laD/loV/latin1/latin2/dx straight from the typed header struct;
     NULL exactly per each template's nullability), the
     inverse-projected coordinates at 1e-4° (≈11 m — far above the
@@ -1715,6 +1759,7 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime, timezone
 
     from ..functions.wind import (
+        gaussian_cell_latlon,
         lambert_cell_latlon,
         mercator_cell_latlon,
         polar_cell_latlon,
@@ -1734,12 +1779,18 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "dx", "dy")})
         elif spec["kind"] == "mercator":
             proj = dict(mercator={k: spec[k] for k in ("laD", "dx", "dy")})
+        elif spec["kind"] == "gaussian":
+            # la1/la2 derive from the quadrature inside the encoder;
+            # dx is the uniform longitude step (degrees, top-level)
+            proj = dict(gaussian_n=spec["n_gauss"], dx=spec["dx"])
         else:
             proj = dict(polar={k: spec[k] for k in
                                ("laD", "loV", "dx", "dy")})
         blobs.append((spec["g"], encode_grib2_message(
             vals, parameter_number=2, ref_time=ref,
-            nx=spec["nx"], ny=spec["ny"], la1=spec["la1"], lo1=spec["lo1"],
+            nx=spec["nx"], ny=spec["ny"],
+            la1=spec["la1"] if spec["la1"] is not None else 90.0,
+            lo1=spec["lo1"],
             scan_mode=64, packing=spec["packing"], **proj,
         )))
     bdf = spark.createDataFrame(blobs, "g int, blob binary")
@@ -1781,6 +1832,11 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("idx"), nx=spec["nx"], la1=spec["la1"],
                 lo1=spec["lo1"], laD=spec["laD"],
                 dx=spec["dx"], dy=spec["dy"],
+            )
+        elif spec["kind"] == "gaussian":
+            lat, lon = gaussian_cell_latlon(
+                F.col("idx"), nx=spec["nx"], n=spec["n_gauss"],
+                lo1=spec["lo1"], dx=spec["dx"],
             )
         else:
             lat, lon = polar_cell_latlon(

@@ -135,10 +135,18 @@ def _cacheable_build(
         hit = _plan_cache.get(key)
         if hit is not None:
             return hit
+        # Eager-build detection must be JOB-GROUP-AWARE: jobs launched
+        # during build inherit the calling thread's job group (set by
+        # e.g. structured-streaming foreachBatch or a caller's
+        # setJobGroup), and getJobIdsForGroup(None) only lists
+        # group-LESS jobs — probing the current group keeps detection
+        # working under a group, so an eager build can never be cached
+        # as lazy there (ADVICE r6).
         tracker = spark._jsc.sc().statusTracker()
-        before = set(list(tracker.getJobIdsForGroup(None)))
+        group = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+        before = set(list(tracker.getJobIdsForGroup(group)))
         df = fn(spark, sf_dir)
-        after = set(list(tracker.getJobIdsForGroup(None)))
+        after = set(list(tracker.getJobIdsForGroup(group)))
         if after - before:
             _never_cache.add(name)  # eager build — must re-run every time
             return df

@@ -27,7 +27,7 @@ def _f(name: str, dtype) -> StructField:
     return StructField(name, dtype, nullable=True)
 
 
-#: GRIB2 metadata header — 57 keys, typed (reference: opaque jsonb,
+#: GRIB2 metadata header — 58 keys, typed (reference: opaque jsonb,
 #: dbwindsetup.sql:7). The four interval-statistics keys are NULL for
 #: point-in-time (template 4.0) records and populated for statistical
 #: (template 4.8) records; the five projection keys are NULL for
@@ -86,7 +86,9 @@ WIND_HEADER = StructType(
         _f("lo1", DoubleType()),
         _f("lo2", DoubleType()),
         _f("dx", DoubleType()),
-        _f("dy", DoubleType()),
+        _f("dy", DoubleType()),  # NULL for Gaussian grids (3.40): rows
+        # sit at the non-uniform quadrature latitudes
+        _f("gaussianN", IntegerType()),  # 3.40 only: parallels pole→equator
         _f("basicAngle", IntegerType()),
         _f("scanMode", IntegerType()),  # 0: lon fastest W→E, rows N→S
         _f("resolution", IntegerType()),

@@ -12,6 +12,10 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 - section 3 template 3.20 (polar stereographic — the NOAA Alaska and
   polar grids; r6)
 - section 3 template 3.30 (Lambert conformal — the HRRR/NAM grid; r6)
+- section 3 template 3.40 (regular Gaussian latitude/longitude — the
+  spectral-era NCEP/ECMWF grid family; parallels sit at the
+  Gauss-Legendre quadrature latitudes, computed driver-side from the
+  roots of P_{2N}; r7)
 - section 4 template 4.0  (analysis/forecast at a point in time)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
@@ -26,6 +30,12 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
   from-scratch RFC 2083 decode over stdlib zlib: chunk walk, all five
   scanline filters, 1/2/4/8/16-bit grayscale + 24/32-bit RGB(A)
   sample layouts per the g2clib convention; r6)
+- section 5 template 5.40 (JPEG2000 packing — import-GATED like
+  multimodal's JPEG/MP3: decoded when an OpenJPEG binding (glymur or
+  openjpeg) is importable, otherwise the message quarantines with a
+  typed unsupported-template error instead of failing the file; the
+  container ships no JPEG2000 codec, so the gate is the honest
+  posture — r7)
 - section 6 bitmap indicator 255 (no bitmap) or 0 (bitmap present)
 
 Decoding is numpy-vectorized (unpackbits + matmul — no per-point
@@ -58,6 +68,7 @@ __all__ = [
     "iter_grib2_messages",
     "encode_grib2_message",
     "encode_grib2_file",
+    "gaussian_latitudes",
 ]
 
 # --- code-table names grib2json emits (the subset our fixtures use; an
@@ -98,6 +109,7 @@ _GDT_NAME = {
     10: "Mercator",
     20: "Polar_Stereographic",
     30: "Lambert_Conformal",
+    40: "Gaussian_Latitude_Longitude",
 }
 _SHAPE = {6: "Earth spherical with radius of 6,371,229.0 m"}
 
@@ -126,6 +138,30 @@ def _deg(b: bytes, o: int) -> float:
 
 def _put_deg(v: float) -> bytes:
     return _put_s(round(v * 1e6), 4)
+
+
+_gauss_lat_cache: dict[int, np.ndarray] = {}
+
+
+def gaussian_latitudes(n: int) -> np.ndarray:
+    """The 2N Gaussian latitudes (degrees, north→south) of a regular
+    Gaussian grid with N parallels between pole and equator (template
+    3.40 octets 68-71): arcsin of the Gauss-Legendre quadrature nodes —
+    the roots of the Legendre polynomial P_{2N}. numpy's leggauss
+    computes the nodes (Golub-Welsch eigensolve); an independent Newton
+    iteration on P_{2N} pins them in tests/test_gaussian_grid.py.
+
+    Driver-side only — O(N) doubles, computed once per N and cached
+    (operational grids top out around N=768, i.e. 1 536 float64s ≈
+    12 KB: plan-literal sized)."""
+    if n < 1:
+        raise ValueError(f"Gaussian grid needs N >= 1, got {n}")
+    if n not in _gauss_lat_cache:
+        nodes, _w = np.polynomial.legendre.leggauss(2 * n)
+        # leggauss returns nodes ascending in sin(lat); GRIB scans rows
+        # north→south (scan mode 0/64 start at la1 = northernmost)
+        _gauss_lat_cache[n] = np.degrees(np.arcsin(nodes))[::-1].copy()
+    return _gauss_lat_cache[n]
 
 
 def _unpack_values(
@@ -374,6 +410,40 @@ def _png_encode_samples(
     )
 
 
+# --- JPEG2000 packing (template 5.40) ---------------------------------------
+
+
+def _jpeg2000_decode_samples(data: bytes, n: int) -> np.ndarray:
+    """Scaled ints from the JPEG2000 codestream of a template-5.40
+    section 7 — import-GATED on an OpenJPEG binding (glymur), the
+    same honest posture as multimodal's JPEG/MP3 gates: the container
+    ships no JPEG2000 codec and a from-scratch EBCOT/wavelet decoder
+    is out of scope, so absent the binding this raises the standard
+    unsupported-template ValueError and the message QUARANTINES
+    (scan_grib2_bytes) instead of poisoning the file. With glymur
+    installed the codestream decodes losslessly (NCEP encodes 5.40
+    reversible) to the same int samples the other packings carry."""
+    try:
+        import glymur  # noqa: PLC0415 — the gate IS the import
+    except ImportError as exc:
+        raise ValueError(
+            "data representation template 5.40 (JPEG2000) requires an "
+            "OpenJPEG binding (glymur) which is not installed"
+        ) from exc
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".j2k") as fh:
+        fh.write(data)
+        fh.flush()
+        arr = np.asarray(glymur.Jp2k(fh.name)[:])
+    x = arr.reshape(-1).astype(np.int64)
+    if x.size < n:
+        raise ValueError(
+            f"JPEG2000 packing: {x.size} samples for {n} points"
+        )
+    return x[:n]
+
+
 def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
     """Decode section 7 for templates 5.2/5.3 (complex packing,
     optionally with spatial differencing) → float32 values.
@@ -569,9 +639,11 @@ def decode_grib2_bytes(
     Header keys mirror the reference's golden fixture
     (data/u_comp.json) — numeric codes plus the human-readable *Name
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
-    For a framed-valid message using a template outside the GFS wind
-    family (grid 3.0/3.20/3.30 / product 4.0/4.8 / packing
-    5.0/5.2/5.3/5.4):
+    For a framed-valid message using a template outside the supported
+    family (grid 3.0/3.10/3.20/3.30/3.40 / product 4.0/4.8 / packing
+    5.0/5.2/5.3/5.4/5.41, plus 5.40 when an OpenJPEG binding is
+    importable — without one 5.40 messages take the unsupported path
+    below):
     `on_unsupported='raise'` (default) fails the whole file loud;
     `'skip'` drops that message and decodes the rest — the
     quarantine-not-corrupt mode (see scan_grib2_bytes for the variant
@@ -625,7 +697,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o3, slen3 = sec[3]
     gdt = _u(msg, o3 + 12, 2)
-    if gdt not in (0, 10, 20, 30):
+    if gdt not in (0, 10, 20, 30, 40):
         raise ValueError(f"grid definition template 3.{gdt} unsupported")
     n_points = _u(msg, o3 + 6, 4)
     if gdt == 10:
@@ -651,8 +723,34 @@ def _decode_message(msg: bytes) -> dict:
             "laD": _deg(msg, o3 + 47),
             "loV": None,  # Mercator has no orientation longitude
             "latin1": None, "latin2": None, "projectionCentre": None,
+            "gaussianN": None,
         }
-    elif gdt == 0:
+    elif gdt in (0, 40):
+        # template 3.40 (regular Gaussian lat/lon) shares 3.0's layout
+        # exactly, except octets 68-71 carry N — the number of
+        # parallels between a pole and the equator — instead of Dj:
+        # the Nj = 2N rows sit at the Gauss-Legendre quadrature
+        # latitudes, so dy is None (non-uniform row spacing) and the
+        # per-row latitude comes from `gaussian_latitudes(N)`.
+        gauss_n = None
+        if gdt == 40:
+            gauss_n = _u(msg, o3 + 67, 4)
+            ny_g = _u(msg, o3 + 34, 4)
+            if ny_g != 2 * gauss_n:
+                raise ValueError(
+                    f"Gaussian grid Nj {ny_g} != 2N (N={gauss_n}) unsupported"
+                    " (thinned/reduced Gaussian grids not implemented)"
+                )
+            la1_g = _deg(msg, o3 + 46)
+            lat0 = float(gaussian_latitudes(gauss_n)[0])
+            # real emitters encode La1 as the first quadrature latitude
+            # rounded to microdegrees; a mismatch means the grid is not
+            # the regular Gaussian layout this decode assumes
+            if abs(abs(la1_g) - lat0) > 1e-3:
+                raise ValueError(
+                    f"Gaussian grid la1 {la1_g} does not match the first"
+                    f" quadrature latitude ±{lat0:.6f} for N={gauss_n}"
+                )
         grid = {
             "gridUnits": "degrees",
             "la1": _deg(msg, o3 + 46),
@@ -660,12 +758,13 @@ def _decode_message(msg: bytes) -> dict:
             "la2": _deg(msg, o3 + 55),
             "lo2": _deg(msg, o3 + 59),
             "dx": _deg(msg, o3 + 63),
-            "dy": _deg(msg, o3 + 67),
+            "dy": _deg(msg, o3 + 67) if gdt == 0 else None,
             "basicAngle": _u(msg, o3 + 38, 4),
             "scanMode": msg[o3 + 71],
             "resolution": msg[o3 + 54],
             "laD": None, "loV": None,
             "latin1": None, "latin2": None, "projectionCentre": None,
+            "gaussianN": gauss_n,
         }
     else:
         # templates 3.20 (polar stereographic — the NOAA Alaska/polar
@@ -687,6 +786,7 @@ def _decode_message(msg: bytes) -> dict:
             "latin1": _deg(msg, o3 + 65) if gdt == 30 else None,
             "latin2": _deg(msg, o3 + 69) if gdt == 30 else None,
             "projectionCentre": msg[o3 + 63],
+            "gaussianN": None,
         }
 
     o4 = sec[4]
@@ -730,7 +830,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o5 = sec[5][0]
     drt = _u(msg, o5 + 9, 2)
-    if drt not in (0, 2, 3, 4, 41):
+    if drt not in (0, 2, 3, 4, 40, 41):
         raise ValueError(f"data representation template 5.{drt} unsupported")
 
     o6, slen6 = sec[6]
@@ -758,6 +858,25 @@ def _decode_message(msg: bytes) -> dict:
         vals = np.frombuffer(
             msg[o7 + 5 : o7 + slen7], dtype=">f4", count=n_packed
         ).astype(np.float32)
+    elif drt == 40:
+        # template 5.40: same R/E/D head as simple packing, the scaled
+        # ints ride a JPEG2000 codestream in section 7 (several
+        # operational NCEP products). Import-GATED: the container
+        # ships no OpenJPEG binding, so without one the message
+        # quarantines via the standard unsupported-ValueError path
+        # (tests/test_round7.py pins both branches of the gate).
+        ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
+        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        nbits = msg[o5 + 19]
+        if nbits == 0:  # constant field — no codestream to decode
+            x = np.zeros(n_packed, dtype=np.int64)
+        else:
+            x = _jpeg2000_decode_samples(
+                msg[o7 + 5 : o7 + slen7], n_packed
+            )
+        vals = ((ref + x * math.ldexp(1.0, e)) / 10.0**d).astype(
+            np.float32
+        )
     elif drt == 41:
         # template 5.41: same R/E/D head as simple packing, the scaled
         # ints ride a PNG stream in section 7 (NCEP MRMS-class files)
@@ -860,6 +979,7 @@ def encode_grib2_message(
     lambert: dict | None = None,
     polar: dict | None = None,
     mercator: dict | None = None,
+    gaussian_n: int | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -880,14 +1000,26 @@ def encode_grib2_message(
     grids): keys laD, dx, dy — the far corner (la2, lo2) derives from
     the spherical Mercator forward at cell (nx-1, ny-1). For all
     three, la1/lo1 stay the first grid point and scan_mode should be
-    64 (+x/+y row-major) as NOAA emits. Otherwise la2/lo2 derive from
-    the grid shape the way scanMode 0 lays it out (rows N→S, lon
-    W→E)."""
+    64 (+x/+y row-major) as NOAA emits. `gaussian_n` switches it to
+    template 3.40 (regular Gaussian lat/lon): ny must equal 2N,
+    la1/la2 derive from the Gauss-Legendre quadrature (the passed
+    la1/dy are ignored — the grid's rows are DEFINED by N), dx stays
+    the uniform longitude step. Otherwise la2/lo2 derive from the
+    grid shape the way scanMode 0 lays it out (rows N→S, lon W→E)."""
     values = np.asarray(values, dtype=np.float64)
     n = values.size
     if n != nx * ny:
         raise ValueError(f"{n} values for a {nx}x{ny} grid")
-    la2, lo2 = la1 - dy * (ny - 1), lo1 + dx * (nx - 1)
+    if gaussian_n is not None:
+        if ny != 2 * gaussian_n:
+            raise ValueError(
+                f"Gaussian grid ny {ny} != 2N (N={gaussian_n})"
+            )
+        lats = gaussian_latitudes(gaussian_n)
+        la1, la2 = float(lats[0]), float(lats[-1])
+        lo2 = lo1 + dx * (nx - 1)
+    else:
+        la2, lo2 = la1 - dy * (ny - 1), lo1 + dx * (nx - 1)
 
     if packing == "ieee":
         packed = values.astype(">f4").tobytes()
@@ -934,9 +1066,10 @@ def encode_grib2_message(
                  ref_time.minute, ref_time.second])
         + bytes([0, 1])  # productStatus 0, productType 1
     )
-    if sum(x is not None for x in (lambert, polar, mercator)) > 1:
-        raise ValueError("at most one of lambert/polar/mercator")
-    gdt_code = (30 if lambert else 20 if polar else 10 if mercator else 0)
+    if sum(x is not None for x in (lambert, polar, mercator, gaussian_n)) > 1:
+        raise ValueError("at most one of lambert/polar/mercator/gaussian_n")
+    gdt_code = (30 if lambert else 20 if polar else 10 if mercator
+                else 40 if gaussian_n is not None else 0)
     s3_prefix = (
         b"\x03\x00"
         + n.to_bytes(4, "big")
@@ -985,13 +1118,17 @@ def encode_grib2_message(
                 + _put_deg(-90.0) + _put_deg(0.0)  # southern pole (unused)
             )
     else:
+        # 3.0 and 3.40 share the layout; 3.40's octets 68-71 carry N
+        # (parallels pole→equator) where 3.0 carries Dj
         s3 = s3_prefix + (
             (0).to_bytes(4, "big")  # basic angle
             + (0).to_bytes(4, "big")  # subdivisions
             + _put_deg(la1) + _put_deg(lo1)
             + bytes([48])  # resolution/component flags (di, dj given)
             + _put_deg(la2) + _put_deg(lo2)
-            + _put_deg(dx) + _put_deg(dy)
+            + _put_deg(dx)
+            + (gaussian_n.to_bytes(4, "big") if gaussian_n is not None
+               else _put_deg(dy))
             + bytes([scan_mode])
         )
     s4 = (

@@ -99,6 +99,29 @@ def test_midplan_persist_never_cached(spark, sf_dir, plan_cache):
     spark.catalog.clearCache()
 
 
+def test_eager_build_detected_under_job_group(spark, sf_dir, plan_cache):
+    """Jobs launched during build inherit the calling thread's job
+    group — getJobIdsForGroup(None) only lists group-LESS jobs, so
+    detection must probe the CURRENT group or an eager build under
+    e.g. foreachBatch would be cached as lazy (ADVICE r6)."""
+    builds = {"n": 0}
+
+    @query("zz_test_eager_grouped", tags=("test",), driver=False)
+    def zz_test_eager_grouped(sess, _sf):
+        builds["n"] += 1
+        seed = sess.range(10).count()  # job runs INSIDE the group
+        return sess.range(seed)
+
+    q = REGISTRY["zz_test_eager_grouped"]
+    spark.sparkContext.setJobGroup("zz-group", "plan-cache gate test")
+    try:
+        q.build(spark, sf_dir)
+        q.build(spark, sf_dir)
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    assert builds["n"] == 2  # self-excluded even under a job group
+
+
 def test_lazy_build_cached_and_results_stay_live(spark, sf_dir, plan_cache):
     """The cached handle is a PLAN, not a result: execution still runs
     (a fresh action on the reused handle sees the same data and
