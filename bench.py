@@ -25,6 +25,68 @@ from mints_wind_data_ingestion_spark.plans import enable_plan_cache  # noqa: E40
 from mints_wind_data_ingestion_spark.session import get_spark  # noqa: E402
 
 
+def load_history(hist_path: str) -> dict[str, float]:
+    """BENCH_HISTORY.json's per-query minimums — this harness's own
+    rolling ledger, updated at the end of every run."""
+    try:
+        with open(hist_path) as fh:
+            loaded = json.load(fh)
+        return {
+            k: float(v)
+            for k, v in (loaded.get("queries") or {}).items()
+            if isinstance(v, (int, float))
+        }
+    except (OSError, ValueError, AttributeError, TypeError):
+        return {}  # malformed/absent ledger: rebuild from artifacts
+
+
+def load_prior_min(here: str, hist: dict[str, float]) -> dict[str, float]:
+    """Cross-round per-query minimums (VERDICT r4 #8): burst-retry
+    targets that separate host drift from regression.
+
+    BENCH_HISTORY.json is AUTHORITATIVE for every name it carries
+    (VERDICT r6 #1): the ledger can be deliberately RESEEDED upward
+    when a measured plan change retires an old minimum (BASELINE.md
+    "Ledger resets, not rolls"), and min-merging the stale BENCH_r*
+    artifacts back in would silently re-pollute the target — making
+    the 1.35× retry trigger fire forever on an unreachable number.
+    Recorded artifacts only seed names the ledger doesn't know yet
+    (just-added/renamed queries)."""
+    prior_min = dict(hist)
+    for fn in sorted(os.listdir(here)):
+        if not (fn.startswith("BENCH_r") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(here, fn)) as fh:
+                art = json.load(fh)
+            qs = (art.get("parsed") or {}).get("queries") or art.get("queries") or {}
+            for k, v in qs.items():
+                if k not in hist and isinstance(v, (int, float)):
+                    prior_min[k] = min(prior_min.get(k, float("inf")), float(v))
+        except (OSError, ValueError, AttributeError, TypeError):
+            continue  # malformed artifact: skip, never abort the bench
+    return prior_min
+
+
+def roll_ledger(
+    hist_path: str, hist: dict[str, float], timings: dict[str, float]
+) -> None:
+    """Merge this run's minimums INTO the ledger (a
+    SPARK_GRAFT_BENCH_ONLY subset run must not drop other queries'
+    history). mins are taken against the LEDGER value only — never the
+    recorded artifacts — so a reseed sticks; `plan_cache` marks the
+    measurement regime the entries were taken under (ADVICE r6:
+    cross-round comparisons must stay like-for-like)."""
+    merged = dict(hist)
+    for k, v in timings.items():
+        merged[k] = round(min(v, hist.get(k, v)), 4)
+    with open(hist_path, "w") as fh:
+        json.dump(
+            {"queries": merged, "plan_cache": True}, fh, indent=1,
+            sort_keys=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -61,33 +123,13 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = sorted(only.split(",")) if only else sorted(driver_registry())
 
-    # cross-round per-query minimums from the recorded BENCH_r*.json
-    # artifacts (VERDICT r4 #8): lets this run separate host drift from
-    # regression — a query far above its historical best on THIS code
-    # lineage is almost certainly burst-poisoned, so retry it harder —
-    # and gives the judge the same signal via "prior_min" in the output.
+    # cross-round per-query minimums: BENCH_HISTORY.json authoritative,
+    # BENCH_r* artifacts seed only ledger-unknown names (see
+    # load_prior_min — VERDICT r6 #1)
     here = os.path.dirname(os.path.abspath(__file__))
-    prior_min: dict[str, float] = {}
-    # BENCH_HISTORY.json is this harness's own rolling min ledger,
-    # updated at the end of every run — it covers query names that were
-    # renamed/folded since the last recorded round artifact and so have
-    # no BENCH_r* history yet.
     hist_path = os.path.join(here, "BENCH_HISTORY.json")
-    for fn in sorted(os.listdir(here)) + ["BENCH_HISTORY.json"]:
-        if not (
-            fn == "BENCH_HISTORY.json"
-            or (fn.startswith("BENCH_r") and fn.endswith(".json"))
-        ):
-            continue
-        try:
-            with open(os.path.join(here, fn)) as fh:
-                art = json.load(fh)
-            qs = (art.get("parsed") or {}).get("queries") or art.get("queries") or {}
-            for k, v in qs.items():
-                if isinstance(v, (int, float)):
-                    prior_min[k] = min(prior_min.get(k, float("inf")), float(v))
-        except (OSError, ValueError, AttributeError, TypeError):
-            continue  # malformed artifact: skip, never abort the bench
+    hist = load_history(hist_path)
+    prior_min = load_prior_min(here, hist)
 
     def run_once(name: str) -> float:
         # build() INSIDE the timer: for most queries it is millisecond
@@ -195,20 +237,20 @@ def main() -> None:
     # re-bench or the driver's recorded pass) has burst-retry targets
     # for every current query name
     try:
-        # merge INTO the existing ledger — a SPARK_GRAFT_BENCH_ONLY
-        # subset run must not drop the other queries' history
-        try:
-            with open(hist_path) as fh:
-                loaded = json.load(fh)
-            merged = dict(loaded.get("queries") or {})
-        except (OSError, ValueError, AttributeError, TypeError):
-            merged = {}  # malformed ledger: rebuild from this run
-        for k, v in timings.items():
-            merged[k] = round(min(v, prior_min.get(k, v)), 4)
-        with open(hist_path, "w") as fh:
-            json.dump({"queries": merged}, fh, indent=1, sort_keys=True)
+        roll_ledger(hist_path, hist, timings)
     except Exception:  # noqa: BLE001 — the ledger must never eat the metric line
         pass
+
+    # plan_cache=off A/B pass (VERDICT r6 #3): one full uncached sweep
+    # so the artifact pins the build-vs-execution split per round and
+    # cross-round totals stay comparable across the r6 metric change.
+    # Single pass (not best-of): it's a split estimate, not the
+    # headline — the headline stays sum-of-mins under the cache.
+    nocache: dict[str, float] | None = None
+    if elapsed() + total < budget:
+        enable_plan_cache(False)
+        nocache = {name: round(run_once(name), 4) for name in names}
+        enable_plan_cache(True)
     print(
         json.dumps(
             {
@@ -222,6 +264,10 @@ def main() -> None:
                 },
                 "recovery_passes": recovery,
                 "plan_cache": True,
+                "queries_plan_cache_off": nocache,
+                "total_plan_cache_off": (
+                    round(sum(nocache.values()), 4) if nocache else None
+                ),
                 "sf": sf,
             }
         )

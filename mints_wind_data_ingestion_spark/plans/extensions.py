@@ -279,10 +279,15 @@ def _md5_60(s):
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
-@query("x_dedup_simhash", oracle=_D_SIMHASH_PAIRS, tags=("ext", "dedup", "lsh"), driver=False)
+@query("x_dedup_simhash", oracle=_D_SIMHASH_PAIRS, tags=("ext", "dedup", "lsh"))
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprints banded into 6×10
     bits; pairs sharing any band are exact-checked by Hamming distance.
+
+    Own driver slot since r7 (VERDICT r6 #3: free slots go to the
+    strongest folded components) — the banded-Hamming path's output is
+    hash-checked directly, in addition to riding
+    x_dedup_pairs_suite's composite.
     Pigeonhole: ≤5 flipped bits cannot touch all 6 bands, so every
     pair within Hamming 5 is GUARANTEED to be proposed — recall is
     exact, not probabilistic.
@@ -394,10 +399,13 @@ _D_EDITDIST_PAIRS = f"""
 """
 
 
-@query("x_dedup_editdist", oracle=_D_EDITDIST_PAIRS, tags=("ext", "dedup"),
-       driver=False)
+@query("x_dedup_editdist", oracle=_D_EDITDIST_PAIRS, tags=("ext", "dedup"))
 def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance (Levenshtein) near-dup pairs with rare-shingle
+    """Own driver slot since r7 (VERDICT r6 #3) — the rare-shingle
+    blocking + Levenshtein verify path carries the hard hash signal
+    directly, in addition to riding x_dedup_pairs_suite's composite.
+
+    Edit-distance (Levenshtein) near-dup pairs with rare-shingle
     blocking — the character-level member of the dedup family
     (operators.dedup.editdist_dedup_pairs): docs sharing a rare word
     5-gram are candidates; pairs within 20% relative edit distance
@@ -915,9 +923,13 @@ def x_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(16 + first_byte % 32 AS INT) AS height
     FROM codes
     """,
-    tags=("ext", "multimodal"), driver=False)
+    tags=("ext", "multimodal"))
 def x_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata extraction: binary payload column →
+    """Own driver slot since r7 (VERDICT r6 #3) — the multimodal
+    decode UDTF's output is hash-checked directly, in addition to
+    riding x_layout_mm_suite's composite.
+
+    Multimodal metadata extraction: binary payload column →
     Arrow-batched mapInPandas 'decode' → typed metadata struct
     (sources.multimodal). The decode here is the deterministic
     byte-stats fake (real image/audio decoders are stubbed — not in

@@ -1140,8 +1140,7 @@ def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * 1e6 + 0.5) AS BIGINT) AS ewma_e6
     FROM expanded
     """,
-    tags=("ext", "pandas", "timeseries"),
- driver=False)
+    tags=("ext", "pandas", "timeseries"))
 def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α=0.2) of event values — the recursive
     time-series feature window frames cannot express (each row depends
@@ -1149,7 +1148,9 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential fold beats the closed form at scale. The oracle
     re-states the recurrence as DuckDB list_reduce prefix folds —
     identical operation order, so e6-quantized outputs match
-    bit-for-bit."""
+    bit-for-bit. Own driver slot since r7 (VERDICT r6 #3): the only
+    grouped-recurrence pandas operator carries the hard signal
+    directly, in addition to riding its composite."""
     from ..functions.stats import ewma_group
 
     ev = tables(spark, sf_dir)["events"]

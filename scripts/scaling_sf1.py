@@ -56,6 +56,13 @@ QUERIES = [
     # explode + two combinable aggs; the v{k} prefix changes gram
     # STRINGS but not per-doc counts, so outputs scale exactly 10×
     "x_quality_repetition",
+    # round-7 addition: the posting-join BM25 path — corpus explode
+    # pruned against the broadcast term set, DECIMAL score sums. The
+    # v{k} prefix means only replica 0 matches the fixed workload's
+    # terms, so this measures the part that actually dominates at
+    # 100 TB: the tokenize/explode/prune corpus pass over 10× bytes
+    # with a constant matched set (post-prune stages are match-bound)
+    "x_bm25_table",
 ]
 
 
