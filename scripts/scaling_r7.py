@@ -60,6 +60,8 @@ def _gram_counts_stage(spark, sf_dir):
         F.col("doc_id"),
         F.greatest(F.length(text), F.lit(1)).alias("n_chars"),
         F.split(F.trim(text), r"\s+").alias("ws"),
+    ).select(
+        "doc_id", "n_chars", F.size("ws").alias("n_words"), "ws",
     )
     ex = base.select(
         "doc_id", "n_chars",
@@ -115,7 +117,11 @@ def _build_grib(spark, scale: int):
         spec["nx"] = s["nx"] * scale
         spec["ny"] = s["ny"] * scale
         if spec["kind"] == "gaussian":
+            # a refined GLOBAL grid: more parallels AND a finer lon
+            # step (dx·nx must stay ≤ 360° — lo2 is encoded in
+            # microdegrees and would overflow otherwise)
             spec["n_gauss"] = s["n_gauss"] * scale
+            spec["dx"] = s["dx"] / scale
         specs.append(spec)
         vals = [((i * 5 + spec["g"] * 23) % 2600) / 100.0
                 for i in range(spec["nx"] * spec["ny"])]
@@ -188,6 +194,7 @@ def _build_grib(spark, scale: int):
 
 
 def profile_grib(spark):
+    _noop(_build_grib(spark, 1))  # absorb codegen warmup for this shape
     rows = []
     for scale in (1, 10, 100):
         cells = sum(s["nx"] * s["ny"] for s in _LAMBERT_GRIDS) * scale * scale
