@@ -27,7 +27,7 @@ def _f(name: str, dtype) -> StructField:
     return StructField(name, dtype, nullable=True)
 
 
-#: GRIB2 metadata header — 58 keys, typed (reference: opaque jsonb,
+#: GRIB2 metadata header — 62 keys, typed (reference: opaque jsonb,
 #: dbwindsetup.sql:7). The four interval-statistics keys are NULL for
 #: point-in-time (template 4.0) records and populated for statistical
 #: (template 4.8) records; the five projection keys are NULL for
@@ -60,6 +60,11 @@ WIND_HEADER = StructType(
         _f("statisticalProcessName", StringType()),
         _f("intervalHours", IntegerType()),
         _f("intervalEnd", StringType()),
+        # ensemble identity (template 4.1 — GEFS members; NULL for 4.0/4.8)
+        _f("ensembleType", IntegerType()),
+        _f("ensembleTypeName", StringType()),
+        _f("perturbationNumber", IntegerType()),
+        _f("ensembleSize", IntegerType()),
         _f("genProcessType", IntegerType()),
         _f("genProcessTypeName", StringType()),
         # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)

@@ -17,6 +17,10 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
   Gauss-Legendre quadrature latitudes, computed driver-side from the
   roots of P_{2N}; r7)
 - section 4 template 4.0  (analysis/forecast at a point in time)
+- section 4 template 4.1  (individual ensemble forecast, control or
+  perturbed member — the NOAA GEFS ensemble siblings of the GFS wind
+  files; adds typed ensembleType/perturbationNumber/ensembleSize
+  header keys; r7)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -89,9 +93,19 @@ _PRODUCT_STATUS = {0: "Operational products"}
 _PRODUCT_TYPE = {1: "Forecast products"}
 _PDT_NAME = {
     0: "Analysis/forecast at horizontal level/layer at a point in time",
+    1: "Individual ensemble forecast, control and perturbed, at a "
+       "horizontal level or in a horizontal layer at a point in time",
     8: "Average, accumulation, extreme values or other statistically "
        "processed values at a horizontal level or in a horizontal layer "
        "in a continuous or non-continuous time interval",
+}
+# WMO code table 4.6 — type of ensemble forecast
+_ENSEMBLE_TYPE = {
+    0: "Unperturbed high-resolution control forecast",
+    1: "Unperturbed low-resolution control forecast",
+    2: "Negatively perturbed forecast",
+    3: "Positively perturbed forecast",
+    255: "Missing",
 }
 # WMO code table 4.10 — type of statistical processing
 _STAT_PROCESS = {
@@ -791,7 +805,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 8):
+    if pdt not in (0, 1, 8):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -802,6 +816,20 @@ def _decode_message(msg: bytes) -> dict:
     # end of the overall time interval and per-range statistical specs;
     # a single range covers the APCP/extreme-temp records in NOAA pgrb2
     # files, and >1 range stays fail-loud rather than half-decoded
+    # template 4.1 extends 4.0 (octets 10-34 identical) with the
+    # ensemble identity — the GEFS member triple (WMO table 4.6 type,
+    # perturbation number, ensemble size); NULL for 4.0/4.8
+    ens_type = pert_num = ens_size = None
+    if pdt == 1:
+        if sec[4][1] < 37:
+            raise ValueError(
+                f"product template 4.1 truncated (section 4 is {sec[4][1]} "
+                "octets, needs 37)"
+            )
+        ens_type = msg[o4 + 34]
+        pert_num = msg[o4 + 35]
+        ens_size = msg[o4 + 36]
+
     stat_proc = stat_name = interval_len = interval_end = None
     if pdt == 8:
         if sec[4][1] < 58:  # a 4.0-sized section relabeled 4.8 would
@@ -924,6 +952,11 @@ def _decode_message(msg: bytes) -> dict:
         "statisticalProcessName": stat_name,
         "intervalHours": interval_len,
         "intervalEnd": interval_end,
+        # template 4.1 ensemble identity (None for 4.0/4.8)
+        "ensembleType": ens_type,
+        "ensembleTypeName": _ENSEMBLE_TYPE.get(ens_type),
+        "perturbationNumber": pert_num,
+        "ensembleSize": ens_size,
         "genProcessType": msg[o4 + 11],
         "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
         "parameterCategory": category,
@@ -980,6 +1013,7 @@ def encode_grib2_message(
     polar: dict | None = None,
     mercator: dict | None = None,
     gaussian_n: int | None = None,
+    ensemble: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -991,6 +1025,11 @@ def encode_grib2_message(
     interval): `forecast_hours` becomes the START of the interval,
     `statistical_process` is WMO table 4.10 (1 = accumulation), and
     the overall-interval end time derives as ref + start + length.
+    `ensemble` switches section 4 to template 4.1 (individual
+    ensemble member — GEFS-class): a dict with keys `type` (WMO table
+    4.6), `number` (perturbation number) and `size` (forecasts in the
+    ensemble); mutually exclusive with `interval_hours` (their
+    combination is template 4.11, out of family — fail-loud).
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1131,10 +1170,17 @@ def encode_grib2_message(
                else _put_deg(dy))
             + bytes([scan_mode])
         )
+    if ensemble is not None and interval_hours is not None:
+        # that combination is template 4.11 (statistics over an
+        # ensemble member's interval) — out of the supported family
+        raise ValueError("ensemble + interval_hours (template 4.11) "
+                         "unsupported; pass one or the other")
+    pdt_code = (8 if interval_hours is not None
+                else 1 if ensemble is not None else 0)
     s4 = (
         b"\x04"
         + (0).to_bytes(2, "big")  # NV
-        + (8 if interval_hours is not None else 0).to_bytes(2, "big")
+        + pdt_code.to_bytes(2, "big")
         + bytes([parameter_category, parameter_number, 2, 0, 96])
         + (0).to_bytes(2, "big") + bytes([0])  # cutoff
         + bytes([1])  # time unit: hour
@@ -1143,6 +1189,11 @@ def encode_grib2_message(
         + round(surface1_value).to_bytes(4, "big")
         + bytes([255, 0]) + (0).to_bytes(4, "big")  # surface 2 missing
     )
+    if ensemble is not None:
+        # template 4.1 tail: type (table 4.6), perturbation number,
+        # number of forecasts in ensemble
+        s4 += bytes([ensemble["type"], ensemble["number"],
+                     ensemble["size"]])
     if interval_hours is not None:
         end = ref_time + timedelta(hours=forecast_hours + interval_hours)
         s4 += (
