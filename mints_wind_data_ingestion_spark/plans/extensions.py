@@ -1871,6 +1871,152 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GEFS-like ensemble workload (template 4.1): 2 runs × 5 members on a
+# 12×7 lat/lon grid; member types per WMO table 4.6 (control + 2
+# positive + 2 negative perturbations), each member packed differently
+# so five packing paths ride the ensemble hash
+_ENS_NX, _ENS_NY, _ENS_T, _ENS_M = 12, 7, 2, 5
+_ENS_PACKINGS = ["complex_diff", "ieee", "png", "simple", "complex_diff1"]
+
+
+def _ens_type(m: int) -> int:
+    return 0 if m == 0 else (2 if m % 2 == 0 else 3)
+
+
+def _ensemble_oracle_sql() -> str:
+    """Closed-form DuckDB replay: the member field is exact 2dp ints,
+    so every sum/spread is exact integer arithmetic; the per-member
+    type/size columns are the WMO-table literals the header parse must
+    reproduce."""
+    n = _ENS_NX * _ENS_NY
+    mem_sums = ",\n           ".join(
+        f"CAST(sum(CASE WHEN m = {k} THEN v_e2 END) AS BIGINT)"
+        f" AS mem{k}_sum_e2" for k in range(_ENS_M)
+    )
+    tys = ",\n           ".join(
+        f"CAST({_ens_type(k)} AS INT) AS ty{k}" for k in range(_ENS_M)
+    )
+    return f"""
+    WITH cells AS (
+        SELECT t.t, m.m, i.i AS idx,
+               CAST((i.i * 7 + m.m * 31 + t.t * 13) % 2600 AS BIGINT) AS v_e2
+        FROM unnest(generate_series(0, {_ENS_T - 1})) AS t(t),
+             unnest(generate_series(0, {_ENS_M - 1})) AS m(m),
+             unnest(generate_series(0, {n - 1})) AS i(i)
+    ),
+    per_cell AS (
+        SELECT t, idx, max(v_e2) - min(v_e2) AS spread
+        FROM cells GROUP BY 1, 2
+    ),
+    mem AS (
+        SELECT t, idx // {_ENS_NX} AS band, count(DISTINCT idx) AS n_cells,
+           {mem_sums}
+        FROM cells GROUP BY 1, 2
+    ),
+    sp AS (
+        SELECT t, idx // {_ENS_NX} AS band,
+               CAST(sum(spread) AS BIGINT) AS spread_e2
+        FROM per_cell GROUP BY 1, 2
+    )
+    SELECT CAST(mem.t AS INT) AS t, CAST(mem.band AS BIGINT) AS band,
+           n_cells,
+           {", ".join(f"mem{k}_sum_e2" for k in range(_ENS_M))},
+           {tys},
+           CAST({_ENS_M} AS INT) AS ens_size,
+           spread_e2
+    FROM mem JOIN sp ON sp.t = mem.t AND sp.band = mem.band
+    """
+
+
+@query("x_grib_ensemble", oracle=_ensemble_oracle_sql(),
+       tags=("ext", "grib", "S2", "ensemble"))
+def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble product template 4.1 driver-verified end-to-end (r7):
+    two GEFS-shaped runs — 5 members each (control + perturbed, WMO
+    table 4.6 types), every member packed with a DIFFERENT section-5
+    template (5.3², 5.4, 5.41, 5.0) — are encoded as real multi-message
+    GRIB2 files, decoded executor-side by the Arrow UDTF, and reduced
+    to per-(run, latitude-band) ensemble statistics: per-member sums,
+    per-member type/size (STRAIGHT FROM THE 4.1 HEADER PARSE — a
+    swapped ensemble octet breaks the hash), and the summed per-cell
+    cross-member spread (the J2-class zip-across-members shape: one
+    pivot-style groupBy(run, cell), one band agg — no self-join). The
+    oracle replays the closed-form field, so values, the member
+    pivot, and the header identity are all hash-load-bearing."""
+    from datetime import datetime, timezone
+
+    from ..sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_file,
+        encode_grib2_message,
+    )
+
+    import pandas as pd  # noqa: F811
+
+    nx, ny = _ENS_NX, _ENS_NY
+    blobs = []
+    for t in range(_ENS_T):
+        ref = datetime(2020, 8, 12, 6 * t, tzinfo=timezone.utc)
+        msgs = [
+            encode_grib2_message(
+                [((i * 7 + m * 31 + t * 13) % 2600) / 100.0
+                 for i in range(nx * ny)],
+                parameter_number=2, ref_time=ref, nx=nx, ny=ny,
+                packing=_ENS_PACKINGS[m],
+                ensemble=dict(type=_ens_type(m), number=m, size=_ENS_M),
+            )
+            for m in range(_ENS_M)
+        ]
+        blobs.append((t, encode_grib2_file(msgs)))
+    bdf = spark.createDataFrame(blobs, "t int, blob binary")
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for t, b in zip(pdf["t"], pdf["blob"]):
+                for rec in decode_grib2_bytes(bytes(b)):
+                    h = rec["header"]
+                    rows.append((int(t), h["perturbationNumber"],
+                                 h["ensembleType"], h["ensembleSize"],
+                                 rec["data"]))
+            yield pd.DataFrame(
+                rows, columns=["t", "m", "ens_type", "ens_size", "data"]
+            )
+
+    decoded = bdf.mapInPandas(
+        decode,
+        schema="t int, m int, ens_type int, ens_size int, "
+               "data array<double>",
+    )
+    cells = decoded.select(
+        "t", "m", "ens_type", "ens_size",
+        F.posexplode("data").alias("idx", "v"),
+    ).select(
+        "t", "m", "ens_type", "ens_size", "idx",
+        F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
+    )
+    # member pivot per (run, cell): 5 rows → 1; the cross-member
+    # spread exists only at cell grain, so this level is inherent —
+    # keys are (t, idx), perfectly distributed, map-side combinable
+    per_cell = cells.groupBy("t", "idx").agg(
+        *[F.max(F.when(F.col("m") == k, F.col("v_e2"))).alias(f"s{k}")
+          for k in range(_ENS_M)],
+        *[F.max(F.when(F.col("m") == k, F.col("ens_type")))
+          .alias(f"ty{k}") for k in range(_ENS_M)],
+        F.max("ens_size").alias("ens_size"),
+        (F.max("v_e2") - F.min("v_e2")).alias("spread"),
+    )
+    return per_cell.groupBy(
+        "t", (F.col("idx") / F.lit(_ENS_NX)).cast("bigint").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        *[F.sum(f"s{k}").alias(f"mem{k}_sum_e2") for k in range(_ENS_M)],
+        *[F.max(f"ty{k}").alias(f"ty{k}") for k in range(_ENS_M)],
+        F.max("ens_size").alias("ens_size"),
+        F.sum("spread").alias("spread_e2"),
+    )
+
+
 def _ivf_index_oracle(sf_dir: str) -> str:
     return _ivf_oracle(sf_dir, n_cells=16, iters=5, nprobe=4, k=10)
 
