@@ -41,6 +41,7 @@ __all__ = [
     "jaccard_similarity_join",
     "jaccard_join_prefix_filtered",
     "minhash_dedup_pairs",
+    "minhash_dedup_pairs_against",
     "simhash64",
     "simhash_fingerprints",
     "editdist_dedup_pairs",
@@ -281,42 +282,34 @@ def jaccard_join_prefix_filtered(
     )
 
 
-def minhash_dedup_pairs(
+def _minhash_band_buckets(
     docs: DataFrame,
     id_col: str,
     shingle_col: str,
-    threshold: float,
-    num_hashes: int = 144,
-    bands: int = 24,
-    rows_per_band: int = 6,
-) -> DataFrame:
-    """MinHash+LSH near-dup detection with exact verification:
-    LSH proposes candidate pairs, a join back to the shingle sets
-    computes TRUE jaccard, and only pairs ≥ threshold survive — so
-    output precision is exact and only recall depends on (b, r).
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: (posting, band buckets) for one corpus.
 
-    Verification cost is O(candidates), and with the band parameters
-    tuned above the threshold knee, candidates ≈ true near-dup pairs.
-    """
-    assert bands * rows_per_band <= num_hashes
+    Signatures as `num_hashes` min-columns (explode + map-side-
+    combining agg); band hashes come straight off the columns — the
+    signature array is never materialized and the expensive agg runs
+    exactly ONCE per corpus. `posting` is cached: it feeds the
+    signature aggregate AND the count-based verify, so the shingling
+    (mapInPandas) runs once. The k min-aggregates and the band hashes
+    are SQL strings parsed JVM-side in one call each — Column-operator
+    construction costs a py4j round-trip per node (~1 s of driver time
+    per build at k=144)."""
     sets = docs.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(shingle_col)).alias("__sh"),
     )
-    # signatures as 144 min-columns (explode + map-side-combining agg);
-    # band hashes come straight off the columns — the signature array is
-    # never materialized and the expensive agg runs exactly ONCE (a
-    # bucket self-join would recompute it for each side).
-    # cached: feeds the signature aggregate AND the count-based verify —
-    # one materialization means the shingling (mapInPandas) runs once
     posting = (
         sets.select("__id", F.explode("__sh").alias("__s"))
         .select("__id", F.xxhash64("__s").alias("__h"))
         .cache()
     )
-    # the k min-aggregates and the band hashes are SQL strings parsed
-    # JVM-side in one call each — Column-operator construction costs a
-    # py4j round-trip per node (~1 s of driver time per build at k=144)
     mins_sql = (
         "array("
         + ", ".join(f"min(xxhash64(__h, {i}))" for i in range(num_hashes))
@@ -337,6 +330,71 @@ def minhash_dedup_pairs(
     )
     buckets = sig_cols.select(
         "__id", F.posexplode(F.expr(band_sql)).alias("__band", "__bh")
+    )
+    return posting, buckets
+
+
+def _verify_pairs_by_count(
+    cands: DataFrame, posting: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs via
+    shared-hash COUNTS: postings restricted to candidate ids
+    (broadcast semi-join — candidates ≪ corpus), |A∩B| per pair,
+    jaccard from intersection and set sizes. No shingle ARRAY ever
+    crosses a shuffle."""
+    pair_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias("__id")
+    ).distinct()
+    p = posting.join(F.broadcast(pair_ids), "__id").dropDuplicates(
+        ["__id", "__h"]
+    )
+    sizes = p.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    pa = p.select(F.col("__id").alias("id_a"), "__h")
+    pb = p.select(F.col("__id").alias("id_b"), "__h")
+    overlap = (
+        cands.join(pa, "id_a")
+        .join(pb, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    return (
+        overlap.join(
+            sizes.withColumnRenamed("__id", "id_a")
+            .withColumnRenamed("__n", "__na"), "id_a")
+        .join(
+            sizes.withColumnRenamed("__id", "id_b")
+            .withColumnRenamed("__n", "__nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__ni")
+             / (F.col("__na") + F.col("__nb") - F.col("__ni"))
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    num_hashes: int = 144,
+    bands: int = 24,
+    rows_per_band: int = 6,
+) -> DataFrame:
+    """MinHash+LSH near-dup detection with exact verification:
+    LSH proposes candidate pairs, a join back to the shingle sets
+    computes TRUE jaccard, and only pairs ≥ threshold survive — so
+    output precision is exact and only recall depends on (b, r).
+
+    Verification cost is O(candidates), and with the band parameters
+    tuned above the threshold knee, candidates ≈ true near-dup pairs.
+    """
+    assert bands * rows_per_band <= num_hashes
+    posting, buckets = _minhash_band_buckets(
+        docs, id_col, shingle_col, num_hashes, bands, rows_per_band
     )
     # co-bucketed ids → in-group pair enumeration. collect_list is safe
     # because bucket cardinality ≈ near-dup cluster size; a pathological
@@ -370,36 +428,63 @@ def minhash_dedup_pairs(
         .distinct()
         .cache()
     )
-    # exact verify, count-based: restrict postings to docs that appear
-    # in some candidate pair (broadcast semi-join — candidates ≪ corpus),
-    # count shared hashes per pair, jaccard from |A∩B| and set sizes.
-    # No shingle ARRAY ever crosses a shuffle.
-    pair_ids = cands.select(
-        F.explode(F.array("id_a", "id_b")).alias("__id")
-    ).distinct()
-    p = posting.join(F.broadcast(pair_ids), "__id").dropDuplicates(["__id", "__h"])
-    sizes = p.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    pa = p.select(F.col("__id").alias("id_a"), "__h")
-    pb = p.select(F.col("__id").alias("id_b"), "__h")
-    overlap = (
-        cands.join(pa, "id_a")
-        .join(pb, ["id_b", "__h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__ni"))
+    return _verify_pairs_by_count(cands, posting, threshold)
+
+
+def minhash_dedup_pairs_against(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    num_hashes: int = 144,
+    bands: int = 24,
+    rows_per_band: int = 6,
+) -> DataFrame:
+    """INCREMENTAL (cross-corpus) MinHash+LSH dedup: near-dup pairs of
+    an incoming batch AGAINST an existing corpus — the production
+    "don't ingest what the corpus already holds" shape, distinct from
+    self-dedup. Returns (id_new, id_base, jaccard) with exact-Jaccard
+    verification, so precision is 1 and only recall depends on (b, r).
+    Within-batch duplicates are deliberately NOT reported — compose
+    with `minhash_dedup_pairs(new_docs, ...)` for that.
+
+    Id spaces must be disjoint across the two inputs (or refer to the
+    same underlying documents) — the count-based verify merges
+    postings by id.
+
+    100 TB posture: candidates come from an EQUI-JOIN of the two
+    sides' band buckets on (band, hash) — never new × base. Each
+    side's signature aggregate runs once over its own corpus only; at
+    steady state the base side's (id, band, hash) bucket table is
+    exactly what a production pipeline persists between batches, so
+    the recurring cost is the (small) incoming batch's signatures plus
+    one broadcast-prunable join against the stored buckets."""
+    assert bands * rows_per_band <= num_hashes
+    p_new, b_new = _minhash_band_buckets(
+        new_docs, id_col, shingle_col, num_hashes, bands, rows_per_band
     )
-    verified = (
-        overlap.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))).alias(
-                "jaccard"
-            ),
+    p_base, b_base = _minhash_band_buckets(
+        base_docs, id_col, shingle_col, num_hashes, bands, rows_per_band
+    )
+    cands = (
+        b_new.select(F.col("__id").alias("id_a"), "__band", "__bh")
+        .join(
+            b_base.select(F.col("__id").alias("id_b"), "__band", "__bh"),
+            ["__band", "__bh"],
         )
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()
     )
-    return verified
+    verified = _verify_pairs_by_count(
+        cands, p_new.unionByName(p_base), threshold
+    )
+    return verified.select(
+        F.col("id_a").alias("id_new"),
+        F.col("id_b").alias("id_base"),
+        "jaccard",
+    )
 
 
 def simhash64(shingles: Column) -> Column:

@@ -186,6 +186,62 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs.select("doc_id", "text"), cols=["text"], id_col="doc_id")
 
 
+#: cross-corpus (incremental) variant of _D_JACCARD_PAIRS: the exact
+#: all-pairs join restricted to incoming (doc_id % 3 = 0) × base
+#: (doc_id % 3 <> 0) — no a<b order, the sides are asymmetric
+_D_JACCARD_CROSS = f"""
+    WITH sets AS (
+        SELECT doc_id, {_D_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_D_TOKS} AS toks FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    inter AS (
+        SELECT a.doc_id AS id_new, b.doc_id AS id_base, count(*) AS n_inter
+        FROM posting a JOIN posting b ON a.s = b.s
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        GROUP BY 1, 2
+    )
+    SELECT id_new, id_base,
+           n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_new
+    JOIN sizes sb ON sb.doc_id = id_base
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+@query("x_dedup_incremental", oracle=_D_JACCARD_CROSS,
+       tags=("ext", "dedup", "lsh", "incremental"))
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (r7): an incoming batch (doc_id % 3 == 0)
+    near-dup-checked AGAINST the existing corpus (the other two
+    thirds) via the cross-corpus banded MinHash join
+    (operators.dedup.minhash_dedup_pairs_against) — the production
+    "reject what the corpus already holds" operator, distinct from
+    self-dedup: within-batch pairs are NOT reported, and the base
+    side's bucket table is exactly what a steady-state pipeline
+    persists between batches. Same (96, 16, 6) band curve as
+    x_dedup_minhash, so recall is 1 on this data's j≥0.9 planted
+    near-dups and the exact cross all-pairs join is a valid oracle;
+    exact-Jaccard verification keeps precision 1."""
+    from ..operators.dedup import minhash_dedup_pairs_against
+
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=1)
+    # split BEFORE the shingle UDTF: a filter above mapInPandas can't
+    # push through it, and each side shingles only its own rows anyway
+    incoming = shingle_docs_pandas(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", 3,
+        out="shingles")
+    base = shingle_docs_pandas(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", 3,
+        out="shingles")
+    return minhash_dedup_pairs_against(
+        incoming, base, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
+    )
+
+
 @query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"), driver=False)
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via

@@ -1,0 +1,111 @@
+"""Incremental (cross-corpus) MinHash dedup —
+operators.dedup.minhash_dedup_pairs_against (round 7).
+
+Semantics pinned: only NEW×BASE pairs are reported (within-batch and
+within-base near-dups are the self-dedup operator's job), jaccard is
+the exact verified value, and the cross path agrees pair-for-pair
+with the exact cross all-pairs join on the real testdata corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.functions.text import (
+    shingle_docs_pandas,
+)
+from mints_wind_data_ingestion_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    minhash_dedup_pairs_against,
+)
+
+A = "the quick brown fox jumps over the lazy dog again and again today"
+A_NEAR = "the quick brown fox jumps over the lazy dog again and again now"
+B = "completely different text about spark physical plans and shuffles"
+B_NEAR = "completely different text about spark physical plans and stages"
+
+
+def _sh(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return shingle_docs_pandas(df, "doc_id", "text", 3, out="shingles")
+
+
+def test_cross_pairs_only(spark):
+    """new contains a near-dup of a base doc AND an internal near-dup
+    pair; only the cross pair comes back, with its exact jaccard."""
+    base = _sh(spark, [(1, A), (2, B)])
+    new = _sh(spark, [(10, A_NEAR), (11, B), (12, B_NEAR)])
+    out = minhash_dedup_pairs_against(
+        new, base, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
+    ).collect()
+    got = {(r["id_new"], r["id_base"]): r["jaccard"] for r in out}
+    assert set(got) == {(10, 1), (11, 2), (12, 2)}
+    assert got[(11, 2)] == 1.0  # exact copy of a base doc
+    # 11 and 12 are near-dups WITHIN new — not reported here...
+    assert all(k[0] != 11 or k[1] != 12 for k in got)
+    # ...but the self-dedup operator composes for that
+    within = minhash_dedup_pairs(
+        new, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in within} == {(11, 12)}
+
+
+def test_exact_jaccard_value(spark):
+    base = _sh(spark, [(1, A)])
+    new = _sh(spark, [(10, A_NEAR)])
+    out = minhash_dedup_pairs_against(
+        new, base, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
+    ).collect()
+    # 13 tokens → 11 distinct 3-shingles per doc ("again and again"
+    # windows overlap); only the final shingle ("and again today" vs
+    # "and again now") differs: |A∩B| = 10, |A∪B| = 12
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(10 / 12)
+
+
+def test_matches_exact_cross_join_on_testdata(spark, sf_dir):
+    """Recall check on the real corpus: the banded cross path finds
+    exactly the pairs the exact (inverted-index) cross join finds at
+    threshold 0.5 — same split as the driver suite."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inc = shingle_docs_pandas(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", 3,
+        out="shingles")
+    base = shingle_docs_pandas(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", 3,
+        out="shingles")
+    got = {
+        (r["id_new"], r["id_base"])
+        for r in minhash_dedup_pairs_against(
+            inc, base, "doc_id", "shingles", threshold=0.5,
+            num_hashes=96, bands=16, rows_per_band=6,
+        ).collect()
+    }
+    # exact reference: distinct-shingle posting intersection counts
+    sets = inc.unionByName(base).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    post = sets.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
+    inter = (
+        post.alias("a").join(post.alias("b"), "s")
+        .filter((F.col("a.doc_id") % 3 == 0) & (F.col("b.doc_id") % 3 != 0))
+        .groupBy(F.col("a.doc_id").alias("id_new"),
+                 F.col("b.doc_id").alias("id_base"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    want = {
+        (r["id_new"], r["id_base"])
+        for r in inter
+        .join(sizes.withColumnRenamed("doc_id", "id_new")
+              .withColumnRenamed("n", "na"), "id_new")
+        .join(sizes.withColumnRenamed("doc_id", "id_base")
+              .withColumnRenamed("n", "nb"), "id_base")
+        .filter(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+                >= 0.5)
+        .collect()
+    }
+    assert got == want and len(want) > 0
