@@ -1628,6 +1628,71 @@ def _repetition_oracle(sf_dir: str) -> str:
 """
 
 
+_D_LM_PERPLEXITY = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    train AS (SELECT tk FROM toks WHERE doc_id % 3 <> 0),
+    tb AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM train, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY 1, 2),
+    pre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(tk) AS w FROM train)),
+    dbg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+            FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(round(-ln((coalesce(b.c12, 0) + 0.1)
+                              / (coalesce(p.c1, 0) + 0.1 * voc.v))
+                          * 1000000.0) AS BIGINT) AS nll_e6
+        FROM dbg d
+        LEFT JOIN big b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN pre p ON p.w1 = d.w1
+        CROSS JOIN voc
+    ),
+    agg AS (
+        SELECT t.doc_id,
+               count(s.nll_e6) AS n_bigrams,
+               CAST(round(CAST(coalesce(sum(s.nll_e6), 0) AS DOUBLE)
+                          / greatest(count(s.nll_e6), 1) / 100.0)
+                    AS BIGINT) AS avg_nll_e4
+        FROM toks t LEFT JOIN scored s ON s.doc_id = t.doc_id
+        GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, avg_nll_e4,
+           avg_nll_e4 <= 34500 AS lm_pass
+    FROM agg
+"""
+
+
+@query("x_lm_perplexity", oracle=_D_LM_PERPLEXITY,
+       tags=("ext", "text", "quality", "lm"))
+def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-class LM perplexity quality filter (r7): an add-k bigram
+    model trained on the reference corpus (doc_id % 3 != 0 — the same
+    base split the incremental-dedup story persists) scores EVERY
+    document; high average negative log-likelihood → low quality
+    (operators.lm.bigram_perplexity). The model is a count TABLE, not
+    a driver object — training is one bigram groupBy (prefix counts
+    derive from it, no second corpus pass) and scoring is one explode
+    + two left joins, so the whole filter is shuffle-native at 100 TB.
+    Per-bigram ln P quantizes to e6 BEFORE the document sum, so the
+    score is bit-stable under any partitioning (the BM25 precedent
+    pins Spark/DuckDB ln() parity)."""
+    from ..operators.lm import bigram_perplexity
+
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=8)
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    # gate at the corpus's ~90th nll percentile (34.5 ke4 ≈ ppl 31.8)
+    # so lm_pass actually separates this corpus's tail — the operator's
+    # default (80 ke4 ≈ ppl 3000) is the public CCNet-scale cutoff
+    return bigram_perplexity(docs, train, add_k=0.1, gate_nll_e4=34_500)
+
+
 @query("x_quality_repetition", oracle=_repetition_oracle,
        tags=("ext", "text", "quality"))
 def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

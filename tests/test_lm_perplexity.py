@@ -1,0 +1,79 @@
+"""Bigram-LM perplexity scoring (operators.lm, round 7) — the
+CCNet-class quality filter, pinned on a hand-computed model."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mints_wind_data_ingestion_spark.operators.lm import (
+    bigram_perplexity,
+    train_bigram_counts,
+)
+
+TRAIN = [(1, "a b a c"), (2, "a b")]
+# bigram counts: (a,b)=2, (b,a)=1, (a,c)=1 → c(a)=3, c(b)=1; V=3
+
+
+def _nll_e6(c12, c1, v=3, k=0.1):
+    return round(-math.log((c12 + k) / (c1 + k * v)) * 1_000_000)
+
+
+def _avg_e4(nlls):
+    return round(sum(nlls) / max(len(nlls), 1) / 100.0)
+
+
+def test_train_counts(spark):
+    big, pre, vocab = train_bigram_counts(
+        spark.createDataFrame(TRAIN, "doc_id long, text string")
+    )
+    assert {(r["w1"], r["w2"]): r["c12"] for r in big.collect()} == {
+        ("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1,
+    }
+    assert {r["w1"]: r["c1"] for r in pre.collect()} == {"a": 3, "b": 1}
+    assert vocab.collect()[0]["v"] == 3
+
+
+@pytest.mark.parametrize("text,nlls", [
+    ("a b z", [_nll_e6(2, 3), _nll_e6(0, 1)]),   # seen + unseen pair
+    ("z z", [_nll_e6(0, 0)]),                     # unseen context → 1/V
+    ("a b a c", [_nll_e6(2, 3), _nll_e6(1, 1), _nll_e6(1, 3)]),
+    ("", []),                                     # no bigrams → 0, pass
+    ("solo", []),
+])
+def test_hand_computed_scores(spark, text, nlls):
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    [row] = bigram_perplexity(docs, train, add_k=0.1).collect()
+    assert row["n_bigrams"] == len(nlls)
+    assert row["avg_nll_e4"] == _avg_e4(nlls)
+    assert row["lm_pass"] == (row["avg_nll_e4"] <= 80_000)
+
+
+def test_reference_text_scores_below_noise(spark, sf_dir):
+    """The filter's point: text that VIOLATES the training
+    distribution scores higher nll than any in-distribution document.
+    (All-unseen-token noise would score the uniform 1/V floor — on
+    this near-uniform synthetic corpus that is close to the average,
+    so the adversarial case pairs a FREQUENT context with unseen
+    continuations: P = k/(c1 + kV) ≪ 1/V.)"""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    top = (
+        train.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "").groupBy("w").count()
+        .orderBy(F.desc("count"), "w").first()["w"]
+    )
+    noise_text = f"{top} zq {top} xv {top} qqk {top} wjz"
+    scored = bigram_perplexity(
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .union(spark.createDataFrame(
+            [(10**9, noise_text)], "doc_id long, text string")),
+        train, add_k=0.1,
+    )
+    rows = {r["doc_id"]: r["avg_nll_e4"] for r in scored.collect()}
+    noise = rows.pop(10**9)
+    assert noise > max(rows.values())  # out-of-distribution scores worst
