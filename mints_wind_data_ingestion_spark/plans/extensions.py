@@ -1628,6 +1628,80 @@ def _repetition_oracle(sf_dir: str) -> str:
 """
 
 
+_RESAMPLE_STEP_US = 21_600_000_000  # 6 h
+
+_D_RESAMPLE = f"""
+    WITH obs0 AS (
+        SELECT user_id AS k, epoch_us(ts) AS ts_us, value AS v,
+               event_id AS rid
+        FROM events
+    ),
+    obs AS (SELECT k, ts_us, arg_max(v, rid) AS v FROM obs0 GROUP BY 1, 2),
+    ticks AS (
+        SELECT k, unnest(generate_series(start, hi,
+                                         {_RESAMPLE_STEP_US})) AS ts_us
+        FROM (SELECT k,
+                     -(min(ts_us) // -{_RESAMPLE_STEP_US})
+                       * {_RESAMPLE_STEP_US} AS start,
+                     max(ts_us) AS hi
+              FROM obs GROUP BY k)
+    ),
+    merged AS (
+        SELECT k, ts_us, v, 1 AS is_obs FROM obs
+        UNION ALL
+        SELECT k, ts_us, NULL AS v, 0 AS is_obs FROM ticks
+    ),
+    br AS (
+        SELECT k, ts_us, is_obs,
+               last_value(v IGNORE NULLS) OVER w AS prev_v,
+               last_value(CASE WHEN is_obs = 1 THEN ts_us END
+                          IGNORE NULLS) OVER w AS prev_ts,
+               last_value(v IGNORE NULLS) OVER wr AS next_v,
+               last_value(CASE WHEN is_obs = 1 THEN ts_us END
+                          IGNORE NULLS) OVER wr AS next_ts
+        FROM merged
+        WINDOW w AS (PARTITION BY k ORDER BY ts_us ASC, is_obs DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wr AS (PARTITION BY k ORDER BY ts_us DESC, is_obs DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT k AS user_id, ts_us,
+           CAST(round(
+               CASE WHEN next_ts = prev_ts THEN prev_v
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(ts_us - prev_ts AS DOUBLE)
+                            / CAST(next_ts - prev_ts AS DOUBLE)) END
+               * 1000000.0) AS BIGINT) AS v_e6
+    FROM br
+    WHERE is_obs = 0 AND prev_ts IS NOT NULL AND next_ts IS NOT NULL
+"""
+
+
+@query("x_resample_interpolate", oracle=_D_RESAMPLE,
+       tags=("ext", "timeseries", "resample"))
+def x_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear interpolation of event values onto the
+    6-hourly epoch-aligned grid (operators.resample.
+    resample_interpolate) — the gap-fill/regularization step a
+    sensor/observation pipeline runs before windowed analytics
+    (TimescaleDB's time_bucket_gapfill + interpolate, pandas
+    resample().interpolate(), as distributed window algebra: one
+    union of obs and per-key ticks, two running windows attach the
+    bracketing observations, codegen'd interpolation — no range join,
+    no per-tick probe). Ticks outside a key's observed support are
+    dropped (no extrapolation); exact-hit ticks return the
+    observation; duplicate timestamps collapse latest-wins by
+    event_id first, so the window order is total and the hash
+    stable."""
+    from ..operators.resample import resample_interpolate
+
+    ev = tables(spark, sf_dir)["events"]
+    return resample_interpolate(
+        ev, key_col="user_id", ts_col="ts", val_col="value",
+        id_col="event_id", step_us=_RESAMPLE_STEP_US,
+    )
+
+
 _D_LM_PERPLEXITY = r"""
     WITH toks AS (
         SELECT doc_id,
