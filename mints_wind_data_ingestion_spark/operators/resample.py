@@ -49,12 +49,20 @@ def resample_interpolate(
     val_col: str,
     id_col: str,
     step_us: int,
+    kind: str = "linear",
 ) -> DataFrame:
-    """→ (key, tick_us, v_e6): `val_col` linearly interpolated at every
-    `step_us`-aligned tick inside each key's observed time range."""
+    """→ (key, tick_us, v_e6): `val_col` resampled at every
+    `step_us`-aligned tick inside each key's observed time range.
+    `kind`: "linear" interpolates between the bracketing observations;
+    "locf" carries the last observation forward (TimescaleDB's locf —
+    still bounded by the key's own range, so the last observed value
+    fills only up to the final tick at/before max(ts), never beyond
+    the data)."""
     step_us = int(step_us)
     if step_us <= 0:
         raise ValueError(f"step_us must be positive, got {step_us}")
+    if kind not in ("linear", "locf"):
+        raise ValueError(f"kind must be 'linear' or 'locf', got {kind!r}")
     obs = df.select(
         F.col(key_col).alias("k"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
@@ -132,17 +140,18 @@ def resample_interpolate(
     frac = (F.col("ts_us") - F.col("prev_ts")).cast("double") / (
         F.col("next_ts") - F.col("prev_ts")
     ).cast("double")
-    interp = F.when(
-        F.col("next_ts") == F.col("prev_ts"), F.col("prev_v")
-    ).otherwise(
-        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
-    )
-    return (
-        bracketed.filter(
-            (F.col("is_obs") == 0)
-            & F.col("prev_ts").isNotNull()
-            & F.col("next_ts").isNotNull()
+    if kind == "locf":
+        interp = F.col("prev_v")
+        have = F.col("prev_ts").isNotNull()
+    else:
+        interp = F.when(
+            F.col("next_ts") == F.col("prev_ts"), F.col("prev_v")
+        ).otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
         )
+        have = F.col("prev_ts").isNotNull() & F.col("next_ts").isNotNull()
+    return (
+        bracketed.filter((F.col("is_obs") == 0) & have)
         .select(
             F.col("k").alias(key_col),
             "ts_us",

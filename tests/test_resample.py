@@ -77,6 +77,47 @@ def test_keys_independent(spark):
     }
 
 
+def test_locf_carries_forward(spark):
+    # obs at 5 s (v=1.0), 25 s (v=3.0): locf fills ticks 10 s and 20 s
+    # with 1.0 (the LAST observation at/before the tick), not the
+    # interpolated value
+    got = _run_kind(spark, [(1, 5_000_000, 1.0, 1),
+                            (1, 25_000_000, 3.0, 2)], "locf")
+    assert got == {
+        (1, 10_000_000): 1_000_000,
+        (1, 20_000_000): 1_000_000,
+    }
+    # exact hit still returns the observation itself
+    got = _run_kind(spark, [(2, 10_000_000, 7.0, 1),
+                            (2, 30_000_000, 9.0, 2)], "locf")
+    assert got[(2, 10_000_000)] == 7_000_000
+    assert got[(2, 30_000_000)] == 9_000_000
+
+
+def _run_kind(spark, rows, kind):
+    from mints_wind_data_ingestion_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    out = resample_interpolate(
+        _df(spark, rows), key_col="k", ts_col="ts", val_col="v",
+        id_col="rid", step_us=STEP, kind=kind,
+    ).collect()
+    return {(r["k"], r["ts_us"]): r["v_e6"] for r in out}
+
+
+def test_kind_validation(spark):
+    from mints_wind_data_ingestion_spark.operators.resample import (
+        resample_interpolate,
+    )
+
+    with pytest.raises(ValueError, match="kind"):
+        resample_interpolate(
+            _df(spark, [(1, 0, 0.0, 1)]), key_col="k", ts_col="ts",
+            val_col="v", id_col="rid", step_us=STEP, kind="spline",
+        )
+
+
 def test_step_validation(spark):
     from mints_wind_data_ingestion_spark.operators.resample import (
         resample_interpolate,
