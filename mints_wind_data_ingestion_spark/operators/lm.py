@@ -8,14 +8,16 @@ persists and re-joins per batch, like the dedup signature table), and
 scoring is one explode + two aggregate-derived joins — no per-row
 Python, no driver-side model object:
 
-- train: token bigrams of the reference corpus → groupBy count. The
+- train: word 2-shingles ("w1 w2" strings — the Arrow-vectorized bulk
+  shingler, the repo's measured fast path) → groupBy count. The
   prefix (context) counts DERIVE from the bigram table by a second
-  agg (c(w1) = Σ_w2 c(w1,w2)), so one shuffle builds both; the
-  vocabulary size is one more map-side-combined distinct-count.
+  agg over substring_index (c(w1) = Σ c("w1 ·")), so one corpus pass
+  builds both; the vocabulary size is one more map-side-combined
+  distinct-count.
 - score: add-k smoothed conditional P(w2|w1) = (c12 + k)/(c1 + k·V),
-  joined per document bigram. Unseen contexts fall back to the
-  uniform k/(k·V) = 1/V automatically through the left joins — no
-  special UNK machinery, no row can produce log(0).
+  joined per document bigram on the pair STRING. Unseen contexts fall
+  back to the uniform k/(k·V) = 1/V automatically through the left
+  joins — no special UNK machinery, no row can produce log(0).
 
 Determinism contract (registry rules): each bigram's ln P quantizes
 to an e6 BIGINT BEFORE the per-document sum, so accumulation order
@@ -29,61 +31,60 @@ No counterpart in the reference (a 278-LoC cron ETL); semantics follow
 the public CCNet paper.
 
 Scale shape: the bigram explode is ~1× token count (narrower than the
-shingle pipelines' 9×); the score joins key on (w1, w2) / (w1) —
-natural-language skew on common bigrams is bounded by the JOIN being
-build-side-small per key (counts, not postings), and AQE handles the
-residual. The model table is O(distinct bigrams) — broadcast-able for
-reference corpora up to ~10M bigrams, shuffle-joined beyond.
+shingle pipelines' 9×); the score joins key on the bigram string /
+its prefix — natural-language skew on common bigrams is bounded by
+the JOIN being build-side-small per key (counts, not postings), and
+AQE handles the residual. The model table is O(distinct bigrams) —
+broadcast-able for reference corpora up to ~10M bigrams,
+shuffle-joined beyond. NULL text behaves as empty (pre-coalesced
+before the shingler, whose worker tokenizes with str.split).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["train_bigram_counts", "score_perplexity", "bigram_perplexity"]
 
 
-def _bigrams(text: Column) -> Column:
-    """Adjacent token pairs as array<struct<w1,w2>> — pure array
-    expressions (transform over the token window, no UDF)."""
-    toks = F.filter(
-        F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != ""
-    )
-    k = F.size(toks) - F.lit(1)
-    # sequence(1, 0) is DESCENDING in Spark, not empty — guard k < 1
-    return F.when(k < 1, F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        )
+def _nn(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """NULL text behaves as empty before the shingler (its worker
+    tokenizes with str.split, which would raise on None)."""
+    return df.select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
 
 
 def train_bigram_counts(
-    train_docs: DataFrame, text_col: str = "text"
+    train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(bigram counts, prefix counts, 1-row vocab size) for the
-    reference corpus — the persistable LM artifact. Prefix counts
-    derive from the bigram table (one extra map-side-combinable agg,
-    no second corpus pass); V counts distinct tokens over ALL
-    positions (the standard vocabulary definition)."""
-    pairs = train_docs.select(
-        F.explode(_bigrams(F.col(text_col))).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    pre = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = train_docs.select(
-        F.explode(
-            F.filter(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("w")
-    ).agg(F.countDistinct("w").alias("v"))
+    """(bigram counts keyed by the "w1 w2" string, prefix counts keyed
+    by w1, 1-row vocab size) for the reference corpus — the
+    persistable LM artifact. Bigrams are word 2-shingles from the
+    Arrow-vectorized bulk shingler (functions.text.shingle_docs_pandas
+    — the repo's measured fast path; the expression-form transform/
+    element_at HOFs are CodegenFallback, interpreted per element, and
+    cost ~7 s where this costs ~1 s at sf0.1). The "w1 w2" string IS
+    the pair key (tokens contain no whitespace), so one string column
+    carries the join; prefix counts derive from the bigram table
+    (c(w1) = Σ c("w1 ·") via substring_index — no second corpus
+    pass), and V is one distinct-count over the token multiset."""
+    from ..functions.text import shingle_docs_pandas
+
+    pairs = shingle_docs_pandas(
+        _nn(train_docs, id_col, text_col), id_col, text_col, 2, out="__bg"
+    ).select(F.explode("__bg").alias("bg"))
+    big = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    pre = big.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    vocab = (
+        shingle_docs_pandas(_nn(train_docs, id_col, text_col),
+                            id_col, text_col, 1, out="__tk")
+        .select(F.explode("__tk").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
     return big, pre, vocab
 
 
@@ -104,19 +105,27 @@ def score_perplexity(
     Documents with no bigrams (empty/one token) score 0 and pass —
     length gates are a different filter's job (x_text_suite).
     `gate_nll_e4` is the CCNet-style cutoff: nll 8.0 ≈ ppl 3000."""
+    from ..functions.text import shingle_docs_pandas
+
     add_k = float(add_k)
-    dbg = docs.select(
+    dbg = shingle_docs_pandas(
+        _nn(docs, id_col, text_col), id_col, text_col, 2, out="__bg"
+    ).select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(_bigrams(F.col(text_col))).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+        F.explode_outer("__bg").alias("bg"),
+    )
     scored = (
-        dbg.join(big, ["w1", "w2"], "left")
-        .join(pre, ["w1"], "left")
+        dbg.join(big, ["bg"], "left")
+        .join(
+            pre,
+            F.substring_index(dbg["bg"], " ", 1) == pre["w1"],
+            "left",
+        )
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.when(
-                F.col("w1").isNull(), F.lit(None).cast("bigint")
+                F.col("bg").isNull(), F.lit(None).cast("bigint")
             ).otherwise(
                 F.round(
                     -F.log(
@@ -150,7 +159,7 @@ def bigram_perplexity(
 ) -> DataFrame:
     """Train on `train_docs`, score `docs` — the CCNet shape (LM on a
     clean reference corpus, scores for the candidate corpus)."""
-    big, pre, vocab = train_bigram_counts(train_docs, text_col)
+    big, pre, vocab = train_bigram_counts(train_docs, id_col, text_col)
     return score_perplexity(
         docs, big, pre, vocab, id_col=id_col, text_col=text_col,
         add_k=add_k, gate_nll_e4=gate_nll_e4,

@@ -63,6 +63,13 @@ QUERIES = [
     # 100 TB: the tokenize/explode/prune corpus pass over 10× bytes
     # with a constant matched set (post-prune stages are match-bound)
     "x_bm25_table",
+    # round-7 additions: the cross-corpus banded dedup (replica slices
+    # preserve within-replica near-dup pairs, so cross pairs scale
+    # exactly 10×) and the bigram-LM filter (v{k} prefixes make each
+    # replica its own closed vocabulary — bigram table and score join
+    # both scale linearly, the worst case for the model-table join)
+    "x_dedup_incremental",
+    "x_lm_perplexity",
 ]
 
 

@@ -28,8 +28,8 @@ def test_train_counts(spark):
     big, pre, vocab = train_bigram_counts(
         spark.createDataFrame(TRAIN, "doc_id long, text string")
     )
-    assert {(r["w1"], r["w2"]): r["c12"] for r in big.collect()} == {
-        ("a", "b"): 2, ("b", "a"): 1, ("a", "c"): 1,
+    assert {r["bg"]: r["c12"] for r in big.collect()} == {
+        "a b": 2, "b a": 1, "a c": 1,
     }
     assert {r["w1"]: r["c1"] for r in pre.collect()} == {"a": 3, "b": 1}
     assert vocab.collect()[0]["v"] == 3
