@@ -51,6 +51,29 @@ def test_hand_computed_scores(spark, text, nlls):
     assert row["lm_pass"] == (row["avg_nll_e4"] <= 80_000)
 
 
+def test_model_survives_parquet_roundtrip(spark, tmp_path):
+    """The model is a TABLE — persist it like the IVF index and score
+    a later batch from disk (the steady-state production shape:
+    train once, re-join per batch) with identical results."""
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        score_perplexity,
+    )
+
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    docs = spark.createDataFrame([(7, "a b z")], "doc_id long, text string")
+    big, pre, vocab = train_bigram_counts(train)
+    live = score_perplexity(docs, big, pre, vocab).collect()
+    for name, df in (("big", big), ("pre", pre), ("vocab", vocab)):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    reloaded = score_perplexity(
+        docs,
+        spark.read.parquet(str(tmp_path / "big")),
+        spark.read.parquet(str(tmp_path / "pre")),
+        spark.read.parquet(str(tmp_path / "vocab")),
+    ).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in reloaded]
+
+
 def test_reference_text_scores_below_noise(spark, sf_dir):
     """The filter's point: text that VIOLATES the training
     distribution scores higher nll than any in-distribution document.
