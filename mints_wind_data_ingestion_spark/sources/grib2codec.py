@@ -62,9 +62,17 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 from datetime import datetime, timedelta, timezone
 
 import numpy as np
+
+#: exception classes a CORRUPT (framed-valid, garbage-body) message can
+#: surface from decode: explicit structural ValueErrors, out-of-range
+#: octet reads, short struct/zlib buffers, numpy size mismatches (also
+#: ValueError). The scan/skip quarantine surface converts exactly these
+#: into error rows; anything else is a codec BUG and stays loud.
+DECODE_ERRORS = (ValueError, IndexError, KeyError, struct.error, zlib.error)
 
 __all__ = [
     "decode_grib2_bytes",
@@ -127,6 +135,13 @@ _GDT_NAME = {
 }
 _SHAPE = {6: "Earth spherical with radius of 6,371,229.0 m"}
 
+#: per-message point-count plausibility bound: ~8× the largest
+#: operational grid (ECMWF O1280 ≈ 6.6M points). Corrupt count octets
+#: otherwise size allocations (np.zeros of a 4-byte count) that can
+#: stall an executor for minutes — the quarantine surface must reject
+#: them in microseconds instead.
+_MAX_POINTS = 1 << 25
+
 
 def _u(b: bytes, o: int, n: int) -> int:
     return int.from_bytes(b[o : o + n], "big")
@@ -170,12 +185,29 @@ def gaussian_latitudes(n: int) -> np.ndarray:
     12 KB: plan-literal sized)."""
     if n < 1:
         raise ValueError(f"Gaussian grid needs N >= 1, got {n}")
+    if n > 8192:
+        # operational grids top out around N=1280 (ECMWF O1280); a
+        # larger N is corrupt octets, and the O((2N)²) eigensolve +
+        # cache entry would otherwise be an executor-side allocation
+        # bomb on one bad message
+        raise ValueError(f"Gaussian grid N {n} implausible (max 8192)")
     if n not in _gauss_lat_cache:
         nodes, _w = np.polynomial.legendre.leggauss(2 * n)
         # leggauss returns nodes ascending in sin(lat); GRIB scans rows
         # north→south (scan mode 0/64 start at la1 = northernmost)
         _gauss_lat_cache[n] = np.degrees(np.arcsin(nodes))[::-1].copy()
     return _gauss_lat_cache[n]
+
+
+def _scales(msg: bytes, o5: int) -> tuple[int, int]:
+    """Binary/decimal scale factors (octets 16-17/18-19 of section 5)
+    with a plausibility bound: real products use |E|,|D| ≲ 30, and a
+    corrupt value would overflow ldexp/10**d executor-side instead of
+    quarantining."""
+    e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+    if abs(e) > 64 or abs(d) > 64:
+        raise ValueError(f"scale factors E={e} D={d} implausible")
+    return e, d
 
 
 def _unpack_values(
@@ -330,6 +362,8 @@ def _png_decode_samples(data: bytes) -> tuple[int, int, int, np.ndarray]:
     channels = {0: 1, 2: 3, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"PNG packing: colour type {ctype} unsupported")
+    if w == 0 or h == 0 or w * h > _MAX_POINTS:
+        raise ValueError(f"PNG packing: {w}x{h} dimensions implausible")
     bits_px = depth * channels
     stride = (w * bits_px + 7) // 8
     bpp = max(1, bits_px // 8)
@@ -471,14 +505,18 @@ def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
     integrates the recurrence."""
     drt = _u(msg, o5 + 9, 2)
     n = _u(msg, o5 + 5, 4)
+    if n > _MAX_POINTS:
+        raise ValueError(f"packed point count {n} implausible")
     ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
-    e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+    e, d = _scales(msg, o5)
     nbits_ref = msg[o5 + 19]
     if msg[o5 + 22] != 0:
         raise ValueError(
             f"missing-value management {msg[o5 + 22]} unsupported"
         )
     ng = _u(msg, o5 + 31, 4)
+    if ng > n:
+        raise ValueError(f"{ng} groups for {n} points implausible")
     width_ref, wbits = msg[o5 + 35], msg[o5 + 36]
     len_ref, len_inc = _u(msg, o5 + 37, 4), msg[o5 + 41]
     last_len = _u(msg, o5 + 42, 4)
@@ -500,6 +538,14 @@ def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
         pos += ba
 
     bits = np.unpackbits(np.frombuffer(payload[pos:], dtype=np.uint8))
+    # cheap pre-allocation budget check: the three per-group field
+    # arrays need ng·(widths) bits — a corrupt ng with nonzero widths
+    # rejects here in microseconds instead of after ng-sized transients
+    if ng * (nbits_ref + wbits + lbits) > bits.size + 32:
+        raise ValueError(
+            f"{ng} groups need {ng * (nbits_ref + wbits + lbits)} "
+            f"descriptor bits, payload has {bits.size}"
+        )
     off = 0
     grefs, off = _unpack_uints(bits, off, ng, nbits_ref)
     off = _octet_align(off)
@@ -637,6 +683,14 @@ def iter_grib2_messages(content: bytes):
         if edition != 2:
             raise ValueError(f"GRIB edition {edition} unsupported (GRIB2 only)")
         msg_len = _u(content, pos + 8, 8)
+        # a corrupt length of 0 would freeze this walk (pos += 0) and
+        # anything under indicator+end cannot frame a message — both
+        # are file-level corruption, fail loud (executor-side infinite
+        # loops are the one failure mode a 100 TB scan can never have)
+        if msg_len < 21 or pos + msg_len > len(content):
+            raise ValueError(
+                f"GRIB message length {msg_len} at offset {pos} invalid"
+            )
         msg = content[pos : pos + msg_len]
         if msg[-4:] != b"7777":
             raise ValueError("GRIB message missing 7777 end section")
@@ -668,7 +722,7 @@ def decode_grib2_bytes(
     for _pos, msg in iter_grib2_messages(content):
         try:
             records.append(_decode_message(msg))
-        except ValueError:
+        except DECODE_ERRORS:
             if on_unsupported == "raise":
                 raise
     return records
@@ -684,8 +738,13 @@ def scan_grib2_bytes(content: bytes) -> list[dict]:
     for pos, msg in iter_grib2_messages(content):
         try:
             out.append({"offset": pos, "record": _decode_message(msg), "error": None})
-        except ValueError as exc:
-            out.append({"offset": pos, "record": None, "error": str(exc)})
+        except DECODE_ERRORS as exc:
+            text = (
+                str(exc)
+                if isinstance(exc, ValueError)
+                else f"corrupt message ({type(exc).__name__}): {exc}"
+            )
+            out.append({"offset": pos, "record": None, "error": text})
     return out
 
 
@@ -699,9 +758,21 @@ def _decode_message(msg: bytes) -> dict:
     sec: dict[int, tuple[int, int]] = {}
     o = 16
     while o < msg_len - 4:
+        if o + 5 > msg_len - 4:
+            raise ValueError(f"truncated section header at octet {o}")
         slen, snum = _u(msg, o, 4), msg[o + 4]
+        # a corrupt zero/short length would freeze this walk — per-
+        # message corruption raises ValueError so the SCAN path
+        # quarantines the message instead of hanging the executor
+        if slen < 5 or o + slen > msg_len - 4:
+            raise ValueError(
+                f"section {snum} length {slen} at octet {o} invalid"
+            )
         sec[snum] = (o, slen)
         o += slen
+    missing = [s for s in (1, 3, 4, 5, 6, 7) if s not in sec]
+    if missing:
+        raise ValueError(f"mandatory sections missing: {missing}")
 
     o1 = sec[1][0]
     ref_time = datetime(
@@ -714,6 +785,8 @@ def _decode_message(msg: bytes) -> dict:
     if gdt not in (0, 10, 20, 30, 40):
         raise ValueError(f"grid definition template 3.{gdt} unsupported")
     n_points = _u(msg, o3 + 6, 4)
+    if n_points > _MAX_POINTS:
+        raise ValueError(f"numberPoints {n_points} implausible")
     if gdt == 10:
         # template 3.10 — Mercator (NCEP tropical/regional products):
         # carries BOTH corner points (degrees) and metre dx/dy true at
@@ -868,9 +941,11 @@ def _decode_message(msg: bytes) -> dict:
 
     o7, slen7 = sec[7]
     n_packed = _u(msg, o5 + 5, 4)  # points actually packed (≠ grid under bitmap)
+    if n_packed > _MAX_POINTS:
+        raise ValueError(f"packed point count {n_packed} implausible")
     if drt == 0:
         ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
-        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        e, d = _scales(msg, o5)
         nbits = msg[o5 + 19]
         vals = _unpack_values(
             msg[o7 + 5 : o7 + slen7], n_packed, nbits, ref, e, d
@@ -894,7 +969,7 @@ def _decode_message(msg: bytes) -> dict:
         # quarantines via the standard unsupported-ValueError path
         # (tests/test_round7.py pins both branches of the gate).
         ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
-        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        e, d = _scales(msg, o5)
         nbits = msg[o5 + 19]
         if nbits == 0:  # constant field — no codestream to decode
             x = np.zeros(n_packed, dtype=np.int64)
@@ -909,7 +984,7 @@ def _decode_message(msg: bytes) -> dict:
         # template 5.41: same R/E/D head as simple packing, the scaled
         # ints ride a PNG stream in section 7 (NCEP MRMS-class files)
         ref = struct.unpack(">f", msg[o5 + 11 : o5 + 15])[0]
-        e, d = _s(msg, o5 + 15, 2), _s(msg, o5 + 17, 2)
+        e, d = _scales(msg, o5)
         _w, _h, _bits, x = _png_decode_samples(msg[o7 + 5 : o7 + slen7])
         if x.size < n_packed:
             raise ValueError(
@@ -921,10 +996,22 @@ def _decode_message(msg: bytes) -> dict:
     else:
         vals = _unpack_complex(msg, o5, o7, slen7)
     if bitmap_ind == 0:
+        if n_points > (slen6 - 6) * 8:
+            # corrupt numberPoints would otherwise size an allocation
+            # far beyond the message's own bitmap
+            raise ValueError(
+                f"bitmap of {slen6 - 6} octets cannot cover "
+                f"{n_points} points"
+            )
         present = np.unpackbits(
             np.frombuffer(msg[o6 + 6 : o6 + slen6], dtype=np.uint8)
         )[:n_points].astype(bool)
         full = np.full(n_points, np.nan, dtype=np.float32)
+        if int(present.sum()) != vals.size:
+            raise ValueError(
+                f"bitmap marks {int(present.sum())} present points but "
+                f"section 7 decoded {vals.size}"
+            )
         full[present] = vals
         vals = full
 
