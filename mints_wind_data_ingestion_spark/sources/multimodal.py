@@ -32,6 +32,7 @@ not task failures.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,6 +45,20 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+)
+
+#: exception classes a CORRUPT payload can surface from the native
+#: decoders (BMP/PNM/WAV/Y4M): explicit ValueErrors, short struct
+#: buffers, missing header keys (WAV bits / Y4M W/H lookups), plus the
+#: import-gate NotImplementedError. Quarantine boundaries
+#: (transform_images and callers embedding decode in a UDTF) convert
+#: exactly these to NULL rows; anything else is a decoder bug.
+MM_DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    KeyError,
+    IndexError,
+    struct.error,
 )
 
 __all__ = [
@@ -273,6 +288,9 @@ def decode_audio(payload: bytes) -> dict:
     audio_format, ch, sr, _, _, bits = fmt
     if audio_format != 1:
         raise ValueError(f"only integer PCM supported (format={audio_format})")
+    if ch == 0:  # corrupt fmt chunk: len(raw) % 0 would be a
+        # ZeroDivisionError outside the quarantine class
+        raise ValueError("WAV with 0 channels")
     dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     raw = np.frombuffer(data, dtype=dtype)
     raw = raw[: len(raw) - len(raw) % ch].reshape(-1, ch)
@@ -450,7 +468,7 @@ def transform_images(
                         (i, encode_bmp(rs), out_w, out_h,
                          feats["channel_means"][0], feats["pixel_std"])
                     )
-                except (ValueError, NotImplementedError):
+                except MM_DECODE_ERRORS:
                     rows.append((i, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,

@@ -1,0 +1,90 @@
+"""Corruption fuzz over the native multimodal decoders (round 7) —
+same contract as the GRIB quarantine fuzz: a corrupt BMP/PNM/WAV/Y4M
+payload either decodes or raises inside MM_DECODE_ERRORS (what the
+transform UDTFs convert to NULL rows) — never a hang, never a foreign
+exception that would kill the Arrow batch."""
+
+from __future__ import annotations
+
+import random
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from mints_wind_data_ingestion_spark.sources import multimodal as mm
+
+
+def _payloads():
+    px = (np.arange(16 * 12 * 3, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(12, 16, 3)
+    pcm = (np.sin(np.arange(2000) / 10) * 3000).astype("<i2").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    y4m = (
+        b"YUV4MPEG2 W16 H12 F25:1 Ip A1:1 C420\n"
+        + b"".join(b"FRAME\n" + bytes(16 * 12 * 3 // 2) for _ in range(4))
+    )
+    return [
+        (mm.encode_bmp(px), "img"),
+        (b"P6\n16 12\n255\n" + px.tobytes(), "img"),
+        (b"P5\n# c\n16 12 255\n" + px[:, :, 0].tobytes(), "img"),
+        (wav, "aud"),
+        (y4m, "vid"),
+    ]
+
+
+def test_corrupt_payloads_stay_inside_quarantine_class():
+    rng = random.Random(20260815)
+    payloads = _payloads()
+    dec = {
+        "img": mm.decode_image,
+        "aud": mm.decode_audio,
+        "vid": lambda p: mm.sample_video_frames(p, 2),
+    }
+    quarantined = ok = 0
+    for _ in range(8000):
+        base, kind = payloads[rng.randrange(len(payloads))]
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(0, len(b))] = rng.randrange(256)
+        t0 = time.perf_counter()
+        try:
+            dec[kind](bytes(b))
+            ok += 1
+        except mm.MM_DECODE_ERRORS:
+            quarantined += 1
+        # anything else propagates and fails the test
+        assert time.perf_counter() - t0 < 3.0, "per-payload stall"
+    assert quarantined > 300 and ok > 300
+
+
+def test_wav_zero_channels_quarantines():
+    """A corrupt fmt chunk claiming 0 channels must raise inside the
+    quarantine class, not ZeroDivisionError."""
+    pcm = bytes(100)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    with pytest.raises(ValueError, match="0 channels"):
+        mm.decode_audio(wav)
+
+
+def test_wav_bad_bit_depth_quarantines():
+    """bits outside {8,16,32} surfaces KeyError — inside
+    MM_DECODE_ERRORS, so the UDTF boundary still quarantines it."""
+    pcm = bytes(100)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 24)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    with pytest.raises(mm.MM_DECODE_ERRORS):
+        mm.decode_audio(wav)
