@@ -246,11 +246,26 @@ def main() -> None:
     # cross-round totals stay comparable across the r6 metric change.
     # Single pass (not best-of): it's a split estimate, not the
     # headline — the headline stays sum-of-mins under the cache.
+    # Failure-isolated and budget-checked per query: the headline
+    # metric line MUST print even if one uncached run dies or the
+    # sweep overruns (uncached runs are strictly slower than the
+    # cached total the entry guard estimates with).
     nocache: dict[str, float] | None = None
     if elapsed() + total < budget:
         enable_plan_cache(False)
-        nocache = {name: round(run_once(name), 4) for name in names}
-        enable_plan_cache(True)
+        nocache = {}
+        try:
+            for name in names:
+                nocache[name] = round(run_once(name), 4)
+                if elapsed() > budget:
+                    break
+        except Exception:  # noqa: BLE001 — the A/B is advisory
+            pass
+        finally:
+            enable_plan_cache(True)
+        if len(nocache) < len(names):
+            nocache = None  # partial sweep: a partial sum would read
+            # as a (wrong) full-surface split
     print(
         json.dumps(
             {

@@ -43,6 +43,7 @@ def gaussian_cell_latlon(
     n: int,
     lo1: float,
     dx: float,
+    north_first: bool = True,
 ) -> tuple[Column, Column]:
     """Cell index → (lat, lon) degrees for a regular Gaussian grid
     (template 3.40, N parallels pole→equator): longitude is the same
@@ -56,11 +57,19 @@ def gaussian_cell_latlon(
     N=768, well under plan-size limits and broadcast-free; at an
     extreme N a caller can join a (row, lat) broadcast dim instead,
     but every real grid family fits the literal. Pure codegen'd
-    expressions — no UDF, no shuffle. Scan mode 0/64 start at row 0 =
-    the northernmost latitude, matching gaussian_latitudes' order."""
+    expressions — no UDF, no shuffle.
+
+    `north_first` mirrors the grid's scan direction (WMO flag table
+    3.4 bit 0x40): True for scan −j (rows N→S, la1 = northernmost —
+    scanMode 0, what NCEP emits), False for +j (rows S→N, la1 =
+    southernmost); the decoder validates la1 against exactly this
+    (grib2codec._decode_message)."""
     from ..sources.grib2codec import gaussian_latitudes
 
-    lats = F.array(*[F.lit(float(v)) for v in gaussian_latitudes(n)])
+    ordered = gaussian_latitudes(n)
+    if not north_first:
+        ordered = ordered[::-1]
+    lats = F.array(*[F.lit(float(v)) for v in ordered])
     lat = F.element_at(lats, (F.floor(idx / F.lit(nx)) + 1).cast("int"))
     lon = F.pmod(F.lit(lo1) + F.pmod(idx, F.lit(nx)).cast("double")
                  * F.lit(dx), F.lit(360.0))

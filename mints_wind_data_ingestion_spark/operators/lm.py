@@ -56,34 +56,63 @@ def _nn(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _tagged_grams(docs: DataFrame, text_col: str) -> DataFrame:
+    """ONE Arrow pass over the corpus emitting (kind, gram) rows —
+    kind 1 = token, kind 2 = "w1 w2" bigram string. The vectorized
+    bulk-shingler pattern (functions.text.shingle_docs_pandas — the
+    expression-form HOFs are CodegenFallback, interpreted per element,
+    ~7× slower at sf0.1), widened to tag BOTH gram orders so the
+    trainer never re-tokenizes the corpus for the vocabulary."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            kinds: list[int] = []
+            grams: list[str] = []
+            for t in pdf[text_col]:
+                toks = (t or "").split()
+                kinds.extend([1] * len(toks))
+                grams.extend(toks)
+                if len(toks) > 1:
+                    kinds.extend([2] * (len(toks) - 1))
+                    grams.extend(
+                        a + " " + b for a, b in zip(toks, toks[1:])
+                    )
+            yield pd.DataFrame({"kind": kinds, "gram": grams})
+
+    return docs.select(text_col).mapInPandas(
+        batches, schema="kind int, gram string"
+    )
+
+
 def train_bigram_counts(
     train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(bigram counts keyed by the "w1 w2" string, prefix counts keyed
     by w1, 1-row vocab size) for the reference corpus — the
-    persistable LM artifact. Bigrams are word 2-shingles from the
-    Arrow-vectorized bulk shingler (functions.text.shingle_docs_pandas
-    — the repo's measured fast path; the expression-form transform/
-    element_at HOFs are CodegenFallback, interpreted per element, and
-    cost ~7 s where this costs ~1 s at sf0.1). The "w1 w2" string IS
-    the pair key (tokens contain no whitespace), so one string column
-    carries the join; prefix counts derive from the bigram table
-    (c(w1) = Σ c("w1 ·") via substring_index — no second corpus
-    pass), and V is one distinct-count over the token multiset."""
-    from ..functions.text import shingle_docs_pandas
-
-    pairs = shingle_docs_pandas(
-        _nn(train_docs, id_col, text_col), id_col, text_col, 2, out="__bg"
-    ).select(F.explode("__bg").alias("bg"))
-    big = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    persistable LM artifact, built from ONE corpus pass: the tagged
+    Arrow tokenizer emits tokens and bigram strings together, one
+    (kind, gram) groupBy counts both (cached — big, pre and vocab all
+    read the materialized counts, so the text is tokenized exactly
+    once; r7 review replaced a second shingler pass). The "w1 w2"
+    string IS the pair key (tokens contain no whitespace); prefix
+    counts derive from the bigram table (c(w1) = Σ c("w1 ·") via
+    substring_index); V counts the distinct kind-1 grams."""
+    counts = (
+        _tagged_grams(_nn(train_docs, id_col, text_col), text_col)
+        .groupBy("kind", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    big = counts.filter(F.col("kind") == 2).select(
+        F.col("gram").alias("bg"), F.col("c").alias("c12")
+    )
     pre = big.groupBy(
         F.substring_index("bg", " ", 1).alias("w1")
     ).agg(F.sum("c12").alias("c1"))
     vocab = (
-        shingle_docs_pandas(_nn(train_docs, id_col, text_col),
-                            id_col, text_col, 1, out="__tk")
-        .select(F.explode("__tk").alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
+        counts.filter(F.col("kind") == 1)
+        .agg(F.count(F.lit(1)).alias("v"))
     )
     return big, pre, vocab
 

@@ -68,7 +68,13 @@ def resample_interpolate(
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(val_col).alias("v"),
         F.col(id_col).alias("rid"),
-    )
+    ).filter(F.col("v").isNotNull() & F.col("ts_us").isNotNull())
+    # NULL-valued rows are NOT observations: kept, they would
+    # desynchronize the bracketing windows (prev_v's last non-NULL v
+    # belongs to a LATER obs than prev_ts's last obs timestamp) and
+    # interpolate against the wrong anchor — and max_by could pick a
+    # NULL v at a duplicate timestamp where the oracle's arg_max
+    # skips NULL arguments.
     # duplicate timestamps collapse latest-wins on the id — without
     # this the window order (and thus the bracketing obs) would be
     # partition-order-dependent

@@ -1635,6 +1635,7 @@ _D_RESAMPLE = f"""
         SELECT user_id AS k, epoch_us(ts) AS ts_us, value AS v,
                event_id AS rid
         FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     obs AS (SELECT k, ts_us, arg_max(v, rid) AS v FROM obs0 GROUP BY 1, 2),
     ticks AS (
@@ -1998,7 +1999,12 @@ def x_grib_lambert(spark: SparkSession, sf_dir: str) -> DataFrame:
             nx=spec["nx"], ny=spec["ny"],
             la1=spec["la1"] if spec["la1"] is not None else 90.0,
             lo1=spec["lo1"],
-            scan_mode=64, packing=spec["packing"], **proj,
+            # projected grids scan +x/+y (64, NOAA convention); the
+            # Gaussian grid scans rows N→S (0 — +j would put la1 at
+            # the SOUTH end, and both the values layout and the
+            # inverse mapping here are north-first)
+            scan_mode=0 if spec["kind"] == "gaussian" else 64,
+            packing=spec["packing"], **proj,
         )))
     bdf = spark.createDataFrame(blobs, "g int, blob binary")
 

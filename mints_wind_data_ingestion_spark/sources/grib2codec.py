@@ -480,10 +480,21 @@ def _jpeg2000_decode_samples(data: bytes, n: int) -> np.ndarray:
         ) from exc
     import tempfile
 
-    with tempfile.NamedTemporaryFile(suffix=".j2k") as fh:
-        fh.write(data)
-        fh.flush()
-        arr = np.asarray(glymur.Jp2k(fh.name)[:])
+    try:
+        with tempfile.NamedTemporaryFile(suffix=".j2k") as fh:
+            fh.write(data)
+            fh.flush()
+            arr = np.asarray(glymur.Jp2k(fh.name)[:])
+    except DECODE_ERRORS:
+        raise
+    except Exception as exc:  # noqa: BLE001 — glymur/OpenJPEG raise
+        # their own error types (RuntimeError/OSError/InvalidJp2kError)
+        # on corrupt codestreams; a framed-valid message with garbage
+        # bytes must QUARANTINE, never kill the file/Arrow batch
+        raise ValueError(
+            f"JPEG2000 packing: corrupt codestream "
+            f"({type(exc).__name__}: {exc})"
+        ) from exc
     x = arr.reshape(-1).astype(np.int64)
     if x.size < n:
         raise ValueError(
@@ -831,12 +842,19 @@ def _decode_message(msg: bytes) -> dict:
             la1_g = _deg(msg, o3 + 46)
             lat0 = float(gaussian_latitudes(gauss_n)[0])
             # real emitters encode La1 as the first quadrature latitude
-            # rounded to microdegrees; a mismatch means the grid is not
-            # the regular Gaussian layout this decode assumes
-            if abs(abs(la1_g) - lat0) > 1e-3:
+            # rounded to microdegrees — WHICH END depends on the scan
+            # direction (flag table 3.4 bit 0x40: +j = rows south→
+            # north, so la1 is the SOUTHERNMOST). A sign-insensitive
+            # check would accept a south-first grid that a north-first
+            # cell mapping then mirrors about the equator (r7 review).
+            south_first = bool(msg[o3 + 71] & 0x40)
+            want = -lat0 if south_first else lat0
+            if abs(la1_g - want) > 1e-3:
                 raise ValueError(
-                    f"Gaussian grid la1 {la1_g} does not match the first"
-                    f" quadrature latitude ±{lat0:.6f} for N={gauss_n}"
+                    f"Gaussian grid la1 {la1_g} does not match the "
+                    f"{'southern' if south_first else 'northern'}most "
+                    f"quadrature latitude {want:.6f} for N={gauss_n} "
+                    f"(scanMode {msg[o3 + 71]})"
                 )
         grid = {
             "gridUnits": "degrees",
@@ -1140,6 +1158,15 @@ def encode_grib2_message(
         if ny != 2 * gaussian_n:
             raise ValueError(
                 f"Gaussian grid ny {ny} != 2N (N={gaussian_n})"
+            )
+        if scan_mode & 0x40:
+            # +j (rows S→N) would need la1 = the SOUTHERNMOST
+            # quadrature latitude; this encoder emits north-first rows
+            # only (scanMode 0 — what NCEP emits), so claiming +j
+            # would mislabel the layout
+            raise ValueError(
+                "Gaussian encode supports north-first rows only "
+                f"(scan_mode {scan_mode} sets +j)"
             )
         lats = gaussian_latitudes(gaussian_n)
         la1, la2 = float(lats[0]), float(lats[-1])

@@ -76,7 +76,7 @@ def test_gaussian_header_roundtrip():
     vals = _field(nx, ny)
     msg = encode_grib2_message(
         vals, parameter_number=2, ref_time=RT, nx=nx, ny=ny,
-        lo1=0.0, dx=45.0, scan_mode=64, packing="complex_diff1",
+        lo1=0.0, dx=45.0, packing="complex_diff1",
         gaussian_n=n,
     )
     rec = decode_grib2_bytes(msg)[0]
@@ -149,6 +149,60 @@ def test_gaussian_la1_mismatch_quarantines():
     msg[o3 + 46 : o3 + 50] = (60_000_000).to_bytes(4, "big")  # la1=60°
     with pytest.raises(ValueError, match="quadrature latitude"):
         decode_grib2_bytes(bytes(msg))
+
+
+def test_gaussian_scan_direction_contract():
+    """Scan-mode-aware la1 validation (r7 review): bit 0x40 (+j, rows
+    S→N) means la1 is the SOUTHERNMOST quadrature latitude. A
+    south-first grid with the matching la1 decodes; a grid whose la1
+    end contradicts its scan bit quarantines; the encoder refuses to
+    emit a +j Gaussian (it lays rows north-first)."""
+    n, nx = 3, 8
+    lats = gaussian_latitudes(n)
+    msg = bytearray(encode_grib2_message(
+        _field(nx, 2 * n), parameter_number=2, ref_time=RT, nx=nx,
+        ny=2 * n, dx=45.0, gaussian_n=n,
+    ))
+    o3 = _sec_offset(bytes(msg), 3)
+    # flip to +j WITHOUT moving la1 → contradiction → quarantine
+    b = bytearray(msg)
+    b[o3 + 71] |= 0x40
+    with pytest.raises(ValueError, match="southernmost"):
+        decode_grib2_bytes(bytes(b))
+    # flip to +j AND encode la1/la2 as the southern/northern ends →
+    # a legitimate south-first grid decodes
+    def put_deg(v):
+        micro = round(v * 1e6)
+        return ((1 << 31) | -micro if micro < 0 else micro).to_bytes(4, "big")
+    b[o3 + 46 : o3 + 50] = put_deg(float(lats[-1]))   # la1 = south
+    b[o3 + 55 : o3 + 59] = put_deg(float(lats[0]))    # la2 = north
+    h = decode_grib2_bytes(bytes(b))[0]["header"]
+    assert h["la1"] == pytest.approx(float(lats[-1]), abs=1e-5)
+    assert h["scanMode"] & 0x40
+    # encoder refuses to mislabel its north-first layout as +j
+    with pytest.raises(ValueError, match="north-first"):
+        encode_grib2_message(
+            _field(nx, 2 * n), parameter_number=2, ref_time=RT, nx=nx,
+            ny=2 * n, dx=45.0, gaussian_n=n, scan_mode=64,
+        )
+
+
+def test_gaussian_cell_latlon_south_first(spark):
+    """north_first=False mirrors the latitude lookup for +j grids."""
+    from mints_wind_data_ingestion_spark.functions.wind import (
+        gaussian_cell_latlon,
+    )
+
+    n, nx = 3, 4
+    lat, _lon = gaussian_cell_latlon(
+        F.col("idx"), nx=nx, n=n, lo1=0.0, dx=90.0, north_first=False
+    )
+    pdf = spark.range(nx * 2 * n).select(
+        F.col("id").alias("idx"), lat.alias("lat")
+    ).toPandas()
+    lats = gaussian_latitudes(n)[::-1]  # south → north
+    i = np.arange(nx * 2 * n)
+    assert np.abs(pdf["lat"].to_numpy() - lats[i // nx]).max() == 0.0
 
 
 def test_gaussian_cell_latlon_matches_numpy(spark):
