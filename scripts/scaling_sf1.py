@@ -70,6 +70,10 @@ QUERIES = [
     # both scale linearly, the worst case for the model-table join)
     "x_dedup_incremental",
     "x_lm_perplexity",
+    # round-7 addition: per-key gap-fill over the 10× events corpus —
+    # 10× keys with identical per-key series, so ticks, window rows
+    # and outputs all scale exactly 10× (the pure key-parallel case)
+    "x_resample_interpolate",
 ]
 
 
@@ -77,11 +81,33 @@ def build_sf1(spark) -> None:
     os.makedirs(SF1, exist_ok=True)
     # unscaled tables ride through as symlinks
     for t in TESTDATA_TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         link = os.path.join(SF1, f"{t}.parquet")
         if not os.path.lexists(link):
             os.symlink(os.path.join(SF01, f"{t}.parquet"), link)
+
+    # events ×10 (r7): replica k offsets user_id/event_id, timestamps
+    # unchanged — each replica user carries the original's exact
+    # per-user series, so resample/EWMA-class outputs scale exactly
+    # 10× (10× keys, same per-key tick/obs structure)
+    ev_out = os.path.join(SF1, "events.parquet")
+    if not os.path.exists(ev_out):
+        ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+        k = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__k")
+        rep = ev.select("*", k)
+        scaled = rep.select(
+            (F.col("event_id")
+             + F.col("__k").cast("bigint") * F.lit(10 ** 9)).alias(
+                "event_id"
+            ),
+            (F.col("user_id")
+             + F.col("__k").cast("bigint") * F.lit(10 ** 7)).alias(
+                "user_id"
+            ),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        )
+        scaled.repartition(32).write.mode("overwrite").parquet(ev_out)
 
     docs_out = os.path.join(SF1, "documents.parquet")
     if not os.path.exists(docs_out):
@@ -151,9 +177,10 @@ def main() -> None:
               f"growth={growth:.1f}x")
 
     stamp = "\n## sf0.1 → sf1 spot run (10× derived corpus; see scripts/scaling_sf1.py)\n\n"
-    stamp += ("50 000 documents / 20 000 embeddings, replica-perturbed from the\n"
-              "driver's sf0.1 parquet so near-dup pair structure scales exactly\n"
-              "linearly. best-of-3, noop sink, warm session.\n\n")
+    stamp += ("50 000 documents / 20 000 embeddings / 1 M events,\n"
+              "replica-perturbed from the driver's sf0.1 parquet so near-dup\n"
+              "pair structure and per-key time series scale exactly linearly.\n"
+              "best-of-3, noop sink, warm session.\n\n")
     stamp += "| query | sf0.1 s | sf1 s | 0.1→1 growth |\n|---|---|---|---|\n"
     for name, a, b, g in rows:
         stamp += f"| `{name}` | {a:.2f} | {b:.2f} | {g:.1f}× |\n"
