@@ -97,7 +97,17 @@ def train_bigram_counts(
     once; r7 review replaced a second shingler pass). The "w1 w2"
     string IS the pair key (tokens contain no whitespace); prefix
     counts derive from the bigram table (c(w1) = Σ c("w1 ·") via
-    substring_index); V counts the distinct kind-1 grams."""
+    substring_index); V counts the distinct kind-1 grams.
+
+    Cache lifecycle follows the minhash-posting precedent: the counts
+    cache lives until the caller's `spark.catalog.clearCache()` (the
+    bench/driver clear per query) or session end — a long-lived
+    session scoring many batches WANTS the trained model resident;
+    callers that don't should unpersist/clearCache after scoring. The
+    mid-plan cache also self-excludes the query from the prepared-plan
+    cache (registry InMemoryRelation detection) — correct, since a
+    reused handle after clearCache would silently retokenize the
+    corpus per consumer."""
     counts = (
         _tagged_grams(_nn(train_docs, id_col, text_col), text_col)
         .groupBy("kind", "gram")

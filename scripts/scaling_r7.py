@@ -140,7 +140,9 @@ def _build_grib(spark, scale: int):
             vals, parameter_number=2, ref_time=ref,
             nx=spec["nx"], ny=spec["ny"],
             la1=spec["la1"] if spec["la1"] is not None else 90.0,
-            lo1=spec["lo1"], scan_mode=64, packing=spec["packing"],
+            lo1=spec["lo1"],
+            scan_mode=0 if spec["kind"] == "gaussian" else 64,
+            packing=spec["packing"],
             **proj,
         )))
     bdf = spark.createDataFrame(blobs, "g int, blob binary").repartition(

@@ -92,6 +92,11 @@ def build_sf1(spark) -> None:
     # per-user series, so resample/EWMA-class outputs scale exactly
     # 10× (10× keys, same per-key tick/obs structure)
     ev_out = os.path.join(SF1, "events.parquet")
+    if os.path.islink(ev_out):
+        # pre-r7 runs SYMLINKED events into SF1; the stale link would
+        # make the ×10 derivation silently skip and the "sf1" rows
+        # measure unscaled data
+        os.remove(ev_out)
     if not os.path.exists(ev_out):
         ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
         k = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__k")
@@ -169,7 +174,12 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+                # clear AFTER EVERY run, exactly like bench.py: plans
+                # that register mid-plan .cache() points (minhash
+                # postings, the LM gram counts) would otherwise serve
+                # runs 2-3 from the cache and the best-of-3 would
+                # exclude the very stage being measured (r7 review)
+                spark.catalog.clearCache()
             times.append(best)
         growth = times[1] / times[0]
         rows.append((name, times[0], times[1], growth))

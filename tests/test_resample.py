@@ -82,48 +82,21 @@ def test_null_values_are_not_observations(spark):
     would desynchronize the bracketing windows (next_ts from the NULL
     obs, next_v from a later one) and interpolate against the wrong
     anchor (review finding, r7)."""
-    rows = [
+    # straight line 10 → 22 over 24 s, ignoring the NULL at 12 s
+    got = _run(spark, [
         (1, 0, 10.0, 1),
         (1, 12_000_000, None, 2),   # NULL obs mid-range — ignored
         (1, 24_000_000, 22.0, 3),
-    ]
-    df = spark.createDataFrame(
-        [(k, datetime.utcfromtimestamp(us / 1e6), v, rid)
-         for k, us, v, rid in rows],
-        "k long, ts timestamp, v double, rid long",
-    )
-    from mints_wind_data_ingestion_spark.operators.resample import (
-        resample_interpolate,
-    )
-
-    out = {
-        (r["k"], r["ts_us"]): r["v_e6"]
-        for r in resample_interpolate(
-            df, key_col="k", ts_col="ts", val_col="v", id_col="rid",
-            step_us=STEP,
-        ).collect()
-    }
-    # straight line 10 → 22 over 24 s, ignoring the NULL at 12 s
-    assert out == {
+    ])
+    assert got == {
         (1, 0): 10_000_000,
         (1, 10_000_000): 15_000_000,
         (1, 20_000_000): 20_000_000,
     }
     # trailing NULL: no later real obs → ticks after the last real
     # obs are dropped, never emitted with NULL v_e6
-    rows2 = [(2, 0, 1.0, 1), (2, 25_000_000, None, 2)]
-    df2 = spark.createDataFrame(
-        [(k, datetime.utcfromtimestamp(us / 1e6), v, rid)
-         for k, us, v, rid in rows2],
-        "k long, ts timestamp, v double, rid long",
-    )
-    out2 = resample_interpolate(
-        df2, key_col="k", ts_col="ts", val_col="v", id_col="rid",
-        step_us=STEP,
-    ).collect()
-    assert [(r["k"], r["ts_us"], r["v_e6"]) for r in out2] == [
-        (2, 0, 1_000_000)
-    ]
+    got = _run(spark, [(2, 0, 1.0, 1), (2, 25_000_000, None, 2)])
+    assert got == {(2, 0): 1_000_000}
     # NULL at a duplicate timestamp must not beat the real value
     got = _run(spark, [
         (3, 10_000_000, 4.0, 1),
