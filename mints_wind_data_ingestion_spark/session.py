@@ -95,6 +95,11 @@ def get_spark(app_name: str = "windflow", shuffle_partitions: int | None = None)
             "-XX:ReservedCodeCacheSize=1g -XX:MaxMetaspaceSize=2g",
         )
         .config("spark.ui.enabled", "false")
+        # stdout console-progress bars (\r[Stage …] spam) interleave with
+        # the bench's single JSON metric line and can push it out of a
+        # tail-capture window on a wide (38-query) surface — measured
+        # megabytes of progress output per sweep. Logs belong on stderr.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     # extra jars (e.g. a JDBC driver) — must be on the classpath before
     # the JVM starts; DriverManager never sees late-added jars
