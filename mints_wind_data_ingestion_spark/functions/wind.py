@@ -53,10 +53,11 @@ def gaussian_cell_latlon(
     eigensolve, never per-row work).
 
     The lookup ships as a plan-literal array (element_at on a
-    foldable array<double>) — ~12 KB of literals at the operational
-    N=768, well under plan-size limits and broadcast-free; at an
-    extreme N a caller can join a (row, lat) broadcast dim instead,
-    but every real grid family fits the literal. Pure codegen'd
+    foldable array<double>) — ~20 KB of literals at the N=1280
+    operational ceiling (ECMWF O1280; NCEP's N=768 is ~12 KB), well
+    under plan-size limits and broadcast-free; at an extreme N a
+    caller can join a (row, lat) broadcast dim instead, but every
+    real grid family fits the literal. Pure codegen'd
     expressions — no UDF, no shuffle.
 
     `north_first` mirrors the grid's scan direction (WMO flag table

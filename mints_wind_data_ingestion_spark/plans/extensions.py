@@ -2084,6 +2084,13 @@ def _ens_type(m: int) -> int:
     return 0 if m == 0 else (2 if m % 2 == 0 else 3)
 
 
+def _ens_pdt(m: int) -> int:
+    # the last member is an ACCUMULATION member (template 4.11 — the
+    # 4.1 ensemble triple + the 4.8 interval block; the GEFS ensemble
+    # precipitation shape, r8); the rest are point-in-time 4.1
+    return 11 if m == _ENS_M - 1 else 1
+
+
 def _ensemble_oracle_sql() -> str:
     """Closed-form DuckDB replay: the member field is exact 2dp ints,
     so every sum/spread is exact integer arithmetic; the per-member
@@ -2096,6 +2103,9 @@ def _ensemble_oracle_sql() -> str:
     )
     tys = ",\n           ".join(
         f"CAST({_ens_type(k)} AS INT) AS ty{k}" for k in range(_ENS_M)
+    )
+    pdts = ",\n           ".join(
+        f"CAST({_ens_pdt(k)} AS INT) AS pdt{k}" for k in range(_ENS_M)
     )
     return f"""
     WITH cells AS (
@@ -2123,7 +2133,9 @@ def _ensemble_oracle_sql() -> str:
            n_cells,
            {", ".join(f"mem{k}_sum_e2" for k in range(_ENS_M))},
            {tys},
+           {pdts},
            CAST({_ENS_M} AS INT) AS ens_size,
+           CAST(6 AS INT) AS accum_ivl_hours,
            spread_e2
     FROM mem JOIN sp ON sp.t = mem.t AND sp.band = mem.band
     """
@@ -2132,9 +2144,12 @@ def _ensemble_oracle_sql() -> str:
 @query("x_grib_ensemble", oracle=_ensemble_oracle_sql(),
        tags=("ext", "grib", "S2", "ensemble"))
 def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ensemble product template 4.1 driver-verified end-to-end (r7):
-    two GEFS-shaped runs — 5 members each (control + perturbed, WMO
-    table 4.6 types), every member packed with a DIFFERENT section-5
+    """Ensemble product templates 4.1 + 4.11 driver-verified
+    end-to-end (r7; 4.11 r8): two GEFS-shaped runs — 5 members each
+    (control + perturbed, WMO table 4.6 types; the LAST member is a
+    template-4.11 accumulation member, the GEFS ensemble-precipitation
+    shape, its template id and 6 h interval both hash-load-bearing),
+    every member packed with a DIFFERENT section-5
     template (5.3², 5.4, 5.41, 5.0) — are encoded as real multi-message
     GRIB2 files, decoded executor-side by the Arrow UDTF, and reduced
     to per-(run, latitude-band) ensemble statistics: per-member sums,
@@ -2165,6 +2180,11 @@ def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parameter_number=2, ref_time=ref, nx=nx, ny=ny,
                 packing=_ENS_PACKINGS[m],
                 ensemble=dict(type=_ens_type(m), number=m, size=_ENS_M),
+                # the last member is a template-4.11 accumulation
+                # member (6 h interval, WMO 4.10 process 1) — same
+                # field values, three extra-plus-shifted header blocks
+                **(dict(interval_hours=6, statistical_process=1)
+                   if _ens_pdt(m) == 11 else {}),
             )
             for m in range(_ENS_M)
         ]
@@ -2179,21 +2199,23 @@ def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h = rec["header"]
                     rows.append((int(t), h["perturbationNumber"],
                                  h["ensembleType"], h["ensembleSize"],
-                                 rec["data"]))
+                                 h["productDefinitionTemplate"],
+                                 h["intervalHours"], rec["data"]))
             yield pd.DataFrame(
-                rows, columns=["t", "m", "ens_type", "ens_size", "data"]
+                rows, columns=["t", "m", "ens_type", "ens_size", "pdt",
+                               "ivl", "data"]
             )
 
     decoded = bdf.mapInPandas(
         decode,
-        schema="t int, m int, ens_type int, ens_size int, "
-               "data array<double>",
+        schema="t int, m int, ens_type int, ens_size int, pdt int, "
+               "ivl int, data array<double>",
     )
     cells = decoded.select(
-        "t", "m", "ens_type", "ens_size",
+        "t", "m", "ens_type", "ens_size", "pdt", "ivl",
         F.posexplode("data").alias("idx", "v"),
     ).select(
-        "t", "m", "ens_type", "ens_size", "idx",
+        "t", "m", "ens_type", "ens_size", "pdt", "ivl", "idx",
         F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
     )
     # member pivot per (run, cell): 5 rows → 1; the cross-member
@@ -2204,7 +2226,12 @@ def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
           for k in range(_ENS_M)],
         *[F.max(F.when(F.col("m") == k, F.col("ens_type")))
           .alias(f"ty{k}") for k in range(_ENS_M)],
+        *[F.max(F.when(F.col("m") == k, F.col("pdt")))
+          .alias(f"pdt{k}") for k in range(_ENS_M)],
         F.max("ens_size").alias("ens_size"),
+        # only the 4.11 member carries an interval — max skips nulls,
+        # so this IS that member's accumulation window
+        F.max("ivl").alias("ivl"),
         (F.max("v_e2") - F.min("v_e2")).alias("spread"),
     )
     return per_cell.groupBy(
@@ -2213,7 +2240,9 @@ def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         *[F.sum(f"s{k}").alias(f"mem{k}_sum_e2") for k in range(_ENS_M)],
         *[F.max(f"ty{k}").alias(f"ty{k}") for k in range(_ENS_M)],
+        *[F.max(f"pdt{k}").alias(f"pdt{k}") for k in range(_ENS_M)],
         F.max("ens_size").alias("ens_size"),
+        F.max("ivl").alias("accum_ivl_hours"),
         F.sum("spread").alias("spread_e2"),
     )
 

@@ -21,6 +21,9 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
   perturbed member — the NOAA GEFS ensemble siblings of the GFS wind
   files; adds typed ensembleType/perturbationNumber/ensembleSize
   header keys; r7)
+- section 4 template 4.11 (individual ensemble member over a time
+  interval — the 4.1 triple + the 4.8 interval block; GEFS
+  accumulation members, e.g. ensemble precipitation; r8)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -106,6 +109,9 @@ _PDT_NAME = {
     8: "Average, accumulation, extreme values or other statistically "
        "processed values at a horizontal level or in a horizontal layer "
        "in a continuous or non-continuous time interval",
+    11: "Individual ensemble forecast, control and perturbed, at a "
+        "horizontal level or in a horizontal layer, in a continuous or "
+        "non-continuous time interval",
 }
 # WMO code table 4.6 — type of ensemble forecast
 _ENSEMBLE_TYPE = {
@@ -135,8 +141,10 @@ _GDT_NAME = {
 }
 _SHAPE = {6: "Earth spherical with radius of 6,371,229.0 m"}
 
-#: per-message point-count plausibility bound: ~8× the largest
-#: operational grid (ECMWF O1280 ≈ 6.6M points). Corrupt count octets
+#: per-message point-count plausibility bound: 1<<25 ≈ 33.5M, ~5× the
+#: largest operational grid (ECMWF O1280 ≈ 6.6M points; N=1280 is the
+#: operational ceiling this codec's bounds are anchored to — NCEP
+#: spectral output sits lower, around N=768). Corrupt count octets
 #: otherwise size allocations (np.zeros of a 4-byte count) that can
 #: stall an executor for minutes — the quarantine surface must reject
 #: them in microseconds instead.
@@ -180,9 +188,10 @@ def gaussian_latitudes(n: int) -> np.ndarray:
     computes the nodes (Golub-Welsch eigensolve); an independent Newton
     iteration on P_{2N} pins them in tests/test_gaussian_grid.py.
 
-    Driver-side only — O(N) doubles, computed once per N and cached
-    (operational grids top out around N=768, i.e. 1 536 float64s ≈
-    12 KB: plan-literal sized)."""
+    Driver-side only — O(N) doubles, computed once per N and cached.
+    The operational ceiling is ECMWF's N=1280 (O1280) — 2 560 float64s
+    ≈ 20 KB, still plan-literal sized; NCEP regular-Gaussian spectral
+    products sit lower (N=768, ≈12 KB)."""
     if n < 1:
         raise ValueError(f"Gaussian grid needs N >= 1, got {n}")
     if n > 8192:
@@ -719,7 +728,8 @@ def decode_grib2_bytes(
     (data/u_comp.json) — numeric codes plus the human-readable *Name
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
     For a framed-valid message using a template outside the supported
-    family (grid 3.0/3.10/3.20/3.30/3.40 / product 4.0/4.8 / packing
+    family (grid 3.0/3.10/3.20/3.30/3.40 / product 4.0/4.1/4.8/4.11 /
+    packing
     5.0/5.2/5.3/5.4/5.41, plus 5.40 when an OpenJPEG binding is
     importable — without one 5.40 messages take the unsupported path
     below):
@@ -896,7 +906,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 1, 8):
+    if pdt not in (0, 1, 8, 11):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -910,42 +920,52 @@ def _decode_message(msg: bytes) -> dict:
     # template 4.1 extends 4.0 (octets 10-34 identical) with the
     # ensemble identity — the GEFS member triple (WMO table 4.6 type,
     # perturbation number, ensemble size); NULL for 4.0/4.8
+    # template 4.11 is the union: the 4.1 ensemble triple (octets
+    # 35-37) followed by the 4.8 interval block shifted +3 octets —
+    # the GEFS accumulation members (ensemble precipitation, the most
+    # downloaded GEFS product class, reference converter.py:136 domain)
     ens_type = pert_num = ens_size = None
-    if pdt == 1:
+    if pdt in (1, 11):
         if sec[4][1] < 37:
             raise ValueError(
-                f"product template 4.1 truncated (section 4 is {sec[4][1]} "
-                "octets, needs 37)"
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs 37)"
             )
         ens_type = msg[o4 + 34]
         pert_num = msg[o4 + 35]
         ens_size = msg[o4 + 36]
 
     stat_proc = stat_name = interval_len = interval_end = None
-    if pdt == 8:
-        if sec[4][1] < 58:  # a 4.0-sized section relabeled 4.8 would
-            # otherwise read interval octets out of the next section
+    if pdt in (8, 11):
+        # 4.11's interval block is 4.8's, displaced by the 3-octet
+        # ensemble triple
+        d = 3 if pdt == 11 else 0
+        if sec[4][1] < 58 + d:  # a short section relabeled 4.8/4.11
+            # would otherwise read interval octets out of the next one
             raise ValueError(
-                f"product template 4.8 truncated (section 4 is {sec[4][1]} "
-                "octets, needs 58)"
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs {58 + d})"
             )
-        n_ranges = msg[o4 + 41]
+        n_ranges = msg[o4 + d + 41]
         if n_ranges != 1:
             raise ValueError(
-                f"product template 4.8 with {n_ranges} time ranges unsupported"
+                f"product template 4.{pdt} with {n_ranges} time ranges "
+                "unsupported"
             )
         interval_end = datetime(
-            _u(msg, o4 + 34, 2), msg[o4 + 36], msg[o4 + 37],
-            msg[o4 + 38], msg[o4 + 39], msg[o4 + 40], tzinfo=timezone.utc,
+            _u(msg, o4 + d + 34, 2), msg[o4 + d + 36], msg[o4 + d + 37],
+            msg[o4 + d + 38], msg[o4 + d + 39], msg[o4 + d + 40],
+            tzinfo=timezone.utc,
         ).strftime("%Y-%m-%dT%H:%M:%S.000Z")
-        stat_proc = msg[o4 + 46]
+        stat_proc = msg[o4 + d + 46]
         stat_name = _STAT_PROCESS.get(stat_proc)
-        time_unit = msg[o4 + 48]
+        time_unit = msg[o4 + d + 48]
         if time_unit != 1:  # table 4.4: 1 = hour (what NOAA emits)
             raise ValueError(
-                f"product template 4.8 time-range unit {time_unit} unsupported"
+                f"product template 4.{pdt} time-range unit {time_unit} "
+                "unsupported"
             )
-        interval_len = _u(msg, o4 + 49, 4)
+        interval_len = _u(msg, o4 + d + 49, 4)
 
     o5 = sec[5][0]
     drt = _u(msg, o5 + 9, 2)
@@ -1133,8 +1153,9 @@ def encode_grib2_message(
     `ensemble` switches section 4 to template 4.1 (individual
     ensemble member — GEFS-class): a dict with keys `type` (WMO table
     4.6), `number` (perturbation number) and `size` (forecasts in the
-    ensemble); mutually exclusive with `interval_hours` (their
-    combination is template 4.11, out of family — fail-loud).
+    ensemble); combined with `interval_hours` it emits template 4.11
+    (ensemble member statistics over a time interval — the GEFS
+    accumulation members, r8).
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1284,13 +1305,15 @@ def encode_grib2_message(
                else _put_deg(dy))
             + bytes([scan_mode])
         )
-    if ensemble is not None and interval_hours is not None:
-        # that combination is template 4.11 (statistics over an
-        # ensemble member's interval) — out of the supported family
-        raise ValueError("ensemble + interval_hours (template 4.11) "
-                         "unsupported; pass one or the other")
-    pdt_code = (8 if interval_hours is not None
-                else 1 if ensemble is not None else 0)
+    # ensemble + interval = template 4.11 (statistics over an ensemble
+    # member's time interval — GEFS accumulation members): the 4.1
+    # triple then the 4.8 interval block, i.e. exactly the append
+    # order below
+    pdt_code = (
+        11 if ensemble is not None and interval_hours is not None
+        else 8 if interval_hours is not None
+        else 1 if ensemble is not None else 0
+    )
     s4 = (
         b"\x04"
         + (0).to_bytes(2, "big")  # NV

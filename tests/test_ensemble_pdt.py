@@ -3,10 +3,16 @@ member files, the ensemble siblings of the GFS wind extracts the
 reference downloads). Round 7 breadth beyond VERDICT's list: a user
 pointing the engine at a GEFS mirror hits 4.1 immediately after 4.0.
 
+Round 8 extends the family to template 4.11 (ensemble member
+statistics over a time interval — the 4.1 triple + the 4.8 interval
+block shifted +3 octets): the GEFS ACCUMULATION members (ensemble
+precipitation, the most downloaded GEFS product class) are 4.11.
+
 Covers: encode→decode round trip of the member triple, NULLs on
 non-ensemble templates (stable WIND_HEADER key set), the 4.11
-fail-loud (ensemble × interval), truncated-section quarantine, and an
-e2e multi-member scan through the Arrow UDTF path grouped per member.
+round trip (ensemble × interval union), truncated-section quarantine
+for both 4.1 and 4.11, and e2e multi-member scans through the Arrow
+UDTF path grouped per member.
 """
 
 from __future__ import annotations
@@ -62,12 +68,48 @@ def test_non_ensemble_templates_carry_nulls():
         assert h["ensembleSize"] is None
 
 
-def test_ensemble_with_interval_fails_loud():
-    with pytest.raises(ValueError, match="4.11"):
-        encode_grib2_message(
-            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
-            ensemble=dict(type=2, number=1, size=21), interval_hours=6,
-        )
+def test_ensemble_with_interval_roundtrips_as_411():
+    """ensemble + interval = template 4.11 (was fail-loud through r7):
+    BOTH header families must decode — the member triple from the 4.1
+    part and the statistical-interval block from the (+3-shifted) 4.8
+    part — plus the 4.0-identical octets and the values."""
+    vals = _field(6, 4, 5)
+    msg = encode_grib2_message(
+        vals, parameter_number=8, parameter_category=1, ref_time=RT,
+        nx=6, ny=4, ensemble=dict(type=2, number=11, size=21),
+        forecast_hours=6, interval_hours=6, statistical_process=1,
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    h = rec["header"]
+    assert h["productDefinitionTemplate"] == 11
+    assert "ensemble" in h["productDefinitionTemplateName"].lower()
+    assert "time interval" in h["productDefinitionTemplateName"].lower()
+    assert h["ensembleType"] == 2 and h["perturbationNumber"] == 11
+    assert h["ensembleSize"] == 21
+    assert h["statisticalProcess"] == 1
+    assert h["statisticalProcessName"] == "Accumulation"
+    assert h["intervalHours"] == 6
+    # ref 06z + start 6h + length 6h = 18z end of overall interval
+    assert h["intervalEnd"] == "2020-08-12T18:00:00.000Z"
+    assert h["parameterNumber"] == 8 and h["forecastTime"] == 6
+    assert np.allclose(rec["data"], vals)
+
+
+def test_truncated_411_section_quarantines():
+    """A 4.1-sized section relabeled 4.11 must not read interval
+    octets out of the next section (needs 61, has 37)."""
+    msg = bytearray(encode_grib2_message(
+        _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        ensemble=dict(type=0, number=0, size=5),
+    ))
+    o = 16
+    while msg[o + 4] != 4:
+        o += int.from_bytes(msg[o : o + 4], "big")
+    msg[o + 7 : o + 9] = (11).to_bytes(2, "big")  # relabel 4.1 → 4.11
+    with pytest.raises(ValueError, match="4.11 truncated"):
+        decode_grib2_bytes(bytes(msg))
+    out = scan_grib2_bytes(bytes(msg))
+    assert out[0]["record"] is None and "4.11 truncated" in out[0]["error"]
 
 
 def test_truncated_41_section_quarantines():
@@ -121,3 +163,42 @@ def test_gefs_member_file_scan_e2e(spark):
     for m, r in enumerate(out):
         want = float(np.mean(_field(6, 4, seed=m)))
         assert r["mean"] == pytest.approx(want, abs=1e-3)
+
+
+def test_gefs_accumulation_member_file_scan_e2e(spark):
+    """A GEFS ensemble-precipitation-shaped file — every member a
+    template-4.11 accumulation over 6 h — scans through the Arrow UDTF
+    path with BOTH the member identity and the interval statistics
+    populated per row (the shape a probability-of-precip pipeline
+    consumes)."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sources.grib import (
+        make_selector,
+        scan_binary_df,
+    )
+
+    blob = encode_grib2_file([
+        encode_grib2_message(
+            _field(6, 4, seed=m), parameter_number=8,
+            parameter_category=1, ref_time=RT, nx=6, ny=4,
+            ensemble=dict(type=0 if m == 0 else 3, number=m, size=3),
+            forecast_hours=0, interval_hours=6, statistical_process=1,
+        )
+        for m in range(3)
+    ])
+    bdf = spark.createDataFrame([("geprcp.grib2", bytearray(blob))],
+                                "path string, content binary")
+    # --fp 8 --fc 1: select APCP instead of the default U/V winds
+    out = scan_binary_df(bdf, selector=make_selector(fp=(8,), fc=1)).select(
+        F.col("header.productDefinitionTemplate").alias("pdt"),
+        F.col("header.perturbationNumber").alias("m"),
+        F.col("header.ensembleSize").alias("n"),
+        F.col("header.statisticalProcessName").alias("stat"),
+        F.col("header.intervalHours").alias("ivl"),
+        F.col("header.intervalEnd").alias("end"),
+    ).orderBy("m").collect()
+    assert [r["m"] for r in out] == [0, 1, 2]
+    assert all(r["pdt"] == 11 and r["n"] == 3 for r in out)
+    assert all(r["stat"] == "Accumulation" and r["ivl"] == 6 for r in out)
+    assert all(r["end"] == "2020-08-12T12:00:00.000Z" for r in out)
