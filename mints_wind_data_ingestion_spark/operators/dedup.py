@@ -45,6 +45,8 @@ __all__ = [
     "simhash64",
     "simhash_fingerprints",
     "editdist_dedup_pairs",
+    "duplicated_window_positions",
+    "substring_dedup",
 ]
 
 #: 2^63-1 — identity for element-wise min over xxhash64 values
@@ -335,22 +337,39 @@ def _minhash_band_buckets(
 
 
 def _verify_pairs_by_count(
-    cands: DataFrame, posting: DataFrame, threshold: float
+    cands: DataFrame,
+    posting: DataFrame,
+    threshold: float,
+    posting_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs via
     shared-hash COUNTS: postings restricted to candidate ids
     (broadcast semi-join — candidates ≪ corpus), |A∩B| per pair,
     jaccard from intersection and set sizes. No shingle ARRAY ever
-    crosses a shuffle."""
-    pair_ids = cands.select(
-        F.explode(F.array("id_a", "id_b")).alias("__id")
-    ).distinct()
-    p = posting.join(F.broadcast(pair_ids), "__id").dropDuplicates(
-        ["__id", "__h"]
+    crosses a shuffle.
+
+    `posting_b`: cross-corpus mode (ADVICE r7) — id_a sides resolve
+    against `posting`, id_b sides against `posting_b`, so the two
+    corpora's id spaces never merge: an id present in BOTH inputs with
+    different content verifies each side against its own shingles
+    (and an id_a == id_b pair measures new-doc-vs-base-doc jaccard,
+    the "already ingested?" answer), instead of silently unioning the
+    two docs' postings into one corrupted set."""
+    pb_src = posting if posting_b is None else posting_b
+    ids_a = cands.select(F.col("id_a").alias("__id")).distinct()
+    ids_b = cands.select(F.col("id_b").alias("__id")).distinct()
+    pa = (
+        posting.join(F.broadcast(ids_a), "__id")
+        .dropDuplicates(["__id", "__h"])
+        .select(F.col("__id").alias("id_a"), "__h")
     )
-    sizes = p.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    pa = p.select(F.col("__id").alias("id_a"), "__h")
-    pb = p.select(F.col("__id").alias("id_b"), "__h")
+    pb = (
+        pb_src.join(F.broadcast(ids_b), "__id")
+        .dropDuplicates(["__id", "__h"])
+        .select(F.col("__id").alias("id_b"), "__h")
+    )
+    sizes_a = pa.groupBy("id_a").agg(F.count(F.lit(1)).alias("__n"))
+    sizes_b = pb.groupBy("id_b").agg(F.count(F.lit(1)).alias("__n"))
     overlap = (
         cands.join(pa, "id_a")
         .join(pb, ["id_b", "__h"])
@@ -358,12 +377,8 @@ def _verify_pairs_by_count(
         .agg(F.count(F.lit(1)).alias("__ni"))
     )
     return (
-        overlap.join(
-            sizes.withColumnRenamed("__id", "id_a")
-            .withColumnRenamed("__n", "__na"), "id_a")
-        .join(
-            sizes.withColumnRenamed("__id", "id_b")
-            .withColumnRenamed("__n", "__nb"), "id_b")
+        overlap.join(sizes_a.withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes_b.withColumnRenamed("__n", "__nb"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -449,9 +464,12 @@ def minhash_dedup_pairs_against(
     Within-batch duplicates are deliberately NOT reported — compose
     with `minhash_dedup_pairs(new_docs, ...)` for that.
 
-    Id spaces must be disjoint across the two inputs (or refer to the
-    same underlying documents) — the count-based verify merges
-    postings by id.
+    Id spaces may overlap across the two inputs: the verify resolves
+    id_new against the NEW side's postings and id_base against the
+    BASE side's (per-side, never a union — ADVICE r7), so an id
+    present in both corpora with different content still verifies
+    correctly, and a pair with id_new == id_base reports the
+    new-vs-base jaccard of that id (the "already ingested?" answer).
 
     100 TB posture: candidates come from an EQUI-JOIN of the two
     sides' band buckets on (band, hash) — never new × base. Each
@@ -478,7 +496,7 @@ def minhash_dedup_pairs_against(
         .cache()
     )
     verified = _verify_pairs_by_count(
-        cands, p_new.unionByName(p_base), threshold
+        cands, p_new, threshold, posting_b=p_base
     )
     return verified.select(
         F.col("id_a").alias("id_new"),
@@ -714,4 +732,186 @@ def editdist_dedup_pairs(
         .join(tb, "id_b")
         .select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") <= thr)
+    )
+
+
+def duplicated_window_positions(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """(id, pos) of every length-`min_len` character window whose
+    substring occurs ≥ 2 times across the whole corpus (within OR
+    across documents) — the primitive under substring-level exact
+    dedup (the suffix-array dedup family of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    a substring of length ≥ L repeats somewhere iff every one of its
+    length-L windows repeats, so the flagged-position set IS the
+    duplicated-region set and merged spans recover the maximal
+    repeated substrings.
+
+    Distributed shape (never a suffix array, never doc×doc):
+
+    1. position explode — one row per character position, O(total
+       chars), the same asymptotics a suffix array pays; the document
+       text never crosses an exchange (the window is hashed to 8
+       bytes in the same codegen stage as the explode);
+    2. groupBy(window_hash) count — map-side combinable, uniformly
+       distributed keys (hashes), ONE shuffle of (hash, partial);
+    3. positions join back to the surviving hashes (a semi-join the
+       optimizer can broadcast when the dup-hash set is small);
+    4. hash-collision verify: candidate positions only — re-derive
+       the ACTUAL substring and keep positions whose substring (not
+       just hash) has global multiplicity ≥ 2, so output equals the
+       exact substring-multiset definition (a collision can only add
+       a candidate here, never hide a true duplicate).
+
+    Returns columns (`id_col`, pos) — pos 1-based, window
+    [pos, pos + min_len - 1].
+    """
+    if min_len < 2:
+        raise ValueError("duplicated_window_positions: min_len must be >= 2")
+    base = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= min_len)
+    # (id, pos, window hash): the explode and the substring+hash fold
+    # into one codegen stage, so the wide __t column exists only inside
+    # the stage — the shuffle after the groupBy carries (hash, count)
+    wins = (
+        base.select(
+            "__id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(min_len - 1))
+            ).alias("__pos"),
+        )
+        .select(
+            "__id",
+            "__pos",
+            F.xxhash64(F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len))).alias(
+                "__wh"
+            ),
+        )
+        .cache()  # feeds the count AND the join-back — corpus scanned once
+    )
+    dup_hashes = (
+        wins.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__wh")
+    )
+    cand = wins.join(dup_hashes, "__wh").select("__id", "__pos")
+    # collision verify on candidates only: recompute the actual window
+    # text (join back to the narrow (id, text) projection — shuffles
+    # candidates, not the corpus) and re-count at substring grain
+    cand_sub = cand.join(base, "__id").select(
+        "__id",
+        "__pos",
+        F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len)).alias("__sub"),
+    )
+    w = Window.partitionBy("__sub")
+    return (
+        cand_sub.withColumn("__n2", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n2") >= 2)
+        .select(F.col("__id").alias(id_col), F.col("__pos").alias("pos"))
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 60,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Substring-level exact dedup, per document (Lee et al. 2022
+    ExactSubstr class, re-expressed as window/island algebra): flags
+    every maximal region covered by a length-`min_len` substring that
+    occurs ≥ 2 times in the corpus, and (with `keep_text`) CUTS those
+    regions out — the conservative remove-all-copies policy; keeping
+    one canonical occurrence is a caller-side filter on the flagged
+    spans before the cut.
+
+    Output, one row per input document:
+      `id_col`, n_chars (original length), dup_windows (flagged
+      length-L window positions), dup_spans (maximal merged regions),
+      dup_chars (characters covered by flagged regions), and — with
+      `keep_text` — kept_text (the document with flagged regions
+      removed; documents with none keep their text verbatim).
+
+    Span merging needs no interval tree: flagged windows all have
+    length L, so sorted by position their ends are monotone and a
+    single lag() comparison finds island breaks — two O(1)-state
+    window functions per doc, then one groupBy. The cut itself is one
+    codegen'd `aggregate` fold over the (tiny) per-doc span array —
+    no UDF, no shuffle beyond the span groupBy.
+    """
+    flagged = duplicated_window_positions(docs, id_col, text_col, min_len)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # island break: windows are equal-length, so the running max end
+    # is just the previous pos + L - 1 — overlap iff pos - lag < L
+    isl = flagged.withColumn(
+        "__b",
+        F.when(F.col("pos") - F.lag("pos").over(w) < min_len, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "__g",
+        F.sum("__b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__nw"),
+        F.min("pos").alias("__s"),
+        (F.max("pos") + F.lit(min_len - 1)).alias("__e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("__nw").alias("dup_windows"),
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("dup_chars"),
+        F.sort_array(F.collect_list(F.struct("__s", "__e"))).alias("__spans"),
+    )
+    out = (
+        docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.length("__t").cast("bigint").alias("n_chars"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            "__t",
+            "__spans",
+        )
+    )
+    if not keep_text:
+        return out.drop("__t", "__spans")
+    # cut the spans: fold (acc, cursor) over the sorted span array —
+    # append the gap before each span, jump the cursor past it, then
+    # append the tail. substring() with a non-positive length yields
+    # '' so adjacent/leading spans degrade cleanly.
+    cut = F.aggregate(
+        "__spans",
+        F.struct(F.lit("").alias("acc"), F.lit(1).alias("cur")),
+        lambda st, sp: F.struct(
+            F.concat(
+                st["acc"],
+                F.substring(F.col("__t"), st["cur"], sp["__s"] - st["cur"]),
+            ).alias("acc"),
+            (sp["__e"] + F.lit(1)).alias("cur"),
+        ),
+        lambda st: F.concat(
+            st["acc"], F.substring(F.col("__t"), st["cur"], F.length("__t"))
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_chars",
+        "dup_windows",
+        "dup_spans",
+        "dup_chars",
+        F.when(F.col("__spans").isNull(), F.col("__t"))
+        .otherwise(cut)
+        .alias("kept_text"),
     )

@@ -41,6 +41,7 @@ from ..operators.dedup import (
     jaccard_similarity_join,
     minhash_dedup_pairs,
     simhash_fingerprints,
+    substring_dedup,
 )
 from ..operators.similarity import topk_bruteforce, topk_lsh
 from ..sources.multimodal import extract_meta, with_payload
@@ -3653,4 +3654,111 @@ def x_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("qu").alias("qu_min"), F.max("qu").alias("qu_max"),
         F.min("qv").alias("qv_min"), F.max("qv").alias("qv_max"),
+    )
+
+
+# substring-level exact dedup (Lee et al. 2022 ExactSubstr class):
+# the DuckDB replay is the same window/island algebra — position
+# explode, global substring-multiplicity filter, lag-based island
+# merge, and a string_agg reconstruction of the cut text. Exact-int
+# stats plus an md5 over the reconstructed text make the CUT itself
+# (not just the flagging) hash-load-bearing.
+_D_SUBSTR = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+w AS (
+    SELECT d.doc_id, t.i AS pos,
+           substring(d.text, CAST(t.i AS INT), 60) AS s
+    FROM docs d,
+         LATERAL unnest(generate_series(1, length(d.text) - 59)) AS t(i)
+),
+dupw AS (
+    SELECT doc_id, pos FROM w
+    WHERE s IN (SELECT s FROM w GROUP BY s HAVING count(*) >= 2)
+),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     < 60
+                THEN 0 ELSE 1 END AS b
+    FROM dupw
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM brk
+),
+sp AS (
+    SELECT doc_id, g, count(*) AS nw, min(pos) AS s, max(pos) + 59 AS e
+    FROM isl GROUP BY 1, 2
+),
+perdoc AS (
+    SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
+           CAST(count(*) AS BIGINT) AS dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+    FROM sp GROUP BY 1
+),
+spg AS (
+    SELECT doc_id, s, e,
+           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+    FROM sp
+),
+kept AS (
+    SELECT spg.doc_id,
+           concat(
+             coalesce(string_agg(
+               CASE WHEN spg.s - spg.pe - 1 > 0
+                    THEN substring(d.text, CAST(spg.pe + 1 AS INT),
+                                   CAST(spg.s - spg.pe - 1 AS INT))
+                    ELSE '' END, '' ORDER BY spg.s), ''),
+             substring(d.text, CAST(max(spg.e) + 1 AS INT))
+           ) AS kept_text
+    FROM spg JOIN docs d USING (doc_id)
+    GROUP BY spg.doc_id, d.text
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       md5(coalesce(k.kept_text, d.text)) AS kept_md5
+FROM docs d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query("x_dedup_substring", oracle=_D_SUBSTR,
+       tags=("ext", "dedup", "substring"))
+def x_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level EXACT dedup (r8) — the suffix-array dedup
+    family of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), the one public LLM-dedup class the
+    engine didn't yet carry: doc-level exact/near-dup dedup can't see
+    a 60-char license header or boilerplate paragraph repeated inside
+    otherwise-distinct documents; this operator flags every region
+    covered by a length-60 substring occurring ≥ 2 times ANYWHERE in
+    the corpus (within or across docs) and cuts it out.
+
+    Spark shape (operators.dedup.substring_dedup): position explode →
+    8-byte window-hash groupBy (map-side combinable, ONE shuffle of
+    (hash, count) — the text never crosses an exchange) → join-back →
+    collision verify at substring grain → lag/island merge (two
+    O(1)-state windows per doc) → codegen'd `aggregate` fold that
+    cuts the spans. Never a suffix array, never doc×doc; O(total
+    chars) rows, the same asymptotics the suffix-array formulation
+    pays, in three shuffles on uniform keys.
+
+    Hash-load-bearing: per-doc window/span/char counts AND the md5 of
+    the reconstructed (cut) text — the oracle rebuilds the kept text
+    via string_agg over the same islands, so a one-character slip in
+    the span algebra or the fold breaks the row hash."""
+    docs = tables(spark, sf_dir)["documents"]
+    out = substring_dedup(docs, "doc_id", "text", min_len=60)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "dup_windows",
+        "dup_spans",
+        "dup_chars",
+        F.md5(F.encode("kept_text", "UTF-8")).alias("kept_md5"),
     )

@@ -109,3 +109,38 @@ def test_matches_exact_cross_join_on_testdata(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_overlapping_id_spaces_verify_per_side(spark):
+    """ADVICE r7: an id present in BOTH corpora with DIFFERENT content
+    must verify each side against its own postings — the old unioned
+    verify merged the two docs' shingle sets into one corrupted set.
+    Here id 1 is doc A in base but doc B in new: the (1, 1) self-pair
+    must NOT be reported (A vs B share nothing), while new id 1's true
+    match against base id 2 (B) must come back at jaccard 1.0 — under
+    a unioned verify its size would double and the value would sink."""
+    base = _sh(spark, [(1, A), (2, B)])
+    new = _sh(spark, [(1, B), (3, A_NEAR)])
+    out = minhash_dedup_pairs_against(
+        new, base, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
+    ).collect()
+    got = {(r["id_new"], r["id_base"]): r["jaccard"] for r in out}
+    assert set(got) == {(1, 2), (3, 1)}
+    assert got[(1, 2)] == 1.0  # exact copy, per-side sizes intact
+
+
+def test_same_id_same_doc_reports_already_ingested(spark):
+    """When the two corpora genuinely share ids (re-ingest), the
+    id_new == id_base pair is the 'already ingested' answer and
+    carries the true jaccard of the two versions."""
+    base = _sh(spark, [(7, A)])
+    new = _sh(spark, [(7, A_NEAR)])
+    out = minhash_dedup_pairs_against(
+        new, base, "doc_id", "shingles", threshold=0.5,
+        num_hashes=96, bands=16, rows_per_band=6,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_new"], r["id_base"]) == (7, 7)
+    assert 0.5 <= r["jaccard"] < 1.0
