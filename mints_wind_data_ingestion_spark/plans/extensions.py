@@ -3740,19 +3740,24 @@ def x_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (within or across docs) and cuts it out.
 
     Spark shape (operators.dedup.substring_dedup): position explode →
-    8-byte window-hash groupBy (map-side combinable, ONE shuffle of
-    (hash, count) — the text never crosses an exchange) → join-back →
-    collision verify at substring grain → lag/island merge (two
-    O(1)-state windows per doc) → codegen'd `aggregate` fold that
-    cuts the spans. Never a suffix array, never doc×doc; O(total
-    chars) rows, the same asymptotics the suffix-array formulation
-    pays, in three shuffles on uniform keys.
+    per-hash multiplicity as count() OVER (PARTITION BY window_hash)
+    — ONE corpus pass, one exchange of 20-byte fixed-width rows, the
+    text never crosses an exchange → collision verify at substring
+    grain over candidates only → lag/island merge (two O(1)-state
+    windows per doc) → codegen'd `aggregate` fold that cuts the
+    spans. Never a suffix array, never doc×doc; O(total chars) rows,
+    the same asymptotics the suffix-array formulation pays, on
+    uniform keys throughout.
 
     Hash-load-bearing: per-doc window/span/char counts AND the md5 of
     the reconstructed (cut) text — the oracle rebuilds the kept text
     via string_agg over the same islands, so a one-character slip in
     the span algebra or the fold breaks the row hash."""
-    docs = tables(spark, sf_dir)["documents"]
+    # position explode ≈ 60× downstream work per scanned byte (one
+    # window row + a 60-char substring hash per character): spread the
+    # single-file scan before the generate (interleaved A/B at sf0.1:
+    # the explode+hash stage alone 1.76 s → 0.34 s on local[32])
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     out = substring_dedup(docs, "doc_id", "text", min_len=60)
     return out.select(
         "doc_id",
