@@ -243,11 +243,12 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"), driver=False)
+@query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"))
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via
     the inverted-index plan — the O(n²) pair space is never enumerated
-    (operators.dedup.jaccard_similarity_join)."""
+    (operators.dedup.jaccard_similarity_join). Own driver slot since
+    r8 (previously verified through x_dedup_pairs_suite's hash)."""
     # work_factor=64: the 3-gram shingle explosion dominates this
     # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
     # shapes at sf0.1 — see _spread)
@@ -2747,7 +2748,7 @@ _D_CURATION = f"""
 """
 
 
-@query("x_curation_pipeline", oracle=_D_CURATION, tags=("ext", "pipeline"), driver=False)
+@query("x_curation_pipeline", oracle=_D_CURATION, tags=("ext", "pipeline"))
 def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation pipeline, composed from this
     engine's operators as ONE declarative plan: language filter →
@@ -2762,7 +2763,9 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every stage is the bucketed/broadcast shape its standalone
     query pins (inverted-index pair join, log-round CC, broadcast
     component table, shuffle-free sample + chunk fan-out); the corpus
-    crosses a shuffle only where a stage's semantics require it."""
+    crosses a shuffle only where a stage's semantics require it.
+    Own driver slot since r8 (the flagship LLM-curation story was
+    previously verified through x_doc_pipeline_suite's hash)."""
     from ..operators.dedup import exact_dedup
     from ..operators.graph import dedup_clusters
     from ..operators.sampling import hash_sample

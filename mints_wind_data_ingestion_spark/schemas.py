@@ -94,6 +94,9 @@ WIND_HEADER = StructType(
         _f("dy", DoubleType()),  # NULL for Gaussian grids (3.40): rows
         # sit at the non-uniform quadrature latitudes
         _f("gaussianN", IntegerType()),  # 3.40 only: parallels pole→equator
+        # reduced (thinned) Gaussian grids (r8): points per row, 2N
+        # entries north→south; NULL (and nx non-NULL) for regular grids
+        _f("reducedPoints", ArrayType(IntegerType())),
         _f("basicAngle", IntegerType()),
         _f("scanMode", IntegerType()),  # 0: lon fastest W→E, rows N→S
         _f("resolution", IntegerType()),

@@ -12,10 +12,13 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 - section 3 template 3.20 (polar stereographic — the NOAA Alaska and
   polar grids; r6)
 - section 3 template 3.30 (Lambert conformal — the HRRR/NAM grid; r6)
-- section 3 template 3.40 (regular Gaussian latitude/longitude — the
+- section 3 template 3.40 (Gaussian latitude/longitude — the
   spectral-era NCEP/ECMWF grid family; parallels sit at the
   Gauss-Legendre quadrature latitudes, computed driver-side from the
-  roots of P_{2N}; r7)
+  roots of P_{2N}; r7. REDUCED/thinned Gaussian grids — the ECMWF
+  operational O-grid family, Ni missing + a points-per-row optional
+  list in section 3 octets 11-12/73+ — decode with a `reducedPoints`
+  header and per-row widths; r8)
 - section 4 template 4.0  (analysis/forecast at a point in time)
 - section 4 template 4.1  (individual ensemble forecast, control or
   perturbed member — the NOAA GEFS ensemble siblings of the GFS wind
@@ -84,6 +87,7 @@ __all__ = [
     "encode_grib2_message",
     "encode_grib2_file",
     "gaussian_latitudes",
+    "reduced_gaussian_latlon",
 ]
 
 # --- code-table names grib2json emits (the subset our fixtures use; an
@@ -206,6 +210,41 @@ def gaussian_latitudes(n: int) -> np.ndarray:
         # north→south (scan mode 0/64 start at la1 = northernmost)
         _gauss_lat_cache[n] = np.degrees(np.arcsin(nodes))[::-1].copy()
     return _gauss_lat_cache[n]
+
+
+def reduced_gaussian_latlon(
+    counts, lo1: float = 0.0, north_first: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-point (lat, lon) arrays for a REDUCED Gaussian grid (r8) —
+    2N rows at the Gauss-Legendre quadrature latitudes, row j holding
+    counts[j] points evenly spaced over the full circle (the ECMWF
+    O-grid family; `reducedPoints` in a decoded header).
+
+    Vectorized: one `np.repeat` for latitudes, per-row aranges for
+    longitudes — O(total points), no per-point Python. Regular grids
+    keep the closed-form pure-expression mapping
+    (functions.wind.gaussian_cell_latlon — an O(1) codegen'd lookup);
+    a reduced grid's row boundaries are a prefix sum, so its natural
+    scale path is THIS helper inside the same Arrow decode pass that
+    unpacked the values (numpy batch work, never a per-cell search
+    expression — an expression form would pay an O(2N) scan per cell).
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    if counts.ndim != 1 or len(counts) % 2 or not len(counts):
+        raise ValueError(
+            f"reduced grid needs a flat, even-length counts list, "
+            f"got shape {counts.shape}"
+        )
+    if (counts < 1).any():
+        raise ValueError("reduced grid rows must have >= 1 point")
+    lats_rows = gaussian_latitudes(len(counts) // 2)
+    if not north_first:
+        lats_rows = lats_rows[::-1]
+    lat = np.repeat(lats_rows, counts)
+    lon = lo1 + np.concatenate(
+        [np.arange(c, dtype=np.float64) * (360.0 / c) for c in counts]
+    )
+    return lat, lon
 
 
 def _scales(msg: bytes, o5: int) -> tuple[int, int]:
@@ -808,6 +847,48 @@ def _decode_message(msg: bytes) -> dict:
     n_points = _u(msg, o3 + 6, 4)
     if n_points > _MAX_POINTS:
         raise ValueError(f"numberPoints {n_points} implausible")
+    # section 3 octets 11-12: optional list of numbers defining points
+    # per row — the REDUCED (thinned) grid mechanism (r8). Octet 11 is
+    # the octet width of each list entry (0 = no list), octet 12 its
+    # interpretation (WMO table 3.11; 1 = points per row/circle). Only
+    # reduced GAUSSIAN grids (ECMWF operational O-grids) are in
+    # family; a list on any other template quarantines loudly —
+    # before r8 such a message sailed past the template check and
+    # decoded with nx = the 0xFFFFFFFF "missing" sentinel.
+    list_octets = msg[o3 + 10]
+    reduced: np.ndarray | None = None
+    if list_octets:
+        if gdt != 40:
+            raise ValueError(
+                f"optional points-per-row list on grid template 3.{gdt} "
+                "unsupported (reduced grids are Gaussian-only)"
+            )
+        if msg[o3 + 11] != 1:
+            raise ValueError(
+                f"points-per-row list interpretation {msg[o3 + 11]} "
+                "unsupported (WMO table 3.11 code 1 only)"
+            )
+        if list_octets not in (1, 2, 4):
+            raise ValueError(
+                f"points-per-row entry width {list_octets} unsupported"
+            )
+        nj_list = _u(msg, o3 + 34, 4)
+        end = 72 + list_octets * nj_list
+        if slen3 < end:
+            raise ValueError(
+                f"section 3 is {slen3} octets, needs {end} for a "
+                f"{nj_list}-row points-per-row list"
+            )
+        reduced = np.frombuffer(
+            msg, dtype=f">u{list_octets}", count=nj_list, offset=o3 + 72
+        ).astype(np.int64)
+        if int(reduced.sum()) != n_points:
+            raise ValueError(
+                f"points-per-row list sums to {int(reduced.sum())}, "
+                f"numberPoints says {n_points}"
+            )
+        if (reduced < 1).any():
+            raise ValueError("points-per-row list contains a zero row")
     if gdt == 10:
         # template 3.10 — Mercator (NCEP tropical/regional products):
         # carries BOTH corner points (degrees) and metre dx/dy true at
@@ -845,9 +926,16 @@ def _decode_message(msg: bytes) -> dict:
             gauss_n = _u(msg, o3 + 67, 4)
             ny_g = _u(msg, o3 + 34, 4)
             if ny_g != 2 * gauss_n:
+                # REDUCED Gaussian grids keep Nj == 2N too (thinning
+                # varies Ni per row, not the row count) — a mismatch
+                # is corrupt octets on any Gaussian grid
                 raise ValueError(
                     f"Gaussian grid Nj {ny_g} != 2N (N={gauss_n}) unsupported"
-                    " (thinned/reduced Gaussian grids not implemented)"
+                )
+            if reduced is not None and len(reduced) != ny_g:
+                raise ValueError(
+                    f"points-per-row list has {len(reduced)} rows, "
+                    f"grid has Nj {ny_g}"
                 )
             la1_g = _deg(msg, o3 + 46)
             lat0 = float(gaussian_latitudes(gauss_n)[0])
@@ -872,7 +960,8 @@ def _decode_message(msg: bytes) -> dict:
             "lo1": _deg(msg, o3 + 50),
             "la2": _deg(msg, o3 + 55),
             "lo2": _deg(msg, o3 + 59),
-            "dx": _deg(msg, o3 + 63),
+            # reduced grids: Di is missing (per-row spacing 360/Ni[j])
+            "dx": None if reduced is not None else _deg(msg, o3 + 63),
             "dy": _deg(msg, o3 + 67) if gdt == 0 else None,
             "basicAngle": _u(msg, o3 + 38, 4),
             "scanMode": msg[o3 + 71],
@@ -1098,8 +1187,13 @@ def _decode_message(msg: bytes) -> dict:
         "gridDefinitionTemplate": gdt,
         "gridDefinitionTemplateName": _GDT_NAME.get(gdt),
         "numberPoints": n_points,
-        "nx": _u(msg, o3 + 30, 4),  # same octets in 3.0 and 3.30
+        # reduced grids carry the WMO "missing" sentinel in Ni — the
+        # per-row widths live in reducedPoints instead
+        "nx": None if reduced is not None else _u(msg, o3 + 30, 4),
         "ny": _u(msg, o3 + 34, 4),
+        "reducedPoints": (
+            [int(c) for c in reduced] if reduced is not None else None
+        ),
         **grid,
         "shape": msg[o3 + 14],
         "shapeName": _SHAPE.get(msg[o3 + 14]),
@@ -1138,6 +1232,7 @@ def encode_grib2_message(
     polar: dict | None = None,
     mercator: dict | None = None,
     gaussian_n: int | None = None,
+    gaussian_reduced: list[int] | None = None,
     ensemble: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
@@ -1169,11 +1264,38 @@ def encode_grib2_message(
     template 3.40 (regular Gaussian lat/lon): ny must equal 2N,
     la1/la2 derive from the Gauss-Legendre quadrature (the passed
     la1/dy are ignored — the grid's rows are DEFINED by N), dx stays
-    the uniform longitude step. Otherwise la2/lo2 derive from the
-    grid shape the way scanMode 0 lays it out (rows N→S, lon W→E)."""
+    the uniform longitude step. `gaussian_reduced` (r8, requires
+    `gaussian_n`) emits a REDUCED Gaussian grid (the ECMWF
+    operational O-grid family): a list of 2N points-per-row counts —
+    Ni and Di become the WMO "missing" sentinel, section 3 carries
+    the counts as a 4-octet-entry optional list (octets 11-12 = 4,
+    1), `values` must have sum(counts) elements laid out row-major
+    north-first, and `nx` is ignored. Otherwise la2/lo2 derive from
+    the grid shape the way scanMode 0 lays it out (rows N→S, lon
+    W→E)."""
     values = np.asarray(values, dtype=np.float64)
     n = values.size
-    if n != nx * ny:
+    if gaussian_reduced is not None:
+        if gaussian_n is None:
+            raise ValueError("gaussian_reduced requires gaussian_n")
+        if len(gaussian_reduced) != 2 * gaussian_n:
+            raise ValueError(
+                f"gaussian_reduced needs 2N={2 * gaussian_n} rows, "
+                f"got {len(gaussian_reduced)}"
+            )
+        if any(c < 1 for c in gaussian_reduced):
+            raise ValueError("gaussian_reduced rows must be >= 1 point")
+        if packing == "png":
+            raise ValueError(
+                "reduced Gaussian grids cannot use PNG packing "
+                "(no rectangular scanline layout)"
+            )
+        if n != sum(gaussian_reduced):
+            raise ValueError(
+                f"{n} values for a reduced grid of "
+                f"{sum(gaussian_reduced)} points"
+            )
+    elif n != nx * ny:
         raise ValueError(f"{n} values for a {nx}x{ny} grid")
     if gaussian_n is not None:
         if ny != 2 * gaussian_n:
@@ -1191,7 +1313,12 @@ def encode_grib2_message(
             )
         lats = gaussian_latitudes(gaussian_n)
         la1, la2 = float(lats[0]), float(lats[-1])
-        lo2 = lo1 + dx * (nx - 1)
+        if gaussian_reduced is not None:
+            # ECMWF convention: Lo2 closes the widest (equatorial) row
+            cmax = max(gaussian_reduced)
+            lo2 = lo1 + 360.0 * (cmax - 1) / cmax
+        else:
+            lo2 = lo1 + dx * (nx - 1)
     else:
         la2, lo2 = la1 - dy * (ny - 1), lo1 + dx * (nx - 1)
 
@@ -1247,13 +1374,17 @@ def encode_grib2_message(
     s3_prefix = (
         b"\x03\x00"
         + n.to_bytes(4, "big")
-        + bytes([0, 0])
+        # octets 11-12: points-per-row list entry width + WMO table
+        # 3.11 interpretation (reduced grids only)
+        + (bytes([4, 1]) if gaussian_reduced is not None else bytes([0, 0]))
         + gdt_code.to_bytes(2, "big")
         + bytes([6])  # shape of earth
         + bytes([0]) + (0).to_bytes(4, "big")  # radius scale/value
         + bytes([0]) + (0).to_bytes(4, "big")  # major axis
         + bytes([0]) + (0).to_bytes(4, "big")  # minor axis
-        + nx.to_bytes(4, "big")
+        # reduced: Ni is "missing" (all ones) — widths are in the list
+        + (b"\xff\xff\xff\xff" if gaussian_reduced is not None
+           else nx.to_bytes(4, "big"))
         + ny.to_bytes(4, "big")
     )
     if mercator:
@@ -1298,13 +1429,21 @@ def encode_grib2_message(
             (0).to_bytes(4, "big")  # basic angle
             + (0).to_bytes(4, "big")  # subdivisions
             + _put_deg(la1) + _put_deg(lo1)
-            + bytes([48])  # resolution/component flags (di, dj given)
+            # resolution/component flags: di+dj given (0x30), except
+            # reduced grids where Di is missing per WMO flag table 3.3
+            + bytes([16 if gaussian_reduced is not None else 48])
             + _put_deg(la2) + _put_deg(lo2)
-            + _put_deg(dx)
+            + (b"\xff\xff\xff\xff" if gaussian_reduced is not None
+               else _put_deg(dx))
             + (gaussian_n.to_bytes(4, "big") if gaussian_n is not None
                else _put_deg(dy))
             + bytes([scan_mode])
         )
+        if gaussian_reduced is not None:
+            # the optional points-per-row list trails the template
+            s3 += b"".join(
+                int(c).to_bytes(4, "big") for c in gaussian_reduced
+            )
     # ensemble + interval = template 4.11 (statistics over an ensemble
     # member's time interval — GEFS accumulation members): the 4.1
     # triple then the 4.8 interval block, i.e. exactly the append

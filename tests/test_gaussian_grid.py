@@ -120,8 +120,9 @@ def _sec_offset(msg: bytes, want: int) -> int:
 
 def test_gaussian_nj_mismatch_quarantines():
     """A 3.40 message whose Nj != 2N fail-louds in decode and
-    QUARANTINES (error row, file survives) in the scan path — the
-    reduced/thinned Gaussian family is out of contract."""
+    QUARANTINES (error row, file survives) in the scan path — reduced
+    grids vary points per ROW, never the 2N row count, so a mismatch
+    is corrupt octets in any Gaussian family member."""
     n, nx = 3, 8
     msg = bytearray(encode_grib2_message(
         _field(nx, 2 * n), parameter_number=2, ref_time=RT, nx=nx,
