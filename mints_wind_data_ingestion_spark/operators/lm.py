@@ -45,7 +45,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bigram_counts", "score_perplexity", "bigram_perplexity"]
+__all__ = [
+    "train_bigram_counts",
+    "score_perplexity",
+    "bigram_perplexity",
+    "persist_bigram_model",
+    "load_bigram_model",
+]
 
 
 def _nn(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -185,6 +191,40 @@ def score_perplexity(
     )
     return out.withColumn(
         "lm_pass", F.col("avg_nll_e4") <= F.lit(gate_nll_e4)
+    )
+
+
+def persist_bigram_model(
+    train_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Train on `train_docs` and materialize the LM as parquet under
+    `path` ({bigrams, prefixes, vocab} subdirs) — the persistable
+    artifact the module docstring promises: at 100 TB the reference
+    corpus is tokenized ONCE, and every scoring batch (including the
+    streaming LM gate, `streaming.pipeline.run_lm_gate_ingest`)
+    re-joins the stored counts instead of retraining. The derived
+    prefix/vocab tables are stored too: they cost a scan of the
+    bigram table per LOAD otherwise, and the gate loads per stream
+    start, not per batch."""
+    big, pre, vocab = train_bigram_counts(train_docs, id_col, text_col)
+    big.write.mode("overwrite").parquet(f"{path}/bigrams")
+    pre.write.mode("overwrite").parquet(f"{path}/prefixes")
+    vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+    train_docs.sparkSession.catalog.clearCache()  # drop the train cache
+
+
+def load_bigram_model(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bigrams, prefixes, vocab) back from `persist_bigram_model`'s
+    layout — ready for `score_perplexity`."""
+    return (
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/prefixes"),
+        spark.read.parquet(f"{path}/vocab"),
     )
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "run_neardup_ingest",
     "run_decontam_ingest",
     "run_quality_gate_ingest",
+    "run_lm_gate_ingest",
     "build_gram_index",
 ]
 
@@ -684,6 +685,79 @@ def run_quality_gate_ingest(
                 ).parquet(f"{quarantine_path}/epoch={epoch_id}")
         finally:
             feats.unpersist()
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_lm_gate_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quarantine_path: str | None = None,
+    add_k: float = 0.1,
+    gate_nll_e4: int = 80_000,
+) -> StreamingQuery:
+    """Streaming CCNet LM-perplexity gate (r8, VERDICT r7 #7): the
+    batch `x_lm_perplexity` filter enforced at ingest time, the way
+    `run_quality_gate_ingest` enforces the Gopher repetition gate —
+    documents landing as files are scored per epoch against the
+    PERSISTED bigram count table (`operators.lm.persist_bigram_model`
+    at `model_path`), and only `lm_pass` (avg-nll ≤ gate) documents
+    reach the corpus. Rejects land in `quarantine_path` WITH their
+    scores (n_bigrams, avg_nll_e4), so curation review sees how far
+    past the cutoff each document fell.
+
+    Scale shape per epoch: the model is three parquet reads done ONCE
+    at stream start (not per batch) — scoring is the batch's bigram
+    explode plus two left joins against the stored counts and the
+    same exactly-once/replay contract as the other ingest gates
+    (epoch-keyed overwrite). Nothing retrains in the hot path; the
+    reference corpus is tokenized exactly once, at persist time."""
+    from ..operators.lm import load_bigram_model, score_perplexity
+
+    big, pre, vocab = load_bigram_model(spark, model_path)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        # persist: the scoring plan (explode + model joins + agg)
+        # feeds BOTH the corpus join and the quarantine write
+        scores = score_perplexity(
+            batch, big, pre, vocab, id_col=id_col, text_col=text_col,
+            add_k=add_k, gate_nll_e4=gate_nll_e4,
+        ).persist()
+        try:
+            # score_perplexity normalizes its id to doc_id — alias it
+            # back so caller-named id columns join correctly
+            verdict = scores.select(
+                F.col("doc_id").alias(id_col), "lm_pass"
+            )
+            kept = batch.join(verdict.filter("lm_pass"), id_col).drop(
+                "lm_pass"
+            )
+            kept.write.mode("overwrite").parquet(
+                f"{corpus_path}/epoch={epoch_id}"
+            )
+            if quarantine_path is not None:
+                scores.filter(~F.col("lm_pass")).write.mode(
+                    "overwrite"
+                ).parquet(f"{quarantine_path}/epoch={epoch_id}")
+        finally:
+            scores.unpersist()
 
     return (
         raw.writeStream.outputMode("append")

@@ -100,3 +100,103 @@ def test_reference_text_scores_below_noise(spark, sf_dir):
     rows = {r["doc_id"]: r["avg_nll_e4"] for r in scored.collect()}
     noise = rows.pop(10**9)
     assert noise > max(rows.values())  # out-of-distribution scores worst
+
+
+def test_persist_load_bigram_model(spark, tmp_path):
+    """persist_bigram_model / load_bigram_model round-trip: the stored
+    {bigrams, prefixes, vocab} layout scores identically to the live
+    model (r8 — the artifact the streaming gate consumes)."""
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        load_bigram_model,
+        persist_bigram_model,
+        score_perplexity,
+    )
+
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(7, "a b z"), (8, "a b a c")], "doc_id long, text string"
+    )
+    big, pre, vocab = train_bigram_counts(train)
+    live = sorted(tuple(r) for r in
+                  score_perplexity(docs, big, pre, vocab).collect())
+    persist_bigram_model(train, str(tmp_path / "lm"))
+    stored = sorted(tuple(r) for r in score_perplexity(
+        docs, *load_bigram_model(spark, str(tmp_path / "lm"))
+    ).collect())
+    assert live == stored
+
+
+def test_lm_gate_ingest_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming CCNet gate (r8): kept ∪ quarantined == input, kept ∩
+    quarantined == ∅, and the stream's verdict equals the batch
+    score_perplexity verdict on the same documents against the same
+    persisted model — with the quarantine carrying the scores."""
+    import pyspark.sql.functions as F
+
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        load_bigram_model,
+        persist_bigram_model,
+        score_perplexity,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_lm_gate_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    model = str(tmp_path / "lm")
+    persist_bigram_model(train, model)
+
+    # candidates: in-distribution docs + one frequent-context/unseen-
+    # continuation adversarial doc that must land in quarantine
+    top = (
+        train.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "").groupBy("w").count()
+        .orderBy(F.desc("count"), "w").first()["w"]
+    )
+    noise = f"{top} zq {top} xv {top} qqk {top} wjz"
+    incoming = (
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionByName(spark.createDataFrame(
+            [(10**9, noise)], "doc_id long, text string"))
+    )
+    # gate midway between the corpus scores and the noise score so
+    # both sides are non-empty regardless of testdata drift
+    scored = score_perplexity(
+        incoming, *load_bigram_model(spark, model)
+    )
+    vals = sorted(r["avg_nll_e4"] for r in scored.collect())
+    gate = int((vals[-1] + vals[len(vals) // 2]) // 2)
+
+    landing = str(tmp_path / "landing")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(landing)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_lm_gate_ingest(
+        spark, landing, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        schema, model, gate_nll_e4=gate,
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    kept = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "corpus")).select("doc_id").collect()}
+    quar = spark.read.parquet(str(tmp_path / "quarantine"))
+    dropped = {r.doc_id for r in quar.select("doc_id").collect()}
+
+    want_pass = {
+        r["doc_id"]
+        for r in score_perplexity(
+            incoming, *load_bigram_model(spark, model), gate_nll_e4=gate
+        ).filter("lm_pass").collect()
+    }
+    assert kept == want_pass
+    assert kept | dropped == {r.doc_id for r in incoming.collect()}
+    assert kept.isdisjoint(dropped) and dropped
+    assert 10**9 in dropped
+    # quarantine carries the evidence
+    row = quar.filter(f"doc_id = {10**9}").first()
+    assert row.avg_nll_e4 > gate and not row.lm_pass
