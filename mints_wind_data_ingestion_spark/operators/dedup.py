@@ -42,6 +42,8 @@ __all__ = [
     "jaccard_join_prefix_filtered",
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_against",
+    "minhash_index",
+    "minhash_dedup_pairs_against_index",
     "simhash64",
     "simhash_fingerprints",
     "editdist_dedup_pairs",
@@ -474,21 +476,77 @@ def minhash_dedup_pairs_against(
     100 TB posture: candidates come from an EQUI-JOIN of the two
     sides' band buckets on (band, hash) — never new × base. Each
     side's signature aggregate runs once over its own corpus only; at
-    steady state the base side's (id, band, hash) bucket table is
-    exactly what a production pipeline persists between batches, so
-    the recurring cost is the (small) incoming batch's signatures plus
-    one broadcast-prunable join against the stored buckets."""
+    steady state the base side's postings + (id, band, hash) bucket
+    table are exactly what a production pipeline persists between
+    batches (`minhash_index` → parquet), so the recurring cost is the
+    (small) incoming batch's signatures plus one prunable join
+    against the stored buckets — the persisted-index path is
+    `minhash_dedup_pairs_against_index`, which this convenience
+    wrapper delegates to after building the base index in-plan."""
+    p_base, b_base = minhash_index(
+        base_docs, id_col, shingle_col, num_hashes, bands, rows_per_band
+    )
+    return minhash_dedup_pairs_against_index(
+        new_docs, p_base, b_base, id_col, shingle_col, threshold,
+        num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 144,
+    bands: int = 24,
+    rows_per_band: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """(posting, buckets) for a corpus — the PERSISTABLE steady-state
+    dedup artifact (r8): posting = (__id, __h) distinct-shingle
+    hashes (feeds exact-Jaccard verification), buckets = (__id,
+    __band, __bh) LSH band hashes (feeds candidate generation). Write
+    both to parquet once per corpus; every later incoming batch joins
+    against the stored tables via
+    `minhash_dedup_pairs_against_index` without touching the base
+    corpus text again. Band parameters are part of the artifact's
+    identity — a batch checked with different (num_hashes, bands,
+    rows_per_band) than the stored index produces garbage buckets, so
+    persist them alongside (scripts/scaling_incremental.py shows the
+    layout)."""
+    assert bands * rows_per_band <= num_hashes
+    return _minhash_band_buckets(
+        docs, id_col, shingle_col, num_hashes, bands, rows_per_band
+    )
+
+
+def minhash_dedup_pairs_against_index(
+    new_docs: DataFrame,
+    base_posting: DataFrame,
+    base_buckets: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    num_hashes: int = 144,
+    bands: int = 24,
+    rows_per_band: int = 6,
+) -> DataFrame:
+    """The steady-state incremental dedup recurrence (r8): near-dup
+    pairs of an incoming batch against a PERSISTED corpus index
+    (`minhash_index`, usually read back from parquet) — only the
+    batch's signatures are computed; the base corpus contributes two
+    stored-table joins (bucket equi-join for candidates, posting join
+    for exact verify). Same output contract as
+    `minhash_dedup_pairs_against`: (id_new, id_base, jaccard),
+    per-side verification, overlapping id spaces allowed."""
     assert bands * rows_per_band <= num_hashes
     p_new, b_new = _minhash_band_buckets(
         new_docs, id_col, shingle_col, num_hashes, bands, rows_per_band
     )
-    p_base, b_base = _minhash_band_buckets(
-        base_docs, id_col, shingle_col, num_hashes, bands, rows_per_band
-    )
     cands = (
         b_new.select(F.col("__id").alias("id_a"), "__band", "__bh")
         .join(
-            b_base.select(F.col("__id").alias("id_b"), "__band", "__bh"),
+            base_buckets.select(
+                F.col("__id").alias("id_b"), "__band", "__bh"
+            ),
             ["__band", "__bh"],
         )
         .select("id_a", "id_b")
@@ -496,7 +554,7 @@ def minhash_dedup_pairs_against(
         .cache()
     )
     verified = _verify_pairs_by_count(
-        cands, p_new, threshold, posting_b=p_base
+        cands, p_new, threshold, posting_b=base_posting
     )
     return verified.select(
         F.col("id_a").alias("id_new"),

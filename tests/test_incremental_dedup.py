@@ -144,3 +144,43 @@ def test_same_id_same_doc_reports_already_ingested(spark):
     r = out[0]
     assert (r["id_new"], r["id_base"]) == (7, 7)
     assert 0.5 <= r["jaccard"] < 1.0
+
+
+def test_persisted_index_path_matches_direct(spark, tmp_path, sf_dir):
+    """minhash_index → parquet → minhash_dedup_pairs_against_index
+    reproduces minhash_dedup_pairs_against pair-for-pair on the real
+    testdata corpus — the steady-state recurrence is semantically the
+    same operator, minus the base-side rebuild (r8)."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        minhash_dedup_pairs_against_index,
+        minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = shingle_docs_pandas(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", "text", 3,
+        out="shingles")
+    base = shingle_docs_pandas(
+        docs.filter(F.col("doc_id") % 3 != 0), "doc_id", "text", 3,
+        out="shingles")
+    params = dict(num_hashes=96, bands=16, rows_per_band=6)
+    direct = {
+        (r["id_new"], r["id_base"]): r["jaccard"]
+        for r in minhash_dedup_pairs_against(
+            new, base, "doc_id", "shingles", 0.5, **params).collect()
+    }
+    posting, buckets = minhash_index(base, "doc_id", "shingles", **params)
+    posting.write.parquet(str(tmp_path / "posting"))
+    buckets.write.parquet(str(tmp_path / "buckets"))
+    spark.catalog.clearCache()
+    stored = {
+        (r["id_new"], r["id_base"]): r["jaccard"]
+        for r in minhash_dedup_pairs_against_index(
+            new,
+            spark.read.parquet(str(tmp_path / "posting")),
+            spark.read.parquet(str(tmp_path / "buckets")),
+            "doc_id", "shingles", 0.5, **params).collect()
+    }
+    assert direct == stored and direct  # non-trivial pair set
