@@ -2249,6 +2249,112 @@ def x_grib_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# reduced (thinned) Gaussian workload (r8): an octahedral-ish N=4
+# O-grid — 8 quadrature rows, per-row widths thinning toward the poles
+_RG_COUNTS = [6, 10, 14, 18, 18, 14, 10, 6]
+
+
+def _reduced_oracle_sql() -> str:
+    """Closed-form replay: the row table (count, global offset, exact-
+    repr quadrature latitude) is a VALUES literal; points derive per
+    row, values are exact 2dp ints, longitudes the same 360/cnt
+    float64 arithmetic numpy runs."""
+    from ..sources.grib2codec import gaussian_latitudes
+
+    lats = gaussian_latitudes(len(_RG_COUNTS) // 2)
+    offs, acc = [], 0
+    for c in _RG_COUNTS:
+        offs.append(acc)
+        acc += c
+    rows = ", ".join(
+        f"({j}, {c}, {o}, CAST('{float(lats[j])!r}' AS DOUBLE))"
+        for j, (c, o) in enumerate(zip(_RG_COUNTS, offs))
+    )
+    return f"""
+    WITH rows AS (SELECT * FROM (VALUES {rows}) AS t(j, cnt, off, lat)),
+    pts AS (
+        SELECT lat, cnt, ((off + u.i) * 7) % 2600 AS v_e2,
+               u.i * (360.0 / cnt) AS lon
+        FROM rows, LATERAL unnest(generate_series(0, cnt - 1)) AS u(i)
+    )
+    SELECT CAST(round(lat * 10000) AS BIGINT) AS lat_e4,
+           CAST({len(_RG_COUNTS) // 2} AS INT) AS n_gauss,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(sum(v_e2) AS BIGINT) AS sum_v_e2,
+           CAST(round(min(lon) * 10000) AS BIGINT) AS lon_min_e4,
+           CAST(round(max(lon) * 10000) AS BIGINT) AS lon_max_e4
+    FROM pts GROUP BY 1
+    """
+
+
+@query("x_grib_reduced", oracle=_reduced_oracle_sql(),
+       tags=("ext", "grib", "S2", "gaussian", "reduced"))
+def x_grib_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduced (thinned) Gaussian grid driver-verified end-to-end
+    (r8): an octahedral-ish N=4 O-grid — Ni missing, 8 per-row widths
+    in section 3's optional list — is encoded as a real GRIB2 message
+    (complex packing), decoded executor-side by the Arrow UDTF with
+    per-point (lat, lon) attached IN the same pass via
+    `reduced_gaussian_latlon` (the documented scale path for
+    non-uniform rows: np.repeat + per-row aranges, no per-cell search
+    expression), and reduced to per-quadrature-row stats: point count
+    (the thinning itself — a swapped width breaks the hash), exact
+    value sums, and the row's min/max longitude (the per-row 360/Ni
+    spacing). The oracle replays rows from a VALUES literal carrying
+    the exact-repr quadrature doubles, so header parse, list parse,
+    value layout, AND the lat/lon mapping are all hash-load-bearing."""
+    from datetime import datetime, timezone
+
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    from ..sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+        reduced_gaussian_latlon,
+    )
+
+    counts = _RG_COUNTS
+    n_gauss = len(counts) // 2
+    vals = [((i * 7) % 2600) / 100.0 for i in range(sum(counts))]
+    msg = encode_grib2_message(
+        vals, parameter_number=2,
+        ref_time=datetime(2020, 8, 12, 6, tzinfo=timezone.utc),
+        nx=0, ny=len(counts), gaussian_n=n_gauss,
+        gaussian_reduced=counts, scan_mode=0, packing="complex_diff",
+    )
+    bdf = spark.createDataFrame([(0, msg)], "g int, blob binary")
+
+    def decode(it):
+        for pdf in it:
+            for b in pdf["blob"]:
+                for rec in decode_grib2_bytes(bytes(b)):
+                    h = rec["header"]
+                    lat, lon = reduced_gaussian_latlon(
+                        h["reducedPoints"], lo1=h["lo1"]
+                    )
+                    yield pd.DataFrame({
+                        "n_gauss": np.full(lat.size, h["gaussianN"],
+                                           dtype=np.int32),
+                        "lat": lat,
+                        "lon": lon,
+                        "v": np.asarray(rec["data"], dtype=np.float64),
+                    })
+
+    pts = bdf.mapInPandas(
+        decode, schema="n_gauss int, lat double, lon double, v double"
+    )
+    return pts.groupBy(
+        F.round(F.col("lat") * 10000).cast("bigint").alias("lat_e4")
+    ).agg(
+        F.max("n_gauss").alias("n_gauss"),
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(F.round(F.col("v") * 100).cast("bigint")).alias("sum_v_e2"),
+        F.round(F.min("lon") * 10000).cast("bigint").alias("lon_min_e4"),
+        F.round(F.max("lon") * 10000).cast("bigint").alias("lon_max_e4"),
+    )
+
+
 def _ivf_index_oracle(sf_dir: str) -> str:
     return _ivf_oracle(sf_dir, n_cells=16, iters=5, nprobe=4, k=10)
 

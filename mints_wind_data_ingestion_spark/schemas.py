@@ -65,6 +65,10 @@ WIND_HEADER = StructType(
         _f("ensembleTypeName", StringType()),
         _f("perturbationNumber", IntegerType()),
         _f("ensembleSize", IntegerType()),
+        # derived ensemble products (4.2/4.12, r8): WMO table 4.7 —
+        # mean/spread/etc over all members; NULL for other templates
+        _f("derivedForecastType", IntegerType()),
+        _f("derivedForecastTypeName", StringType()),
         _f("genProcessType", IntegerType()),
         _f("genProcessTypeName", StringType()),
         # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)

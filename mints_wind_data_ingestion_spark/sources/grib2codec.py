@@ -27,6 +27,9 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 - section 4 template 4.11 (individual ensemble member over a time
   interval — the 4.1 triple + the 4.8 interval block; GEFS
   accumulation members, e.g. ensemble precipitation; r8)
+- section 4 templates 4.2/4.12 (derived ensemble forecast — the
+  WMO table 4.7 derivation code + ensemble size; GEFS mean/spread
+  geavg/gespr files, point-in-time and over an interval; r8)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -116,6 +119,11 @@ _PDT_NAME = {
     11: "Individual ensemble forecast, control and perturbed, at a "
         "horizontal level or in a horizontal layer, in a continuous or "
         "non-continuous time interval",
+    2: "Derived forecasts based on all ensemble members at a horizontal "
+       "level or in a horizontal layer at a point in time",
+    12: "Derived forecasts based on all ensemble members at a horizontal "
+        "level or in a horizontal layer, in a continuous or "
+        "non-continuous time interval",
 }
 # WMO code table 4.6 — type of ensemble forecast
 _ENSEMBLE_TYPE = {
@@ -123,6 +131,17 @@ _ENSEMBLE_TYPE = {
     1: "Unperturbed low-resolution control forecast",
     2: "Negatively perturbed forecast",
     3: "Positively perturbed forecast",
+    255: "Missing",
+}
+# WMO code table 4.7 — derived forecast (templates 4.2/4.12)
+_DERIVED_TYPE = {
+    0: "Unweighted mean of all members",
+    1: "Weighted mean of all members",
+    2: "Standard deviation with respect to cluster mean",
+    3: "Standard deviation with respect to cluster mean, normalized",
+    4: "Spread of all members",
+    5: "Large anomaly index of all members",
+    6: "Unweighted mean of the cluster members",
     255: "Missing",
 }
 # WMO code table 4.10 — type of statistical processing
@@ -767,8 +786,8 @@ def decode_grib2_bytes(
     (data/u_comp.json) — numeric codes plus the human-readable *Name
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
     For a framed-valid message using a template outside the supported
-    family (grid 3.0/3.10/3.20/3.30/3.40 / product 4.0/4.1/4.8/4.11 /
-    packing
+    family (grid 3.0/3.10/3.20/3.30/3.40 / product
+    4.0/4.1/4.2/4.8/4.11/4.12 / packing
     5.0/5.2/5.3/5.4/5.41, plus 5.40 when an OpenJPEG binding is
     importable — without one 5.40 messages take the unsupported path
     below):
@@ -995,7 +1014,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 1, 8, 11):
+    if pdt not in (0, 1, 2, 8, 11, 12):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -1013,7 +1032,7 @@ def _decode_message(msg: bytes) -> dict:
     # 35-37) followed by the 4.8 interval block shifted +3 octets —
     # the GEFS accumulation members (ensemble precipitation, the most
     # downloaded GEFS product class, reference converter.py:136 domain)
-    ens_type = pert_num = ens_size = None
+    ens_type = pert_num = ens_size = derived_type = None
     if pdt in (1, 11):
         if sec[4][1] < 37:
             raise ValueError(
@@ -1023,12 +1042,23 @@ def _decode_message(msg: bytes) -> dict:
         ens_type = msg[o4 + 34]
         pert_num = msg[o4 + 35]
         ens_size = msg[o4 + 36]
+    # templates 4.2/4.12 (derived ensemble forecast — the GEFS
+    # mean/spread files, geavg/gespr): octets 10-34 identical to 4.0,
+    # then the WMO table 4.7 derivation code + ensemble size (r8)
+    if pdt in (2, 12):
+        if sec[4][1] < 36:
+            raise ValueError(
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs 36)"
+            )
+        derived_type = msg[o4 + 34]
+        ens_size = msg[o4 + 35]
 
     stat_proc = stat_name = interval_len = interval_end = None
-    if pdt in (8, 11):
-        # 4.11's interval block is 4.8's, displaced by the 3-octet
-        # ensemble triple
-        d = 3 if pdt == 11 else 0
+    if pdt in (8, 11, 12):
+        # 4.11/4.12's interval block is 4.8's, displaced by the
+        # 3-octet ensemble triple / 2-octet derivation pair
+        d = 3 if pdt == 11 else 2 if pdt == 12 else 0
         if sec[4][1] < 58 + d:  # a short section relabeled 4.8/4.11
             # would otherwise read interval octets out of the next one
             raise ValueError(
@@ -1171,6 +1201,8 @@ def _decode_message(msg: bytes) -> dict:
         "ensembleTypeName": _ENSEMBLE_TYPE.get(ens_type),
         "perturbationNumber": pert_num,
         "ensembleSize": ens_size,
+        "derivedForecastType": derived_type,
+        "derivedForecastTypeName": _DERIVED_TYPE.get(derived_type),
         "genProcessType": msg[o4 + 11],
         "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
         "parameterCategory": category,
@@ -1234,6 +1266,7 @@ def encode_grib2_message(
     gaussian_n: int | None = None,
     gaussian_reduced: list[int] | None = None,
     ensemble: dict | None = None,
+    derived: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -1250,7 +1283,11 @@ def encode_grib2_message(
     4.6), `number` (perturbation number) and `size` (forecasts in the
     ensemble); combined with `interval_hours` it emits template 4.11
     (ensemble member statistics over a time interval — the GEFS
-    accumulation members, r8).
+    accumulation members, r8). `derived` switches it to template 4.2
+    (derived ensemble forecast — the GEFS mean/spread geavg/gespr
+    files, r8): a dict with keys `type` (WMO table 4.7 derivation
+    code) and `size`; with `interval_hours` it emits 4.12 (derived
+    statistics over an interval); mutually exclusive with `ensemble`.
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1445,13 +1482,18 @@ def encode_grib2_message(
                 int(c).to_bytes(4, "big") for c in gaussian_reduced
             )
     # ensemble + interval = template 4.11 (statistics over an ensemble
-    # member's time interval — GEFS accumulation members): the 4.1
-    # triple then the 4.8 interval block, i.e. exactly the append
-    # order below
+    # member's time interval — GEFS accumulation members); derived +
+    # interval = 4.12 (the GEFS mean/spread accumulations). In every
+    # case the member/derivation octets precede the 4.8 interval
+    # block, i.e. exactly the append order below
+    if ensemble is not None and derived is not None:
+        raise ValueError("at most one of ensemble/derived")
     pdt_code = (
         11 if ensemble is not None and interval_hours is not None
+        else 12 if derived is not None and interval_hours is not None
         else 8 if interval_hours is not None
-        else 1 if ensemble is not None else 0
+        else 1 if ensemble is not None
+        else 2 if derived is not None else 0
     )
     s4 = (
         b"\x04"
@@ -1470,6 +1512,9 @@ def encode_grib2_message(
         # number of forecasts in ensemble
         s4 += bytes([ensemble["type"], ensemble["number"],
                      ensemble["size"]])
+    if derived is not None:
+        # template 4.2 tail: derivation (table 4.7), ensemble size
+        s4 += bytes([derived["type"], derived["size"]])
     if interval_hours is not None:
         end = ref_time + timedelta(hours=forecast_hours + interval_hours)
         s4 += (

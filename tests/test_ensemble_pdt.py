@@ -7,6 +7,9 @@ Round 8 extends the family to template 4.11 (ensemble member
 statistics over a time interval — the 4.1 triple + the 4.8 interval
 block shifted +3 octets): the GEFS ACCUMULATION members (ensemble
 precipitation, the most downloaded GEFS product class) are 4.11.
+Also r8: templates 4.2/4.12 (derived ensemble forecast — the WMO
+table 4.7 derivation code + size; the GEFS geavg/gespr mean/spread
+files, point-in-time and over an interval).
 
 Covers: encode→decode round trip of the member triple, NULLs on
 non-ensemble templates (stable WIND_HEADER key set), the 4.11
@@ -202,3 +205,101 @@ def test_gefs_accumulation_member_file_scan_e2e(spark):
     assert all(r["pdt"] == 11 and r["n"] == 3 for r in out)
     assert all(r["stat"] == "Accumulation" and r["ivl"] == 6 for r in out)
     assert all(r["end"] == "2020-08-12T12:00:00.000Z" for r in out)
+
+
+def test_derived_forecast_roundtrips_as_42():
+    """Template 4.2 (derived ensemble forecast — the GEFS geavg/gespr
+    mean/spread files): the WMO table 4.7 derivation code + ensemble
+    size decode typed; member-triple keys stay NULL (a derived product
+    has no single member identity)."""
+    vals = _field(6, 4, 2)
+    msg = encode_grib2_message(
+        vals, parameter_number=2, ref_time=RT, nx=6, ny=4,
+        derived=dict(type=0, size=31),
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    h = rec["header"]
+    assert h["productDefinitionTemplate"] == 2
+    assert "derived" in h["productDefinitionTemplateName"].lower()
+    assert h["derivedForecastType"] == 0
+    assert h["derivedForecastTypeName"] == "Unweighted mean of all members"
+    assert h["ensembleSize"] == 31
+    assert h["ensembleType"] is None and h["perturbationNumber"] is None
+    assert np.allclose(rec["data"], vals)
+
+
+def test_derived_with_interval_roundtrips_as_412():
+    """derived + interval = template 4.12 (derived statistics over a
+    time interval — GEFS mean/spread accumulations): derivation pair
+    AND the (+2-shifted) 4.8 interval block both decode."""
+    vals = _field(6, 4, 9)
+    msg = encode_grib2_message(
+        vals, parameter_number=8, parameter_category=1, ref_time=RT,
+        nx=6, ny=4, derived=dict(type=4, size=21),
+        forecast_hours=0, interval_hours=6, statistical_process=1,
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 12
+    assert h["derivedForecastTypeName"] == "Spread of all members"
+    assert h["ensembleSize"] == 21
+    assert h["statisticalProcessName"] == "Accumulation"
+    assert h["intervalHours"] == 6
+    assert h["intervalEnd"] == "2020-08-12T12:00:00.000Z"
+
+
+def test_ensemble_and_derived_mutually_exclusive():
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(
+            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+            ensemble=dict(type=0, number=0, size=3),
+            derived=dict(type=0, size=3),
+        )
+
+
+def test_truncated_42_and_412_quarantine():
+    """Relabeled short sections must not read derivation/interval
+    octets out of the next section (4.2 needs 36, 4.12 needs 60)."""
+    for relabel, needs in ((2, "36"), (12, "60")):
+        msg = bytearray(encode_grib2_message(
+            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        ))
+        o = 16
+        while msg[o + 4] != 4:
+            o += int.from_bytes(msg[o : o + 4], "big")
+        msg[o + 7 : o + 9] = relabel.to_bytes(2, "big")
+        with pytest.raises(ValueError, match=f"4.{relabel} truncated"):
+            decode_grib2_bytes(bytes(msg))
+        out = scan_grib2_bytes(bytes(msg))
+        assert out[0]["record"] is None
+        assert f"4.{relabel} truncated" in out[0]["error"]
+
+
+def test_gefs_mean_spread_file_scan_e2e(spark):
+    """A geavg+gespr-shaped file (ensemble mean and spread of U wind,
+    one message each) scans into typed per-derivation rows."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sources.grib import (
+        make_selector,
+        scan_binary_df,
+    )
+
+    blob = encode_grib2_file([
+        encode_grib2_message(
+            _field(6, 4, seed=t), parameter_number=2, ref_time=RT,
+            nx=6, ny=4, derived=dict(type=t, size=31),
+        )
+        for t in (0, 4)  # mean, spread
+    ])
+    bdf = spark.createDataFrame([("geavg.grib2", bytearray(blob))],
+                                "path string, content binary")
+    out = scan_binary_df(bdf, selector=make_selector()).select(
+        F.col("header.productDefinitionTemplate").alias("pdt"),
+        F.col("header.derivedForecastType").alias("dt"),
+        F.col("header.derivedForecastTypeName").alias("name"),
+        F.col("header.ensembleSize").alias("n"),
+    ).orderBy("dt").collect()
+    assert [(r["pdt"], r["dt"], r["n"]) for r in out] == [
+        (2, 0, 31), (2, 4, 31)]
+    assert out[0]["name"].startswith("Unweighted mean")
+    assert out[1]["name"] == "Spread of all members"
