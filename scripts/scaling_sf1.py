@@ -74,6 +74,13 @@ QUERIES = [
     # 10× keys with identical per-key series, so ticks, window rows
     # and outputs all scale exactly 10× (the pure key-parallel case)
     "x_resample_interpolate",
+    # round-8 addition: substring-level exact dedup — the position
+    # explode is O(total chars) and the v{k} prefixes keep replicas'
+    # 60-char windows disjoint while preserving each replica's
+    # internal repeats, so windows, flagged positions, islands and
+    # output rows all scale ~10× (the prefix lengthens words a few
+    # chars, so slightly super-10× window counts are expected)
+    "x_dedup_substring",
 ]
 
 

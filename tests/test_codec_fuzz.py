@@ -9,7 +9,10 @@ section length freezing the section walk, a zero message length
 freezing the file walk, corrupt 4-byte point/group counts sizing
 multi-GB numpy allocations (minutes-long executor stalls that even
 dodge signals), implausible scale factors overflowing ldexp/10**d,
-and implausible Gaussian N driving an O(N²) eigensolve."""
+and implausible Gaussian N driving an O(N²) eigensolve. Round 8
+widens the seeded corpus to the new template family — 4.11/4.12
+shifted-interval headers, the 4.2 derivation pair, and the reduced
+Gaussian points-per-row list."""
 
 from __future__ import annotations
 
@@ -45,6 +48,25 @@ def _corpus():
                              parameter_category=1, ref_time=RT,
                              forecast_hours=0, nx=6, ny=4,
                              interval_hours=6, packing="complex"),
+        # r8 additions: the 4.11 ensemble-accumulation member, a 4.12
+        # derived-spread accumulation, and a reduced Gaussian O-grid —
+        # their extra header blocks (shifted interval octets, table
+        # 4.7 pair, the points-per-row list) are fresh quarantine
+        # surface the corruption sweep must cover
+        encode_grib2_message(f(24, 4), parameter_number=8,
+                             parameter_category=1, ref_time=RT,
+                             forecast_hours=0, nx=6, ny=4,
+                             interval_hours=6, packing="simple",
+                             ensemble=dict(type=3, number=2, size=7)),
+        encode_grib2_message(f(24, 5), parameter_number=8,
+                             parameter_category=1, ref_time=RT,
+                             forecast_hours=0, nx=6, ny=4,
+                             interval_hours=6, packing="complex_diff1",
+                             derived=dict(type=4, size=21)),
+        encode_grib2_message(f(48, 6), parameter_number=2, ref_time=RT,
+                             nx=0, ny=6, gaussian_n=3, scan_mode=0,
+                             gaussian_reduced=[4, 10, 10, 10, 10, 4],
+                             packing="simple"),
     ]
 
 
