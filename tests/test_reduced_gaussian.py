@@ -207,3 +207,35 @@ def test_reduced_scan_e2e(spark):
         seg = data[offs[j] : offs[j + 1]]
         got = data[np.isclose(lat, gaussian_latitudes(3)[j])].mean()
         assert got == pytest.approx(seg.mean(), abs=1e-6)
+
+
+def _with_entry_width(msg: bytes, width: int) -> bytes:
+    """Rewrite the (4-octet-entry) points-per-row list as
+    `width`-octet entries, fixing section 3 and message lengths —
+    ECMWF operational files commonly use 2-octet entries."""
+    o3 = _sec3(msg)
+    slen3 = int.from_bytes(msg[o3 : o3 + 4], "big")
+    nj = int.from_bytes(msg[o3 + 34 : o3 + 38], "big")
+    counts = [
+        int.from_bytes(msg[o3 + 72 + 4 * j : o3 + 76 + 4 * j], "big")
+        for j in range(nj)
+    ]
+    sec = bytearray(msg[o3 : o3 + 72])
+    sec[10] = width
+    for c in counts:
+        sec += c.to_bytes(width, "big")
+    sec[0:4] = len(sec).to_bytes(4, "big")
+    out = msg[:o3] + bytes(sec) + msg[o3 + slen3 :]
+    return out[:8] + len(out).to_bytes(8, "big") + out[16:]
+
+
+@pytest.mark.parametrize("width", [1, 2])
+def test_narrow_list_entry_widths_decode(width):
+    """1- and 2-octet points-per-row entries decode identically to the
+    4-octet form the encoder emits."""
+    vals, msg = _msg()
+    rec4 = decode_grib2_bytes(msg)[0]
+    rec = decode_grib2_bytes(_with_entry_width(msg, width))[0]
+    assert rec["header"]["reducedPoints"] == COUNTS
+    assert rec["header"]["nx"] is None
+    assert rec["data"] == rec4["data"]
