@@ -212,3 +212,21 @@ def test_registry_query_kept_md5_matches_cut(spark):
         for r in substring_dedup(docs, "doc_id", "text", min_len=60).collect()
     }
     assert out == cut
+
+
+def test_unicode_char_semantics_match_reference(spark):
+    """Positions, lengths and cuts are CHARACTER-based on both sides
+    (Spark substring/length are char-semantic, as is the Python
+    reference) — multibyte text must not shift spans or split code
+    points."""
+    block = "日本語のテキストが繰り返されるブロックです" * 3  # 63 chars
+    texts = {
+        1: "café-prefix→" + block + "←suffix-ünïcode",
+        2: "другой префикс『" + block + "』другой суффикс",
+        3: "пустой документ без повторов — ничего общего здесь нет",
+    }
+    got = _check(spark, texts, 60)
+    assert got[1]["dup_windows"] > 0
+    assert got[1]["dup_chars"] == got[2]["dup_chars"] == 63
+    assert got[1]["kept_text"] == "café-prefix→←suffix-ünïcode"
+    assert got[2]["kept_text"] == "другой префикс『』другой суффикс"
