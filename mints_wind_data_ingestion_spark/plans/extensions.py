@@ -177,7 +177,7 @@ def _local_input_bytes(files: list[str]) -> int | None:
     SELECT min(doc_id) AS doc_id, text, count(*) AS copies
     FROM documents GROUP BY text
     """,
-    tags=("ext", "dedup"), driver=False)
+    tags=("ext", "dedup"))
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over documents: one representative (lowest doc_id)
     per distinct text. Single shuffle with map-side partial agg; at
@@ -2360,7 +2360,7 @@ def _ivf_index_oracle(sf_dir: str) -> str:
 
 
 @query("x_sim_topk_ivf_index", oracle=_ivf_index_oracle,
-       tags=("ext", "similarity", "ivf"), driver=False)
+       tags=("ext", "similarity", "ivf"))
 def x_sim_topk_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED-index IVF variant, driver-verified: build (or
     refresh) an on-disk inverted file — trained centroids + the corpus
