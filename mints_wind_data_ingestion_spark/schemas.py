@@ -69,6 +69,14 @@ WIND_HEADER = StructType(
         # mean/spread/etc over all members; NULL for other templates
         _f("derivedForecastType", IntegerType()),
         _f("derivedForecastTypeName", StringType()),
+        # probability products (4.5/4.9, r8): member number/total, WMO
+        # table 4.9 type, scaled event limits (an open side is NULL)
+        _f("probabilityNumber", IntegerType()),
+        _f("probabilityTotal", IntegerType()),
+        _f("probabilityType", IntegerType()),
+        _f("probabilityTypeName", StringType()),
+        _f("probabilityLowerLimit", DoubleType()),
+        _f("probabilityUpperLimit", DoubleType()),
         _f("genProcessType", IntegerType()),
         _f("genProcessTypeName", StringType()),
         # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)

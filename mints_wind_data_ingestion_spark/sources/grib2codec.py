@@ -30,6 +30,9 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 - section 4 templates 4.2/4.12 (derived ensemble forecast — the
   WMO table 4.7 derivation code + ensemble size; GEFS mean/spread
   geavg/gespr files, point-in-time and over an interval; r8)
+- section 4 templates 4.5/4.9 (probability forecast — WMO table
+  4.9 type + scaled event limits; the GEFS probability-of-event
+  products, point-in-time and over an interval; r8)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -124,6 +127,10 @@ _PDT_NAME = {
     12: "Derived forecasts based on all ensemble members at a horizontal "
         "level or in a horizontal layer, in a continuous or "
         "non-continuous time interval",
+    5: "Probability forecasts at a horizontal level or in a horizontal "
+       "layer at a point in time",
+    9: "Probability forecasts at a horizontal level or in a horizontal "
+       "layer in a continuous or non-continuous time interval",
 }
 # WMO code table 4.6 — type of ensemble forecast
 _ENSEMBLE_TYPE = {
@@ -142,6 +149,15 @@ _DERIVED_TYPE = {
     4: "Spread of all members",
     5: "Large anomaly index of all members",
     6: "Unweighted mean of the cluster members",
+    255: "Missing",
+}
+# WMO code table 4.9 — probability type (templates 4.5/4.9)
+_PROBABILITY_TYPE = {
+    0: "Probability of event below lower limit",
+    1: "Probability of event above upper limit",
+    2: "Probability of event between upper and lower limits",
+    3: "Probability of event above lower limit",
+    4: "Probability of event below upper limit",
     255: "Missing",
 }
 # WMO code table 4.10 — type of statistical processing
@@ -787,7 +803,7 @@ def decode_grib2_bytes(
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
     For a framed-valid message using a template outside the supported
     family (grid 3.0/3.10/3.20/3.30/3.40 / product
-    4.0/4.1/4.2/4.8/4.11/4.12 / packing
+    4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12 / packing
     5.0/5.2/5.3/5.4/5.41, plus 5.40 when an OpenJPEG binding is
     importable — without one 5.40 messages take the unsupported path
     below):
@@ -1014,7 +1030,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 1, 2, 8, 11, 12):
+    if pdt not in (0, 1, 2, 5, 8, 9, 11, 12):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -1053,12 +1069,40 @@ def _decode_message(msg: bytes) -> dict:
             )
         derived_type = msg[o4 + 34]
         ens_size = msg[o4 + 35]
+    # templates 4.5/4.9 (probability forecast — the GEFS probability
+    # products, e.g. probability of precipitation: member number /
+    # total, WMO table 4.9 probability type, and the scaled event
+    # limits; an unused limit is the all-ones missing sentinel) (r8)
+    prob_num = prob_total = prob_type = prob_lower = prob_upper = None
+    if pdt in (5, 9):
+        if sec[4][1] < 47:
+            raise ValueError(
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs 47)"
+            )
+        prob_num = msg[o4 + 34]
+        prob_total = msg[o4 + 35]
+        prob_type = msg[o4 + 36]
+
+        def _limit(off: int) -> float | None:
+            if msg[o4 + off : o4 + off + 5] == b"\xff" * 5:
+                return None  # missing: this side of the event is open
+            sf_ = _s(msg, o4 + off, 1)
+            if abs(sf_) > 64:
+                raise ValueError(
+                    f"probability limit scale factor {sf_} implausible"
+                )
+            return _s(msg, o4 + off + 1, 4) / 10.0**sf_
+
+        prob_lower = _limit(37)
+        prob_upper = _limit(42)
 
     stat_proc = stat_name = interval_len = interval_end = None
-    if pdt in (8, 11, 12):
-        # 4.11/4.12's interval block is 4.8's, displaced by the
-        # 3-octet ensemble triple / 2-octet derivation pair
-        d = 3 if pdt == 11 else 2 if pdt == 12 else 0
+    if pdt in (8, 9, 11, 12):
+        # 4.9/4.11/4.12's interval block is 4.8's, displaced by the
+        # 13-octet probability block / 3-octet ensemble triple /
+        # 2-octet derivation pair
+        d = {9: 13, 11: 3, 12: 2}.get(pdt, 0)
         if sec[4][1] < 58 + d:  # a short section relabeled 4.8/4.11
             # would otherwise read interval octets out of the next one
             raise ValueError(
@@ -1203,6 +1247,12 @@ def _decode_message(msg: bytes) -> dict:
         "ensembleSize": ens_size,
         "derivedForecastType": derived_type,
         "derivedForecastTypeName": _DERIVED_TYPE.get(derived_type),
+        "probabilityNumber": prob_num,
+        "probabilityTotal": prob_total,
+        "probabilityType": prob_type,
+        "probabilityTypeName": _PROBABILITY_TYPE.get(prob_type),
+        "probabilityLowerLimit": prob_lower,
+        "probabilityUpperLimit": prob_upper,
         "genProcessType": msg[o4 + 11],
         "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
         "parameterCategory": category,
@@ -1267,6 +1317,7 @@ def encode_grib2_message(
     gaussian_reduced: list[int] | None = None,
     ensemble: dict | None = None,
     derived: dict | None = None,
+    probability: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -1288,6 +1339,15 @@ def encode_grib2_message(
     files, r8): a dict with keys `type` (WMO table 4.7 derivation
     code) and `size`; with `interval_hours` it emits 4.12 (derived
     statistics over an interval); mutually exclusive with `ensemble`.
+    `probability` switches it to template 4.5 (probability forecast —
+    the GEFS probability-of-event products, r8): a dict with keys
+    `number` (forecast probability number), `total`, `type` (WMO
+    table 4.9) and `lower`/`upper` event limits (None = that side is
+    open, encoded as the all-ones missing sentinel; optional `scale`,
+    default 2, scales both limits); with `interval_hours` it emits
+    4.9 (probability over an interval — e.g. probability of 6 h
+    precipitation exceeding a threshold); mutually exclusive with
+    `ensemble`/`derived`.
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1486,14 +1546,16 @@ def encode_grib2_message(
     # interval = 4.12 (the GEFS mean/spread accumulations). In every
     # case the member/derivation octets precede the 4.8 interval
     # block, i.e. exactly the append order below
-    if ensemble is not None and derived is not None:
-        raise ValueError("at most one of ensemble/derived")
+    if sum(x is not None for x in (ensemble, derived, probability)) > 1:
+        raise ValueError("at most one of ensemble/derived/probability")
     pdt_code = (
         11 if ensemble is not None and interval_hours is not None
         else 12 if derived is not None and interval_hours is not None
+        else 9 if probability is not None and interval_hours is not None
         else 8 if interval_hours is not None
         else 1 if ensemble is not None
-        else 2 if derived is not None else 0
+        else 2 if derived is not None
+        else 5 if probability is not None else 0
     )
     s4 = (
         b"\x04"
@@ -1515,6 +1577,19 @@ def encode_grib2_message(
     if derived is not None:
         # template 4.2 tail: derivation (table 4.7), ensemble size
         s4 += bytes([derived["type"], derived["size"]])
+    if probability is not None:
+        # template 4.5 tail: number, total, type (table 4.9), scaled
+        # lower/upper limits (None → all-ones missing: open side)
+        pscale = int(probability.get("scale", 2))
+
+        def _lim(v) -> bytes:
+            if v is None:
+                return b"\xff" * 5
+            return _put_s(pscale, 1) + _put_s(round(v * 10.0**pscale), 4)
+
+        s4 += bytes([probability["number"], probability["total"],
+                     probability["type"]])
+        s4 += _lim(probability.get("lower")) + _lim(probability.get("upper"))
     if interval_hours is not None:
         end = ref_time + timedelta(hours=forecast_hours + interval_hours)
         s4 += (

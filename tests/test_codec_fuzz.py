@@ -67,6 +67,13 @@ def _corpus():
                              nx=0, ny=6, gaussian_n=3, scan_mode=0,
                              gaussian_reduced=[4, 10, 10, 10, 10, 4],
                              packing="simple"),
+        encode_grib2_message(f(24, 7), parameter_number=8,
+                             parameter_category=1, ref_time=RT,
+                             forecast_hours=0, nx=6, ny=4,
+                             interval_hours=6, packing="simple",
+                             probability=dict(number=1, total=31,
+                                              type=2, lower=0.25,
+                                              upper=25.0)),
     ]
 
 

@@ -9,7 +9,10 @@ block shifted +3 octets): the GEFS ACCUMULATION members (ensemble
 precipitation, the most downloaded GEFS product class) are 4.11.
 Also r8: templates 4.2/4.12 (derived ensemble forecast — the WMO
 table 4.7 derivation code + size; the GEFS geavg/gespr mean/spread
-files, point-in-time and over an interval).
+files) and 4.5/4.9 (probability forecast — table 4.9 type + scaled
+event limits with missing-sentinel open sides; the GEFS
+probability-of-event products), each point-in-time and over an
+interval.
 
 Covers: encode→decode round trip of the member triple, NULLs on
 non-ensemble templates (stable WIND_HEADER key set), the 4.11
@@ -303,3 +306,93 @@ def test_gefs_mean_spread_file_scan_e2e(spark):
         (2, 0, 31), (2, 4, 31)]
     assert out[0]["name"].startswith("Unweighted mean")
     assert out[1]["name"] == "Spread of all members"
+
+
+def test_probability_forecast_roundtrips_as_45():
+    """Template 4.5 (probability forecast): member number/total, WMO
+    table 4.9 type, and the scaled event limits decode typed; an open
+    side (None) round-trips through the all-ones missing sentinel,
+    and a negative limit survives sign-magnitude encoding."""
+    vals = _field(6, 4, 7)
+    msg = encode_grib2_message(
+        vals, parameter_number=2, ref_time=RT, nx=6, ny=4,
+        probability=dict(number=3, total=10, type=3, lower=-10.25,
+                         upper=None),
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 5
+    assert "probability" in h["productDefinitionTemplateName"].lower()
+    assert h["probabilityNumber"] == 3 and h["probabilityTotal"] == 10
+    assert h["probabilityTypeName"] == "Probability of event above lower limit"
+    assert h["probabilityLowerLimit"] == -10.25
+    assert h["probabilityUpperLimit"] is None
+    assert h["ensembleType"] is None and h["derivedForecastType"] is None
+
+
+def test_probability_with_interval_roundtrips_as_49():
+    """probability + interval = template 4.9 (e.g. probability of 6 h
+    precipitation within a range): the probability block AND the
+    (+13-shifted) 4.8 interval block both decode."""
+    msg = encode_grib2_message(
+        _field(6, 4, 8), parameter_number=8, parameter_category=1,
+        ref_time=RT, nx=6, ny=4, forecast_hours=0, interval_hours=6,
+        statistical_process=1,
+        probability=dict(number=0, total=31, type=2, lower=1.0,
+                         upper=25.0),
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 9
+    assert h["probabilityTypeName"].startswith("Probability of event between")
+    assert h["probabilityLowerLimit"] == 1.0
+    assert h["probabilityUpperLimit"] == 25.0
+    assert h["statisticalProcessName"] == "Accumulation"
+    assert h["intervalHours"] == 6
+    assert h["intervalEnd"] == "2020-08-12T12:00:00.000Z"
+
+
+def test_truncated_45_and_49_quarantine():
+    for relabel, needs in ((5, "47"), (9, "71")):
+        msg = bytearray(encode_grib2_message(
+            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        ))
+        o = 16
+        while msg[o + 4] != 4:
+            o += int.from_bytes(msg[o : o + 4], "big")
+        msg[o + 7 : o + 9] = relabel.to_bytes(2, "big")
+        with pytest.raises(ValueError, match=f"4.{relabel} truncated"):
+            decode_grib2_bytes(bytes(msg))
+        out = scan_grib2_bytes(bytes(msg))
+        assert out[0]["record"] is None
+        assert f"4.{relabel} truncated" in out[0]["error"]
+
+
+def test_pop_file_scan_e2e(spark):
+    """A probability-of-precipitation-shaped file (three thresholds of
+    6 h accumulation, template 4.9) scans into typed threshold rows."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.sources.grib import (
+        make_selector,
+        scan_binary_df,
+    )
+
+    blob = encode_grib2_file([
+        encode_grib2_message(
+            _field(6, 4, seed=i), parameter_number=8,
+            parameter_category=1, ref_time=RT, nx=6, ny=4,
+            forecast_hours=0, interval_hours=6, statistical_process=1,
+            probability=dict(number=i, total=31, type=3, lower=thr,
+                             upper=None),
+        )
+        for i, thr in enumerate((0.25, 1.0, 5.0))
+    ])
+    bdf = spark.createDataFrame([("gepop.grib2", bytearray(blob))],
+                                "path string, content binary")
+    out = scan_binary_df(bdf, selector=make_selector(fp=(8,), fc=1)).select(
+        F.col("header.probabilityNumber").alias("i"),
+        F.col("header.probabilityLowerLimit").alias("thr"),
+        F.col("header.probabilityTotal").alias("n"),
+        F.col("header.intervalHours").alias("ivl"),
+    ).orderBy("i").collect()
+    assert [(r["i"], r["thr"], r["n"], r["ivl"]) for r in out] == [
+        (0, 0.25, 31, 6), (1, 1.0, 31, 6), (2, 5.0, 31, 6)]
