@@ -48,7 +48,9 @@ __all__ = [
     "simhash_fingerprints",
     "editdist_dedup_pairs",
     "duplicated_window_positions",
+    "duplicated_window_positions_against",
     "substring_dedup",
+    "substring_excise",
 ]
 
 #: 2^63-1 — identity for element-wise min over xxhash64 values
@@ -793,6 +795,36 @@ def editdist_dedup_pairs(
     )
 
 
+def _narrow_texts(
+    docs: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(__id, __t) projection of docs long enough to hold one window."""
+    return docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= min_len)
+
+
+def _window_hashes(base: DataFrame, min_len: int) -> DataFrame:
+    """(__id, __pos, __wh) — one row per character position, the
+    length-`min_len` window hashed to 8 bytes. The explode and the
+    substring+hash fold into one codegen stage, so the wide __t column
+    exists only inside the stage — any exchange downstream carries
+    20-byte fixed-width rows."""
+    return base.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - F.lit(min_len - 1))
+        ).alias("__pos"),
+    ).select(
+        "__id",
+        "__pos",
+        F.xxhash64(
+            F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len))
+        ).alias("__wh"),
+    )
+
+
 def duplicated_window_positions(
     docs: DataFrame,
     id_col: str,
@@ -835,25 +867,8 @@ def duplicated_window_positions(
     """
     if min_len < 2:
         raise ValueError("duplicated_window_positions: min_len must be >= 2")
-    base = docs.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
-    ).filter(F.length("__t") >= min_len)
-    # (id, pos, window hash): the explode and the substring+hash fold
-    # into one codegen stage, so the wide __t column exists only inside
-    # the stage — the exchange carries 20-byte fixed-width rows
-    wins = base.select(
-        "__id",
-        "__t",
-        F.explode(
-            F.sequence(F.lit(1), F.length("__t") - F.lit(min_len - 1))
-        ).alias("__pos"),
-    ).select(
-        "__id",
-        "__pos",
-        F.xxhash64(F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len))).alias(
-            "__wh"
-        ),
-    )
+    base = _narrow_texts(docs, id_col, text_col, min_len)
+    wins = _window_hashes(base, min_len)
     cand = (
         wins.withColumn(
             "__c", F.count(F.lit(1)).over(Window.partitionBy("__wh"))
@@ -908,6 +923,22 @@ def substring_dedup(
     no UDF, no shuffle beyond the span groupBy.
     """
     flagged = duplicated_window_positions(docs, id_col, text_col, min_len)
+    return _spans_cut_stats(docs, flagged, id_col, text_col, min_len,
+                            keep_text)
+
+
+def _spans_cut_stats(
+    docs: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    keep_text: bool,
+) -> DataFrame:
+    """Shared back half of the substring-dedup family: merge flagged
+    (id, pos) windows into maximal islands, aggregate per-doc stats,
+    and (optionally) cut the spans out of the text — see
+    `substring_dedup` for the algebra."""
     w = Window.partitionBy(id_col).orderBy("pos")
     # island break: windows are equal-length, so the running max end
     # is just the previous pos + L - 1 — overlap iff pos - lag < L
@@ -974,3 +1005,100 @@ def substring_dedup(
         .otherwise(cut)
         .alias("kept_text"),
     )
+
+
+def duplicated_window_positions_against(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """(id, pos) of every length-`min_len` window of `new_docs` whose
+    substring occurs ANYWHERE in `base_docs` — the cross-corpus
+    primitive under excision-style decontamination (Lee et al. 2022:
+    cut benchmark/eval text OUT of training documents instead of
+    dropping whole documents; the span-cutting complement of the
+    containment-flagging `plans.extensions.x_decontaminate`).
+
+    Unlike the self form, multiplicity is irrelevant: ONE base
+    occurrence flags the window. Shape:
+
+    1. both sides' windows hash in one codegen stage each (the text
+       never crosses an exchange);
+    2. candidates = equi-join of the batch's (id, pos, hash) rows
+       against the base's DISTINCT hash set — at steady state that
+       distinct-hash table is the persistable artifact (like the
+       minhash index), and the recurring cost is the batch explode +
+       one prunable join;
+    3. collision verify at substring grain: base windows are
+       recomputed ONLY for hash-matched candidates (prune before the
+       distinct), then candidates keep positions whose actual
+       substring matches an actual base window — exact semantics, a
+       collision can only add a candidate, never hide a true match.
+
+    Returns (`id_col`, pos) in `new_docs`' id space.
+    """
+    if min_len < 2:
+        raise ValueError(
+            "duplicated_window_positions_against: min_len must be >= 2"
+        )
+    nb = _narrow_texts(new_docs, id_col, text_col, min_len)
+    bb = _narrow_texts(base_docs, id_col, text_col, min_len)
+    wins_new = _window_hashes(nb, min_len)
+    base_hashes = _window_hashes(bb, min_len).select("__wh").distinct()
+    cand = wins_new.join(base_hashes, "__wh")
+    # verify: candidate substrings must equal an ACTUAL base window.
+    # Base subs are derived only for hash-matched windows — the sub
+    # column is computed in the scan stage, pruned by the (small)
+    # candidate-hash join before anything wide crosses an exchange.
+    cand_hashes = cand.select("__wh").distinct()
+    cand_sub = cand.join(nb, "__id").select(
+        "__id",
+        "__pos",
+        F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len)).alias("__sub"),
+    )
+    base_subs = (
+        bb.select(
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(min_len - 1))
+            ).alias("__pos"),
+        )
+        .select(
+            F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len)).alias(
+                "__sub"
+            )
+        )
+        .withColumn("__wh", F.xxhash64("__sub"))
+        .join(cand_hashes, "__wh")
+        .select("__sub")
+        .distinct()
+    )
+    return cand_sub.join(base_subs, "__sub").select(
+        F.col("__id").alias(id_col), F.col("__pos").alias("pos")
+    )
+
+
+def substring_excise(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 60,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Excision-style decontamination: per `new_docs` document, flag
+    every maximal region covered by a length-`min_len` substring that
+    occurs anywhere in `base_docs`, and (with `keep_text`) CUT those
+    regions out — keeping the rest of the document, where doc-level
+    decontamination would discard it whole. Same output contract and
+    island/cut algebra as `substring_dedup` (n_chars, dup_windows,
+    dup_spans, dup_chars, kept_text), same 100 TB posture
+    (`duplicated_window_positions_against`)."""
+    flagged = duplicated_window_positions_against(
+        new_docs, base_docs, id_col, text_col, min_len
+    )
+    return _spans_cut_stats(new_docs, flagged, id_col, text_col, min_len,
+                            keep_text)

@@ -42,6 +42,7 @@ from ..operators.dedup import (
     minhash_dedup_pairs,
     simhash_fingerprints,
     substring_dedup,
+    substring_excise,
 )
 from ..operators.similarity import topk_bruteforce, topk_lsh
 from ..sources.multimodal import extract_meta, with_payload
@@ -3868,6 +3869,114 @@ def x_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explode+hash stage alone 1.76 s → 0.34 s on local[32])
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     out = substring_dedup(docs, "doc_id", "text", min_len=60)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "dup_windows",
+        "dup_spans",
+        "dup_chars",
+        F.md5(F.encode("kept_text", "UTF-8")).alias("kept_md5"),
+    )
+
+
+# cross-corpus substring excision: the DuckDB replay flags new-side
+# windows present anywhere in the base side, then runs the same
+# island/cut algebra as _D_SUBSTR. The %3 split mirrors
+# x_dedup_incremental's incoming-vs-corpus convention.
+_D_SUBSTR_X = """
+WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+wn AS (
+    SELECT d.doc_id, t.i AS pos,
+           substring(d.text, CAST(t.i AS INT), 60) AS s
+    FROM newdocs d,
+         LATERAL unnest(generate_series(1, length(d.text) - 59)) AS t(i)
+),
+wb AS (
+    SELECT DISTINCT substring(d.text, CAST(t.i AS INT), 60) AS s
+    FROM base d,
+         LATERAL unnest(generate_series(1, length(d.text) - 59)) AS t(i)
+),
+dupw AS (SELECT doc_id, pos FROM wn WHERE s IN (SELECT s FROM wb)),
+brk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     < 60
+                THEN 0 ELSE 1 END AS b
+    FROM dupw
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+    FROM brk
+),
+sp AS (
+    SELECT doc_id, g, count(*) AS nw, min(pos) AS s, max(pos) + 59 AS e
+    FROM isl GROUP BY 1, 2
+),
+perdoc AS (
+    SELECT doc_id, CAST(sum(nw) AS BIGINT) AS dup_windows,
+           CAST(count(*) AS BIGINT) AS dup_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+    FROM sp GROUP BY 1
+),
+spg AS (
+    SELECT doc_id, s, e,
+           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+    FROM sp
+),
+kept AS (
+    SELECT spg.doc_id,
+           concat(
+             coalesce(string_agg(
+               CASE WHEN spg.s - spg.pe - 1 > 0
+                    THEN substring(d.text, CAST(spg.pe + 1 AS INT),
+                                   CAST(spg.s - spg.pe - 1 AS INT))
+                    ELSE '' END, '' ORDER BY spg.s), ''),
+             substring(d.text, CAST(max(spg.e) + 1 AS INT))
+           ) AS kept_text
+    FROM spg JOIN newdocs d USING (doc_id)
+    GROUP BY spg.doc_id, d.text
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       md5(coalesce(k.kept_text, d.text)) AS kept_md5
+FROM newdocs d
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query("x_substring_excise", oracle=_D_SUBSTR_X,
+       tags=("ext", "dedup", "substring", "decontaminate"))
+def x_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excision-style cross-corpus decontamination (r8) — the
+    span-cutting complement of x_decontaminate's doc-level
+    containment flagging, after Lee et al. 2022: an incoming batch
+    (doc_id % 3 == 0) has every region covered by a 60-char substring
+    that occurs ANYWHERE in the protected corpus (the other two
+    thirds) flagged and CUT, keeping the rest of each document.
+    Multiplicity is irrelevant here — one base occurrence flags a
+    window — which makes the base side's distinct window-hash table
+    the persistable steady-state artifact (the substring analogue of
+    the minhash bucket index).
+
+    Spark shape (operators.dedup.substring_excise): both sides'
+    windows hash in one codegen stage each; candidates come from the
+    batch's rows equi-joined against the base's distinct hashes;
+    collision verify recomputes base substrings ONLY for hash-matched
+    windows. Stats + the md5 of the cut text ride the same island/cut
+    algebra — and the oracle replays all of it, so the cross-corpus
+    flagging AND the excision are hash-load-bearing."""
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
+    out = substring_excise(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        "doc_id", "text", min_len=60,
+    )
     return out.select(
         "doc_id",
         "n_chars",

@@ -230,3 +230,98 @@ def test_unicode_char_semantics_match_reference(spark):
     assert got[1]["dup_chars"] == got[2]["dup_chars"] == 63
     assert got[1]["kept_text"] == "café-prefix→←suffix-ünïcode"
     assert got[2]["kept_text"] == "другой префикс『』другой суффикс"
+
+
+def _ref_against(new_texts, base_texts, L):
+    """Brute-force cross-corpus reference: flag new-side positions
+    whose window occurs anywhere in base; islands/cut as in _ref."""
+    base_wins = {
+        t[i : i + L]
+        for t in base_texts.values()
+        for i in range(len(t) - L + 1)
+    }
+    out = {}
+    for d, t in new_texts.items():
+        flagged = [
+            i + 1 for i in range(len(t) - L + 1)
+            if t[i : i + L] in base_wins
+        ]
+        islands = []
+        for p in flagged:
+            if islands and p - islands[-1][-1] < L:
+                islands[-1].append(p)
+            else:
+                islands.append([p])
+        spans = [(i[0], i[-1] + L - 1) for i in islands]
+        kept, cur = [], 1
+        for s, e in spans:
+            kept.append(t[cur - 1 : s - 1])
+            cur = e + 1
+        kept.append(t[cur - 1 :])
+        out[d] = dict(
+            n_chars=len(t), dup_windows=len(flagged),
+            dup_spans=len(spans),
+            dup_chars=sum(e - s + 1 for s, e in spans),
+            kept_text="".join(kept),
+        )
+    return out
+
+
+def _run_against(spark, new_texts, base_texts, L):
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        substring_excise,
+    )
+
+    new_df = spark.createDataFrame(list(new_texts.items()),
+                                   "doc_id int, text string")
+    base_df = spark.createDataFrame(list(base_texts.items()),
+                                    "doc_id int, text string")
+    rows = substring_excise(new_df, base_df, "doc_id", "text",
+                            min_len=L).collect()
+    return {
+        r["doc_id"]: {
+            k: r[k]
+            for k in ("n_chars", "dup_windows", "dup_spans", "dup_chars",
+                      "kept_text")
+        }
+        for r in rows
+    }
+
+
+def test_excise_cuts_protected_text_only(spark):
+    """Cross-corpus excision: a benchmark passage planted from base is
+    cut out of a new doc; a substring duplicated WITHIN the batch but
+    absent from base is NOT flagged (cross-only semantics, unlike the
+    self form); base ids may overlap new ids."""
+    bench = "".join(chr(ord("a") + (i * 11) % 26) for i in range(70))
+    batch_dup = "Z" * 65
+    new = {
+        1: "lead-in text before(" + bench + ")and after it",
+        2: "first copy<" + batch_dup + ">here only in the batch",
+        3: "second copy[" + batch_dup + "]also only in the batch",
+        4: "a completely clean document with nothing protected",
+    }
+    base = {1: "eval set doc: «" + bench + "» with different flanks",
+            2: "another protected doc, unrelated content entirely"}
+    got = _run_against(spark, new, base, 60)
+    assert got == _ref_against(new, base, 60)
+    assert got[1]["dup_chars"] == 70
+    assert got[1]["kept_text"] == "lead-in text before()and after it"
+    # within-batch duplicate, absent from base: untouched
+    assert got[2]["dup_windows"] == 0 and got[3]["dup_windows"] == 0
+    assert got[4]["kept_text"] == new[4]
+
+
+def test_excise_brute_force_differential(spark):
+    """Seeded repeat-dense split corpus: operator equals the
+    brute-force cross reference doc-for-doc, kept text included."""
+    rng = random.Random(7)
+    texts = {
+        d: "".join(rng.choice("abc") for _ in range(rng.randint(5, 120)))
+        for d in range(40)
+    }
+    new = {d: t for d, t in texts.items() if d % 3 == 0}
+    base = {d: t for d, t in texts.items() if d % 3 != 0}
+    got = _run_against(spark, new, base, 8)
+    assert got == _ref_against(new, base, 8)
+    assert sum(v["dup_windows"] for v in got.values()) > 50
