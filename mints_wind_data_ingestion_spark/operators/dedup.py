@@ -51,6 +51,8 @@ __all__ = [
     "duplicated_window_positions_against",
     "substring_dedup",
     "substring_excise",
+    "build_window_index",
+    "substring_excise_against_index",
 ]
 
 #: 2^63-1 — identity for element-wise min over xxhash64 values
@@ -1099,6 +1101,79 @@ def substring_excise(
     (`duplicated_window_positions_against`)."""
     flagged = duplicated_window_positions_against(
         new_docs, base_docs, id_col, text_col, min_len
+    )
+    return _spans_cut_stats(new_docs, flagged, id_col, text_col, min_len,
+                            keep_text)
+
+
+def build_window_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 60,
+) -> DataFrame:
+    """Distinct (__wh, __sub) window table of a PROTECTED corpus — the
+    persistable artifact for excision-style decontamination (write to
+    parquet once, reuse per batch / per stream). Carrying the actual
+    substring keeps index-based excision EXACT (the verify reads the
+    string from the index — no base text needed at scoring time).
+
+    Sizing: a protected/eval corpus (the decontamination use) is
+    small — benchmarks are MBs, so L× chars of distinct windows is
+    still tiny next to the training corpus. Protecting a corpus so
+    large that storing substrings hurts → store `__wh` only and
+    accept the ~2⁻⁶⁴ per-window collision odds, or fall back to the
+    two-sided `substring_excise` which verifies against live text."""
+    base = _narrow_texts(docs, id_col, text_col, min_len)
+    return (
+        base.select(
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__t") - F.lit(min_len - 1))
+            ).alias("__pos"),
+        )
+        .select(
+            F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len)).alias(
+                "__sub"
+            )
+        )
+        .distinct()
+        .withColumn("__wh", F.xxhash64("__sub"))
+    )
+
+
+def substring_excise_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 60,
+    keep_text: bool = True,
+) -> DataFrame:
+    """`substring_excise` against a PERSISTED `build_window_index`
+    table (usually read back from parquet) — the steady-state
+    recurrence: only the incoming batch's windows are computed; the
+    protected corpus contributes two joins against the stored table
+    (hash prune, then exact substring verify straight from the
+    index). Same output contract as `substring_excise`. `min_len`
+    must equal the index's build-time window length — part of the
+    artifact's identity, persist it alongside."""
+    nb = _narrow_texts(new_docs, id_col, text_col, min_len)
+    cand = _window_hashes(nb, min_len).join(
+        index.select("__wh").distinct(), "__wh"
+    )
+    flagged = (
+        cand.join(nb, "__id")
+        .select(
+            "__id",
+            "__pos",
+            F.substring(F.col("__t"), F.col("__pos"), F.lit(min_len)).alias(
+                "__sub"
+            ),
+        )
+        .join(index.select("__sub").distinct(), "__sub")
+        .select(F.col("__id").alias(id_col), F.col("__pos").alias("pos"))
     )
     return _spans_cut_stats(new_docs, flagged, id_col, text_col, min_len,
                             keep_text)

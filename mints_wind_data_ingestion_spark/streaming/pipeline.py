@@ -38,6 +38,7 @@ __all__ = [
     "run_decontam_ingest",
     "run_quality_gate_ingest",
     "run_lm_gate_ingest",
+    "run_excise_ingest",
     "build_gram_index",
 ]
 
@@ -758,6 +759,78 @@ def run_lm_gate_ingest(
                 ).parquet(f"{quarantine_path}/epoch={epoch_id}")
         finally:
             scores.unpersist()
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_excise_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 60,
+    audit_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming excision-style decontamination (r8): documents
+    landing as files have every region covered by a length-`min_len`
+    substring of the PROTECTED corpus (a persisted
+    `operators.dedup.build_window_index` parquet at `index_path`) CUT
+    OUT before they reach the corpus — the sanitize-at-ingest
+    complement of the drop-at-ingest gates (`run_decontam_ingest`
+    drops whole matching docs; this keeps them minus the protected
+    spans, the Lee et al. 2022 excision policy). Documents without
+    protected spans pass through verbatim. Docs whose spans were cut
+    are recorded in `audit_path` WITH their excision stats
+    (dup_windows/spans/chars and the original length), so curation
+    review sees exactly what was removed and from where.
+
+    Scale shape per epoch: the index is ONE parquet read at stream
+    start; scoring is the batch's window explode + two stored-table
+    joins (hash prune, exact substring verify from the index — no
+    protected text needed at scoring time), then the shared
+    island/cut algebra. Same exactly-once/replay contract as the
+    other ingest gates (epoch-keyed overwrite)."""
+    from ..operators.dedup import substring_excise_against_index
+
+    index = spark.read.parquet(index_path)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        out = substring_excise_against_index(
+            batch, index, id_col, text_col, min_len=min_len
+        ).persist()  # feeds the corpus rewrite AND the audit write
+        try:
+            # splice the cut text back into the batch's full row shape
+            kept = (
+                batch.drop(text_col)
+                .join(out.select(id_col, "kept_text"), id_col)
+                .withColumnRenamed("kept_text", text_col)
+            )
+            kept.write.mode("overwrite").parquet(
+                f"{corpus_path}/epoch={epoch_id}"
+            )
+            if audit_path is not None:
+                out.filter(F.col("dup_windows") > 0).drop(
+                    "kept_text"
+                ).write.mode("overwrite").parquet(
+                    f"{audit_path}/epoch={epoch_id}"
+                )
+        finally:
+            out.unpersist()
 
     return (
         raw.writeStream.outputMode("append")

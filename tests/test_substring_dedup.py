@@ -325,3 +325,95 @@ def test_excise_brute_force_differential(spark):
     got = _run_against(spark, new, base, 8)
     assert got == _ref_against(new, base, 8)
     assert sum(v["dup_windows"] for v in got.values()) > 50
+
+
+def test_index_path_matches_direct_excision(spark, tmp_path):
+    """build_window_index → parquet → substring_excise_against_index
+    reproduces the two-sided substring_excise doc-for-doc (r8 — the
+    steady-state recurrence the streaming gate consumes)."""
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        build_window_index,
+        substring_excise,
+        substring_excise_against_index,
+    )
+
+    rng = random.Random(11)
+    texts = {
+        d: "".join(rng.choice("abc") for _ in range(rng.randint(5, 120)))
+        for d in range(30)
+    }
+    new = spark.createDataFrame(
+        [(d, t) for d, t in texts.items() if d % 3 == 0],
+        "doc_id int, text string")
+    base = spark.createDataFrame(
+        [(d, t) for d, t in texts.items() if d % 3 != 0],
+        "doc_id int, text string")
+    direct = {
+        r["doc_id"]: tuple(r)
+        for r in substring_excise(new, base, "doc_id", "text",
+                                  min_len=8).collect()
+    }
+    build_window_index(base, "doc_id", "text", min_len=8).write.parquet(
+        str(tmp_path / "widx"))
+    stored = {
+        r["doc_id"]: tuple(r)
+        for r in substring_excise_against_index(
+            new, spark.read.parquet(str(tmp_path / "widx")),
+            "doc_id", "text", min_len=8).collect()
+    }
+    assert direct == stored
+    assert any(r[2] > 0 for r in direct.values())  # non-trivial
+
+
+def test_excise_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming excision gate: every landed doc reaches the corpus
+    (sanitize, not drop) with text equal to the batch operator's cut;
+    the audit carries stats for exactly the excised docs."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.operators.dedup import (
+        build_window_index,
+        substring_excise,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_excise_ingest,
+    )
+
+    bench = "".join(chr(ord("a") + (i * 11) % 26) for i in range(70))
+    protected = spark.createDataFrame(
+        [(1, "eval doc with «" + bench + "» inside"),
+         (2, "another protected doc, nothing shared")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "widx")
+    build_window_index(protected, "doc_id", "text", min_len=60) \
+        .write.parquet(idx)
+
+    incoming = spark.createDataFrame(
+        [(10, "contaminated(" + bench + ")document"),
+         (11, "a perfectly clean training document right here"),
+         (12, "short doc")],
+        "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    incoming.filter("doc_id != 11").coalesce(1).write.mode(
+        "append").parquet(landing)
+    incoming.filter("doc_id = 11").coalesce(1).write.mode(
+        "append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_excise_ingest(
+        spark, landing, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        schema, idx, audit_path=str(tmp_path / "audit"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(
+        str(tmp_path / "corpus")).collect()}
+    want = {r["doc_id"]: r["kept_text"] for r in substring_excise(
+        incoming, protected, "doc_id", "text", min_len=60).collect()}
+    assert got == want                      # stream text == batch cut
+    assert got[10] == "contaminated()document"
+    assert got[11] == "a perfectly clean training document right here"
+    assert set(got) == {10, 11, 12}         # nothing dropped
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    assert {r["doc_id"] for r in audit.collect()} == {10}
+    assert audit.first()["dup_chars"] == 70
