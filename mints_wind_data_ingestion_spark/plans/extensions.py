@@ -1441,7 +1441,9 @@ _D_GRIB_STATS = f"""
         SELECT t.t AS t, p.p AS p, i.i AS i,
                (i.i * 7 + t.t * 13 + p.p * 29) % 3800 AS v_e2,
                CAST(NULL AS INT) AS stat,
-               CAST(NULL AS VARCHAR) AS interval_end
+               CAST(NULL AS VARCHAR) AS interval_end,
+               CAST(NULL AS INT) AS prob,
+               CAST(NULL AS BIGINT) AS prob_lo_e2
         FROM unnest(generate_series(0, 2)) AS t(t),
              unnest([2, 3]) AS p(p),
              unnest(generate_series(0, {_GRIB_NX * _GRIB_NY - 1})) AS i(i)
@@ -1452,23 +1454,41 @@ _D_GRIB_STATS = f"""
                1 AS stat,
                CASE t.t WHEN 0 THEN '{_GRIB_ENDS[0]}'
                         WHEN 1 THEN '{_GRIB_ENDS[1]}'
-                        ELSE '{_GRIB_ENDS[2]}' END AS interval_end
+                        ELSE '{_GRIB_ENDS[2]}' END AS interval_end,
+               CAST(NULL AS INT) AS prob,
+               CAST(NULL AS BIGINT) AS prob_lo_e2
         FROM unnest(generate_series(0, 2)) AS t(t),
              unnest(generate_series(0, {_GRIB_NX * _GRIB_NY - 1})) AS i(i)
     ),
-    g AS (SELECT * FROM w UNION ALL SELECT * FROM a)
+    pr AS (
+        SELECT t.t AS t, 8 AS p, i.i AS i,
+               (i.i * 5 + t.t * 23) % 10100 AS v_e2,
+               1 AS stat,
+               CASE t.t WHEN 0 THEN '{_GRIB_ENDS[0]}'
+                        WHEN 1 THEN '{_GRIB_ENDS[1]}'
+                        ELSE '{_GRIB_ENDS[2]}' END AS interval_end,
+               3 AS prob,
+               CAST(127 AS BIGINT) AS prob_lo_e2
+        FROM unnest(generate_series(0, 2)) AS t(t),
+             unnest(generate_series(0, {_GRIB_NX * _GRIB_NY - 1})) AS i(i)
+    ),
+    g AS (SELECT * FROM w UNION ALL SELECT * FROM a
+          UNION ALL SELECT * FROM pr)
     SELECT CASE t WHEN 0 THEN '{_GRIB_REFS[0]}'
                   WHEN 1 THEN '{_GRIB_REFS[1]}'
                   ELSE '{_GRIB_REFS[2]}' END AS ref_time,
            CAST(p AS INT) AS param,
            stat,
            interval_end,
+           prob,
+           prob_lo_e2,
            90.0 - (i // {_GRIB_NX}) AS lat,
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(v_e2) AS BIGINT) AS vmin_e2,
            CAST(max(v_e2) AS BIGINT) AS vmax_e2,
            CAST(sum(v_e2) AS BIGINT) AS vsum_e2
-    FROM g GROUP BY t, p, stat, interval_end, i // {_GRIB_NX}
+    FROM g GROUP BY t, p, stat, interval_end, prob, prob_lo_e2,
+                    i // {_GRIB_NX}
 """
 
 
@@ -1495,7 +1515,14 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE decode ride the same hash — `stat`/`interval_end` are NULL
     for the point-in-time wind records, exactly as in the typed
     WIND_HEADER. IEEE float32 is exact to ≪ half a centivalue for
-    |v| < 55, so round(v*100) reproduces the closed-form ints."""
+    |v| < 55, so round(v*100) reproduces the closed-form ints.
+
+    r8 folds in the probability breadth: each run also carries a
+    template-4.9 probability-of-precipitation record (P(6 h APCP >
+    1.27 mm), member t of 31) — the table-4.9 type, the exact
+    sign-magnitude threshold, and the +13-shifted interval block all
+    ride the hash via the prob/prob_lo_e2 group discriminators (NULL
+    for every other record, as in the typed WIND_HEADER)."""
     from datetime import datetime, timezone
 
     from ..functions.wind import cell_lat
@@ -1526,6 +1553,22 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 interval_hours=6, statistical_process=1, packing="ieee",
             ))
         )
+        # r8: a template-4.9 probability-of-precipitation record per
+        # run (P(6 h APCP > 1.27 mm), member t of 31) — the 4.9
+        # header parse (probability type + exact sign-magnitude
+        # threshold + shifted interval block) rides the same hash;
+        # prob/prob_lo discriminate its groups from the 4.8 record's
+        pop = [((i * 5 + t * 23) % 10100) / 100.0 for i in range(nx * ny)]
+        blobs.append(
+            (t, 8, encode_grib2_message(
+                pop, parameter_number=8, parameter_category=1,
+                ref_time=ref, forecast_hours=0, nx=nx, ny=ny,
+                interval_hours=6, statistical_process=1,
+                packing="simple",
+                probability=dict(number=t, total=31, type=3,
+                                 lower=1.27, upper=None),
+            ))
+        )
     bdf = spark.createDataFrame(blobs, "t int, p int, blob binary")
 
     def decode(it):
@@ -1534,12 +1577,16 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in pdf["blob"]:
                 for rec in decode_grib2_bytes(bytes(b)):
                     h = rec["header"]
+                    lo = h["probabilityLowerLimit"]
                     rows.append((h["refTime"], h["parameterNumber"],
                                  h["statisticalProcess"], h["intervalEnd"],
+                                 h["probabilityType"],
+                                 None if lo is None else round(lo * 100),
                                  rec["data"]))
             yield pd.DataFrame(
                 rows,
-                columns=["ref_time", "param", "stat", "interval_end", "data"],
+                columns=["ref_time", "param", "stat", "interval_end",
+                         "prob", "prob_lo_e2", "data"],
             )
 
     import pandas as pd  # noqa: F811
@@ -1547,17 +1594,21 @@ def x_grib_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = bdf.mapInPandas(
         decode,
         schema="ref_time string, param int, stat int, "
-               "interval_end string, data array<double>",
+               "interval_end string, prob int, prob_lo_e2 bigint, "
+               "data array<double>",
     )
     cells = decoded.select(
-        "ref_time", "param", "stat", "interval_end",
+        "ref_time", "param", "stat", "interval_end", "prob", "prob_lo_e2",
         F.posexplode("data").alias("idx", "v"),
     ).select(
-        "ref_time", "param", "stat", "interval_end",
+        "ref_time", "param", "stat", "interval_end", "prob", "prob_lo_e2",
         cell_lat(F.col("idx"), nx=nx).alias("lat"),
         F.round(F.col("v") * 100).cast("bigint").alias("v_e2"),
     )
-    return cells.groupBy("ref_time", "param", "stat", "interval_end", "lat").agg(
+    return cells.groupBy(
+        "ref_time", "param", "stat", "interval_end", "prob", "prob_lo_e2",
+        "lat",
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("v_e2").alias("vmin_e2"),
         F.max("v_e2").alias("vmax_e2"),
