@@ -81,6 +81,12 @@ QUERIES = [
     # output rows all scale ~10× (the prefix lengthens words a few
     # chars, so slightly super-10× window counts are expected)
     "x_dedup_substring",
+    # round-8 addition: cross-corpus excision — the batch third and
+    # the protected two-thirds both grow 10×, windows stay disjoint
+    # across replicas, so candidates and cuts scale ~10× with the
+    # corpus (the steady-state fixed-batch shape is profiled
+    # separately in scaling_incremental.py's pattern)
+    "x_substring_excise",
 ]
 
 
