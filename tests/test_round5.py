@@ -352,13 +352,14 @@ def test_mixed_template_corpus_quarantine(spark, tmp_path):
         _field(6, 5), parameter_number=2, parameter_category=0,
         ref_time=ref, nx=NX, ny=NY,
     )
-    # probability-forecast product (template 4.9) — framed-valid,
-    # outside the codec's family (4.8 graduated to supported in r6)
+    # percentile-forecast product (template 4.10) — framed-valid,
+    # outside the codec's family (4.8 graduated to supported in r6,
+    # 4.9 probability in r8)
     unsupported = _patch_pdt(
         encode_grib2_message(
             _field(6, 7), parameter_number=2, ref_time=ref, nx=NX, ny=NY
         ),
-        9,
+        10,
     )
     blob = encode_grib2_file([u, v, other_cat, unsupported])
     landing = tmp_path / "mixed"
@@ -366,7 +367,7 @@ def test_mixed_template_corpus_quarantine(spark, tmp_path):
     (landing / "mixed.grib2").write_bytes(blob)
 
     # 1. strict codec: the file fails loud
-    with pytest.raises(ValueError, match=r"template 4\.9 unsupported"):
+    with pytest.raises(ValueError, match=r"template 4\.10 unsupported"):
         decode_grib2_bytes(blob)
     # 2. skip mode decodes the three valid messages
     assert len(decode_grib2_bytes(blob, on_unsupported="skip")) == 3
@@ -381,7 +382,7 @@ def test_mixed_template_corpus_quarantine(spark, tmp_path):
     assert sorted(r["header"]["parameterNumber"] for r in good) == [2, 2, 3]
     quar = scanned.filter("error IS NOT NULL").collect()
     assert len(quar) == 1
-    assert "template 4.9 unsupported" in quar[0]["error"]
+    assert "template 4.10 unsupported" in quar[0]["error"]
     assert quar[0]["data"] is None and quar[0]["header"] is None
     scanned.unpersist()
 
