@@ -1,6 +1,7 @@
 """Hypothesis round-trip over the codec's full supported template
-MATRIX (round 7): random 2dp fields × every packing × {3.0, 3.40}
-grids × {4.0, 4.1, 4.8} products decode back exactly.
+MATRIX (round 7; widened r8): random 2dp fields × every packing ×
+{3.0, regular 3.40, reduced 3.40} grids × the full product family
+{4.0, 4.1, 4.2, 4.5, 4.8, 4.9, 4.11, 4.12} decode back exactly.
 
 The per-template tests pin each family's semantics individually; this
 matrix pins their INDEPENDENCE — a section-3 change must never
@@ -24,38 +25,75 @@ from mints_wind_data_ingestion_spark.sources.grib2codec import (
 RT = datetime(2020, 8, 12, 6, tzinfo=timezone.utc)
 PACKINGS = ["simple", "complex", "complex_diff", "complex_diff1",
             "ieee", "png"]
-PRODUCTS = ["point", "ensemble", "interval"]
+PRODUCTS = ["point", "ensemble", "interval", "ensemble_interval",
+            "derived", "derived_interval", "probability",
+            "probability_interval"]
+GRIDS = ["latlon", "gaussian", "reduced"]
+_PDT = {"point": 0, "ensemble": 1, "interval": 8, "ensemble_interval": 11,
+        "derived": 2, "derived_interval": 12, "probability": 5,
+        "probability_interval": 9}
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(
     nx=st.integers(2, 20),
     n_gauss=st.integers(1, 8),
     packing=st.sampled_from(PACKINGS),
     product=st.sampled_from(PRODUCTS),
-    gaussian=st.booleans(),
+    grid=st.sampled_from(GRIDS),
     data=st.data(),
 )
 def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
-                                   gaussian, data):
+                                   grid, data):
+    gaussian = grid != "latlon"
+    if grid == "reduced" and packing == "png":
+        packing = "simple"  # no rectangular scanline layout
     ny = 2 * n_gauss if gaussian else data.draw(st.integers(2, 12))
+    counts = None
+    if grid == "reduced":
+        counts = data.draw(
+            st.lists(st.integers(1, 24), min_size=ny, max_size=ny)
+        )
+        n_vals = sum(counts)
+    else:
+        n_vals = nx * ny
     vals = data.draw(
         st.lists(
             st.integers(-2000, 53_00).map(lambda c: c / 100.0),
-            min_size=nx * ny, max_size=nx * ny,
+            min_size=n_vals, max_size=n_vals,
         )
     )
     kw = {}
     if gaussian:
         kw["gaussian_n"] = n_gauss
         kw["dx"] = 360.0 / nx
-    if product == "ensemble":
+    if grid == "reduced":
+        kw["gaussian_reduced"] = counts
+        kw["scan_mode"] = 0
+    if product in ("ensemble", "ensemble_interval"):
         kw["ensemble"] = dict(
             type=data.draw(st.sampled_from([0, 1, 2, 3])),
             number=data.draw(st.integers(0, 250)),
             size=data.draw(st.integers(1, 250)),
         )
-    elif product == "interval":
+    elif product in ("derived", "derived_interval"):
+        kw["derived"] = dict(
+            type=data.draw(st.sampled_from([0, 1, 2, 3, 4, 5, 6])),
+            size=data.draw(st.integers(1, 250)),
+        )
+    elif product in ("probability", "probability_interval"):
+        kw["probability"] = dict(
+            number=data.draw(st.integers(0, 250)),
+            total=data.draw(st.integers(1, 250)),
+            type=data.draw(st.sampled_from([0, 1, 2, 3, 4])),
+            lower=data.draw(st.one_of(
+                st.none(),
+                st.integers(-50_00, 50_00).map(lambda c: c / 100.0))),
+            upper=data.draw(st.one_of(
+                st.none(),
+                st.integers(-50_00, 50_00).map(lambda c: c / 100.0))),
+        )
+    if product.endswith("interval") or product == "interval":
         kw["interval_hours"] = data.draw(st.integers(1, 240))
     msg = encode_grib2_message(
         vals, parameter_number=2, ref_time=RT, nx=nx, ny=ny,
@@ -74,7 +112,12 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
 
     # section independence: grid keys reflect section 3 only
     assert h["gridDefinitionTemplate"] == (40 if gaussian else 0)
-    assert h["nx"] == nx and h["ny"] == ny
+    if grid == "reduced":
+        assert h["nx"] is None and h["reducedPoints"] == counts
+        assert h["dx"] is None
+    else:
+        assert h["nx"] == nx and h["reducedPoints"] is None
+    assert h["ny"] == ny
     if gaussian:
         assert h["gaussianN"] == n_gauss and h["dy"] is None
         lats = gaussian_latitudes(n_gauss)
@@ -83,17 +126,27 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
         assert h["gaussianN"] is None and h["dy"] is not None
 
     # ...and product keys reflect section 4 only
-    assert h["productDefinitionTemplate"] == {
-        "point": 0, "ensemble": 1, "interval": 8
-    }[product]
-    if product == "ensemble":
+    assert h["productDefinitionTemplate"] == _PDT[product]
+    if "ensemble" in product:
         assert h["perturbationNumber"] == kw["ensemble"]["number"]
         assert h["ensembleType"] == kw["ensemble"]["type"]
         assert h["ensembleSize"] == kw["ensemble"]["size"]
-        assert h["intervalHours"] is None
-    elif product == "interval":
-        assert h["intervalHours"] == kw["interval_hours"]
+    else:
         assert h["ensembleType"] is None
+    if "derived" in product:
+        assert h["derivedForecastType"] == kw["derived"]["type"]
+        assert h["ensembleSize"] == kw["derived"]["size"]
+    else:
+        assert h["derivedForecastType"] is None
+    if "probability" in product:
+        assert h["probabilityNumber"] == kw["probability"]["number"]
+        assert h["probabilityTotal"] == kw["probability"]["total"]
+        assert h["probabilityType"] == kw["probability"]["type"]
+        assert h["probabilityLowerLimit"] == kw["probability"]["lower"]
+        assert h["probabilityUpperLimit"] == kw["probability"]["upper"]
+    else:
+        assert h["probabilityType"] is None
+    if "interval" in product:
+        assert h["intervalHours"] == kw["interval_hours"]
     else:
         assert h["intervalHours"] is None
-        assert h["ensembleType"] is None
