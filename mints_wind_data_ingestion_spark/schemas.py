@@ -77,6 +77,8 @@ WIND_HEADER = StructType(
         _f("probabilityTypeName", StringType()),
         _f("probabilityLowerLimit", DoubleType()),
         _f("probabilityUpperLimit", DoubleType()),
+        # percentile products (4.6/4.10, r8): the percentile 0-100
+        _f("percentileValue", IntegerType()),
         _f("genProcessType", IntegerType()),
         _f("genProcessTypeName", StringType()),
         # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)

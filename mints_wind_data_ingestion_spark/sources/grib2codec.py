@@ -33,6 +33,8 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
 - section 4 templates 4.5/4.9 (probability forecast — WMO table
   4.9 type + scaled event limits; the GEFS probability-of-event
   products, point-in-time and over an interval; r8)
+- section 4 templates 4.6/4.10 (percentile forecast — the GEFS
+  percentile products, point-in-time and over an interval; r8)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -131,6 +133,10 @@ _PDT_NAME = {
        "layer at a point in time",
     9: "Probability forecasts at a horizontal level or in a horizontal "
        "layer in a continuous or non-continuous time interval",
+    6: "Percentile forecasts at a horizontal level or in a horizontal "
+       "layer at a point in time",
+    10: "Percentile forecasts at a horizontal level or in a horizontal "
+        "layer in a continuous or non-continuous time interval",
 }
 # WMO code table 4.6 — type of ensemble forecast
 _ENSEMBLE_TYPE = {
@@ -803,7 +809,7 @@ def decode_grib2_bytes(
     fields grib2json adds. Raises ValueError on a non-GRIB2 payload.
     For a framed-valid message using a template outside the supported
     family (grid 3.0/3.10/3.20/3.30/3.40 / product
-    4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12 / packing
+    4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12 / packing
     5.0/5.2/5.3/5.4/5.41, plus 5.40 when an OpenJPEG binding is
     importable — without one 5.40 messages take the unsupported path
     below):
@@ -1030,7 +1036,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 1, 2, 5, 8, 9, 11, 12):
+    if pdt not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -1096,13 +1102,28 @@ def _decode_message(msg: bytes) -> dict:
 
         prob_lower = _limit(37)
         prob_upper = _limit(42)
+    # templates 4.6/4.10 (percentile forecast — GEFS percentile
+    # products, e.g. 90th-percentile precipitation): octet 35 is the
+    # percentile (0-100) (r8)
+    percentile = None
+    if pdt in (6, 10):
+        if sec[4][1] < 35:
+            raise ValueError(
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs 35)"
+            )
+        percentile = msg[o4 + 34]
+        if percentile > 100:
+            raise ValueError(
+                f"percentile value {percentile} out of range (0-100)"
+            )
 
     stat_proc = stat_name = interval_len = interval_end = None
-    if pdt in (8, 9, 11, 12):
-        # 4.9/4.11/4.12's interval block is 4.8's, displaced by the
-        # 13-octet probability block / 3-octet ensemble triple /
-        # 2-octet derivation pair
-        d = {9: 13, 11: 3, 12: 2}.get(pdt, 0)
+    if pdt in (8, 9, 10, 11, 12):
+        # 4.9/4.10/4.11/4.12's interval block is 4.8's, displaced by
+        # the 13-octet probability block / 1-octet percentile /
+        # 3-octet ensemble triple / 2-octet derivation pair
+        d = {9: 13, 10: 1, 11: 3, 12: 2}.get(pdt, 0)
         if sec[4][1] < 58 + d:  # a short section relabeled 4.8/4.11
             # would otherwise read interval octets out of the next one
             raise ValueError(
@@ -1253,6 +1274,7 @@ def _decode_message(msg: bytes) -> dict:
         "probabilityTypeName": _PROBABILITY_TYPE.get(prob_type),
         "probabilityLowerLimit": prob_lower,
         "probabilityUpperLimit": prob_upper,
+        "percentileValue": percentile,
         "genProcessType": msg[o4 + 11],
         "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
         "parameterCategory": category,
@@ -1318,6 +1340,7 @@ def encode_grib2_message(
     ensemble: dict | None = None,
     derived: dict | None = None,
     probability: dict | None = None,
+    percentile: int | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -1347,7 +1370,10 @@ def encode_grib2_message(
     default 2, scales both limits); with `interval_hours` it emits
     4.9 (probability over an interval — e.g. probability of 6 h
     precipitation exceeding a threshold); mutually exclusive with
-    `ensemble`/`derived`.
+    `ensemble`/`derived`. `percentile` (0-100) switches it to
+    template 4.6 (percentile forecast — the GEFS percentile
+    products, r8); with `interval_hours` it emits 4.10; mutually
+    exclusive with the other three.
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1546,16 +1572,23 @@ def encode_grib2_message(
     # interval = 4.12 (the GEFS mean/spread accumulations). In every
     # case the member/derivation octets precede the 4.8 interval
     # block, i.e. exactly the append order below
-    if sum(x is not None for x in (ensemble, derived, probability)) > 1:
-        raise ValueError("at most one of ensemble/derived/probability")
+    if sum(x is not None
+           for x in (ensemble, derived, probability, percentile)) > 1:
+        raise ValueError(
+            "at most one of ensemble/derived/probability/percentile"
+        )
+    if percentile is not None and not 0 <= percentile <= 100:
+        raise ValueError(f"percentile {percentile} out of range (0-100)")
     pdt_code = (
         11 if ensemble is not None and interval_hours is not None
         else 12 if derived is not None and interval_hours is not None
         else 9 if probability is not None and interval_hours is not None
+        else 10 if percentile is not None and interval_hours is not None
         else 8 if interval_hours is not None
         else 1 if ensemble is not None
         else 2 if derived is not None
-        else 5 if probability is not None else 0
+        else 5 if probability is not None
+        else 6 if percentile is not None else 0
     )
     s4 = (
         b"\x04"
@@ -1590,6 +1623,9 @@ def encode_grib2_message(
         s4 += bytes([probability["number"], probability["total"],
                      probability["type"]])
         s4 += _lim(probability.get("lower")) + _lim(probability.get("upper"))
+    if percentile is not None:
+        # template 4.6 tail: the percentile (0-100)
+        s4 += bytes([percentile])
     if interval_hours is not None:
         end = ref_time + timedelta(hours=forecast_hours + interval_hours)
         s4 += (

@@ -1,7 +1,8 @@
 """Hypothesis round-trip over the codec's full supported template
 MATRIX (round 7; widened r8): random 2dp fields × every packing ×
 {3.0, regular 3.40, reduced 3.40} grids × the full product family
-{4.0, 4.1, 4.2, 4.5, 4.8, 4.9, 4.11, 4.12} decode back exactly.
+{4.0, 4.1, 4.2, 4.5, 4.6, 4.8, 4.9, 4.10, 4.11, 4.12} decode
+back exactly.
 
 The per-template tests pin each family's semantics individually; this
 matrix pins their INDEPENDENCE — a section-3 change must never
@@ -27,11 +28,13 @@ PACKINGS = ["simple", "complex", "complex_diff", "complex_diff1",
             "ieee", "png"]
 PRODUCTS = ["point", "ensemble", "interval", "ensemble_interval",
             "derived", "derived_interval", "probability",
-            "probability_interval"]
+            "probability_interval", "percentile",
+            "percentile_interval"]
 GRIDS = ["latlon", "gaussian", "reduced"]
 _PDT = {"point": 0, "ensemble": 1, "interval": 8, "ensemble_interval": 11,
         "derived": 2, "derived_interval": 12, "probability": 5,
-        "probability_interval": 9}
+        "probability_interval": 9, "percentile": 6,
+        "percentile_interval": 10}
 
 
 @settings(max_examples=120, deadline=None)
@@ -81,6 +84,8 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
             type=data.draw(st.sampled_from([0, 1, 2, 3, 4, 5, 6])),
             size=data.draw(st.integers(1, 250)),
         )
+    elif product in ("percentile", "percentile_interval"):
+        kw["percentile"] = data.draw(st.integers(0, 100))
     elif product in ("probability", "probability_interval"):
         kw["probability"] = dict(
             number=data.draw(st.integers(0, 250)),
@@ -138,6 +143,10 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
         assert h["ensembleSize"] == kw["derived"]["size"]
     else:
         assert h["derivedForecastType"] is None
+    if "percentile" in product:
+        assert h["percentileValue"] == kw["percentile"]
+    else:
+        assert h["percentileValue"] is None
     if "probability" in product:
         assert h["probabilityNumber"] == kw["probability"]["number"]
         assert h["probabilityTotal"] == kw["probability"]["total"]

@@ -396,3 +396,66 @@ def test_pop_file_scan_e2e(spark):
     ).orderBy("i").collect()
     assert [(r["i"], r["thr"], r["n"], r["ivl"]) for r in out] == [
         (0, 0.25, 31, 6), (1, 1.0, 31, 6), (2, 5.0, 31, 6)]
+
+
+def test_percentile_forecast_roundtrips_as_46_and_410():
+    """Templates 4.6/4.10 (percentile forecast — GEFS percentile
+    products): the percentile octet decodes typed; the 4.10 interval
+    block sits +1 octet past it."""
+    vals = _field(6, 4, 4)
+    h6 = decode_grib2_bytes(encode_grib2_message(
+        vals, parameter_number=2, ref_time=RT, nx=6, ny=4,
+        percentile=90,
+    ))[0]["header"]
+    assert h6["productDefinitionTemplate"] == 6
+    assert "percentile" in h6["productDefinitionTemplateName"].lower()
+    assert h6["percentileValue"] == 90
+    assert h6["intervalHours"] is None
+    h10 = decode_grib2_bytes(encode_grib2_message(
+        vals, parameter_number=8, parameter_category=1, ref_time=RT,
+        nx=6, ny=4, percentile=10, forecast_hours=0, interval_hours=6,
+        statistical_process=1,
+    ))[0]["header"]
+    assert h10["productDefinitionTemplate"] == 10
+    assert h10["percentileValue"] == 10
+    assert h10["statisticalProcessName"] == "Accumulation"
+    assert h10["intervalEnd"] == "2020-08-12T12:00:00.000Z"
+    # non-percentile templates carry NULL
+    h0 = decode_grib2_bytes(encode_grib2_message(
+        vals, parameter_number=2, ref_time=RT, nx=6, ny=4))[0]["header"]
+    assert h0["percentileValue"] is None
+
+
+def test_percentile_validations_and_quarantines():
+    with pytest.raises(ValueError, match="out of range"):
+        encode_grib2_message(_field(6, 4), parameter_number=2,
+                             ref_time=RT, nx=6, ny=4, percentile=101)
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(_field(6, 4), parameter_number=2,
+                             ref_time=RT, nx=6, ny=4, percentile=50,
+                             derived=dict(type=0, size=3))
+    # a corrupt percentile octet (>100) quarantines
+    msg = bytearray(encode_grib2_message(
+        _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        percentile=50,
+    ))
+    o = 16
+    while msg[o + 4] != 4:
+        o += int.from_bytes(msg[o : o + 4], "big")
+    msg[o + 34] = 250
+    with pytest.raises(ValueError, match="out of range"):
+        decode_grib2_bytes(bytes(msg))
+    out = scan_grib2_bytes(bytes(msg))
+    assert out[0]["record"] is None and "out of range" in out[0]["error"]
+    # a relabeled 4.6-sized section claiming 4.10 must not read the
+    # interval out of the next section (needs 59, has 35)
+    msg2 = bytearray(encode_grib2_message(
+        _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        percentile=50,
+    ))
+    o = 16
+    while msg2[o + 4] != 4:
+        o += int.from_bytes(msg2[o : o + 4], "big")
+    msg2[o + 7 : o + 9] = (10).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="4.10 truncated"):
+        decode_grib2_bytes(bytes(msg2))

@@ -352,14 +352,14 @@ def test_mixed_template_corpus_quarantine(spark, tmp_path):
         _field(6, 5), parameter_number=2, parameter_category=0,
         ref_time=ref, nx=NX, ny=NY,
     )
-    # percentile-forecast product (template 4.10) — framed-valid,
-    # outside the codec's family (4.8 graduated to supported in r6,
-    # 4.9 probability in r8)
+    # simulated-satellite product (template 4.32) — framed-valid,
+    # outside the codec's family (the whole GEFS ensemble-product set
+    # 4.1-4.12 graduated to supported by r8)
     unsupported = _patch_pdt(
         encode_grib2_message(
             _field(6, 7), parameter_number=2, ref_time=ref, nx=NX, ny=NY
         ),
-        10,
+        32,
     )
     blob = encode_grib2_file([u, v, other_cat, unsupported])
     landing = tmp_path / "mixed"
@@ -367,7 +367,7 @@ def test_mixed_template_corpus_quarantine(spark, tmp_path):
     (landing / "mixed.grib2").write_bytes(blob)
 
     # 1. strict codec: the file fails loud
-    with pytest.raises(ValueError, match=r"template 4\.10 unsupported"):
+    with pytest.raises(ValueError, match=r"template 4\.32 unsupported"):
         decode_grib2_bytes(blob)
     # 2. skip mode decodes the three valid messages
     assert len(decode_grib2_bytes(blob, on_unsupported="skip")) == 3
@@ -382,7 +382,7 @@ def test_mixed_template_corpus_quarantine(spark, tmp_path):
     assert sorted(r["header"]["parameterNumber"] for r in good) == [2, 2, 3]
     quar = scanned.filter("error IS NOT NULL").collect()
     assert len(quar) == 1
-    assert "template 4.10 unsupported" in quar[0]["error"]
+    assert "template 4.32 unsupported" in quar[0]["error"]
     assert quar[0]["data"] is None and quar[0]["header"] is None
     scanned.unpersist()
 
