@@ -299,11 +299,14 @@ def main() -> None:
     # behind Spark console-progress output. Console progress is now off
     # (session.py) AND the full result object lands in its own file, so
     # the recorded numbers never depend on stdout capture mechanics.
-    try:
-        with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
-            json.dump(result, fh, indent=1, sort_keys=True)
-    except Exception:  # noqa: BLE001 — the metric line must still print
-        pass
+    # sf-gated like the ledger roll: a dev-time toy-scale run must not
+    # clobber the committed sf0.1 artifact with toy timings.
+    if sf == 0.1:
+        try:
+            with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
+                json.dump(result, fh, indent=1, sort_keys=True)
+        except Exception:  # noqa: BLE001 — the metric line must still print
+            pass
     print(json.dumps(result))
 
 

@@ -1049,7 +1049,12 @@ def duplicated_window_positions_against(
     bb = _narrow_texts(base_docs, id_col, text_col, min_len)
     wins_new = _window_hashes(nb, min_len)
     base_hashes = _window_hashes(bb, min_len).select("__wh").distinct()
-    cand = wins_new.join(base_hashes, "__wh")
+    # cache: cand feeds BOTH the candidate-hash prune (base_subs) and
+    # the verify projection — without a materialization point each
+    # branch re-derives the batch explode + the base-hash join (the
+    # minhash candidate-set precedent). Candidates are matched
+    # positions only, a small fraction of the batch's windows.
+    cand = wins_new.join(base_hashes, "__wh").cache()
     # verify: candidate substrings must equal an ACTUAL base window.
     # Base subs are derived only for hash-matched windows — the sub
     # column is computed in the scan stage, pruned by the (small)

@@ -114,6 +114,15 @@ def train_bigram_counts(
     cache (registry InMemoryRelation detection) — correct, since a
     reused handle after clearCache would silently retokenize the
     corpus per consumer."""
+    return _train_bigram_tables(train_docs, id_col, text_col)[1:]
+
+
+def _train_bigram_tables(
+    train_docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(counts, big, pre, vocab) — counts is the cached one-pass gram
+    table the three derived views read; exposed so persist-time
+    callers can unpersist exactly it rather than the whole catalog."""
     counts = (
         _tagged_grams(_nn(train_docs, id_col, text_col), text_col)
         .groupBy("kind", "gram")
@@ -130,7 +139,7 @@ def train_bigram_counts(
         counts.filter(F.col("kind") == 1)
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    return big, pre, vocab
+    return counts, big, pre, vocab
 
 
 def score_perplexity(
@@ -209,11 +218,16 @@ def persist_bigram_model(
     prefix/vocab tables are stored too: they cost a scan of the
     bigram table per LOAD otherwise, and the gate loads per stream
     start, not per batch."""
-    big, pre, vocab = train_bigram_counts(train_docs, id_col, text_col)
+    counts, big, pre, vocab = _train_bigram_tables(
+        train_docs, id_col, text_col
+    )
     big.write.mode("overwrite").parquet(f"{path}/bigrams")
     pre.write.mode("overwrite").parquet(f"{path}/prefixes")
     vocab.write.mode("overwrite").parquet(f"{path}/vocab")
-    train_docs.sparkSession.catalog.clearCache()  # drop the train cache
+    # drop ONLY the trainer's counts cache — a blanket clearCache()
+    # would nuke every unrelated cached DataFrame in the session
+    # (ADVICE-class r8 review finding)
+    counts.unpersist()
 
 
 def load_bigram_model(

@@ -134,6 +134,13 @@ def main() -> None:
         spark.catalog.clearCache()
     print(f"cold both-sides sf1: {t_cold:.2f}s")
 
+    # the stamp below CLAIMS identical pair results — verify, don't
+    # assume (a cross-replica leak or recall drift would otherwise
+    # write false evidence into SCALING.md)
+    assert rec_rows[0][3] == rec_rows[1][3], (
+        f"pair counts diverged across scales: {rec_rows[0][3]} at sf0.1 "
+        f"vs {rec_rows[1][3]} at sf1"
+    )
     growth = rec_rows[1][2] / rec_rows[0][2]
     stamp = SECTION + " (r8; scripts/scaling_incremental.py)\n\n"
     stamp += (
