@@ -299,9 +299,10 @@ def main() -> None:
     # behind Spark console-progress output. Console progress is now off
     # (session.py) AND the full result object lands in its own file, so
     # the recorded numbers never depend on stdout capture mechanics.
-    # sf-gated like the ledger roll: a dev-time toy-scale run must not
-    # clobber the committed sf0.1 artifact with toy timings.
-    if sf == 0.1:
+    # gated like the ledger roll: a dev-time toy-scale run (sf != 0.1)
+    # or a SPARK_GRAFT_BENCH_ONLY subset must not clobber the committed
+    # full-surface sf0.1 artifact with partial/toy numbers.
+    if sf == 0.1 and not only:
         try:
             with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
                 json.dump(result, fh, indent=1, sort_keys=True)
