@@ -51,6 +51,9 @@ __all__ = [
     "bigram_perplexity",
     "persist_bigram_model",
     "load_bigram_model",
+    "train_backoff_counts",
+    "score_stupid_backoff",
+    "stupid_backoff_perplexity",
 ]
 
 
@@ -256,4 +259,203 @@ def bigram_perplexity(
     return score_perplexity(
         docs, big, pre, vocab, id_col=id_col, text_col=text_col,
         add_k=add_k, gate_nll_e4=gate_nll_e4,
+    )
+
+
+def _tagged_ngrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """ONE Arrow pass emitting (kind, gram) rows for kinds 1/2/3 —
+    token, "w1 w2" bigram, "w1 w2 w3" trigram (the `_tagged_grams`
+    pattern widened one order for the backoff trainer)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            kinds: list[int] = []
+            grams: list[str] = []
+            for t in pdf[text_col]:
+                toks = (t or "").split()
+                kinds.extend([1] * len(toks))
+                grams.extend(toks)
+                if len(toks) > 1:
+                    kinds.extend([2] * (len(toks) - 1))
+                    grams.extend(
+                        a + " " + b for a, b in zip(toks, toks[1:])
+                    )
+                if len(toks) > 2:
+                    kinds.extend([3] * (len(toks) - 2))
+                    grams.extend(
+                        a + " " + b + " " + c
+                        for a, b, c in zip(toks, toks[1:], toks[2:])
+                    )
+            yield pd.DataFrame({"kind": kinds, "gram": grams})
+
+    return docs.select(text_col).mapInPandas(
+        batches, schema="kind int, gram string"
+    )
+
+
+def train_backoff_counts(
+    train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(trigram, bigram, unigram, totals) count tables for the STUPID
+    BACKOFF trigram LM (Brants et al. 2007, "Large Language Models in
+    Machine Translation" — the scheme DESIGNED for MapReduce-scale
+    distribution: no discounting pass, no normalization, score mass
+    handled by a fixed backoff factor). One corpus pass tags all
+    three gram orders (cached); the three tables filter it, and
+    `totals` is a 1-row (n_tokens, v) aggregate. All four are plain
+    DataFrames — persist to parquet for the train-once/score-many
+    regime exactly like `persist_bigram_model`."""
+    counts = (
+        _tagged_ngrams(_nn(train_docs, id_col, text_col), text_col)
+        .groupBy("kind", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    tri = counts.filter(F.col("kind") == 3).select(
+        F.col("gram").alias("tg"), F.col("c").alias("c123")
+    )
+    bi = counts.filter(F.col("kind") == 2).select(
+        F.col("gram").alias("bg"), F.col("c").alias("c12")
+    )
+    uni = counts.filter(F.col("kind") == 1).select(
+        F.col("gram").alias("w"), F.col("c").alias("c1")
+    )
+    totals = counts.filter(F.col("kind") == 1).agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("v")
+    )
+    return tri, bi, uni, totals
+
+
+def score_stupid_backoff(
+    docs: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    add_k: float = 0.1,
+    gate_nll_e4: int = 80_000,
+) -> DataFrame:
+    """Per-document (doc_id, n_trigrams, avg_nll_e4, lm_pass) under
+    stupid backoff:
+
+        S(w3|w1 w2) = c123/c12        if the trigram was seen
+                    = α·S(w3|w2)      else
+        S(w3|w2)    = c23/c2          if the bigram was seen
+                    = α·S(w3)         else
+        S(w3)       = (c3 + k)/(N + k·V)
+
+    (the unigram floor is add-k rather than Brants' raw c3/N so an
+    unseen token keeps ln finite — the one deviation, documented).
+    Scoring is ONE Arrow trigram pass over the candidates plus FIVE
+    left equi-joins against the stored count tables (trigram, context
+    bigram, suffix bigram, two unigrams) and a broadcast of the 1-row
+    totals — no driver model object, shuffle-native at any scale.
+    Per-position -ln S quantizes to e6 BEFORE the document mean
+    (registry bit-stability rules); documents with < 3 tokens score 0
+    and pass, as in `score_perplexity`."""
+    import pandas as pd
+
+    alpha = float(alpha)
+    add_k = float(add_k)
+
+    def trigrams(it):
+        for pdf in it:
+            ids, tgs, ctxs, sufs, w2s, w3s = [], [], [], [], [], []
+            for d, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (t or "").split()
+                for a, b, c in zip(toks, toks[1:], toks[2:]):
+                    ids.append(d)
+                    tgs.append(a + " " + b + " " + c)
+                    ctxs.append(a + " " + b)
+                    sufs.append(b + " " + c)
+                    w2s.append(b)
+                    w3s.append(c)
+            yield pd.DataFrame({
+                "doc_id": ids, "tg": tgs, "ctx": ctxs, "suf": sufs,
+                "w2": w2s, "w3": w3s,
+            })
+
+    dtg = _nn(docs, id_col, text_col).mapInPandas(
+        trigrams,
+        schema="doc_id long, tg string, ctx string, suf string, "
+               "w2 string, w3 string",
+    )
+    j = (
+        dtg.join(tri, "tg", "left")
+        .join(bi.select(F.col("bg").alias("ctx"),
+                        F.col("c12").alias("c_ctx")), "ctx", "left")
+        .join(bi.select(F.col("bg").alias("suf"),
+                        F.col("c12").alias("c_suf")), "suf", "left")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c1").alias("c_w2")), "w2", "left")
+        .join(uni.select(F.col("w").alias("w3"),
+                         F.col("c1").alias("c_w3")), "w3", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    uni_s = (
+        (F.coalesce(F.col("c_w3"), F.lit(0)) + F.lit(add_k))
+        / (F.col("n_tokens") + F.lit(add_k) * F.col("v"))
+    )
+    s = (
+        F.when(
+            F.coalesce(F.col("c123"), F.lit(0)) > 0,
+            F.col("c123").cast("double") / F.col("c_ctx"),
+        )
+        .when(
+            F.coalesce(F.col("c_suf"), F.lit(0)) > 0,
+            F.lit(alpha) * (F.col("c_suf").cast("double") / F.col("c_w2")),
+        )
+        .otherwise(F.lit(alpha) * F.lit(alpha) * uni_s)
+    )
+    scored = j.select(
+        "doc_id",
+        F.round(-F.log(s) * F.lit(1_000_000.0)).cast("bigint").alias(
+            "nll_e6"
+        ),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = (
+        base.join(
+            scored.groupBy("doc_id").agg(
+                F.count("nll_e6").alias("n_trigrams"),
+                F.round(
+                    F.coalesce(F.sum("nll_e6"), F.lit(0))
+                    / F.greatest(F.count("nll_e6"), F.lit(1))
+                    / F.lit(100.0)
+                ).cast("bigint").alias("avg_nll_e4"),
+            ),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("avg_nll_e4", F.lit(0)).alias("avg_nll_e4"),
+        )
+    )
+    return out.withColumn(
+        "lm_pass", F.col("avg_nll_e4") <= F.lit(gate_nll_e4)
+    )
+
+
+def stupid_backoff_perplexity(
+    docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    add_k: float = 0.1,
+    gate_nll_e4: int = 80_000,
+) -> DataFrame:
+    """Train on `train_docs`, score `docs` — the trigram big brother
+    of `bigram_perplexity` (same clean-reference-corpus shape)."""
+    tri, bi, uni, totals = train_backoff_counts(
+        train_docs, id_col, text_col
+    )
+    return score_stupid_backoff(
+        docs, tri, bi, uni, totals, id_col=id_col, text_col=text_col,
+        alpha=alpha, add_k=add_k, gate_nll_e4=gate_nll_e4,
     )

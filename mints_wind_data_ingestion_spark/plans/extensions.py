@@ -4036,3 +4036,100 @@ def x_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_chars",
         F.md5(F.encode("kept_text", "UTF-8")).alias("kept_md5"),
     )
+
+
+# stupid-backoff trigram LM: the DuckDB replay builds the same three
+# count tables and evaluates the identical CASE chain with the same
+# float-op ordering, so every branch's -ln S quantizes identically.
+_D_LM_BACKOFF = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    train AS (SELECT tk FROM toks WHERE doc_id % 3 <> 0),
+    uni AS (SELECT w, count(*) AS c1
+            FROM (SELECT unnest(tk) AS w FROM train) GROUP BY 1),
+    tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tokens,
+                   count(*) AS v FROM uni),
+    bi AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, count(*) AS c12
+           FROM train, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+           GROUP BY 1),
+    tri AS (SELECT tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS tg,
+                   count(*) AS c123
+            FROM train, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+            GROUP BY 1),
+    dtg AS (
+        SELECT doc_id,
+               tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS tg,
+               tk[i] || ' ' || tk[i + 1] AS ctx,
+               tk[i + 1] || ' ' || tk[i + 2] AS suf,
+               tk[i + 1] AS w2, tk[i + 2] AS w3
+        FROM toks, unnest(generate_series(1, len(tk) - 2)) AS g(i)
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(round(-ln(
+                   CASE WHEN coalesce(t.c123, 0) > 0
+                        THEN CAST(t.c123 AS DOUBLE) / bc.c12
+                        WHEN coalesce(bs.c12, 0) > 0
+                        THEN 0.4 * (CAST(bs.c12 AS DOUBLE) / u2.c1)
+                        ELSE 0.4 * 0.4 * ((coalesce(u3.c1, 0) + 0.1)
+                             / (tot.n_tokens + 0.1 * tot.v)) END
+               ) * 1000000.0) AS BIGINT) AS nll_e6
+        FROM dtg d
+        LEFT JOIN tri t ON t.tg = d.tg
+        LEFT JOIN bi bc ON bc.bg = d.ctx
+        LEFT JOIN bi bs ON bs.bg = d.suf
+        LEFT JOIN uni u2 ON u2.w = d.w2
+        LEFT JOIN uni u3 ON u3.w = d.w3
+        CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT t.doc_id,
+               count(s.nll_e6) AS n_trigrams,
+               CAST(round(CAST(coalesce(sum(s.nll_e6), 0) AS DOUBLE)
+                          / greatest(count(s.nll_e6), 1) / 100.0)
+                    AS BIGINT) AS avg_nll_e4
+        FROM toks t LEFT JOIN scored s ON s.doc_id = t.doc_id
+        GROUP BY 1
+    )
+    SELECT doc_id, n_trigrams, avg_nll_e4,
+           avg_nll_e4 <= 36000 AS lm_pass
+    FROM agg
+"""
+
+
+@query("x_lm_backoff", oracle=_D_LM_BACKOFF,
+       tags=("ext", "text", "quality", "lm"))
+def x_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff TRIGRAM LM quality filter (r8) — Brants et al.
+    2007 ("Large Language Models in Machine Translation"), the
+    smoothing scheme DESIGNED for distributed LMs: no discounting or
+    normalization pass, just raw relative frequencies with a fixed
+    α=0.4 backoff through trigram → bigram → add-k unigram floor.
+    The trigram big brother of x_lm_perplexity's CCNet bigram filter:
+    same %3 reference-corpus split, but context-sensitive two words
+    back, so word-SALAD that preserves unigram/bigram statistics
+    still scores badly.
+
+    Spark shape (operators.lm.stupid_backoff_perplexity): the model
+    is THREE count tables + a 1-row totals aggregate (one tagged
+    Arrow pass builds all of them); scoring is one Arrow trigram pass
+    + FIVE left equi-joins (trigram, context bigram, suffix bigram,
+    two unigrams) + a broadcast of totals — no driver model object,
+    shuffle-native, exactly the plan Brants' MapReduce formulation
+    distributes. Per-position -ln S quantizes to e6 before the doc
+    mean (bit-stable under any partitioning); the oracle replays the
+    identical CASE chain with the same float-op ordering."""
+    from ..operators.lm import stupid_backoff_perplexity
+
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=8)
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    # gate at the corpus's ~90th nll percentile (36 ke4 ≈ ppl 36.6)
+    # so lm_pass separates this corpus's tail at every graded sf;
+    # 80 ke4 stays the public-scale default in the operator
+    return stupid_backoff_perplexity(
+        docs, train, alpha=0.4, add_k=0.1, gate_nll_e4=36_000,
+    )

@@ -200,3 +200,61 @@ def test_lm_gate_ingest_stream_matches_batch(spark, tmp_path, sf_dir):
     # quarantine carries the evidence
     row = quar.filter(f"doc_id = {10**9}").first()
     assert row.avg_nll_e4 > gate and not row.lm_pass
+
+
+# --- stupid backoff (r8, Brants et al. 2007) -------------------------------
+
+BK_TRAIN = [(1, "a b c a b d"), (2, "a b c")]
+# unigrams a:3 b:3 c:2 d:1 (N=9, V=4); bigrams "a b":3 "b c":2 "b d":1
+# "c a":1; trigrams "a b c":2 "b c a":1 "c a b":1 "a b d":1
+
+
+def _bk_e4(*scores):
+    return round(sum(round(-math.log(s) * 1e6) for s in scores)
+                 / len(scores) / 100)
+
+
+@pytest.mark.parametrize("text,scores", [
+    ("a b c", [2 / 3]),                         # seen trigram: c123/c12
+    ("x a b", [0.4 * (3 / 3)]),                 # backoff to suffix bigram
+    ("a b z", [0.4 * 0.4 * 0.1 / (9 + 0.4)]),   # backoff to unigram floor
+    ("a b c a", [2 / 3, 1 / 2]),                # two positions, mixed
+    ("ab", []),                                 # <3 tokens: 0, pass
+])
+def test_stupid_backoff_hand_model(spark, text, scores):
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        stupid_backoff_perplexity,
+    )
+
+    train = spark.createDataFrame(BK_TRAIN, "doc_id long, text string")
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    [row] = stupid_backoff_perplexity(docs, train, add_k=0.1).collect()
+    assert row["n_trigrams"] == len(scores)
+    assert row["avg_nll_e4"] == (_bk_e4(*scores) if scores else 0)
+
+
+def test_stupid_backoff_penalizes_reordering(spark, sf_dir):
+    """The trigram filter's point over the bigram one: SHUFFLED text
+    built from in-vocabulary words scores worse than the intact
+    document whose trigrams the model has seen — context two words
+    back carries signal unigram statistics can't."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        stupid_backoff_perplexity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    intact = docs.filter(F.col("doc_id") % 3 == 0).first()["text"]
+    words = intact.split()
+    rng = random.Random(3)
+    shuffled = " ".join(rng.sample(words, len(words)))
+    cand = spark.createDataFrame(
+        [(1, intact), (2, shuffled)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["avg_nll_e4"]
+            for r in stupid_backoff_perplexity(cand, train).collect()}
+    assert rows[2] > rows[1]
