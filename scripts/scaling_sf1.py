@@ -81,6 +81,11 @@ QUERIES = [
     # output rows all scale ~10× (the prefix lengthens words a few
     # chars, so slightly super-10× window counts are expected)
     "x_dedup_substring",
+    # round-8 addition: the trigram backoff LM — same closed-vocab
+    # replica argument as x_lm_perplexity (v{k} prefixes), one gram
+    # order deeper: count tables and the five-way score join all
+    # scale linearly
+    "x_lm_backoff",
     # round-8 addition: cross-corpus excision — the batch third and
     # the protected two-thirds both grow 10×, windows stay disjoint
     # across replicas, so candidates and cuts scale ~10× with the
@@ -207,12 +212,17 @@ def main() -> None:
     stamp += "| query | sf0.1 s | sf1 s | 0.1→1 growth |\n|---|---|---|---|\n"
     for name, a, b, g in rows:
         stamp += f"| `{name}` | {a:.2f} | {b:.2f} | {g:.1f}× |\n"
-    stamp += ("\nAt 10× the data every growth factor stays well under 10×: the\n"
+    stamp += ("\nAt 10× the data every growth factor stays AT OR UNDER 10× —\n"
+              "data-bound at most linear, never a pair-space blowup: the\n"
               "banded minhash join, the large/small-star CC rounds, the\n"
               "bucketed LSH join, the rare-shingle-blocked Levenshtein join,\n"
-              "the constant-term BM25 corpus passes, and the repetition-gate\n"
-              "gram explode are data-bound at most linearly — no pair-space\n"
-              "blowup appears once data (not job floors) dominates.\n")
+              "the constant-term BM25 corpus passes, the repetition-gate\n"
+              "gram explode, and the substring window passes. Rows well\n"
+              "under 10× are job-floor- or model-table-bound;\n"
+              "`x_substring_excise` sits nearest 10× because BOTH its\n"
+              "corpus sides grow here — ~10× IS its linear expectation,\n"
+              "and its production recurrence (fixed batch vs persisted\n"
+              "index) is the steady-state shape profiled below at ~1×.\n")
     md_path = os.path.join(os.path.dirname(SF1), "SCALING.md")
     md = open(md_path).read()
     cut = md.find("\n## sf0.1 → sf1 spot run")
