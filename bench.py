@@ -278,6 +278,11 @@ def main() -> None:
             # as a (wrong) full-surface split
     result = {
         "metric": "total_query_sec",
+        # staleness marker (r8 review): BENCH_LAST.json is only
+        # rewritten by full-surface sf0.1 sweeps, so a consumer after
+        # a gated (subset/toy) run would otherwise read the PRIOR
+        # sweep's numbers with nothing marking them as old
+        "recorded_unix": int(time.time()),
         "value": total,
         "unit": "sec",
         "queries": timings,

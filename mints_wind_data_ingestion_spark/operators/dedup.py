@@ -1040,6 +1040,17 @@ def duplicated_window_positions_against(
        collision can only add a candidate, never hide a true match.
 
     Returns (`id_col`, pos) in `new_docs`' id space.
+
+    Cache lifecycle: the candidate set is `.cache()`d (it feeds both
+    the base-substring prune and the verify projection) and lives
+    until the caller's `spark.catalog.clearCache()` or session end —
+    the minhash-candidate precedent. Callers running MANY batches in
+    one session should use the per-batch shape instead
+    (`substring_excise_against_index` over a persisted
+    `build_window_index` — no mid-plan cache), which is also why the
+    streaming gate consumes the index path. The cache also
+    (correctly) self-excludes the two-sided registry query from the
+    prepared-plan cache.
     """
     if min_len < 2:
         raise ValueError(

@@ -65,13 +65,18 @@ def _nn(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _tagged_grams(docs: DataFrame, text_col: str) -> DataFrame:
+def _tagged_grams(
+    docs: DataFrame, text_col: str, max_order: int = 2
+) -> DataFrame:
     """ONE Arrow pass over the corpus emitting (kind, gram) rows —
-    kind 1 = token, kind 2 = "w1 w2" bigram string. The vectorized
-    bulk-shingler pattern (functions.text.shingle_docs_pandas — the
-    expression-form HOFs are CodegenFallback, interpreted per element,
-    ~7× slower at sf0.1), widened to tag BOTH gram orders so the
-    trainer never re-tokenizes the corpus for the vocabulary."""
+    kind 1 = token, kind 2 = "w1 w2" bigram, kind 3 = "w1 w2 w3"
+    trigram (emitted up to `max_order`; ONE tokenizer serves both the
+    bigram and the backoff trainer so tokenization can never diverge
+    between them — r8 review). The vectorized bulk-shingler pattern
+    (functions.text.shingle_docs_pandas — the expression-form HOFs
+    are CodegenFallback, interpreted per element, ~7× slower at
+    sf0.1), widened to tag every gram order so a trainer never
+    re-tokenizes the corpus for the vocabulary."""
     import pandas as pd
 
     def batches(it):
@@ -82,10 +87,16 @@ def _tagged_grams(docs: DataFrame, text_col: str) -> DataFrame:
                 toks = (t or "").split()
                 kinds.extend([1] * len(toks))
                 grams.extend(toks)
-                if len(toks) > 1:
+                if max_order >= 2 and len(toks) > 1:
                     kinds.extend([2] * (len(toks) - 1))
                     grams.extend(
                         a + " " + b for a, b in zip(toks, toks[1:])
+                    )
+                if max_order >= 3 and len(toks) > 2:
+                    kinds.extend([3] * (len(toks) - 2))
+                    grams.extend(
+                        a + " " + b + " " + c
+                        for a, b, c in zip(toks, toks[1:], toks[2:])
                     )
             yield pd.DataFrame({"kind": kinds, "gram": grams})
 
@@ -262,38 +273,6 @@ def bigram_perplexity(
     )
 
 
-def _tagged_ngrams(docs: DataFrame, text_col: str) -> DataFrame:
-    """ONE Arrow pass emitting (kind, gram) rows for kinds 1/2/3 —
-    token, "w1 w2" bigram, "w1 w2 w3" trigram (the `_tagged_grams`
-    pattern widened one order for the backoff trainer)."""
-    import pandas as pd
-
-    def batches(it):
-        for pdf in it:
-            kinds: list[int] = []
-            grams: list[str] = []
-            for t in pdf[text_col]:
-                toks = (t or "").split()
-                kinds.extend([1] * len(toks))
-                grams.extend(toks)
-                if len(toks) > 1:
-                    kinds.extend([2] * (len(toks) - 1))
-                    grams.extend(
-                        a + " " + b for a, b in zip(toks, toks[1:])
-                    )
-                if len(toks) > 2:
-                    kinds.extend([3] * (len(toks) - 2))
-                    grams.extend(
-                        a + " " + b + " " + c
-                        for a, b, c in zip(toks, toks[1:], toks[2:])
-                    )
-            yield pd.DataFrame({"kind": kinds, "gram": grams})
-
-    return docs.select(text_col).mapInPandas(
-        batches, schema="kind int, gram string"
-    )
-
-
 def train_backoff_counts(
     train_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -307,7 +286,8 @@ def train_backoff_counts(
     DataFrames — persist to parquet for the train-once/score-many
     regime exactly like `persist_bigram_model`."""
     counts = (
-        _tagged_ngrams(_nn(train_docs, id_col, text_col), text_col)
+        _tagged_grams(_nn(train_docs, id_col, text_col), text_col,
+                      max_order=3)
         .groupBy("kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
@@ -379,11 +359,18 @@ def score_stupid_backoff(
                 "w2": w2s, "w3": w3s,
             })
 
-    dtg = _nn(docs, id_col, text_col).mapInPandas(
-        trigrams,
-        schema="doc_id long, tg string, ctx string, suf string, "
-               "w2 string, w3 string",
+    # preserve the caller's id TYPE (string ids are as valid as longs
+    # — shingle_docs_pandas sets the precedent; r8 review): the output
+    # schema copies the input field rather than hardcoding long
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_field = docs.schema[id_col]
+    out_schema = StructType(
+        [StructField("doc_id", id_field.dataType, id_field.nullable)]
+        + [StructField(c, StringType(), True)
+           for c in ("tg", "ctx", "suf", "w2", "w3")]
     )
+    dtg = _nn(docs, id_col, text_col).mapInPandas(trigrams, out_schema)
     j = (
         dtg.join(tri, "tg", "left")
         .join(bi.select(F.col("bg").alias("ctx"),
