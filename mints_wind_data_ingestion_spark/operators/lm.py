@@ -54,6 +54,7 @@ __all__ = [
     "train_backoff_counts",
     "score_stupid_backoff",
     "stupid_backoff_perplexity",
+    "dsir_logweights",
 ]
 
 
@@ -445,4 +446,80 @@ def stupid_backoff_perplexity(
     return score_stupid_backoff(
         docs, tri, bi, uni, totals, id_col=id_col, text_col=text_col,
         alpha=alpha, add_k=add_k, gate_nll_e4=gate_nll_e4,
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.1,
+) -> DataFrame:
+    """Per-document importance log-weights for DSIR-style data
+    selection (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): log w(x) = ln p_target(x) −
+    ln p_raw(x) under two add-k bigram models — documents that look
+    more like the target distribution than the raw pool get positive
+    weight. Returns (doc_id, n_bigrams, logw_e6).
+
+    Distributed shape: BOTH models are count tables from one tagged
+    pass each; candidates are bigram-exploded ONCE and joined against
+    the four count tables plus one broadcast 1-row vocab aggregate —
+    the per-bigram delta quantizes to e6 BEFORE the per-document sum
+    (exact integer arithmetic thereafter, bit-stable under any
+    partitioning). No driver model object anywhere; at 100 TB this is
+    four stored-table joins per candidate batch, the same regime as
+    the other LM scorers."""
+    from ..functions.text import shingle_docs_pandas
+
+    add_k = float(add_k)
+    big_t, pre_t, voc_t = train_bigram_counts(target_docs, id_col, text_col)
+    big_r, pre_r, voc_r = train_bigram_counts(raw_docs, id_col, text_col)
+    vocs = F.broadcast(
+        voc_t.select(F.col("v").alias("vt")).crossJoin(
+            voc_r.select(F.col("v").alias("vr"))
+        )
+    )
+    dbg = shingle_docs_pandas(
+        _nn(docs, id_col, text_col), id_col, text_col, 2, out="__bg"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer("__bg").alias("bg"),
+    )
+    j = (
+        dbg.join(big_t.select(F.col("bg"), F.col("c12").alias("ct12")),
+                 "bg", "left")
+        .join(big_r.select(F.col("bg"), F.col("c12").alias("cr12")),
+              "bg", "left")
+        .join(pre_t.select(F.col("w1").alias("__w1t"),
+                           F.col("c1").alias("ct1")),
+              F.substring_index(F.col("bg"), " ", 1) == F.col("__w1t"),
+              "left")
+        .join(pre_r.select(F.col("w1").alias("__w1r"),
+                           F.col("c1").alias("cr1")),
+              F.substring_index(F.col("bg"), " ", 1) == F.col("__w1r"),
+              "left")
+        .crossJoin(vocs)
+    )
+
+    def _nll(c12, c1, v):
+        return F.round(
+            -F.log(
+                (F.coalesce(F.col(c12), F.lit(0)) + F.lit(add_k))
+                / (F.coalesce(F.col(c1), F.lit(0))
+                   + F.lit(add_k) * F.col(v))
+            ) * F.lit(1_000_000.0)
+        ).cast("bigint")
+
+    scored = j.select(
+        "doc_id",
+        F.when(F.col("bg").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(_nll("cr12", "cr1", "vr") - _nll("ct12", "ct1", "vt"))
+        .alias("lw_e6"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("lw_e6").alias("n_bigrams"),
+        F.coalesce(F.sum("lw_e6"), F.lit(0)).alias("logw_e6"),
     )

@@ -4133,3 +4133,119 @@ def x_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stupid_backoff_perplexity(
         docs, train, alpha=0.4, add_k=0.1, gate_nll_e4=36_000,
     )
+
+
+# DSIR importance resampling: the DuckDB replay builds both bigram
+# models, quantizes each side's -ln P to e6 per bigram before the
+# subtraction, and derives the Gumbel noise from the engine-portable
+# md5-prefix uniform — every float op in the same order as the plan.
+_D_DSIR = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    tt AS (SELECT tk FROM toks WHERE doc_id % 7 = 0),
+    rr AS (SELECT tk FROM toks WHERE doc_id % 7 <> 0),
+    bt AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, count(*) AS c12
+           FROM tt, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+           GROUP BY 1),
+    pt AS (SELECT split_part(bg, ' ', 1) AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1 FROM bt GROUP BY 1),
+    vt AS (SELECT count(DISTINCT w) AS v
+           FROM (SELECT unnest(tk) AS w FROM tt)),
+    br AS (SELECT tk[i] || ' ' || tk[i + 1] AS bg, count(*) AS c12
+           FROM rr, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+           GROUP BY 1),
+    pr AS (SELECT split_part(bg, ' ', 1) AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1 FROM br GROUP BY 1),
+    vr AS (SELECT count(DISTINCT w) AS v
+           FROM (SELECT unnest(tk) AS w FROM rr)),
+    dbg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bg,
+                   tk[i] AS w1
+            FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(round(-ln((coalesce(br.c12, 0) + 0.1)
+                              / (coalesce(pr.c1, 0) + 0.1 * vr.v))
+                          * 1000000.0) AS BIGINT)
+             - CAST(round(-ln((coalesce(bt.c12, 0) + 0.1)
+                              / (coalesce(pt.c1, 0) + 0.1 * vt.v))
+                          * 1000000.0) AS BIGINT) AS lw_e6
+        FROM dbg d
+        LEFT JOIN bt ON bt.bg = d.bg
+        LEFT JOIN pt ON pt.w1 = d.w1
+        LEFT JOIN br ON br.bg = d.bg
+        LEFT JOIN pr ON pr.w1 = d.w1
+        CROSS JOIN vt CROSS JOIN vr
+    ),
+    agg AS (
+        SELECT t.doc_id, count(s.lw_e6) AS n_bigrams,
+               CAST(coalesce(sum(s.lw_e6), 0) AS BIGINT) AS logw_e6
+        FROM toks t LEFT JOIN scored s ON s.doc_id = t.doc_id
+        GROUP BY 1
+    ),
+    gum AS (
+        SELECT doc_id, n_bigrams, logw_e6,
+               logw_e6 + CAST(round(-ln(-ln(
+                   (CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) AS DOUBLE) + 0.5)
+                   / 281474976710656.0)) * 1000000.0) AS BIGINT) AS g_e6
+        FROM agg
+    )
+    SELECT doc_id, n_bigrams, logw_e6, g_e6,
+           CAST(row_number() OVER (ORDER BY g_e6 DESC, doc_id ASC)
+                AS INT) AS rank
+    FROM gum ORDER BY g_e6 DESC, doc_id ASC LIMIT 100
+"""
+
+
+@query("x_dsir_sample", oracle=_D_DSIR,
+       tags=("ext", "sampling", "lm", "dsir"))
+def x_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-class importance resampling (r8) — Xie et al. 2023 ("Data
+    Selection for Language Models via Importance Resampling"): select
+    the training documents whose n-gram statistics look most like a
+    TARGET distribution. log w(x) = ln p_target(x) − ln p_raw(x)
+    under two add-k bigram models (target = the doc_id % 7 == 0
+    slice standing in for a curated reference; raw = the rest), then
+    Gumbel top-k — adding Gumbel(0,1) noise to the log-weights and
+    taking the k largest IS sampling without replacement
+    proportionally to w(x), as one shuffle-free expression per doc.
+
+    Fully deterministic and engine-portable: the Gumbel uniform
+    derives from the md5-prefix bigint (the sampling-suite
+    convention), each model's -ln P quantizes to e6 per bigram before
+    the subtraction, and the top-k has a unique tiebreak — so DuckDB
+    replays selection bit-for-bit. Plan shape: one bigram explode of
+    the candidates + four stored-count-table joins + one broadcast
+    vocab row (operators.lm.dsir_logweights), then a
+    TakeOrderedAndProject — no driver model object, no global sort
+    materialization."""
+    from ..operators.lm import dsir_logweights
+
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=8)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    lw = dsir_logweights(docs, target, raw)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(281474976710656.0)
+    g = (
+        F.col("logw_e6")
+        + F.round(-F.log(-F.log(u)) * F.lit(1_000_000.0)).cast("bigint")
+    ).alias("g_e6")
+    top = (
+        lw.select("doc_id", "n_bigrams", "logw_e6", g)
+        .orderBy(F.col("g_e6").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("g_e6").desc(), F.col("doc_id").asc())
+        ),
+    )

@@ -1,0 +1,110 @@
+"""DSIR importance resampling (operators.lm.dsir_logweights +
+x_dsir_sample, r8 — Xie et al. 2023): hand-computed log-weights on a
+tiny two-distribution corpus, discrimination (target-like documents
+outweigh raw-like ones), and the Gumbel top-k selection properties
+(deterministic, rank-ordered, weight-responsive)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.operators.lm import dsir_logweights
+
+TGT = [(1, "a b a b a b"), (2, "a b a b")]     # target loves "a b"
+RAW = [(3, "c d c d c d"), (4, "c d c d")]     # raw loves "c d"
+
+
+def _nll_e6(c12, c1, v, k=0.1):
+    return round(-math.log((c12 + k) / (c1 + k * v)) * 1_000_000)
+
+
+def test_hand_computed_logweights(spark):
+    """Per-bigram delta = nll_raw_e6 - nll_tgt_e6, quantized per side
+    before the subtraction, summed exactly."""
+    tgt = spark.createDataFrame(TGT, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    # target model: bigrams "a b":5 "b a":3 -> c(a)=5, c(b)=3; V=2
+    # raw model:    bigrams "c d":5 "d c":3 -> c(c)=5, c(d)=3; V=2
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "c d"), (12, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: (r["n_bigrams"], r["logw_e6"])
+            for r in dsir_logweights(docs, tgt, raw).collect()}
+    # "a b": tgt seen (5/ (5+0.2)), raw unseen context (0.1/(0+0.2))
+    lw_ab = _nll_e6(0, 0, 2) - _nll_e6(5, 5, 2)
+    lw_cd = _nll_e6(5, 5, 2) - _nll_e6(0, 0, 2)
+    assert rows[10] == (1, lw_ab) and lw_ab > 0
+    assert rows[11] == (1, lw_cd) and lw_cd < 0
+    assert rows[12] == (0, 0)  # no bigrams: neutral weight
+
+
+def test_target_like_docs_outweigh_raw_like(spark, sf_dir):
+    """On the real corpus with the %7 split, documents FROM the target
+    slice average a higher log-weight than the rest — the selection
+    signal the sampler rides."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lw = dsir_logweights(
+        docs,
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+    )
+    rows = lw.join(
+        docs.select("doc_id", (F.col("doc_id") % 7 == 0).alias("is_tgt")),
+        "doc_id",
+    ).groupBy("is_tgt").agg(F.avg("logw_e6").alias("m")).collect()
+    means = {r["is_tgt"]: r["m"] for r in rows}
+    assert means[True] > means[False]
+
+
+def test_gumbel_topk_selection_properties(spark, sf_dir):
+    """x_dsir_sample: deterministic across runs, exactly k rows,
+    ranks ordered by the Gumbel-perturbed weight with a unique
+    tiebreak, and the selection is weight-responsive (the selected
+    set's mean log-weight beats the corpus mean)."""
+    from mints_wind_data_ingestion_spark.plans import REGISTRY
+
+    a = REGISTRY["x_dsir_sample"].build(spark, sf_dir).collect()
+    b = REGISTRY["x_dsir_sample"].build(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert len(a) == 100
+    by_rank = sorted(a, key=lambda r: r["rank"])
+    gs = [r["g_e6"] for r in by_rank]
+    assert gs == sorted(gs, reverse=True)
+    assert [r["rank"] for r in by_rank] == list(range(1, 101))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lw = dsir_logweights(
+        docs,
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+    )
+    corpus_mean = lw.agg(F.avg("logw_e6")).first()[0]
+    sel_mean = sum(r["logw_e6"] for r in a) / len(a)
+    assert sel_mean > corpus_mean
+
+
+def test_planted_target_document_ranks_high(spark):
+    """A candidate that IS target-distribution text must outrank every
+    raw-distribution candidate regardless of the Gumbel noise when
+    the weight gap dominates (long docs → large |logw|)."""
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        dsir_logweights,
+    )
+
+    tgt = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 5)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(2, "stack overflow segfault kernel panic core dump " * 5)],
+        "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog " * 4),
+         (11, "stack overflow segfault kernel panic core dump " * 4)],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["logw_e6"]
+            for r in dsir_logweights(cands, tgt, raw).collect()}
+    assert rows[10] > 0 > rows[11]
+    # the gap is tens of nats * 1e6 — far beyond any Gumbel draw
+    assert rows[10] - rows[11] > 20_000_000
