@@ -86,6 +86,10 @@ QUERIES = [
     # order deeper: count tables and the five-way score join all
     # scale linearly
     "x_lm_backoff",
+    # round-8 addition: DSIR selection — two bigram models + the
+    # four-way score join, same closed-vocab replica argument; the
+    # top-k is constant-size so growth is model/explode-bound
+    "x_dsir_sample",
     # round-8 addition: cross-corpus excision — the batch third and
     # the protected two-thirds both grow 10×, windows stay disjoint
     # across replicas, so candidates and cuts scale ~10× with the
