@@ -631,6 +631,14 @@ def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
         order, ba = msg[o5 + 47], msg[o5 + 48]
         if order not in (1, 2):
             raise ValueError(f"spatial differencing order {order} unsupported")
+        if n <= order:
+            # the recurrence needs `order` seed values plus ≥1 packed
+            # difference; a 5.3 message claiming otherwise is corrupt
+            # octets — quarantine, never a broadcast-shape crash
+            raise ValueError(
+                f"spatial differencing order {order} needs more than "
+                f"{n} points"
+            )
         for _ in range(order):
             ival.append(_s(payload, pos, ba))
             pos += ba
@@ -1475,6 +1483,12 @@ def encode_grib2_message(
         )
     elif packing in ("complex", "complex_diff", "complex_diff1"):
         order = {"complex": 0, "complex_diff": 2, "complex_diff1": 1}[packing]
+        # WMO 5.3 integrates an order-k recurrence from k seed values
+        # plus at least one packed difference, so a field of n points
+        # can carry at most order n−1 differencing; degenerate grids
+        # (e.g. a 2-point reduced-Gaussian field) clamp down — order 0
+        # is plain 5.2 complex packing, always valid
+        order = min(order, max(n - 1, 0))
         tmpl, packed, _ref = _pack_complex(values, decimal_scale, order)
         s5_tail = (2 if order == 0 else 3).to_bytes(2, "big") + tmpl
     else:

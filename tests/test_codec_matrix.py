@@ -159,3 +159,74 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
         assert h["intervalHours"] == kw["interval_hours"]
     else:
         assert h["intervalHours"] is None
+
+
+# --- degenerate grids vs complex packing (VERDICT r8 #1) ---------------------
+# The r8 falsifying example: a 2-point reduced-Gaussian field (n_gauss=1,
+# one point per row) under complex_diff crashed the encoder — order-2
+# spatial differencing needs more points than its order. The encoder now
+# clamps the differencing order to n−1 (order 0 = plain 5.2 complex, always
+# valid) and the decoder quarantines any 5.3 message claiming n ≤ order.
+
+
+def _sec_offset(msg: bytes, want: int) -> int:
+    o = 16
+    while o < len(msg) - 4:
+        slen, snum = int.from_bytes(msg[o : o + 4], "big"), msg[o + 4]
+        if snum == want:
+            return o
+        o += slen
+    raise AssertionError(f"section {want} not found")
+
+
+def test_degenerate_reduced_grid_complex_diff_roundtrip():
+    """The preserved hypothesis falsifying example: reduced Gaussian,
+    n_gauss=1, points-per-row [1, 1] (2 total points), complex_diff.
+    Order clamps 2 → 1 (template stays 5.3) and the round trip is
+    exact; the 5.2 header key pins the clamp's observable effect."""
+    msg = encode_grib2_message(
+        [0.0, 0.0], parameter_number=2, ref_time=RT, nx=2, ny=2,
+        decimal_scale=2, packing="complex_diff", gaussian_n=1,
+        dx=180.0, gaussian_reduced=[1, 1], scan_mode=0,
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    assert np.array_equal(rec["data"], [0.0, 0.0])
+    o5 = _sec_offset(msg, 5)
+    assert int.from_bytes(msg[o5 + 9 : o5 + 11], "big") == 3  # 5.3
+    assert msg[o5 + 47] == 1  # effective order clamped 2 → 1
+
+    # one point tighter: a single-point field clamps all the way to
+    # order 0 and must emit plain complex packing (template 5.2)
+    msg1 = encode_grib2_message(
+        [3.25], parameter_number=2, ref_time=RT, nx=1, ny=1,
+        decimal_scale=2, packing="complex_diff",
+    )
+    rec1 = decode_grib2_bytes(msg1)[0]
+    assert np.array_equal(rec1["data"], np.float32([3.25]))
+    o5 = _sec_offset(msg1, 5)
+    assert int.from_bytes(msg1[o5 + 9 : o5 + 11], "big") == 2  # 5.2
+
+
+def test_spatial_diff_order_exceeds_points_quarantines():
+    """Decoder-side pin: a crafted 5.3 message with n ≤ order is
+    corrupt octets — decode fail-louds naming the order/point deficit
+    and the scan path QUARANTINES it (error row, no crash), the same
+    contract as the rotated-Mercator pin in test_gaussian_grid.py."""
+    import pytest
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        scan_grib2_bytes,
+    )
+
+    msg = bytearray(encode_grib2_message(
+        [0.0, 0.0], parameter_number=2, ref_time=RT, nx=2, ny=2,
+        decimal_scale=2, packing="complex_diff", gaussian_n=1,
+        dx=180.0, gaussian_reduced=[1, 1], scan_mode=0,
+    ))
+    o5 = _sec_offset(bytes(msg), 5)
+    msg[o5 + 47] = 2  # claim order 2 over a 2-point field
+    with pytest.raises(ValueError, match="more than 2 points"):
+        decode_grib2_bytes(bytes(msg))
+    out = scan_grib2_bytes(bytes(msg))
+    assert len(out) == 1 and out[0]["record"] is None
+    assert "more than 2 points" in out[0]["error"]
