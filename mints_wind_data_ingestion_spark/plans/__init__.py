@@ -15,6 +15,15 @@ from . import core  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import composites  # noqa: F401,E402
+from .composites import PROMOTED_SLOTS  # noqa: F401,E402
 from .registry import driver_registry  # noqa: F401,E402
 
-__all__ = ["REGISTRY", "Query", "query", "resolve_oracle", "tables", "driver_registry"]
+__all__ = [
+    "PROMOTED_SLOTS",
+    "REGISTRY",
+    "Query",
+    "query",
+    "resolve_oracle",
+    "tables",
+    "driver_registry",
+]

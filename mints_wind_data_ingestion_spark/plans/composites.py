@@ -1633,3 +1633,30 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n1=_b("dist"), d1=_nd())
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# promoted slots: driver entries whose WORK a composite already runs
+# ---------------------------------------------------------------------------
+#
+# A "promotion" gives a folded component its own driver correctness row
+# (its exact values carry their own hash signal instead of riding only
+# the composite's superset hash). The promotion is correctness
+# bookkeeping, not new engine work: the composite on the right builds
+# the identical plan (often literally via REGISTRY[slot].build) inside
+# its own timed run. bench.py therefore excludes these slots from the
+# timed sweep and the headline total — timing both would double-count
+# the same cluster work (VERDICT r8 #3 measured it at ~5-8 s of a
+# 46.7 s recorded total). Correctness is untouched: the driver still
+# verifies every slot below as its own CORRECTNESS row.
+PROMOTED_SLOTS: dict[str, str] = {
+    "x_bm25_topk": "x_text_suite",
+    "x_curation_pipeline": "x_doc_pipeline_suite",
+    "x_dedup_editdist": "x_dedup_pairs_suite",
+    "x_dedup_exact": "x_dedup_pairs_suite",
+    "x_dedup_jaccard": "x_dedup_pairs_suite",
+    "x_dedup_simhash": "x_dedup_pairs_suite",
+    "x_ewma": "x_grouped_models",
+    "x_mm_decode": "x_layout_mm_suite",
+    "x_sim_topk_ivf_index": "x_sim_ivf_suite",
+}

@@ -71,3 +71,62 @@ def test_roll_ledger_mins_against_ledger_only(tmp_path):
     assert saved["plan_cache"] is True
     roll_ledger(hist_path, load_history(hist_path), {"q": 1.8})
     assert json.load(open(hist_path))["queries"]["q"] == 1.8  # real gain rolls
+
+
+def test_headline_line_fits_driver_tail_capture():
+    """VERDICT r8 #2: the driver records only the last ~2000 chars of
+    bench stdout; r7 AND r8 shipped lines that outgrew it (parsed:
+    null two rounds running). The headline must stay inside the budget
+    with the current surface, stay parseable, and degrade by dropping
+    the per-query dict rather than shipping a truncated head."""
+    from bench import _TAIL_CAPTURE_BUDGET, headline_line
+
+    from mints_wind_data_ingestion_spark.plans import (
+        PROMOTED_SLOTS,
+        driver_registry,
+    )
+
+    names = [n for n in driver_registry() if n not in PROMOTED_SLOTS]
+    result = {
+        "metric": "total_query_sec",
+        "value": 123.4567,
+        "unit": "sec",
+        "queries": {n: 1.2345 for n in names},
+        "recovery_passes": 2,
+        "plan_cache": True,
+        "total_plan_cache_off": 99.8877,
+        "promotions": dict(PROMOTED_SLOTS),
+        "sf": 0.1,
+    }
+    line = headline_line(result)
+    assert len(line) <= _TAIL_CAPTURE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries"] and parsed["n_queries"] == len(names)
+    assert parsed["total_plan_cache_off"] == 99.8877
+
+    # pathological surface: the fallback drops queries, never truncates
+    wide = dict(result)
+    wide["queries"] = {f"x_very_long_query_name_{i:04d}": 1.0
+                      for i in range(200)}
+    line = headline_line(wide)
+    assert len(line) <= _TAIL_CAPTURE_BUDGET
+    assert json.loads(line)["queries"] == {}
+
+
+def test_promoted_slots_are_driver_rows_backed_by_driver_composites():
+    """Every promoted slot (excluded from bench timing) must still be a
+    driver correctness row, and its subsuming composite must itself be
+    a TIMED driver row — otherwise excluding the slot would drop its
+    work from the headline entirely."""
+    from mints_wind_data_ingestion_spark.plans import (
+        PROMOTED_SLOTS,
+        driver_registry,
+    )
+
+    dr = driver_registry()
+    timed = set(dr) - set(PROMOTED_SLOTS)
+    for slot, composite in PROMOTED_SLOTS.items():
+        assert slot in dr, f"{slot} is not a driver row"
+        assert composite in timed, (
+            f"{slot}'s composite {composite} is not a timed driver row"
+        )
