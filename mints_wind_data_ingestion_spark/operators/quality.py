@@ -79,9 +79,34 @@ def _grams(n: int) -> Column:
 
 
 def repetition_features(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
-    """Per-document repetition features + the Gopher pass flag."""
+    """Per-document repetition features + the Gopher pass flag.
+
+    Two physical engines, bit-identical outputs (differentially
+    pinned by tests/test_extensions.py, incl. a hypothesis whitespace
+    fuzz — the split/trim edge semantics are the divergence risk):
+
+    - ``arrow`` (default): ONE mapInPandas pass — per-doc gram
+      counting in a Counter, exact ints out, the e6 ratio arithmetic
+      done by the SAME Spark expressions as the expr path. No explode,
+      no gram-grain shuffle, no HOF interpretation: the r9 sf1 stage
+      profile measured the expr path's gram CONSTRUCTION (interpreted
+      transform + concat_ws over 22 M grams) at 7.1 s of 8.4 s, the
+      same bound the Arrow shingler removed from x_lm_perplexity
+      (9.45 → 0.9 s, r7). Fully narrow: scales as a pure map.
+    - ``expr``: the original all-expression plan (explode_outer + two
+      map-side-combinable aggs) — kept as the JVM-only reference the
+      Arrow path is verified against, and for clusters where Python
+      workers are unavailable.
+    """
+    if engine == "arrow":
+        return _repetition_arrow(docs, id_col, text_col)
+    if engine != "expr":
+        raise ValueError(f"unknown engine {engine!r}")
     # coalesce(text, ''): a NULL text must behave as empty — without it
     # Spark's legacy size(NULL) = -1 makes n_words negative and
     # diverges from the oracle's NULL
@@ -126,6 +151,29 @@ def repetition_features(
             for n in DUP_NS
         ],
     )
+    # normalize onto the engine-common intermediate (exact ints): the
+    # top-gram struct becomes (count, gram length); a doc with no
+    # n-grams becomes the 0 the Arrow path emits directly
+    per = per.select(
+        "doc_id", "n_chars", "n_words", "n_distinct",
+        *[
+            F.coalesce(F.col(f"t{n}.c"), F.lit(0)).alias(f"t{n}_c")
+            for n in TOP_NS
+        ],
+        *[
+            F.coalesce(F.length(f"t{n}.gram"), F.lit(0)).alias(f"t{n}_len")
+            for n in TOP_NS
+        ],
+        *[F.coalesce(F.col(f"d{n}"), F.lit(0)).alias(f"d{n}") for n in DUP_NS],
+    )
+    return _finish(per)
+
+
+def _finish(per: DataFrame) -> DataFrame:
+    """Exact-int intermediate → e6 ratios + gates. Shared by both
+    engines so the IEEE multiply-then-divide and the HALF_UP rounding
+    are literally the same expressions — the differential contract
+    reduces to the integer counts."""
 
     def _e6(num: Column, den: Column) -> Column:
         return F.round(num * F.lit(1000000.0) / den).cast("bigint")
@@ -137,18 +185,13 @@ def repetition_features(
             "word_rep_e6"
         ),
         *[
-            _e6(
-                F.coalesce(
-                    F.col(f"t{n}.c") * F.length(f"t{n}.gram"), F.lit(0)
-                ),
-                F.col("n_chars"),
-            ).alias(f"top{n}_char_e6")
+            _e6(F.col(f"t{n}_c") * F.col(f"t{n}_len"), F.col("n_chars")).alias(
+                f"top{n}_char_e6"
+            )
             for n in TOP_NS
         ],
         *[
-            _e6(F.coalesce(F.col(f"d{n}"), F.lit(0)), F.col("n_chars")).alias(
-                f"dup{n}_char_e6"
-            )
+            _e6(F.col(f"d{n}"), F.col("n_chars")).alias(f"dup{n}_char_e6")
             for n in DUP_NS
         ],
     )
@@ -159,3 +202,91 @@ def repetition_features(
     for g in gates[1:]:
         flag = flag & g
     return out.withColumn("gopher_pass", flag)
+
+
+#: Spark's split(trim(text), '\\s+') under Java regex semantics: \s is
+#: ASCII-only ([ \t\n\x0B\f\r]) without UNICODE_CHARACTER_CLASS, and
+#: trim strips 0x20 spaces only. The Arrow engine must reproduce BOTH
+#: exactly (Python's \s is Unicode-wide — using it would diverge on
+#: NBSP-class whitespace) — pinned by the hypothesis whitespace fuzz.
+_JAVA_WS = None
+
+
+def _java_ws():
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re
+
+        _JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+    return _JAVA_WS
+
+
+def _repetition_rows(ids, texts):
+    """Exact per-doc gram counts for one Arrow batch (plain Python —
+    also the reference scorer the tests call directly)."""
+    from collections import Counter
+
+    ws_re = _java_ws()
+    rows = []
+    for doc_id, text in zip(ids, texts):
+        text = "" if text is None else str(text)
+        n_chars = max(len(text), 1)
+        ws = ws_re.split(text.strip(" "))
+        n_words = len(ws)
+        row = {
+            "doc_id": doc_id,
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "n_distinct": len(set(ws)),
+        }
+        for n in (*TOP_NS, *DUP_NS):
+            cnt = (
+                Counter(
+                    " ".join(ws[i : i + n]) for i in range(n_words - n + 1)
+                )
+                if n_words >= n
+                else ()
+            )
+            if n in TOP_NS:
+                if cnt:
+                    # max (count, gram): code-point string order ==
+                    # Spark's UTF8 binary order, so ties resolve to the
+                    # same lexicographically-largest gram
+                    c, g = max((c, g) for g, c in cnt.items())
+                    row[f"t{n}_c"], row[f"t{n}_len"] = c, len(g)
+                else:
+                    row[f"t{n}_c"] = row[f"t{n}_len"] = 0
+            else:
+                row[f"d{n}"] = sum(
+                    c * len(g) for g, c in cnt.items() if c > 1
+                ) if cnt else 0
+        rows.append(row)
+    return rows
+
+
+def _repetition_arrow(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    import pandas as pd
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    fields = ["n_chars long", "n_words long", "n_distinct long"]
+    fields += [f"t{n}_c long" for n in TOP_NS]
+    fields += [f"t{n}_len long" for n in TOP_NS]
+    fields += [f"d{n} long" for n in DUP_NS]
+    schema = f"doc_id {id_type}, " + ", ".join(fields)
+
+    cols = [f.split()[0] for f in ["doc_id x", *fields]]
+
+    def count_batches(it):
+        for pdf in it:
+            # explicit columns: an empty Arrow batch must still yield a
+            # schema-shaped frame, not a zero-column DataFrame
+            yield pd.DataFrame(
+                _repetition_rows(pdf[id_col], pdf[text_col]), columns=cols
+            )
+
+    per = docs.select(id_col, text_col).mapInPandas(
+        count_batches, schema=schema
+    )
+    return _finish(per)

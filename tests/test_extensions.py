@@ -360,3 +360,64 @@ def test_editdist_catches_planted_near_dups(spark, sf_dir, exact_jaccard_pairs):
     ed = _pairs(REGISTRY["x_dedup_editdist"].build(spark, sf_dir))
     assert exact_jaccard_pairs, "expected planted near-dup pairs in testdata"
     assert ed == exact_jaccard_pairs
+
+
+# ---------------------------------------------------------------------------
+# repetition_features: arrow engine == expr engine (differential pin)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# The divergence surface between the two engines is tokenization: the
+# expr path splits via Java regex \s+ (ASCII-only without
+# UNICODE_CHARACTER_CLASS) after a 0x20-only trim; the Arrow path
+# re-implements both in Python, where the naive choices (str.split(),
+# re \s) are Unicode-wide. Fuzz the exact alphabet where those
+# disagree: ASCII whitespace, Unicode whitespace (NBSP, thin space,
+# ideographic space, line separator), and repeated words that exercise
+# the top-gram tiebreak and dup-gram sums.
+_WS_ALPHABET = st.sampled_from(
+    [" ", "\t", "\n", "\x0b", "\f", "\r",        # Java \s (ASCII)
+     "\xa0", " ", "　", " ", " ",  # Unicode-only WS
+     "a", "b", "ab", "aa", "汉", "é"]
+)
+_TEXTS = st.lists(_WS_ALPHABET, min_size=0, max_size=30).map("".join)
+
+
+@settings(deadline=None, max_examples=12)
+@given(texts=st.lists(_TEXTS, min_size=1, max_size=6))
+def test_repetition_arrow_matches_expr_whitespace_fuzz(spark, texts):
+    """Both repetition_features engines must be BIT-IDENTICAL on texts
+    mixing ASCII and Unicode whitespace (the r9 Arrow rewrite's
+    documented contract, operators/quality.py). Empty and NULL docs
+    ride along in every example."""
+    from mints_wind_data_ingestion_spark.operators.quality import (
+        repetition_features,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(98, ""), (99, None)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    arrow = sorted(
+        map(tuple, repetition_features(docs, engine="arrow").collect())
+    )
+    expr = sorted(
+        map(tuple, repetition_features(docs, engine="expr").collect())
+    )
+    assert arrow == expr
+
+
+def test_repetition_rows_python_reference_hand_check():
+    """The Arrow kernel's pure-Python scorer, checked by hand on a doc
+    where trim/split/top-gram tiebreak all matter: leading 0x20s are
+    trimmed, a tab separates words, NBSP does NOT."""
+    from mints_wind_data_ingestion_spark.operators.quality import (
+        _repetition_rows,
+    )
+
+    [r] = _repetition_rows([7], ["  x y\tx y x\xa0q  "])
+    # words: x y x y x\xa0q  ("" from the trailing spaces -> trim
+    # strips only 0x20; trailing run collapses to one empty token)
+    assert r["doc_id"] == 7
+    assert r["n_words"] == 6  # x y x y x\xa0q ''
+    assert r["n_distinct"] == 5  # x, y, x\xa0q, '' and dup x,y collapse
