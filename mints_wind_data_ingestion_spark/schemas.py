@@ -27,7 +27,7 @@ def _f(name: str, dtype) -> StructField:
     return StructField(name, dtype, nullable=True)
 
 
-#: GRIB2 metadata header — 62 keys, typed (reference: opaque jsonb,
+#: GRIB2 metadata header — 79 keys, typed (reference: opaque jsonb,
 #: dbwindsetup.sql:7). The four interval-statistics keys are NULL for
 #: point-in-time (template 4.0) records and populated for statistical
 #: (template 4.8) records; the five projection keys are NULL for
@@ -79,6 +79,26 @@ WIND_HEADER = StructType(
         _f("probabilityUpperLimit", DoubleType()),
         # percentile products (4.6/4.10, r8): the percentile 0-100
         _f("percentileValue", IntegerType()),
+        # cluster-derived products (4.3/4.4, r10): identity, domain
+        # (rect corners for 4.3 / centre+radius for 4.4), statistics,
+        # and the member-number list; NULL for non-cluster templates
+        _f("clusterIdentifier", IntegerType()),
+        _f("clusterControlHiRes", IntegerType()),
+        _f("clusterControlLoRes", IntegerType()),
+        _f("totalClusters", IntegerType()),
+        _f("clusteringMethod", IntegerType()),
+        _f("clusteringMethodName", StringType()),
+        _f("clusterNorthLatitude", DoubleType()),
+        _f("clusterSouthLatitude", DoubleType()),
+        _f("clusterEastLongitude", DoubleType()),
+        _f("clusterWestLongitude", DoubleType()),
+        _f("clusterCentralLatitude", DoubleType()),
+        _f("clusterCentralLongitude", DoubleType()),
+        _f("clusterRadius", DoubleType()),
+        _f("clusterSize", IntegerType()),
+        _f("clusterStdDev", DoubleType()),
+        _f("clusterMeanDistance", DoubleType()),
+        _f("clusterMembers", ArrayType(IntegerType())),
         _f("genProcessType", IntegerType()),
         _f("genProcessTypeName", StringType()),
         # parameter selection keys (the --fp/--fs/--fv filter, converter.py:49-53)

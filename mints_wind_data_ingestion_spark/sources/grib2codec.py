@@ -35,6 +35,10 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
   products, point-in-time and over an interval; r8)
 - section 4 templates 4.6/4.10 (percentile forecast — the GEFS
   percentile products, point-in-time and over an interval; r8)
+- section 4 templates 4.3/4.4 (derived forecast based on a cluster
+  of ensemble members, rectangular / circular domain — cluster
+  identity, domain, statistics and member list; the GEFS
+  cluster-analysis products; r10)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -126,6 +130,12 @@ _PDT_NAME = {
         "non-continuous time interval",
     2: "Derived forecasts based on all ensemble members at a horizontal "
        "level or in a horizontal layer at a point in time",
+    3: "Derived forecasts based on a cluster of ensemble members over a "
+       "rectangular area at a horizontal level or in a horizontal layer "
+       "at a point in time",
+    4: "Derived forecasts based on a cluster of ensemble members over a "
+       "circular area at a horizontal level or in a horizontal layer at "
+       "a point in time",
     12: "Derived forecasts based on all ensemble members at a horizontal "
         "level or in a horizontal layer, in a continuous or "
         "non-continuous time interval",
@@ -155,6 +165,12 @@ _DERIVED_TYPE = {
     4: "Spread of all members",
     5: "Large anomaly index of all members",
     6: "Unweighted mean of the cluster members",
+    255: "Missing",
+}
+# WMO code table 4.8 — clustering method (templates 4.3/4.4)
+_CLUSTERING_METHOD = {
+    0: "Anomaly correlation",
+    1: "Root mean square",
     255: "Missing",
 }
 # WMO code table 4.9 — probability type (templates 4.5/4.9)
@@ -1044,7 +1060,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 1, 2, 5, 6, 8, 9, 10, 11, 12):
+    if pdt not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -1083,6 +1099,61 @@ def _decode_message(msg: bytes) -> dict:
             )
         derived_type = msg[o4 + 34]
         ens_size = msg[o4 + 35]
+    # templates 4.3/4.4 (derived forecast based on a CLUSTER of
+    # ensemble members, rectangular / circular domain — the GEFS
+    # cluster-analysis products): octets 10-34 identical to 4.0, then
+    # the table 4.7 derivation code + ensemble size (as 4.2), the
+    # cluster identity block (identifier, hi/lo-res control cluster
+    # numbers, total clusters, table 4.8 method), the domain (corner
+    # lat/lons for 4.3; centre + radius in 10^-3 m for 4.4), the
+    # cluster statistics (scaled std-dev and distance from ensemble
+    # mean), and a trailing NC-entry member-number list
+    cluster_id = cl_hi = cl_lo = cl_total = cl_method = None
+    cl_north = cl_south = cl_east = cl_west = None
+    cl_clat = cl_clon = cl_radius = None
+    cl_size = cl_sd = cl_dist = cl_members = None
+    if pdt in (3, 4):
+        fixed = 68 if pdt == 3 else 64  # octets before the member list
+        if sec[4][1] < fixed:
+            raise ValueError(
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs {fixed})"
+            )
+        derived_type = msg[o4 + 34]
+        ens_size = msg[o4 + 35]
+        cluster_id = msg[o4 + 36]
+        cl_hi = msg[o4 + 37]
+        cl_lo = msg[o4 + 38]
+        cl_total = msg[o4 + 39]
+        cl_method = msg[o4 + 40]
+        if pdt == 3:
+            cl_north = _deg(msg, o4 + 41)
+            cl_south = _deg(msg, o4 + 45)
+            cl_east = _deg(msg, o4 + 49)
+            cl_west = _deg(msg, o4 + 53)
+            base = 57
+        else:
+            cl_clat = _deg(msg, o4 + 41)
+            cl_clon = _deg(msg, o4 + 45)
+            cl_radius = _u(msg, o4 + 49, 4) / 1000.0  # 10^-3 m → m
+            base = 53
+        cl_size = msg[o4 + base]
+        if sec[4][1] < fixed + cl_size:  # member list out of section
+            raise ValueError(
+                f"product template 4.{pdt} truncated (section 4 is "
+                f"{sec[4][1]} octets, needs {fixed + cl_size} for "
+                f"{cl_size} cluster members)"
+            )
+        sf_sd = _s(msg, o4 + base + 1, 1)
+        sf_di = _s(msg, o4 + base + 6, 1)
+        if abs(sf_sd) > 64 or abs(sf_di) > 64:
+            raise ValueError(
+                f"cluster statistics scale factor ({sf_sd}, {sf_di}) "
+                "implausible"
+            )
+        cl_sd = _u(msg, o4 + base + 2, 4) / 10.0**sf_sd
+        cl_dist = _u(msg, o4 + base + 7, 4) / 10.0**sf_di
+        cl_members = [int(m) for m in msg[o4 + fixed : o4 + fixed + cl_size]]
     # templates 4.5/4.9 (probability forecast — the GEFS probability
     # products, e.g. probability of precipitation: member number /
     # total, WMO table 4.9 probability type, and the scaled event
@@ -1283,6 +1354,26 @@ def _decode_message(msg: bytes) -> dict:
         "probabilityLowerLimit": prob_lower,
         "probabilityUpperLimit": prob_upper,
         "percentileValue": percentile,
+        # template 4.3/4.4 cluster identity + domain + statistics
+        # (None for non-cluster templates; the rectangular corner keys
+        # are None for 4.4 and the centre/radius keys None for 4.3)
+        "clusterIdentifier": cluster_id,
+        "clusterControlHiRes": cl_hi,
+        "clusterControlLoRes": cl_lo,
+        "totalClusters": cl_total,
+        "clusteringMethod": cl_method,
+        "clusteringMethodName": _CLUSTERING_METHOD.get(cl_method),
+        "clusterNorthLatitude": cl_north,
+        "clusterSouthLatitude": cl_south,
+        "clusterEastLongitude": cl_east,
+        "clusterWestLongitude": cl_west,
+        "clusterCentralLatitude": cl_clat,
+        "clusterCentralLongitude": cl_clon,
+        "clusterRadius": cl_radius,
+        "clusterSize": cl_size,
+        "clusterStdDev": cl_sd,
+        "clusterMeanDistance": cl_dist,
+        "clusterMembers": cl_members,
         "genProcessType": msg[o4 + 11],
         "genProcessTypeName": _GEN_PROCESS.get(msg[o4 + 11]),
         "parameterCategory": category,
@@ -1349,6 +1440,7 @@ def encode_grib2_message(
     derived: dict | None = None,
     probability: dict | None = None,
     percentile: int | None = None,
+    cluster: dict | None = None,
 ) -> bytes:
     """Encode one field as a GRIB2 message (templates 3.0/4.0, no
     bitmap). `packing` selects section 5: "simple" (5.0),
@@ -1381,7 +1473,14 @@ def encode_grib2_message(
     `ensemble`/`derived`. `percentile` (0-100) switches it to
     template 4.6 (percentile forecast — the GEFS percentile
     products, r8); with `interval_hours` it emits 4.10; mutually
-    exclusive with the other three.
+    exclusive with the other three. `cluster` switches it to
+    template 4.3 (rectangular domain: keys north/south/east/west in
+    degrees) or 4.4 (circular: keys lat/lon/radius, radius in
+    metres) — derived forecast over a CLUSTER of ensemble members
+    (r10): required keys `type` (WMO table 4.7) and `size`; optional
+    identifier/hi_res/lo_res/total/method (table 4.8), std_dev/
+    distance (encoded at scale factor 2) and `members` (the cluster's
+    forecast numbers); the 4.13/4.14 interval union is refused.
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1587,10 +1686,17 @@ def encode_grib2_message(
     # case the member/derivation octets precede the 4.8 interval
     # block, i.e. exactly the append order below
     if sum(x is not None
-           for x in (ensemble, derived, probability, percentile)) > 1:
+           for x in (ensemble, derived, probability, percentile,
+                     cluster)) > 1:
         raise ValueError(
-            "at most one of ensemble/derived/probability/percentile"
+            "at most one of ensemble/derived/probability/percentile/"
+            "cluster"
         )
+    if cluster is not None and interval_hours is not None:
+        # the interval union of 4.3/4.4 is templates 4.13/4.14, which
+        # the decoder quarantines — refuse to emit them
+        raise ValueError("cluster templates with a time interval "
+                         "(4.13/4.14) unsupported")
     if percentile is not None and not 0 <= percentile <= 100:
         raise ValueError(f"percentile {percentile} out of range (0-100)")
     pdt_code = (
@@ -1602,7 +1708,9 @@ def encode_grib2_message(
         else 1 if ensemble is not None
         else 2 if derived is not None
         else 5 if probability is not None
-        else 6 if percentile is not None else 0
+        else 6 if percentile is not None
+        else 4 if cluster is not None and "radius" in cluster
+        else 3 if cluster is not None else 0
     )
     s4 = (
         b"\x04"
@@ -1640,6 +1748,29 @@ def encode_grib2_message(
     if percentile is not None:
         # template 4.6 tail: the percentile (0-100)
         s4 += bytes([percentile])
+    if cluster is not None:
+        # template 4.3/4.4 tail: derivation pair (as 4.2), cluster
+        # identity block, domain (corners → 4.3, centre+radius → 4.4),
+        # scaled statistics (fixed scale factor 2), NC member numbers
+        members = list(cluster.get("members", ()))
+        s4 += bytes([
+            cluster["type"], cluster["size"],
+            cluster.get("identifier", 1),
+            cluster.get("hi_res", 0), cluster.get("lo_res", 0),
+            cluster.get("total", 1), cluster.get("method", 0),
+        ])
+        if "radius" in cluster:  # 4.4: circular domain, radius in m
+            s4 += (_put_deg(cluster["lat"]) + _put_deg(cluster["lon"])
+                   + round(cluster["radius"] * 1000).to_bytes(4, "big"))
+        else:  # 4.3: rectangular corner domain
+            s4 += (_put_deg(cluster["north"]) + _put_deg(cluster["south"])
+                   + _put_deg(cluster["east"]) + _put_deg(cluster["west"]))
+        s4 += bytes([len(members)])
+        s4 += _put_s(2, 1) + round(
+            cluster.get("std_dev", 0.0) * 100).to_bytes(4, "big")
+        s4 += _put_s(2, 1) + round(
+            cluster.get("distance", 0.0) * 100).to_bytes(4, "big")
+        s4 += bytes(members)
     if interval_hours is not None:
         end = ref_time + timedelta(hours=forecast_hours + interval_hours)
         s4 += (

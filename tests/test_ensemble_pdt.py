@@ -459,3 +459,139 @@ def test_percentile_validations_and_quarantines():
     msg2[o + 7 : o + 9] = (10).to_bytes(2, "big")
     with pytest.raises(ValueError, match="4.10 truncated"):
         decode_grib2_bytes(bytes(msg2))
+
+
+# ---------------------------------------------------------------------------
+# templates 4.3/4.4 — derived forecast over a CLUSTER of ensemble
+# members (rectangular / circular domain), r10: the last GEFS product
+# template family (VERDICT r8 #6 / r9 #2 carried item)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_rect_roundtrips_as_43():
+    """Template 4.3: derivation pair, cluster identity block,
+    rectangular corner domain, scaled statistics and the trailing
+    member-number list all decode typed."""
+    vals = _field(6, 4, 5)
+    msg = encode_grib2_message(
+        vals, parameter_number=2, ref_time=RT, nx=6, ny=4,
+        cluster=dict(type=6, size=30, identifier=2, hi_res=1, lo_res=3,
+                     total=4, method=0, north=55.0, south=30.25,
+                     east=40.0, west=-10.5, std_dev=1.5, distance=2.25,
+                     members=[1, 4, 7, 19]),
+    )
+    rec = decode_grib2_bytes(msg)[0]
+    h = rec["header"]
+    assert h["productDefinitionTemplate"] == 3
+    assert "cluster" in h["productDefinitionTemplateName"].lower()
+    assert "rectangular" in h["productDefinitionTemplateName"].lower()
+    assert h["derivedForecastType"] == 6
+    assert h["derivedForecastTypeName"] == (
+        "Unweighted mean of the cluster members")
+    assert h["ensembleSize"] == 30
+    assert h["clusterIdentifier"] == 2
+    assert h["clusterControlHiRes"] == 1
+    assert h["clusterControlLoRes"] == 3
+    assert h["totalClusters"] == 4
+    assert h["clusteringMethod"] == 0
+    assert h["clusteringMethodName"] == "Anomaly correlation"
+    assert h["clusterNorthLatitude"] == 55.0
+    assert h["clusterSouthLatitude"] == 30.25
+    assert h["clusterEastLongitude"] == 40.0
+    assert h["clusterWestLongitude"] == -10.5
+    assert h["clusterCentralLatitude"] is None
+    assert h["clusterRadius"] is None
+    assert h["clusterSize"] == 4
+    assert h["clusterStdDev"] == 1.5
+    assert h["clusterMeanDistance"] == 2.25
+    assert h["clusterMembers"] == [1, 4, 7, 19]
+    # the 4.1/4.2 member-identity keys stay NULL on a cluster product
+    assert h["ensembleType"] is None and h["perturbationNumber"] is None
+    assert np.allclose(rec["data"], vals)
+
+
+def test_cluster_circle_roundtrips_as_44():
+    """Template 4.4: centre + radius (10^-3 m units) instead of the
+    corner block; rectangular keys stay NULL."""
+    vals = _field(6, 4, 6)
+    msg = encode_grib2_message(
+        vals, parameter_number=3, ref_time=RT, nx=6, ny=4,
+        cluster=dict(type=0, size=21, method=1, lat=42.5, lon=273.0,
+                     radius=750_000.0, std_dev=0.75, distance=1.25,
+                     members=[0, 2]),
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 4
+    assert "circular" in h["productDefinitionTemplateName"].lower()
+    assert h["clusteringMethod"] == 1
+    assert h["clusteringMethodName"] == "Root mean square"
+    assert h["clusterCentralLatitude"] == 42.5
+    assert h["clusterCentralLongitude"] == 273.0
+    assert h["clusterRadius"] == 750_000.0
+    assert h["clusterNorthLatitude"] is None
+    assert h["clusterWestLongitude"] is None
+    assert h["clusterSize"] == 2
+    assert h["clusterStdDev"] == 0.75
+    assert h["clusterMeanDistance"] == 1.25
+    assert h["clusterMembers"] == [0, 2]
+
+
+def _section4_offset(msg: bytearray) -> int:
+    o = 16
+    while msg[o + 4] != 4:
+        o += int.from_bytes(msg[o : o + 4], "big")
+    return o
+
+
+def test_truncated_cluster_templates_quarantine():
+    """A short section relabeled 4.3/4.4 must raise the typed
+    truncation error (and quarantine through scan), never read the
+    cluster block out of the next section — the contract pin VERDICT
+    r8 #6 / r9 #2 asked for, patterned on the rotated-Mercator pin."""
+    for relabel, needs in ((3, "68"), (4, "64")):
+        msg = bytearray(encode_grib2_message(
+            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        ))
+        o = _section4_offset(msg)
+        msg[o + 7 : o + 9] = relabel.to_bytes(2, "big")
+        with pytest.raises(ValueError, match=f"4.{relabel} truncated"):
+            decode_grib2_bytes(bytes(msg))
+        out = scan_grib2_bytes(bytes(msg))
+        assert out[0]["record"] is None
+        assert f"4.{relabel} truncated" in out[0]["error"]
+        assert needs in out[0]["error"]
+
+
+def test_cluster_member_list_truncation_quarantines():
+    """An NC octet claiming more members than section 4 holds is a
+    typed truncation, not an out-of-section read."""
+    msg = bytearray(encode_grib2_message(
+        _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        cluster=dict(type=0, size=21, north=55.0, south=30.0,
+                     east=40.0, west=-10.0, members=[1, 2, 3]),
+    ))
+    o = _section4_offset(msg)
+    msg[o + 57] = 200  # NC: 3 → 200 (octet 58)
+    with pytest.raises(ValueError, match="200 cluster members"):
+        decode_grib2_bytes(bytes(msg))
+    out = scan_grib2_bytes(bytes(msg))
+    assert out[0]["record"] is None
+    assert "200 cluster members" in out[0]["error"]
+
+
+def test_cluster_interval_union_refused():
+    """4.13/4.14 (cluster statistics over an interval) are outside the
+    codec: the encoder refuses to emit them fail-loud."""
+    with pytest.raises(ValueError, match="4.13/4.14"):
+        encode_grib2_message(
+            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+            cluster=dict(type=0, size=21, north=55.0, south=30.0,
+                         east=40.0, west=-10.0),
+            interval_hours=6,
+        )
+    with pytest.raises(ValueError, match="at most one"):
+        encode_grib2_message(
+            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+            cluster=dict(type=0, size=21, lat=0.0, lon=0.0, radius=1.0),
+            ensemble=dict(type=0, number=0, size=3),
+        )

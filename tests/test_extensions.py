@@ -416,8 +416,16 @@ def test_repetition_rows_python_reference_hand_check():
     )
 
     [r] = _repetition_rows([7], ["  x y\tx y x\xa0q  "])
-    # words: x y x y x\xa0q  ("" from the trailing spaces -> trim
-    # strips only 0x20; trailing run collapses to one empty token)
+    # strip(" ") == Spark trim: strips 0x20 from BOTH ends, so the
+    # trailing spaces vanish entirely -> words are x y x y x\xa0q
+    # (NBSP is not ASCII \s, so "x\xa0q" stays one token)
     assert r["doc_id"] == 7
+    assert r["n_words"] == 5  # x y x y x\xa0q
+    assert r["n_distinct"] == 3  # {x, y, x\xa0q}
+
+    # A trailing TAB survives trim (trim strips 0x20 only), and
+    # re.split — like Spark split's default limit=-1 — KEEPS the
+    # trailing empty token it produces.
+    [r] = _repetition_rows([8], ["  x y\tx y x\xa0q\t"])
     assert r["n_words"] == 6  # x y x y x\xa0q ''
-    assert r["n_distinct"] == 5  # x, y, x\xa0q, '' and dup x,y collapse
+    assert r["n_distinct"] == 4  # {x, y, x\xa0q, ''}
