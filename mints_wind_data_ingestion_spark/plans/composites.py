@@ -1642,9 +1642,15 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A "promotion" gives a folded component its own driver correctness row
 # (its exact values carry their own hash signal instead of riding only
 # the composite's superset hash). The promotion is correctness
-# bookkeeping, not new engine work: the composite on the right builds
-# the identical plan (often literally via REGISTRY[slot].build) inside
-# its own timed run. bench.py therefore excludes these slots from the
+# bookkeeping, not new engine work: the composite on the right executes
+# the same work with bit-identical outputs inside its own timed run —
+# usually literally via REGISTRY[slot].build, but NOT always the same
+# physical plan (x_grouped_models covers x_ewma through a fused
+# single-pass kernel, ewma_trend_group); what tests pin is registry
+# membership + output equality, so a composite refactor that stops
+# producing a slot's outputs must also remove the slot from this map
+# or bench.py silently drops that work from the timed surface.
+# bench.py excludes these slots from the
 # timed sweep and the headline total — timing both would double-count
 # the same cluster work (VERDICT r8 #3 measured it at ~5-8 s of a
 # 46.7 s recorded total). Correctness is untouched: the driver still

@@ -1858,23 +1858,21 @@ def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread — interleaved same-window A/B (6 reps/arm): spread ON
     0.82 s min / 0.88 med vs OFF 2.21 min / 2.39 med (~2.7×).
 
-    by=("doc_id",) (r9, VERDICT r8 #5): every downstream group key set
-    contains doc_id, so a KEYED spread lets Catalyst elide BOTH
-    gram-grain exchanges (3 → 1 in the executed plan) — the one
-    compact doc-row shuffle replaces two shuffles of the ~9×-words
-    exploded gram strings, the stage the r7 sf1 profile measured at
-    8.7 s of the 9.8 s total. Interleaved same-window A/B (5 reps/arm,
-    mins): sf0.1 keyed 0.94 s vs round-robin 1.35 s; derived sf1 8.19
-    vs 9.82 s — and at cluster scale the elided exchanges are network
-    shuffles of the exploded grams, not local-mode memory copies, so
-    the structural win grows with the cluster."""
+    Round-robin spread (r10, reverting r9's by=("doc_id",) per ADVICE):
+    the keyed spread's rationale — eliding the expr engine's gram-grain
+    exchanges — died when repetition_features defaulted to the ARROW
+    engine (one mapInPandas pass, no downstream groupBy: there is
+    nothing to elide), while the keyed path skips _spread's
+    enough-native-splits early-out and would force a pointless exchange
+    on well-split scans at cluster scale. Interleaved same-window A/B
+    under the arrow engine (5 reps/arm, sf0.1): keyed 0.631 s min /
+    0.653 med vs round-robin 0.619 min / 0.676 med — identical, as
+    both arms shuffle the same compact doc rows here; the early-out
+    is the structural difference."""
     from ..operators.quality import repetition_features
 
     return repetition_features(
-        _spread(
-            tables(spark, sf_dir)["documents"], work_factor=64,
-            by=("doc_id",),
-        )
+        _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     )
 
 

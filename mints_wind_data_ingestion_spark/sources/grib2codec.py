@@ -35,10 +35,12 @@ Implemented from the public WMO GRIB2 specification (FM 92, sections
   products, point-in-time and over an interval; r8)
 - section 4 templates 4.6/4.10 (percentile forecast — the GEFS
   percentile products, point-in-time and over an interval; r8)
-- section 4 templates 4.3/4.4 (derived forecast based on a cluster
-  of ensemble members, rectangular / circular domain — cluster
-  identity, domain, statistics and member list; the GEFS
-  cluster-analysis products; r10)
+- section 4 templates 4.3/4.4/4.13/4.14 (derived forecast based on
+  a cluster of ensemble members, rectangular / circular domain —
+  cluster identity, domain, statistics and member list, point-in-time
+  and over a time interval (the interval block sits PAST the
+  variable-length member list); the GEFS cluster-analysis products;
+  r10 — closes the GEFS product-template family)
 - section 4 template 4.8  (average/accumulation/extreme over a time
   interval — APCP/max-min-temp class records in the same NOAA pgrb2
   files the wind extracts ride in; r6)
@@ -136,6 +138,12 @@ _PDT_NAME = {
     4: "Derived forecasts based on a cluster of ensemble members over a "
        "circular area at a horizontal level or in a horizontal layer at "
        "a point in time",
+    13: "Derived forecasts based on a cluster of ensemble members over a "
+        "rectangular area at a horizontal level or in a horizontal "
+        "layer, in a continuous or non-continuous time interval",
+    14: "Derived forecasts based on a cluster of ensemble members over a "
+        "circular area at a horizontal level or in a horizontal layer, "
+        "in a continuous or non-continuous time interval",
     12: "Derived forecasts based on all ensemble members at a horizontal "
         "level or in a horizontal layer, in a continuous or "
         "non-continuous time interval",
@@ -1060,7 +1068,7 @@ def _decode_message(msg: bytes) -> dict:
 
     o4 = sec[4]
     pdt = _u(msg, o4[0] + 7, 2)
-    if pdt not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12):
+    if pdt not in (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14):
         raise ValueError(f"product definition template 4.{pdt} unsupported")
     o4 = o4[0]
     category, number = msg[o4 + 9], msg[o4 + 10]
@@ -1112,8 +1120,10 @@ def _decode_message(msg: bytes) -> dict:
     cl_north = cl_south = cl_east = cl_west = None
     cl_clat = cl_clon = cl_radius = None
     cl_size = cl_sd = cl_dist = cl_members = None
-    if pdt in (3, 4):
-        fixed = 68 if pdt == 3 else 64  # octets before the member list
+    if pdt in (3, 4, 13, 14):
+        # 4.13/4.14 are the interval unions: identical through the
+        # member list, then the 4.8 interval block displaced past it
+        fixed = 68 if pdt in (3, 13) else 64  # octets before members
         if sec[4][1] < fixed:
             raise ValueError(
                 f"product template 4.{pdt} truncated (section 4 is "
@@ -1126,7 +1136,7 @@ def _decode_message(msg: bytes) -> dict:
         cl_lo = msg[o4 + 38]
         cl_total = msg[o4 + 39]
         cl_method = msg[o4 + 40]
-        if pdt == 3:
+        if pdt in (3, 13):
             cl_north = _deg(msg, o4 + 41)
             cl_south = _deg(msg, o4 + 45)
             cl_east = _deg(msg, o4 + 49)
@@ -1198,11 +1208,17 @@ def _decode_message(msg: bytes) -> dict:
             )
 
     stat_proc = stat_name = interval_len = interval_end = None
-    if pdt in (8, 9, 10, 11, 12):
+    if pdt in (8, 9, 10, 11, 12, 13, 14):
         # 4.9/4.10/4.11/4.12's interval block is 4.8's, displaced by
         # the 13-octet probability block / 1-octet percentile /
-        # 3-octet ensemble triple / 2-octet derivation pair
-        d = {9: 13, 10: 1, 11: 3, 12: 2}.get(pdt, 0)
+        # 3-octet ensemble triple / 2-octet derivation pair; for
+        # 4.13/4.14 the displacement is the whole cluster block plus
+        # the NC-entry member list (template-length arithmetic:
+        # 68+NC / 64+NC octets precede the interval block)
+        if pdt in (13, 14):
+            d = (34 if pdt == 13 else 30) + cl_size
+        else:
+            d = {9: 13, 10: 1, 11: 3, 12: 2}.get(pdt, 0)
         if sec[4][1] < 58 + d:  # a short section relabeled 4.8/4.11
             # would otherwise read interval octets out of the next one
             raise ValueError(
@@ -1480,7 +1496,8 @@ def encode_grib2_message(
     (r10): required keys `type` (WMO table 4.7) and `size`; optional
     identifier/hi_res/lo_res/total/method (table 4.8), std_dev/
     distance (encoded at scale factor 2) and `members` (the cluster's
-    forecast numbers); the 4.13/4.14 interval union is refused.
+    forecast numbers); with `interval_hours` it emits 4.13/4.14 (the
+    interval block lands after the variable-length member list).
     `lambert` switches section 3 to template 3.30 (Lambert conformal,
     the HRRR/NAM projection): a dict with keys laD, loV, latin1,
     latin2 (degrees) and dx, dy (metres). `polar` switches it to
@@ -1692,16 +1709,14 @@ def encode_grib2_message(
             "at most one of ensemble/derived/probability/percentile/"
             "cluster"
         )
-    if cluster is not None and interval_hours is not None:
-        # the interval union of 4.3/4.4 is templates 4.13/4.14, which
-        # the decoder quarantines — refuse to emit them
-        raise ValueError("cluster templates with a time interval "
-                         "(4.13/4.14) unsupported")
     if percentile is not None and not 0 <= percentile <= 100:
         raise ValueError(f"percentile {percentile} out of range (0-100)")
+    _cluster_circ = cluster is not None and "radius" in cluster
     pdt_code = (
         11 if ensemble is not None and interval_hours is not None
         else 12 if derived is not None and interval_hours is not None
+        else (14 if _cluster_circ else 13)
+        if cluster is not None and interval_hours is not None
         else 9 if probability is not None and interval_hours is not None
         else 10 if percentile is not None and interval_hours is not None
         else 8 if interval_hours is not None
@@ -1709,7 +1724,7 @@ def encode_grib2_message(
         else 2 if derived is not None
         else 5 if probability is not None
         else 6 if percentile is not None
-        else 4 if cluster is not None and "radius" in cluster
+        else 4 if _cluster_circ
         else 3 if cluster is not None else 0
     )
     s4 = (

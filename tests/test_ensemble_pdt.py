@@ -579,16 +579,73 @@ def test_cluster_member_list_truncation_quarantines():
     assert "200 cluster members" in out[0]["error"]
 
 
-def test_cluster_interval_union_refused():
-    """4.13/4.14 (cluster statistics over an interval) are outside the
-    codec: the encoder refuses to emit them fail-loud."""
-    with pytest.raises(ValueError, match="4.13/4.14"):
-        encode_grib2_message(
-            _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
-            cluster=dict(type=0, size=21, north=55.0, south=30.0,
-                         east=40.0, west=-10.0),
-            interval_hours=6,
-        )
+def test_cluster_with_interval_roundtrips_as_413_414():
+    """cluster + interval = templates 4.13/4.14: the 4.8 interval
+    block sits PAST the variable-length member list, so the decoder's
+    displacement must be NC-dependent — pinned with a 5-member
+    rectangular cluster (4.13) and a 3-member circular one (4.14)."""
+    msg = encode_grib2_message(
+        _field(6, 4, 7), parameter_number=8, parameter_category=1,
+        ref_time=RT, nx=6, ny=4, forecast_hours=0, interval_hours=6,
+        statistical_process=1,
+        cluster=dict(type=6, size=30, identifier=2, north=55.0,
+                     south=30.0, east=40.0, west=-10.0, std_dev=1.5,
+                     distance=2.25, members=[1, 4, 7, 19, 23]),
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 13
+    assert h["clusterMembers"] == [1, 4, 7, 19, 23]
+    assert h["clusterNorthLatitude"] == 55.0
+    assert h["statisticalProcessName"] == "Accumulation"
+    assert h["intervalHours"] == 6
+    assert h["intervalEnd"] == "2020-08-12T12:00:00.000Z"
+
+    msg = encode_grib2_message(
+        _field(6, 4, 8), parameter_number=8, parameter_category=1,
+        ref_time=RT, nx=6, ny=4, forecast_hours=6, interval_hours=12,
+        statistical_process=0,
+        cluster=dict(type=0, size=21, lat=42.5, lon=273.0,
+                     radius=500_000.0, members=[0, 2, 9]),
+    )
+    h = decode_grib2_bytes(msg)[0]["header"]
+    assert h["productDefinitionTemplate"] == 14
+    assert h["clusterMembers"] == [0, 2, 9]
+    assert h["clusterRadius"] == 500_000.0
+    assert h["statisticalProcessName"] == "Average"
+    assert h["intervalHours"] == 12
+    assert h["intervalEnd"] == "2020-08-13T00:00:00.000Z"
+
+    # an empty member list still leaves the interval block findable
+    h = decode_grib2_bytes(encode_grib2_message(
+        _field(6, 4), parameter_number=8, parameter_category=1,
+        ref_time=RT, nx=6, ny=4, forecast_hours=0, interval_hours=6,
+        cluster=dict(type=0, size=21, north=1.0, south=0.0, east=1.0,
+                     west=0.0),
+    ))[0]["header"]
+    assert h["productDefinitionTemplate"] == 13
+    assert h["clusterMembers"] == [] and h["intervalHours"] == 6
+
+
+def test_truncated_cluster_interval_quarantines():
+    """A 4.13 whose section ends exactly at the member list (no
+    interval block) must raise the typed truncation error with the
+    NC-dependent required length, not read the next section."""
+    # encode a valid point-in-time 4.3 with 5 members, relabel as 4.13:
+    # section 4 is 68+5 = 73 octets, but 4.13 needs 92+5 = 97
+    msg = bytearray(encode_grib2_message(
+        _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
+        cluster=dict(type=0, size=21, north=55.0, south=30.0,
+                     east=40.0, west=-10.0, members=[1, 2, 3, 4, 5]),
+    ))
+    o = _section4_offset(msg)
+    msg[o + 7 : o + 9] = (13).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="4.13 truncated"):
+        decode_grib2_bytes(bytes(msg))
+    out = scan_grib2_bytes(bytes(msg))
+    assert out[0]["record"] is None and "needs 97" in out[0]["error"]
+
+
+def test_cluster_mutually_exclusive_with_ensemble():
     with pytest.raises(ValueError, match="at most one"):
         encode_grib2_message(
             _field(6, 4), parameter_number=2, ref_time=RT, nx=6, ny=4,
