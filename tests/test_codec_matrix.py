@@ -29,12 +29,14 @@ PACKINGS = ["simple", "complex", "complex_diff", "complex_diff1",
 PRODUCTS = ["point", "ensemble", "interval", "ensemble_interval",
             "derived", "derived_interval", "probability",
             "probability_interval", "percentile",
-            "percentile_interval"]
+            "percentile_interval", "cluster_rect", "cluster_circle",
+            "cluster_rect_interval", "cluster_circle_interval"]
 GRIDS = ["latlon", "gaussian", "reduced"]
 _PDT = {"point": 0, "ensemble": 1, "interval": 8, "ensemble_interval": 11,
         "derived": 2, "derived_interval": 12, "probability": 5,
         "probability_interval": 9, "percentile": 6,
-        "percentile_interval": 10}
+        "percentile_interval": 10, "cluster_rect": 3, "cluster_circle": 4,
+        "cluster_rect_interval": 13, "cluster_circle_interval": 14}
 
 
 @settings(max_examples=120, deadline=None)
@@ -86,6 +88,33 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
         )
     elif product in ("percentile", "percentile_interval"):
         kw["percentile"] = data.draw(st.integers(0, 100))
+    elif product.startswith("cluster"):
+        # centidegree/centivalue draws are exactly representable
+        # through the e6/e2 sign-magnitude encodings (same rational →
+        # same correctly-rounded double on both sides)
+        cents = st.integers(-50_00, 50_00).map(lambda c: c / 100.0)
+        kw["cluster"] = dict(
+            type=data.draw(st.sampled_from([0, 1, 2, 3, 4, 5, 6])),
+            size=data.draw(st.integers(1, 250)),
+            identifier=data.draw(st.integers(0, 250)),
+            method=data.draw(st.sampled_from([0, 1])),
+            members=data.draw(
+                st.lists(st.integers(0, 250), max_size=12)),
+            std_dev=data.draw(
+                st.integers(0, 40_00).map(lambda c: c / 100.0)),
+            distance=data.draw(
+                st.integers(0, 40_00).map(lambda c: c / 100.0)),
+        )
+        if "circle" in product:
+            kw["cluster"].update(
+                lat=data.draw(cents), lon=data.draw(cents),
+                radius=float(data.draw(st.integers(1, 2_000_000))),
+            )
+        else:
+            kw["cluster"].update(
+                north=data.draw(cents), south=data.draw(cents),
+                east=data.draw(cents), west=data.draw(cents),
+            )
     elif product in ("probability", "probability_interval"):
         kw["probability"] = dict(
             number=data.draw(st.integers(0, 250)),
@@ -141,8 +170,30 @@ def test_template_matrix_roundtrip(nx, n_gauss, packing, product,
     if "derived" in product:
         assert h["derivedForecastType"] == kw["derived"]["type"]
         assert h["ensembleSize"] == kw["derived"]["size"]
+    elif "cluster" in product:
+        c = kw["cluster"]
+        assert h["derivedForecastType"] == c["type"]
+        assert h["ensembleSize"] == c["size"]
+        assert h["clusterIdentifier"] == c["identifier"]
+        assert h["clusteringMethod"] == c["method"]
+        assert h["clusterSize"] == len(c["members"])
+        assert h["clusterMembers"] == c["members"]
+        assert h["clusterStdDev"] == c["std_dev"]
+        assert h["clusterMeanDistance"] == c["distance"]
+        if "circle" in product:
+            assert h["clusterCentralLatitude"] == c["lat"]
+            assert h["clusterCentralLongitude"] == c["lon"]
+            assert h["clusterRadius"] == c["radius"]
+            assert h["clusterNorthLatitude"] is None
+        else:
+            assert h["clusterNorthLatitude"] == c["north"]
+            assert h["clusterSouthLatitude"] == c["south"]
+            assert h["clusterEastLongitude"] == c["east"]
+            assert h["clusterWestLongitude"] == c["west"]
+            assert h["clusterRadius"] is None
     else:
         assert h["derivedForecastType"] is None
+        assert h["clusterIdentifier"] is None
     if "percentile" in product:
         assert h["percentileValue"] == kw["percentile"]
     else:
