@@ -56,6 +56,10 @@ __all__ = [
     "stupid_backoff_perplexity",
     "dsir_logweights",
     "dsir_bucket_logweights",
+    "train_dsir_bucket_model",
+    "score_dsir_buckets",
+    "persist_dsir_bucket_model",
+    "load_dsir_bucket_model",
 ]
 
 
@@ -590,23 +594,66 @@ def dsir_bucket_logweights(
     driver plan passes the md5-prefix bigint so DuckDB derives
     identical buckets (the x_dedup_simhash portability convention).
     """
+    delta, meta = train_dsir_bucket_model(
+        target_docs, raw_docs, id_col=id_col, text_col=text_col,
+        hash_buckets=hash_buckets, add_k=add_k, hash_fn=hash_fn,
+    )
+    return score_dsir_buckets(
+        docs, delta, meta, id_col=id_col, text_col=text_col,
+        hash_buckets=hash_buckets, hash_fn=hash_fn,
+    )
+
+
+def _bucket_col(col, hash_buckets: int, hash_fn):
+    hf = hash_fn if hash_fn is not None else F.xxhash64
+    return F.pmod(hf(col), F.lit(int(hash_buckets))).alias("b")
+
+
+def train_dsir_bucket_model(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int = 10_000,
+    add_k: float = 0.1,
+    hash_fn=None,
+) -> tuple[DataFrame, DataFrame]:
+    """(delta, meta) — the WHOLE trained DSIR bucket model: `delta` is
+    the ≤`hash_buckets`-row (b, d_e6) per-bucket table (d_e6 =
+    round(-ln p_raw · 1e6) − round(-ln p_target · 1e6), quantized per
+    bucket); `meta` is one row (hash_buckets, tt, tr, d0_e6) carrying
+    the corpus masses and the unseen-bucket fallback delta. Both are
+    plain DataFrames — persistable via `persist_dsir_bucket_model`,
+    broadcast at score time. The hash family is NOT stored: callers
+    must score with the same `hash_fn` they trained with."""
     add_k = float(add_k)
     b_lit = F.lit(int(hash_buckets))
-    hf = hash_fn if hash_fn is not None else F.xxhash64
 
-    def bucket(col):
-        return F.pmod(hf(col), b_lit).alias("b")
-
-    def _bucket_counts(corpus: DataFrame, out: str) -> DataFrame:
-        return (
-            _tagged_grams(_nn(corpus, id_col, text_col), text_col)
-            .select(bucket(F.col("gram")))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias(out))
+    def _grams(corpus: DataFrame, flag: int) -> DataFrame:
+        return _tagged_grams(
+            _nn(corpus, id_col, text_col), text_col
+        ).select(
+            _bucket_col(F.col("gram"), hash_buckets, hash_fn),
+            F.lit(flag).alias("__tgt"),
         )
 
-    ct = _bucket_counts(target_docs, "ct")
-    cr = _bucket_counts(raw_docs, "cr")
+    # ONE tagged pass per corpus into ONE bucket groupBy (conditional
+    # sums replace two groupBys + a full-outer join), and the ≤B-row
+    # result is CACHED: meta's totals and delta's per-bucket deltas
+    # both read it, so each corpus is tokenized exactly once per train
+    # — the bigram-trainer precedent (train_bigram_counts), including
+    # its prepared-plan-cache self-exclusion. The r10 first-cut built
+    # meta/delta as four independent lineages and paid ~4 tokenization
+    # passes (bench: 2.34 s at sf0.1, the most expensive LM entry).
+    counts = (
+        _grams(target_docs, 1).unionByName(_grams(raw_docs, 0))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__tgt") == 1, 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("__tgt") == 0, 1).otherwise(0)).alias("cr"),
+        )
+        .cache()
+    )
 
     def _nll(c_col, tot_col):
         return F.round(
@@ -616,35 +663,53 @@ def dsir_bucket_logweights(
             ) * F.lit(1_000_000.0)
         ).cast("bigint")
 
-    # 1-row totals: gram-occurrence mass of each corpus plus the
-    # unseen-bucket fallback delta (smoothing only) — broadcast
-    totals = F.broadcast(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
-        .crossJoin(
-            cr.agg(
-                F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr")
-            )
+    # 1-row meta: gram-occurrence mass of each corpus plus the
+    # unseen-bucket fallback delta (smoothing only). Buckets absent
+    # from one side carry an exact 0 there, so the sums equal the
+    # per-side totals of the old two-table formulation bit-for-bit.
+    meta = (
+        counts.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"),
+            F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr"),
         )
         .select(
+            F.lit(int(hash_buckets)).alias("hash_buckets"),
             "tt", "tr",
             (_nll(F.lit(None), F.col("tr"))
              - _nll(F.lit(None), F.col("tt"))).alias("d0_e6"),
         )
     )
-    delta = F.broadcast(
-        ct.join(cr, "b", "full_outer")
-        .crossJoin(totals.select("tt", "tr"))
+    delta = (
+        counts
+        .crossJoin(F.broadcast(meta.select("tt", "tr")))
         .select(
             "b",
             (_nll(F.col("cr"), F.col("tr"))
              - _nll(F.col("ct"), F.col("tt"))).alias("d_e6"),
         )
     )
+    return delta, meta
+
+
+def score_dsir_buckets(
+    docs: DataFrame,
+    delta: DataFrame,
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int = 10_000,
+    hash_fn=None,
+) -> DataFrame:
+    """(doc_id, n_grams, logw_e6) for `docs` against a trained (or
+    loaded) bucket model — one Arrow gram pass + one BROADCAST join +
+    one groupBy(doc_id) shuffle; empty/NULL docs score (0, 0).
+    `hash_buckets` and `hash_fn` must match training (the persisted
+    meta row carries hash_buckets for callers that loaded the model)."""
     scored = (
         _doc_grams(docs, id_col, text_col)
-        .select("doc_id", bucket(F.col("gram")))
-        .join(delta, "b", "left")
-        .crossJoin(totals.select("d0_e6"))
+        .select("doc_id", _bucket_col(F.col("gram"), hash_buckets, hash_fn))
+        .join(F.broadcast(delta), "b", "left")
+        .crossJoin(F.broadcast(meta.select("d0_e6")))
         .select(
             "doc_id", F.coalesce("d_e6", "d0_e6").alias("lw_e6")
         )
@@ -658,4 +723,37 @@ def dsir_bucket_logweights(
         "doc_id",
         F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
         F.coalesce("logw_e6", F.lit(0)).alias("logw_e6"),
+    )
+
+
+def persist_dsir_bucket_model(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int = 10_000,
+    add_k: float = 0.1,
+    hash_fn=None,
+) -> None:
+    """Train and materialize the DSIR bucket model as parquet under
+    `path` ({delta, meta} subdirs) — at 100 TB both corpora are
+    tokenized ONCE and every scoring batch (including the streaming
+    gate, `streaming.pipeline.run_dsir_gate_ingest`) broadcasts the
+    stored ≤B-row table instead of retraining. The hash family is not
+    stored — score with the `hash_fn` used here."""
+    delta, meta = train_dsir_bucket_model(
+        target_docs, raw_docs, id_col=id_col, text_col=text_col,
+        hash_buckets=hash_buckets, add_k=add_k, hash_fn=hash_fn,
+    )
+    delta.write.mode("overwrite").parquet(f"{path}/delta")
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_dsir_bucket_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(delta, meta) back from `persist_dsir_bucket_model`'s layout —
+    ready for `score_dsir_buckets` (read hash_buckets from meta)."""
+    return (
+        spark.read.parquet(f"{path}/delta"),
+        spark.read.parquet(f"{path}/meta"),
     )

@@ -38,6 +38,7 @@ __all__ = [
     "run_decontam_ingest",
     "run_quality_gate_ingest",
     "run_lm_gate_ingest",
+    "run_dsir_gate_ingest",
     "run_excise_ingest",
     "build_gram_index",
 ]
@@ -757,6 +758,85 @@ def run_lm_gate_ingest(
                 scores.filter(~F.col("lm_pass")).write.mode(
                     "overwrite"
                 ).parquet(f"{quarantine_path}/epoch={epoch_id}")
+        finally:
+            scores.unpersist()
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_dsir_gate_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quarantine_path: str | None = None,
+    min_logw_e6: int = 0,
+    hash_fn=None,
+) -> StreamingQuery:
+    """Streaming DSIR selection gate (r10): the batch `x_dsir_buckets`
+    importance weighting enforced at ingest time — documents landing
+    as files are scored per epoch against the PERSISTED hashed-bucket
+    model (`operators.lm.persist_dsir_bucket_model` at `model_path`),
+    and only documents whose importance log-weight clears
+    `min_logw_e6` (i.e. look at least `exp(min_logw_e6/1e6)`× more
+    target-like than raw-like) reach the corpus. Rejects land in
+    `quarantine_path` WITH their scores (n_grams, logw_e6), so
+    curation review sees how far below the bar each document fell.
+    `hash_fn` must match the one the model was trained with
+    (default xxhash64).
+
+    Scale shape per epoch: the whole model is a ≤B-row parquet read
+    done ONCE at stream start plus its 1-row meta (the only driver
+    pull, bounded); scoring is the batch's Arrow gram pass + one
+    BROADCAST join + one groupBy — no shuffle against anything
+    corpus-sized, the lightest of the ingest gates. Same
+    exactly-once/replay contract as the others (epoch-keyed
+    overwrite)."""
+    from ..operators.lm import load_dsir_bucket_model, score_dsir_buckets
+
+    delta, meta = load_dsir_bucket_model(spark, model_path)
+    # bounded 1-row pull at stream start (the load_bigram_model class):
+    # the bucket modulus must be a plan literal
+    hash_buckets = int(meta.first()["hash_buckets"])
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        # persist: the scoring plan feeds BOTH the corpus join and the
+        # quarantine write
+        scores = score_dsir_buckets(
+            batch, delta, meta, id_col=id_col, text_col=text_col,
+            hash_buckets=hash_buckets, hash_fn=hash_fn,
+        ).persist()
+        try:
+            passed = scores.filter(
+                F.col("logw_e6") >= F.lit(int(min_logw_e6))
+            )
+            kept = batch.join(
+                passed.select(F.col("doc_id").alias(id_col)), id_col
+            )
+            kept.write.mode("overwrite").parquet(
+                f"{corpus_path}/epoch={epoch_id}"
+            )
+            if quarantine_path is not None:
+                scores.filter(
+                    F.col("logw_e6") < F.lit(int(min_logw_e6))
+                ).write.mode("overwrite").parquet(
+                    f"{quarantine_path}/epoch={epoch_id}"
+                )
         finally:
             scores.unpersist()
 

@@ -74,6 +74,23 @@ def _corpus():
                              probability=dict(number=1, total=31,
                                               type=2, lower=0.25,
                                               upper=25.0)),
+        # r10 additions: cluster templates — the variable-length
+        # member list (4.3) and the NC-displaced interval block (4.13)
+        # are fresh quarantine surface (a corrupted NC octet shifts
+        # every following field)
+        encode_grib2_message(f(24, 8), parameter_number=2, ref_time=RT,
+                             nx=6, ny=4, packing="complex",
+                             cluster=dict(type=6, size=30, north=55.0,
+                                          south=30.0, east=40.0,
+                                          west=-10.0,
+                                          members=[1, 4, 7, 19])),
+        encode_grib2_message(f(24, 9), parameter_number=8,
+                             parameter_category=1, ref_time=RT,
+                             forecast_hours=0, nx=6, ny=4,
+                             interval_hours=6, packing="simple",
+                             cluster=dict(type=0, size=21, lat=42.5,
+                                          lon=273.0, radius=750_000.0,
+                                          members=[0, 2, 9])),
     ]
 
 

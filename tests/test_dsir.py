@@ -220,3 +220,87 @@ def test_bucket_plan_broadcasts_model(spark):
         docs, tgt, raw, hash_buckets=256
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_bucket_model_persist_load_roundtrip(spark, sf_dir, tmp_path):
+    """persist/load round-trip: scoring against the LOADED model
+    equals scoring against the in-flight one, and meta carries the
+    bucket modulus."""
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        dsir_bucket_logweights,
+        load_dsir_bucket_model,
+        persist_dsir_bucket_model,
+        score_dsir_buckets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    path = str(tmp_path / "dsir")
+    persist_dsir_bucket_model(tgt, raw, path, hash_buckets=512)
+    delta, meta = load_dsir_bucket_model(spark, path)
+    m = meta.collect()
+    assert len(m) == 1 and m[0]["hash_buckets"] == 512
+    assert delta.count() <= 512
+    got = sorted(map(tuple, score_dsir_buckets(
+        docs, delta, meta, hash_buckets=512).collect()))
+    want = sorted(map(tuple, dsir_bucket_logweights(
+        docs, tgt, raw, hash_buckets=512).collect()))
+    assert got == want
+
+
+def test_dsir_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming DSIR gate (r10): kept ∪ quarantined == input, kept ∩
+    quarantined == ∅, and the stream's verdict equals the batch
+    score_dsir_buckets verdict against the same persisted model —
+    with the quarantine carrying the scores."""
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        load_dsir_bucket_model,
+        persist_dsir_bucket_model,
+        score_dsir_buckets,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_dsir_gate_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    raw = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    model = str(tmp_path / "model")
+    persist_dsir_bucket_model(tgt, raw, model, hash_buckets=512)
+
+    incoming = docs.select("doc_id", "text")
+    # gate at the median batch log-weight so both sides are non-empty
+    # regardless of testdata drift
+    delta, meta = load_dsir_bucket_model(spark, model)
+    scored = score_dsir_buckets(incoming, delta, meta, hash_buckets=512)
+    vals = sorted(r["logw_e6"] for r in scored.collect())
+    gate = vals[len(vals) // 2]
+
+    landing = str(tmp_path / "landing")
+    incoming.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append").parquet(landing)
+    incoming.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_dsir_gate_ingest(
+        spark, landing, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        schema, model, min_logw_e6=gate,
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    kept = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "corpus")).select("doc_id").collect()}
+    quar = spark.read.parquet(str(tmp_path / "quarantine"))
+    dropped = {r.doc_id for r in quar.select("doc_id").collect()}
+
+    want_pass = {r["doc_id"] for r in scored.collect()
+                 if r["logw_e6"] >= gate}
+    assert kept == want_pass
+    assert kept | dropped == {r.doc_id for r in incoming.collect()}
+    assert kept.isdisjoint(dropped) and dropped and kept
+    # quarantine carries the evidence
+    assert {"doc_id", "n_grams", "logw_e6"} <= set(quar.columns)
+    assert all(r["logw_e6"] < gate for r in quar.collect())
