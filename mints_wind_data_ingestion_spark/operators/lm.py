@@ -536,7 +536,10 @@ def _doc_grams(
     """(doc_id, gram) rows for every unigram and bigram of every doc —
     the per-document twin of `_tagged_grams` (one Arrow pass, same
     str.split tokenization, so features can never diverge between
-    training and scoring)."""
+    training and scoring). A doc with NO tokens emits one NULL-gram
+    sentinel row, so every input doc reaches the downstream
+    groupBy(doc_id) and scorers never need a join back to the doc
+    table just to resurrect empty documents."""
     import pandas as pd
 
     nn = _nn(docs, id_col, text_col)
@@ -544,9 +547,13 @@ def _doc_grams(
     def batches(it):
         for pdf in it:
             ids: list = []
-            grams: list[str] = []
+            grams: list[str | None] = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 toks = (t or "").split()
+                if not toks:
+                    ids.append(i)
+                    grams.append(None)
+                    continue
                 ids.extend([i] * len(toks))
                 grams.extend(toks)
                 if max_order >= 2 and len(toks) > 1:
@@ -705,24 +712,27 @@ def score_dsir_buckets(
     one groupBy(doc_id) shuffle; empty/NULL docs score (0, 0).
     `hash_buckets` and `hash_fn` must match training (the persisted
     meta row carries hash_buckets for callers that loaded the model)."""
+    # empty docs ride the NULL-gram sentinel (its bucket is NULL, the
+    # left join misses, and the explicit NULL lw keeps it out of both
+    # the count and the sum) — no join back to the doc table, so the
+    # whole scorer is one Arrow pass + a broadcast join + ONE shuffle
     scored = (
         _doc_grams(docs, id_col, text_col)
-        .select("doc_id", _bucket_col(F.col("gram"), hash_buckets, hash_fn))
+        .select(
+            "doc_id", "gram",
+            _bucket_col(F.col("gram"), hash_buckets, hash_fn),
+        )
         .join(F.broadcast(delta), "b", "left")
         .crossJoin(F.broadcast(meta.select("d0_e6")))
         .select(
-            "doc_id", F.coalesce("d_e6", "d0_e6").alias("lw_e6")
+            "doc_id",
+            F.when(F.col("gram").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.coalesce("d_e6", "d0_e6")).alias("lw_e6"),
         )
     )
-    base = docs.select(F.col(id_col).alias("doc_id"))
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count("lw_e6").alias("n_grams"),
         F.coalesce(F.sum("lw_e6"), F.lit(0)).alias("logw_e6"),
-    )
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("logw_e6", F.lit(0)).alias("logw_e6"),
     )
 
 
