@@ -48,6 +48,7 @@ __all__ = [
     "topk_lsh",
     "build_ivf_index",
     "topk_ivf_indexed",
+    "semantic_dedup",
 ]
 
 
@@ -881,3 +882,86 @@ def topk_ivf_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-class SEMANTIC deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every embedding to its nearest k-means
+    cell, score all pairs WITHIN each cell, and mark semantic
+    duplicates — pairs whose cosine clears `threshold` — keeping, per
+    duplicate neighborhood, its LEAST-CENTRAL member (lowest cosine to
+    the cell centroid; the paper's keep-low-centroid-similarity policy,
+    applied as a local rule: a vector is dropped iff some within-cell
+    duplicate partner is strictly less central, ties on the id).
+    Abbas et al.'s sequential greedy keeps a subset of these local
+    minima; at the paper's operating thresholds the duplicate relation
+    is near-transitive and the sets coincide.
+
+    Returns one row per vector: (`id_col`, cell, cent_cos, n_dups,
+    keep) — cent_cos and the pair similarities are rounded to
+    `round_to` decimals (the `cosine_pairs_blockwise` BLAS-vs-fold
+    contract; differential oracles must round identically).
+
+    Distributed shape — the paper's own decomposition: the coarse
+    quantizer (`train_ivf_centroids` / the persisted IVF trainer)
+    bounds ALL pairwise work to within-cell blocks, so the O(N²)
+    never materializes across cells; each cell is one applyInPandas
+    group scored by a single dgemm (centroid scoring + pair matrix +
+    keep rule all inside the kernel — zero joins, one exchange on the
+    cell key). `n_cells` is the scale knob exactly as in the paper:
+    size it so N/n_cells rows fit an executor; cells are balanced by
+    the k-means objective rather than a hash, so pathological skew
+    means the quantizer (not this operator) needs retraining."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    assigned = _assign_cells_pandas(
+        embeddings.select(id_col, vec_col), C, 1, id_col, vec_col
+    )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, cell int, cent_cos double, "
+        "n_dups long, keep boolean"
+    )
+
+    def score_cell(key, pdf):
+        (cell,) = key
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=[id_col, "cell", "cent_cos", "n_dups", "keep"]
+            )
+        ids = pdf[id_col].to_numpy()
+        X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cent = np.round(Xn @ C[cell], round_to)
+        S = np.round(Xn @ Xn.T, round_to)
+        dup = (S >= threshold) & ~np.eye(len(ids), dtype=bool)
+        n_dups = dup.sum(axis=1)
+        # keep iff NO duplicate partner is strictly less central
+        # (ties break on the smaller id): sort-free vectorized form of
+        # the local-minimum rule
+        less = (cent[None, :] < cent[:, None]) | (
+            (cent[None, :] == cent[:, None]) & (ids[None, :] < ids[:, None])
+        )
+        keep = ~(dup & less).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": cell,
+                "cent_cos": cent,
+                "n_dups": n_dups,
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(score_cell, out_schema)

@@ -4379,3 +4379,86 @@ def x_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, target, raw, hash_buckets=_DSIR_B, add_k=0.1,
         hash_fn=_md5_60,
     )
+
+
+def _semdedup_oracle(sf_dir: str, n_cells: int = 16, iters: int = 5,
+                     tau: float = 0.4) -> str:
+    """DuckDB re-derivation of the SemDeDup pipeline with the TRAINED
+    centroids embedded as literals (the _ivf_oracle lazy-oracle move):
+    rank-1 assignment over centroid dots, within-cell pair cosines and
+    the centroid cosine both rounded to 6 decimals (the blockwise
+    BLAS-vs-fold convention _D_EMB_NEARDUP pins), and the
+    keep-least-central rule as a NOT EXISTS over the rounded values."""
+    from ..operators.similarity import ivf_centroids_local
+
+    C = ivf_centroids_local(sf_dir, n_cells=n_cells, iters=iters)
+    rows = []
+    for c in range(n_cells):
+        arr = ", ".join(repr(float(x)) for x in C[c])
+        rows.append(f"({c}, [{arr}]::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+    WITH cent(cell, w) AS (VALUES {values}),
+    asg AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT e.vec_id, c.cell, e.embedding,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_d_dot("e.embedding", "c.w")} DESC,
+                                c.cell ASC) AS rn
+            FROM embeddings e, cent c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id, a.cell, a.embedding,
+               round({_d_dot("a.embedding", "c.w")}
+                     / sqrt({_d_dot("a.embedding", "a.embedding")}),
+                     6) AS cent_cos
+        FROM asg a JOIN cent c ON c.cell = a.cell
+    ),
+    pairs AS (
+        SELECT x.vec_id AS ia, y.vec_id AS ib
+        FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        WHERE round({_d_dot("x.embedding", "y.embedding")}
+                    / (sqrt({_d_dot("x.embedding", "x.embedding")})
+                       * sqrt({_d_dot("y.embedding", "y.embedding")})),
+                    6) >= {tau}
+    )
+    SELECT s.vec_id, s.cell, s.cent_cos,
+           (SELECT count(*) FROM pairs p WHERE p.ia = s.vec_id)
+               AS n_dups,
+           NOT EXISTS (
+               SELECT 1 FROM pairs p JOIN scored u ON u.vec_id = p.ib
+               WHERE p.ia = s.vec_id
+                 AND (u.cent_cos < s.cent_cos
+                      OR (u.cent_cos = s.cent_cos
+                          AND u.vec_id < s.vec_id))
+           ) AS keep
+    FROM scored s
+    """
+
+
+@query("x_semdedup", oracle=_semdedup_oracle,
+       tags=("ext", "dedup", "similarity", "semdedup"))
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-class semantic deduplication (r10 — Abbas et al. 2023):
+    the embedding-space member of the dedup family the shingle/simhash
+    operators can't see (paraphrases and re-encodings share no
+    n-grams). Assign every embedding to its nearest k-means cell
+    (the same deterministic trainer the IVF index uses), score all
+    pairs WITHIN each cell, and keep each duplicate neighborhood's
+    least-central member (operators.similarity.semantic_dedup).
+
+    100 TB posture — the paper's own decomposition: the coarse
+    quantizer bounds every pairwise block to one cell, so O(N²) never
+    materializes across cells; per cell the work is one dgemm inside
+    one applyInPandas group (zero joins, one exchange on the cell
+    key), and n_cells is the executor-memory knob. Hash-load-bearing:
+    assignment, 6dp centroid/pair cosines, dup counts AND the
+    keep-least-central verdicts all cross the driver hash; the lazy
+    oracle replays the whole pipeline over the exact trained-centroid
+    literals."""
+    from ..operators.similarity import semantic_dedup, train_ivf_centroids
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    C = train_ivf_centroids(emb, n_cells=16, iters=5)
+    return semantic_dedup(emb, C, threshold=0.4)

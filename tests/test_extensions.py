@@ -429,3 +429,93 @@ def test_repetition_rows_python_reference_hand_check():
     [r] = _repetition_rows([8], ["  x y\tx y x\xa0q\t"])
     assert r["n_words"] == 6  # x y x y x\xa0q ''
     assert r["n_distinct"] == 4  # {x, y, x\xa0q, ''}
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup class, r10) — planted-cluster hand check
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two well-separated planted clusters: near-identical vectors
+    within a cluster are flagged as duplicates and exactly the
+    least-central member of each duplicate neighborhood survives;
+    the singleton and the cross-cluster vectors never interact."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=float)
+        return v / np.linalg.norm(v)
+
+    a = unit(rng.randn(dim))
+    b = unit(rng.randn(dim) + 10 * np.where(np.arange(dim) % 2, 1, -1))
+    rows = []
+    # cluster A: three near-copies of a (cos ≈ 1) + one far member
+    for i, eps in enumerate((0.0, 0.01, 0.02)):
+        rows.append((i, unit(a + eps * rng.randn(dim)).tolist()))
+    rows.append((3, unit(a + 2.0 * rng.randn(dim)).tolist()))
+    # cluster B: two near-copies of b
+    for i, eps in enumerate((0.0, 0.015)):
+        rows.append((10 + i, unit(b + eps * rng.randn(dim)).tolist()))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    C = np.stack([a, b])  # the true cluster directions as centroids
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, C, threshold=0.95).collect()}
+
+    assert len(out) == 6
+    # near-copies flag each other; the far member and the other
+    # cluster never join the neighborhood
+    assert {out[i]["n_dups"] for i in (0, 1, 2)} == {2}
+    assert out[3]["n_dups"] == 0 and out[3]["keep"]
+    assert out[10]["n_dups"] == 1 and out[11]["n_dups"] == 1
+    # exactly one survivor per duplicate neighborhood: the member with
+    # the LOWEST 6dp centroid cosine (ties impossible here)
+    for group in ((0, 1, 2), (10, 11)):
+        cents = {i: out[i]["cent_cos"] for i in group}
+        keeper = min(cents, key=lambda i: (cents[i], i))
+        for i in group:
+            assert out[i]["keep"] == (i == keeper)
+    # cells follow the planted directions
+    assert {out[i]["cell"] for i in (0, 1, 2, 3)} == {0}
+    assert {out[i]["cell"] for i in (10, 11)} == {1}
+
+
+def test_semantic_dedup_keep_rule_is_local_minimum(spark):
+    """The documented keep rule on a hand-built chain a-b-c (a~b and
+    b~c duplicates, a-c not): the least-central member of each
+    PARTNER set survives — b drops (a is less central), c drops
+    (b is less central), a keeps."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # unit circle in 2-D: angles chosen so cos(a,b) ≈ cos(b,c) ≈ .995
+    # > τ but cos(a,c) ≈ .98 < τ; centroid at angle 0 orders
+    # centrality c > b > a
+    import math
+    def at(theta):
+        return [float(math.cos(theta)), float(math.sin(theta))]
+
+    emb = spark.createDataFrame(
+        [(1, at(0.30)), (2, at(0.20)), (3, at(0.10))],
+        "vec_id long, embedding array<float>",
+    )
+    C = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, C, threshold=0.99).collect()}
+    assert out[1]["cent_cos"] < out[2]["cent_cos"] < out[3]["cent_cos"]
+    assert out[1]["n_dups"] == 1 and out[3]["n_dups"] == 1
+    assert out[2]["n_dups"] == 2
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
