@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window
 
 from ..schemas import WIND_RECORD
 from ..sources.grib import decode_binary_df
@@ -39,6 +40,7 @@ __all__ = [
     "run_quality_gate_ingest",
     "run_lm_gate_ingest",
     "run_dsir_gate_ingest",
+    "run_semdedup_ingest",
     "run_excise_ingest",
     "build_gram_index",
 ]
@@ -839,6 +841,136 @@ def run_dsir_gate_ingest(
                 )
         finally:
             scores.unpersist()
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_semdedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    nprobe: int = 1,
+    dim: int | None = None,
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming SemDeDup gate (r10): semantic near-duplicate filtering
+    at ingest time against a PERSISTED IVF index
+    (`operators.similarity.build_ivf_index` over the protected/stored
+    corpus at `index_path`). Per epoch, each incoming embedding is
+    (1) in-batch semantically deduplicated (the batch
+    `semantic_dedup` keep rule — least-central member of each
+    duplicate neighborhood survives), then (2) dropped if ANY stored
+    vector in its `nprobe` nearest cells clears `threshold` cosine.
+    Rejects land in `quarantine_path` with the evidence (reason
+    'batch' with the neighborhood size, or reason 'corpus' with the
+    best-matching stored id + cosine).
+
+    Scale shape per epoch: centroids are one tiny parquet read at
+    stream start; the stored side is read PARTITION-PRUNED to the
+    batch's probed cells (the `topk_ivf_indexed` move), so cost is
+    O(batch × probed-cell rows), never batch × corpus. The index is
+    STATIC during the stream (the decontam-gate convention) —
+    refreshing it over the grown corpus is a periodic batch
+    `build_ivf_index` run; `_INDEX_META` fingerprinting makes the
+    refresh a no-op when nothing changed."""
+    import numpy as np
+
+    from ..operators.similarity import (
+        _assign_cells_pandas,
+        _norm_col,
+        _rerank_cosine_prenorm,
+        semantic_dedup,
+    )
+
+    cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
+    cpdf = cpdf.sort_values("cell")
+    centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+    stored = spark.read.parquet(f"{index_path}/cells").select(
+        F.col(id_col).alias("__sid"),
+        F.col(vec_col).alias("__sv"),
+        "cell",
+    ).withColumn("__sn", _norm_col("__sv", dim))
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        sd = semantic_dedup(
+            batch.select(id_col, vec_col), centroids,
+            id_col=id_col, vec_col=vec_col, threshold=threshold,
+        ).persist()  # feeds the in-batch filter AND the quarantine
+        try:
+            survivors = batch.join(
+                sd.filter("keep").select(id_col), id_col
+            )
+            probe = _assign_cells_pandas(
+                survivors.select(id_col, vec_col), centroids, nprobe,
+                "__qid", vec_col,
+            ).withColumnRenamed("__v", "__qv").withColumn(
+                "__qn", _norm_col("__qv", dim)
+            )
+            scored = (
+                stored.join(F.broadcast(probe), "cell")
+                .select(
+                    "__qid", "__sid",
+                    _rerank_cosine_prenorm(
+                        "__qv", "__sv", "__qn", "__sn", dim
+                    ).alias("__cos"),
+                )
+                .filter(F.col("__cos") >= F.lit(float(threshold)))
+            )
+            w = Window.partitionBy("__qid").orderBy(
+                F.col("__cos").desc(), F.col("__sid").asc()
+            )
+            hits = (
+                scored.withColumn("__rn", F.row_number().over(w))
+                .filter("__rn = 1")
+                .select("__qid", "__sid", "__cos")
+            ).persist()
+            try:
+                kept = survivors.join(
+                    hits.select(F.col("__qid").alias(id_col)),
+                    id_col, "left_anti",
+                )
+                kept.write.mode("overwrite").parquet(
+                    f"{corpus_path}/epoch={epoch_id}"
+                )
+                if quarantine_path is not None:
+                    q_batch = sd.filter(~F.col("keep")).select(
+                        F.col(id_col),
+                        F.lit("batch").alias("reason"),
+                        F.lit(None).cast("long").alias("match_id"),
+                        F.lit(None).cast("double").alias("cosine_sim"),
+                        F.col("n_dups"),
+                    )
+                    q_corpus = hits.select(
+                        F.col("__qid").alias(id_col),
+                        F.lit("corpus").alias("reason"),
+                        F.col("__sid").cast("long").alias("match_id"),
+                        F.col("__cos").alias("cosine_sim"),
+                        F.lit(None).cast("long").alias("n_dups"),
+                    )
+                    q_batch.unionByName(q_corpus).write.mode(
+                        "overwrite"
+                    ).parquet(f"{quarantine_path}/epoch={epoch_id}")
+            finally:
+                hits.unpersist()
+        finally:
+            sd.unpersist()
 
     return (
         raw.writeStream.outputMode("append")

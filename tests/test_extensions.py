@@ -519,3 +519,81 @@ def test_semantic_dedup_keep_rule_is_local_minimum(spark):
     assert out[1]["n_dups"] == 1 and out[3]["n_dups"] == 1
     assert out[2]["n_dups"] == 2
     assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+
+
+def test_semdedup_ingest_gates_against_index_and_batch(spark, sf_dir, tmp_path):
+    """Streaming SemDeDup gate (r10): planted exact copies of stored
+    vectors drop with reason 'corpus' (best match + cosine ≈ 1), the
+    less-central member of a planted in-batch duplicate pair drops
+    with reason 'batch', novel vectors pass, and kept ∪ quarantined
+    == input."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_semdedup_ingest,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    protected = emb.filter(F.col("vec_id") % 3 != 0)
+    index = str(tmp_path / "ivf")
+    build_ivf_index(protected, index, n_cells=8, iters=3)
+
+    # incoming: the other third (near-uniform → no natural dups at
+    # τ=0.95) + two exact copies of stored vectors + one in-batch
+    # duplicate pair (copies of an INCOMING vector, so the survivor
+    # must pass the corpus check)
+    stored_rows = protected.orderBy("vec_id").limit(2).collect()
+    novel = emb.filter(F.col("vec_id") % 3 == 0)
+    seed = novel.orderBy("vec_id").first()
+    extra = spark.createDataFrame(
+        [
+            (10**6 + 1, stored_rows[0]["embedding"]),
+            (10**6 + 2, stored_rows[1]["embedding"]),
+            (10**6 + 3, seed["embedding"]),
+            (10**6 + 4, seed["embedding"]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    incoming = novel.unionByName(extra)
+
+    landing = str(tmp_path / "landing")
+    incoming.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    q = run_semdedup_ingest(
+        spark, landing, str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        schema, index, threshold=0.95, dim=64,
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    kept = {r.vec_id for r in spark.read.parquet(
+        str(tmp_path / "corpus")).select("vec_id").collect()}
+    quar = {r.vec_id: r for r in spark.read.parquet(
+        str(tmp_path / "quarantine")).collect()}
+
+    # the stored copies drop with corpus evidence
+    for vid, src in ((10**6 + 1, stored_rows[0]), (10**6 + 2, stored_rows[1])):
+        assert vid not in kept and vid in quar
+        assert quar[vid]["reason"] == "corpus"
+        assert quar[vid]["match_id"] == src["vec_id"]
+        assert quar[vid]["cosine_sim"] > 0.999
+    # the in-batch pair keeps exactly one member; same unit vector →
+    # equal centrality → the smaller id survives (and the original
+    # seed vector, less central or tie-smaller, interacts consistently)
+    pair_kept = {10**6 + 3, 10**6 + 4} & kept
+    assert len(pair_kept) <= 1
+    assert {10**6 + 3, 10**6 + 4} - kept <= set(quar)
+    for vid in {10**6 + 3, 10**6 + 4} - kept:
+        assert quar[vid]["reason"] == "batch"
+    # conservation: every incoming vector is kept or quarantined
+    all_ids = {r.vec_id for r in incoming.collect()}
+    assert kept | set(quar) == all_ids
+    assert kept.isdisjoint(quar)
+    # the bulk of the novel third passes
+    assert len(kept) > 0.8 * novel.count()
