@@ -14,12 +14,15 @@ array, SURVEY.md §1.4). This module supplies the Spark-side plumbing:
   so only the (small) metadata survives the shuffle boundary.
 - `decode_image` / `decode_audio` / `sample_video_frames`: REAL
   decoders for the uncompressed container formats that need no
-  external library — BMP (24-bit BI_RGB) and PPM/PGM images, RIFF
+  external library — BMP (24-bit BI_RGB), PPM/PGM and PNG images
+  (PNG rides the engine's own RFC 2083 decoder, grib2codec's template
+  5.41 machinery — all depths/filters, zlib over stdlib; r10), RIFF
   WAV PCM audio, YUV4MPEG2 (y4m) video — parsed with struct/numpy,
-  round-tripped in tests against self-encoded fixtures. Compressed
-  codecs (JPEG/PNG, MP3/FLAC, MP4/H.264) dispatch to PIL/soundfile/
-  ffmpeg behind import-tries and raise with the contract documented
-  when the library is absent, as it is in this container.
+  round-tripped in tests against self-encoded fixtures. The remaining
+  compressed codecs (JPEG, MP3/FLAC, MP4/H.264) dispatch to
+  PIL/soundfile/ffmpeg behind import-tries and raise with the
+  contract documented when the library is absent, as it is in this
+  container.
 - `byte_stats_meta` remains the deterministic byte-level extractor
   used by the registry query (its oracle must be SQL-expressible).
 
@@ -210,19 +213,59 @@ def _decode_pnm(payload: bytes) -> dict:
     }
 
 
+def _decode_png(payload: bytes) -> dict:
+    """PNG via the engine's own RFC 2083 decoder (sources.grib2codec
+    ._png_decode_samples — built for GRIB template 5.41, reused here
+    so PNG images decode natively with zero new dependencies: chunk
+    walk, all five scanline filters, zlib over stdlib).
+
+    The GRIB path concatenates channels into one big-endian integer
+    per pixel (the g2clib convention); this wrapper splits them back
+    into an (H, W[, C]) array. The channel layout derives from the
+    per-pixel bit width — PNG colour types constrain it uniquely:
+    1/2/4/8/16 → grayscale, 24/48 → RGB, 32/64 → RGBA (8- vs 16-bit
+    per channel); dtype is uint8 or uint16 accordingly."""
+    import numpy as np
+
+    from .grib2codec import _png_decode_samples
+
+    w, h, bits_px, samples = _png_decode_samples(payload)
+    layout = {
+        1: ("L", 1, 1), 2: ("L", 1, 2), 4: ("L", 1, 4), 8: ("L", 1, 8),
+        16: ("L", 1, 16), 24: ("RGB", 3, 8), 48: ("RGB", 3, 16),
+        32: ("RGBA", 4, 8), 64: ("RGBA", 4, 16),
+    }.get(bits_px)
+    if layout is None:  # e.g. colour type 6 at sub-byte depth
+        raise ValueError(f"PNG: {bits_px} bits/pixel unsupported")
+    mode, channels, depth = layout
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if channels == 1:
+        pixels = samples.reshape(h, w).astype(dtype)
+    else:
+        shifts = depth * np.arange(channels - 1, -1, -1, dtype=np.int64)
+        mask = (1 << depth) - 1
+        pixels = (
+            (samples.reshape(h, w, 1) >> shifts) & mask
+        ).astype(dtype)
+    return {"width": w, "height": h, "mode": mode, "pixels": pixels}
+
+
 def decode_image(payload: bytes) -> dict:
     """Image decode → {"width", "height", "mode", "pixels": ndarray}.
 
-    BMP (24-bit BI_RGB) and binary PPM/PGM decode natively — raw
-    containers, no codec needed. Compressed formats dispatch to PIL
-    when importable; this container ships none, so they raise with the
-    contract intact. Plug into `extract_meta`'s iterator in place of
-    `byte_stats_meta` for real metadata.
+    BMP (24-bit BI_RGB), binary PPM/PGM AND PNG decode natively — the
+    first two are raw containers, PNG rides the engine's own RFC 2083
+    decoder (r10; no codec dependency). Other compressed formats
+    dispatch to PIL when importable; this container ships none, so
+    they raise with the contract intact. Plug into `extract_meta`'s
+    iterator in place of `byte_stats_meta` for real metadata.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     try:
         from io import BytesIO
 

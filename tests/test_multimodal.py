@@ -92,12 +92,82 @@ def test_y4m_frame_sampling():
 
 
 def test_compressed_formats_raise_contract():
+    # JPEG still dispatches to (absent) PIL; PNG is native since r10,
+    # so a damaged PNG raises the quarantine-class ValueError instead
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0....jpeg")
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
         decode_audio(b"fLaC....")
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00\x00 ftypisom....")
+
+
+def _png_bytes(pixels, nbits):
+    """Raw PNG stream from an (h, w[, c]) array via the GRIB 5.41
+    encoder's sample convention (channels packed big-endian)."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        _png_encode_samples,
+    )
+
+    a = np.asarray(pixels, dtype=np.int64)
+    h, w = a.shape[:2]
+    if a.ndim == 3:
+        c = a.shape[2]
+        depth = nbits // (8 * c) * 8
+        shifts = depth * np.arange(c - 1, -1, -1)
+        a = (a << shifts).sum(axis=2)
+    return _png_encode_samples(a.reshape(-1), w, h, nbits)
+
+
+def test_png_decodes_natively_all_layouts():
+    """PNG joins the native formats (r10): gray 8/16-bit, sub-byte
+    gray, RGB and RGBA all round-trip through the engine's own RFC
+    2083 decoder — no PIL anywhere."""
+    rng = np.random.RandomState(3)
+
+    g8 = rng.randint(0, 256, (5, 7))
+    out = decode_image(_png_bytes(g8, 8))
+    assert (out["mode"], out["width"], out["height"]) == ("L", 7, 5)
+    assert out["pixels"].dtype == np.uint8 and (out["pixels"] == g8).all()
+
+    g16 = rng.randint(0, 65536, (4, 3))
+    out = decode_image(_png_bytes(g16, 16))
+    assert out["mode"] == "L" and out["pixels"].dtype == np.uint16
+    assert (out["pixels"] == g16).all()
+
+    g4 = rng.randint(0, 16, (6, 9))
+    out = decode_image(_png_bytes(g4, 4))
+    assert out["mode"] == "L" and (out["pixels"] == g4).all()
+
+    rgb = rng.randint(0, 256, (4, 5, 3))
+    out = decode_image(_png_bytes(rgb, 24))
+    assert out["mode"] == "RGB" and out["pixels"].shape == (4, 5, 3)
+    assert (out["pixels"] == rgb).all()
+
+    rgba = rng.randint(0, 256, (3, 4, 4))
+    out = decode_image(_png_bytes(rgba, 32))
+    assert out["mode"] == "RGBA" and (out["pixels"] == rgba).all()
+
+
+def test_png_corrupt_is_quarantine_class():
+    """Every PNG corruption mode lands in MM_DECODE_ERRORS, so the
+    transform UDTF converts it to a NULL row, never a task failure."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        MM_DECODE_ERRORS,
+    )
+
+    good = _png_bytes(np.arange(35).reshape(5, 7) % 256, 8)
+    for bad in (
+        good[:20],                      # truncated
+        good[:30] + b"\x00" * 10,       # corrupt chunk walk
+        good.replace(b"IDAT", b"IDAX", 1),  # no image data
+    ):
+        with pytest.raises(MM_DECODE_ERRORS):
+            decode_image(bad)
 
 
 def test_real_decode_through_mapinpandas(spark):
