@@ -854,41 +854,72 @@ def decode_grib2_bytes(
     records: list[dict] = []
     for _pos, msg in iter_grib2_messages(content):
         try:
-            records.append(_decode_message(msg))
+            snaps = _split_message_fields(msg)
         except DECODE_ERRORS:
             if on_unsupported == "raise":
                 raise
+            continue
+        for snap in snaps:  # field granularity: one bad submessage
+            try:  # never drops its siblings in 'skip' mode
+                records.append(_decode_field(msg, snap))
+            except DECODE_ERRORS:
+                if on_unsupported == "raise":
+                    raise
     return records
 
 
 def scan_grib2_bytes(content: bytes) -> list[dict]:
-    """Per-message scan report: [{"offset", "record", "error"}] with
-    exactly one of record/error set. Supported messages decode
-    bit-identically to `decode_grib2_bytes`; unsupported-template
-    messages carry their rejection text instead of poisoning the file
-    — the engine-side quarantine surface."""
+    """Per-field scan report: [{"offset", "record", "error"}] with
+    exactly one of record/error set, one entry per FIELD (a multi-
+    field NCEP submessage yields several entries sharing the message
+    offset; r10). Supported fields decode bit-identically to
+    `decode_grib2_bytes`; unsupported-template or corrupt fields carry
+    their rejection text instead of poisoning the file — and a bad
+    submessage never drops its decodable siblings."""
     out: list[dict] = []
     for pos, msg in iter_grib2_messages(content):
         try:
-            out.append({"offset": pos, "record": _decode_message(msg), "error": None})
+            snaps = _split_message_fields(msg)
         except DECODE_ERRORS as exc:
-            text = (
-                str(exc)
-                if isinstance(exc, ValueError)
-                else f"corrupt message ({type(exc).__name__}): {exc}"
-            )
-            out.append({"offset": pos, "record": None, "error": text})
+            out.append({"offset": pos, "record": None,
+                        "error": _scan_error_text(exc)})
+            continue
+        for snap in snaps:
+            try:
+                out.append({"offset": pos,
+                            "record": _decode_field(msg, snap),
+                            "error": None})
+            except DECODE_ERRORS as exc:
+                out.append({"offset": pos, "record": None,
+                            "error": _scan_error_text(exc)})
     return out
 
 
-def _decode_message(msg: bytes) -> dict:
-    """Decode one framed GRIB2 message; raises ValueError on templates
-    outside the supported family (fail-loud, never a wrong field)."""
-    msg_len = len(msg)
-    discipline = msg[6]
+def _scan_error_text(exc: BaseException) -> str:
+    return (
+        str(exc)
+        if isinstance(exc, ValueError)
+        else f"corrupt message ({type(exc).__name__}): {exc}"
+    )
 
-    # walk sections; templates 3.0/4.0/5.0 carry one field per message
+
+def _split_message_fields(msg: bytes) -> list[dict[int, tuple[int, int]]]:
+    """Walk one framed message's sections into one snapshot per FIELD.
+
+    GRIB2 allows repeated (2,)3-7 / (3,)4-7 / 4-7 sequences inside one
+    message — NCEP emits such SUBMESSAGES in real pgrb2 products —
+    with each repetition inheriting the sections it doesn't restate.
+    Every completed section 7 closes one field; the snapshot copies
+    the running section map, so inherited sections carry forward
+    exactly per spec. Section 2 (local use) is walked over and
+    ignored. Before r10 the walk kept only the LAST of each section
+    number, silently decoding one field of a multi-field message —
+    the silent-data-loss class the quarantine design exists to
+    prevent."""
+    msg_len = len(msg)
     sec: dict[int, tuple[int, int]] = {}
+    snapshots: list[dict[int, tuple[int, int]]] = []
+    open_since_close = False
     o = 16
     while o < msg_len - 4:
         if o + 5 > msg_len - 4:
@@ -902,10 +933,51 @@ def _decode_message(msg: bytes) -> dict:
                 f"section {snum} length {slen} at octet {o} invalid"
             )
         sec[snum] = (o, slen)
+        open_since_close = True
         o += slen
-    missing = [s for s in (1, 3, 4, 5, 6, 7) if s not in sec]
-    if missing:
+        if snum == 7:
+            missing = [s for s in (1, 3, 4, 5, 6) if s not in sec]
+            if missing:
+                raise ValueError(
+                    f"mandatory sections missing: {missing}"
+                )
+            snapshots.append(dict(sec))
+            open_since_close = False
+    if not snapshots:
+        missing = [s for s in (1, 3, 4, 5, 6, 7) if s not in sec]
         raise ValueError(f"mandatory sections missing: {missing}")
+    if open_since_close:
+        raise ValueError(
+            "unterminated submessage: sections after the last "
+            "section 7"
+        )
+    return snapshots
+
+
+def _decode_message(msg: bytes) -> dict:
+    """Decode a SINGLE-field framed message (the overwhelmingly common
+    shape); multi-field messages must go through
+    `_decode_message_fields` — this strict form raises rather than
+    pick one field."""
+    fields = _decode_message_fields(msg)
+    if len(fields) != 1:
+        raise ValueError(
+            f"message carries {len(fields)} fields; caller expected one"
+        )
+    return fields[0]
+
+
+def _decode_message_fields(msg: bytes) -> list[dict]:
+    """Decode every field (submessage) of one framed GRIB2 message."""
+    return [_decode_field(msg, s) for s in _split_message_fields(msg)]
+
+
+def _decode_field(msg: bytes, sec: dict[int, tuple[int, int]]) -> dict:
+    """Decode one field of a framed GRIB2 message from its section
+    snapshot; raises ValueError on templates outside the supported
+    family (fail-loud, never a wrong field)."""
+    msg_len = len(msg)
+    discipline = msg[6]
 
     o1 = sec[1][0]
     ref_time = datetime(

@@ -243,3 +243,137 @@ def test_any_template_combination_roundtrips(nx, ny, seed, packing,
     assert (h["intervalHours"] == interval) or interval is None
     assert (h["gridDefinitionTemplate"] == 30) == lamb
     assert (h["latin2"] == 47.0) if lamb else (h["latin2"] is None)
+
+
+# ---------------------------------------------------------------------------
+# NCEP submessages (r10): repeated 4-7 sequences inside one message
+# ---------------------------------------------------------------------------
+
+
+def _sections(msg: bytes) -> dict[int, tuple[int, int]]:
+    out, o = {}, 16
+    while o < len(msg) - 4:
+        ln, num = int.from_bytes(msg[o : o + 4], "big"), msg[o + 4]
+        out[num] = (o, ln)
+        o += ln
+    return out
+
+def _splice_submessage(m1: bytes, m2: bytes) -> bytes:
+    """One message carrying m1's field then m2's sections 4-7 as a
+    submessage (inheriting m1's sections 1/3) — the NCEP multi-field
+    shape."""
+    s2 = _sections(m2)
+    tail = b"".join(
+        m2[s2[n][0] : s2[n][0] + s2[n][1]] for n in (4, 5, 6, 7)
+    )
+    body = m1[:-4] + tail + b"7777"
+    total = len(body)
+    return body[:8] + total.to_bytes(8, "big") + body[16:]
+
+
+def _mk(param, seed, **kw):
+    from datetime import datetime, timezone
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        encode_grib2_message,
+    )
+
+    rt = datetime(2020, 8, 12, 6, tzinfo=timezone.utc)
+    vals = [((i * 7 + seed * 31) % 2600) / 100.0 for i in range(24)]
+    return vals, encode_grib2_message(
+        vals, parameter_number=param, ref_time=rt, nx=6, ny=4, **kw
+    )
+
+
+def test_submessage_decodes_every_field():
+    """A message with a 4-7 repetition yields BOTH fields — before r10
+    the walk silently kept only the last one."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        scan_grib2_bytes,
+    )
+
+    v1, m1 = _mk(2, 1)
+    v2, m2 = _mk(3, 2, packing="complex")
+    blob = _splice_submessage(m1, m2)
+    recs = decode_grib2_bytes(blob)
+    assert len(recs) == 2
+    assert [r["header"]["parameterNumber"] for r in recs] == [2, 3]
+    assert np.allclose(recs[0]["data"], v1)
+    assert np.allclose(recs[1]["data"], v2)
+    # the inherited sections carry through: same grid, same refTime
+    assert recs[0]["header"]["la1"] == recs[1]["header"]["la1"]
+    assert recs[0]["header"]["refTime"] == recs[1]["header"]["refTime"]
+    # scan grain: one entry per FIELD, same message offset
+    out = scan_grib2_bytes(blob)
+    assert len(out) == 2 and out[0]["offset"] == out[1]["offset"] == 0
+    assert all(e["error"] is None for e in out)
+
+
+def test_bad_submessage_never_drops_siblings():
+    """Corrupting the SECOND field's packing template quarantines that
+    field alone; the first still decodes (scan) / survives skip mode."""
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        scan_grib2_bytes,
+    )
+
+    v1, m1 = _mk(2, 3)
+    _, m2 = _mk(3, 4)
+    blob = bytearray(_splice_submessage(m1, m2))
+    # the submessage's section 5 starts after m1's body; set its
+    # template number (octets 10-11 of section 5) to 99
+    secs1 = _sections(m1)
+    o5_sub = len(m1) - 4 + (secs1[5][0] - secs1[4][0]) + 9
+    blob[o5_sub : o5_sub + 2] = (99).to_bytes(2, "big")
+    out = scan_grib2_bytes(bytes(blob))
+    assert len(out) == 2
+    assert out[0]["error"] is None
+    assert out[0]["record"]["header"]["parameterNumber"] == 2
+    assert "5.99 unsupported" in out[1]["error"]
+    kept = decode_grib2_bytes(bytes(blob), on_unsupported="skip")
+    assert len(kept) == 1
+    assert kept[0]["header"]["parameterNumber"] == 2
+
+
+def test_unterminated_submessage_quarantines():
+    """Sections trailing the last section 7 (a repetition that never
+    closes) fail loud rather than being silently ignored."""
+    import pytest
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+    )
+
+    _, m1 = _mk(2, 5)
+    secs = _sections(m1)
+    o4, l4 = secs[4]
+    blob = m1[:-4] + m1[o4 : o4 + l4] + b"7777"
+    blob = blob[:8] + len(blob).to_bytes(8, "big") + blob[16:]
+    with pytest.raises(ValueError, match="unterminated submessage"):
+        decode_grib2_bytes(blob)
+
+
+def test_local_use_section_is_tolerated():
+    """A section 2 (local use) between sections 1 and 3 is walked over
+    and ignored — the decode is bit-identical to the plain message."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+    )
+
+    v1, m1 = _mk(2, 6)
+    secs = _sections(m1)
+    o3 = secs[3][0]
+    local = (5 + 11).to_bytes(4, "big") + bytes([2]) + b"NCEP-local."
+    blob = m1[:o3] + local + m1[o3:-4] + b"7777"
+    blob = blob[:8] + len(blob).to_bytes(8, "big") + blob[16:]
+    [rec] = decode_grib2_bytes(blob)
+    base = decode_grib2_bytes(m1)[0]
+    assert np.allclose(rec["data"], v1)
+    h1 = {k: v for k, v in rec["header"].items() if k != "gribLength"}
+    h0 = {k: v for k, v in base["header"].items() if k != "gribLength"}
+    assert h1 == h0
