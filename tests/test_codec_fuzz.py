@@ -32,6 +32,20 @@ from mints_wind_data_ingestion_spark.sources.grib2codec import (
 RT = datetime(2020, 8, 12, 6, tzinfo=timezone.utc)
 
 
+def _splice(m1: bytes, m2: bytes) -> bytes:
+    """Two single-field messages → one NCEP-style submessage blob
+    (m2's sections 4-7 appended inside m1's frame)."""
+    secs, o = {}, 16
+    while o < len(m2) - 4:
+        ln, num = int.from_bytes(m2[o : o + 4], "big"), m2[o + 4]
+        secs[num] = (o, ln)
+        o += ln
+    tail = b"".join(m2[secs[n][0] : secs[n][0] + secs[n][1]]
+                    for n in (4, 5, 6, 7))
+    body = m1[:-4] + tail + b"7777"
+    return body[:8] + len(body).to_bytes(8, "big") + body[16:]
+
+
 def _corpus():
     f = lambda n, s=0: [((i * 7 + s * 31) % 2600) / 100.0 for i in range(n)]
     return [
@@ -74,6 +88,17 @@ def _corpus():
                              probability=dict(number=1, total=31,
                                               type=2, lower=0.25,
                                               upper=25.0)),
+        # r10: an NCEP submessage (two fields sharing sections 1/3) —
+        # corruption must quarantine per FIELD and the new
+        # snapshotting walk must never hang or leak on flipped
+        # section numbers/lengths
+        _splice(
+            encode_grib2_message(f(24, 10), parameter_number=2,
+                                 ref_time=RT, nx=6, ny=4),
+            encode_grib2_message(f(24, 11), parameter_number=3,
+                                 ref_time=RT, nx=6, ny=4,
+                                 packing="complex"),
+        ),
         # r10 additions: cluster templates — the variable-length
         # member list (4.3) and the NC-displaced interval block (4.13)
         # are fresh quarantine surface (a corrupted NC octet shifts
