@@ -43,7 +43,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["fetch_binary", "probe_binary", "stage_to_dir"]
+__all__ = [
+    "fetch_binary",
+    "probe_binary",
+    "stage_to_dir",
+    "parse_grib_idx",
+    "select_idx_records",
+    "fetch_grib_ranges",
+]
 
 
 def _fetch_one(url: str, timeout: float, retries: int) -> tuple[bytes | None, str | None]:
@@ -198,3 +205,199 @@ def stage_to_dir(
 
     n = rows.mapInPandas(write_batches, "n long").agg(F.sum("n")).first()[0]
     return int(n or 0)
+
+
+# ---------------------------------------------------------------------------
+# .idx inventory + byte-range partial fetch (r10)
+# ---------------------------------------------------------------------------
+#
+# NOAA publishes a wgrib-style ".idx" sidecar next to every pgrb2 file
+# (public NOMADS convention):
+#
+#   4:186527:d=2020081206:UGRD:10 m above ground:6 hour fcst:
+#
+# i.e. message number : byte offset : d=YYYYMMDDHH : variable : level
+# : forecast. Each pgrb2 record is a COMPLETE GRIB2 message, so the
+# byte range [offset, next offset) fetched alone decodes standalone —
+# which is how production consumers pull the 2 wind records out of a
+# ~700-record file instead of the whole thing. The reference
+# (converter.py:136-177) downloads full files; at 100 TB the ranged
+# fetch is a ~300× ingress reduction for the same extract.
+
+_IDX_LINE = None
+
+
+def _idx_re():
+    global _IDX_LINE
+    if _IDX_LINE is None:
+        import re
+
+        _IDX_LINE = re.compile(
+            r"^(\d+):(\d+):d=(\d{10,12}):([^:]*):([^:]*):([^:]*)"
+        )
+    return _IDX_LINE
+
+
+def parse_grib_idx(text: str) -> list[dict]:
+    """Parse one .idx inventory into [{msg, start, end, ref, var,
+    level, forecast}] — `end` is the next record's offset (None for
+    the last: fetch to EOF). Malformed lines are skipped (real NOMADS
+    inventories occasionally carry sub-field continuation lines)."""
+    recs = []
+    for line in text.splitlines():
+        m = _idx_re().match(line.strip())
+        if not m:
+            continue
+        recs.append(
+            {
+                "msg": int(m.group(1)),
+                "start": int(m.group(2)),
+                "end": None,
+                "ref": m.group(3),
+                "var": m.group(4),
+                "level": m.group(5),
+                "forecast": m.group(6),
+            }
+        )
+    recs.sort(key=lambda r: r["start"])
+    for a, b in zip(recs, recs[1:]):
+        a["end"] = b["start"]
+    return recs
+
+
+def select_idx_records(
+    records: list[dict],
+    variables=None,
+    level: str | None = None,
+    forecast: str | None = None,
+) -> list[dict]:
+    """The --fv/--fs-style filter over a parsed inventory (the idx
+    analogue of sources.grib.make_selector): keep records matching any
+    of `variables` (exact var names, e.g. UGRD/VGRD) and, when given,
+    the exact level / forecast strings."""
+    vs = set(variables) if variables is not None else None
+    return [
+        r for r in records
+        if (vs is None or r["var"] in vs)
+        and (level is None or r["level"] == level)
+        and (forecast is None or r["forecast"] == forecast)
+    ]
+
+
+def _fetch_range_one(
+    url: str, start: int, end: int | None, timeout: float, retries: int
+) -> tuple[bytes | None, str | None]:
+    """(content, error) for one byte range [start, end). file:// and
+    bare paths seek locally; http(s) sends a Range header (NOMADS
+    serves 206 Partial Content)."""
+    scheme = urlparse(url).scheme
+    if scheme in ("", "file"):
+        path = url2pathname(urlparse(url).path) if scheme == "file" else url
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                body = fh.read() if end is None else fh.read(end - start)
+                return body, None
+        except OSError as exc:
+            return None, f"{type(exc).__name__}: {exc}"
+    if scheme in ("http", "https"):
+        from urllib.error import URLError
+        from urllib.request import Request, urlopen
+
+        rng = f"bytes={start}-" if end is None else f"bytes={start}-{end - 1}"
+        last = "unreachable"
+        for _ in range(max(1, retries)):
+            try:
+                req = Request(url, headers={"Range": rng})
+                with urlopen(req, timeout=timeout) as resp:  # noqa: S310
+                    return resp.read(), None
+            except (URLError, OSError) as exc:
+                last = f"{type(exc).__name__}: {exc}"
+        return None, last
+    return None, f"unsupported scheme: {scheme}"
+
+
+def fetch_grib_ranges(
+    df: DataFrame,
+    variables=("UGRD", "VGRD"),
+    level: str | None = None,
+    forecast: str | None = None,
+    url_col: str = "url",
+    idx_suffix: str = ".idx",
+    timeout: float = 30.0,
+    retries: int = 2,
+) -> DataFrame:
+    """Inventory-driven PARTIAL fetch: for each row's `url_col`, pull
+    the (tiny) `.idx` sidecar, select the matching records
+    (`select_idx_records`), and fetch ONLY their byte ranges — one
+    output row per selected record, each `content` a complete
+    standalone GRIB2 message ready for `sources.grib.decode_binary_df`
+    / `decode_grib2_bytes`.
+
+    Output: input columns + (msg int, variable, level, forecast,
+    range_start long, range_end long — NULL = to EOF, ok boolean,
+    error string, content binary). A missing/unparseable idx yields
+    ONE ok=false row for the file (error says why) so absence stays
+    data, exactly like `fetch_binary`. Scale shape: the idx is a few
+    KB against a multi-GB file, so ingress drops by the selected
+    fraction (~2/700 for the wind extract); fan-out and politeness
+    bounds are the candidate set's job, as for `fetch_binary`."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    out_schema = StructType(
+        [
+            *df.schema.fields,
+            StructField("msg", IntegerType()),
+            StructField("variable", StringType()),
+            StructField("level", StringType()),
+            StructField("forecast", StringType()),
+            StructField("range_start", LongType()),
+            StructField("range_end", LongType()),
+            StructField("ok", BooleanType()),
+            StructField("error", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+    extra = ["msg", "variable", "level", "forecast", "range_start",
+             "range_end", "ok", "error", "content"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                url = str(row[url_col])
+                base = {c: row[c] for c in in_cols}
+
+                def emit(**kw):
+                    rows.append({**base, **dict.fromkeys(extra), **kw})
+
+                idx_body, err = _fetch_one(url + idx_suffix, timeout,
+                                           retries)
+                if idx_body is None:
+                    emit(ok=False, error=f"idx: {err}")
+                    continue
+                try:
+                    recs = parse_grib_idx(idx_body.decode("utf-8",
+                                                          "replace"))
+                except Exception as exc:  # noqa: BLE001 — absence is data
+                    emit(ok=False, error=f"idx parse: {exc}")
+                    continue
+                picked = select_idx_records(recs, variables, level,
+                                            forecast)
+                if not picked:
+                    emit(ok=False, error="idx: no matching records")
+                    continue
+                for r in picked:
+                    body, ferr = _fetch_range_one(
+                        url, r["start"], r["end"], timeout, retries
+                    )
+                    emit(
+                        msg=r["msg"], variable=r["var"],
+                        level=r["level"], forecast=r["forecast"],
+                        range_start=r["start"], range_end=r["end"],
+                        ok=body is not None, error=ferr, content=body,
+                    )
+            yield pd.DataFrame(rows, columns=in_cols + extra)
+
+    return df.mapInPandas(batches, schema=out_schema)

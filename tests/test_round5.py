@@ -596,3 +596,117 @@ def test_editdist_pairs_match_reference_model(spark, data):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# .idx inventory + byte-range partial fetch (r10)
+# ---------------------------------------------------------------------------
+
+
+def _three_message_file(tmp_path):
+    """A 3-record pgrb2-shaped file (UGRD, VGRD, TMP) + its NOMADS
+    .idx sidecar with REAL byte offsets."""
+    from datetime import datetime, timezone
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        encode_grib2_file,
+        encode_grib2_message,
+    )
+
+    rt = datetime(2020, 8, 12, 6, tzinfo=timezone.utc)
+    vals = lambda s: [((i * 7 + s * 31) % 2600) / 100.0 for i in range(24)]
+    msgs = [
+        encode_grib2_message(vals(1), parameter_number=2, ref_time=rt,
+                             nx=6, ny=4),                      # UGRD
+        encode_grib2_message(vals(2), parameter_number=3, ref_time=rt,
+                             nx=6, ny=4, packing="complex"),   # VGRD
+        encode_grib2_message(vals(3), parameter_number=0,
+                             parameter_category=0, ref_time=rt,
+                             nx=6, ny=4),                      # TMP
+    ]
+    blob = encode_grib2_file(msgs)
+    path = tmp_path / "gfs.t06z.pgrb2.1p00.f006"
+    path.write_bytes(blob)
+    offs = [0, len(msgs[0]), len(msgs[0]) + len(msgs[1])]
+    names = ["UGRD", "VGRD", "TMP"]
+    idx = "".join(
+        f"{i + 1}:{offs[i]}:d=2020081206:{names[i]}:10 m above ground:"
+        f"6 hour fcst:\n"
+        for i in range(3)
+    )
+    (tmp_path / (path.name + ".idx")).write_text(idx)
+    return str(path), msgs
+
+
+def test_parse_and_select_idx():
+    from mints_wind_data_ingestion_spark.operators.fetch import (
+        parse_grib_idx,
+        select_idx_records,
+    )
+
+    text = (
+        "1:0:d=2020081206:UGRD:10 m above ground:6 hour fcst:\n"
+        "2:1000:d=2020081206:VGRD:10 m above ground:6 hour fcst:\n"
+        "garbage line that must be skipped\n"
+        "3:2500:d=2020081206:TMP:2 m above ground:6 hour fcst:\n"
+    )
+    recs = parse_grib_idx(text)
+    assert [(r["msg"], r["start"], r["end"]) for r in recs] == [
+        (1, 0, 1000), (2, 1000, 2500), (3, 2500, None)]
+    assert recs[0]["ref"] == "2020081206"
+    sel = select_idx_records(recs, ("UGRD", "VGRD"),
+                             level="10 m above ground")
+    assert [r["var"] for r in sel] == ["UGRD", "VGRD"]
+    assert select_idx_records(recs, ("UGRD",), forecast="anl") == []
+
+
+def test_fetch_grib_ranges_partial_fetch_decodes(spark, tmp_path):
+    """The ranged fetch pulls ONLY the selected records' bytes and
+    each fragment decodes standalone — the 2-of-N ingress reduction
+    the .idx convention exists for."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.operators.fetch import (
+        fetch_grib_ranges,
+    )
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+    )
+
+    path, msgs = _three_message_file(tmp_path)
+    df = spark.createDataFrame([(path,)], "url string")
+    out = fetch_grib_ranges(df, variables=("UGRD", "VGRD")).collect()
+    assert len(out) == 2
+    by_var = {r["variable"]: r for r in out}
+    assert set(by_var) == {"UGRD", "VGRD"}
+    u, v = by_var["UGRD"], by_var["VGRD"]
+    assert u["ok"] and v["ok"]
+    assert (u["range_start"], u["range_end"]) == (0, len(msgs[0]))
+    assert (v["range_start"], v["range_end"]) == (
+        len(msgs[0]), len(msgs[0]) + len(msgs[1]))
+    # the fragment IS the exact message and decodes standalone
+    assert bytes(u["content"]) == msgs[0]
+    [rec] = decode_grib2_bytes(bytes(v["content"]))
+    assert rec["header"]["parameterNumber"] == 3
+    # last-record selection fetches to EOF
+    t = fetch_grib_ranges(df, variables=("TMP",)).collect()
+    assert len(t) == 1 and t[0]["range_end"] is None
+    assert bytes(t[0]["content"]) == msgs[2]
+
+
+def test_fetch_grib_ranges_absence_is_data(spark, tmp_path):
+    """Missing idx and no-match both yield one ok=false row with the
+    reason — absence stays data, the fetch_binary contract."""
+    from mints_wind_data_ingestion_spark.operators.fetch import (
+        fetch_grib_ranges,
+    )
+
+    path, _ = _three_message_file(tmp_path)
+    df = spark.createDataFrame(
+        [(path,), (str(tmp_path / "missing.pgrb2"),)], "url string"
+    )
+    out = fetch_grib_ranges(df, variables=("ABSENT_VAR",)).collect()
+    assert len(out) == 2 and all(not r["ok"] for r in out)
+    errs = {r["url"]: r["error"] for r in out}
+    assert "no matching records" in errs[path]
+    assert "idx:" in errs[str(tmp_path / "missing.pgrb2")]
