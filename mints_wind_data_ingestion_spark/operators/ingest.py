@@ -51,11 +51,23 @@ def ingest_once(
     now_ts: str,
     attempts: int = MAX_ATTEMPTS,
     decoder=None,
+    use_idx: bool = False,
+    idx_variables=("UGRD", "VGRD"),
+    idx_level: str | None = None,
 ) -> dict:
     """Run one reference cron tick against `base_url` (file:// tree or
     http(s) endpoint laid out like the NOAA GFS server). Returns a
     status dict: {"status": "no_candidate" | "skip_current" | "merged",
-    "run_ts", "obs_ts", "records"}."""
+    "run_ts", "obs_ts", "records"}.
+
+    `use_idx=True` (r10) fetches via the winner's `.idx` inventory —
+    ONLY the `idx_variables`/`idx_level` records' byte ranges transfer
+    (operators.fetch.fetch_grib_ranges; ~2 of ~700 records for the
+    wind extract), each fragment a standalone message into the same
+    decoder. A missing/unparseable sidecar falls back to the full-file
+    fetch, so idx mode is always at least as available as the
+    reference's whole-file shape; the merged table is identical either
+    way (the decoder's selector keeps the same records)."""
     from ..streaming.pipeline import (
         _merge_publish_epoch,
         _read_if_exists,
@@ -106,7 +118,19 @@ def ingest_once(
                 "obs_ts": w.obs_ts, "records": 0}
 
     one = spark.createDataFrame([(w.rank, w.url)], "rank int, url string")
-    fetched = fetch_binary(one, "url")
+    fetched = None
+    if use_idx:
+        from .fetch import fetch_grib_ranges
+
+        ranged = fetch_grib_ranges(
+            one, variables=idx_variables, level=idx_level
+        ).persist()  # ≤ a handful of rows: one winner × selected records
+        if ranged.filter("ok").count() > 0:
+            fetched = ranged
+        else:  # no sidecar / no matches → the reference's full fetch
+            ranged.unpersist()
+    if fetched is None:
+        fetched = fetch_binary(one, "url")
     decoded = decode_binary_df(
         fetched.filter("ok").select(F.col("url").alias("path"), "content"),
         decoder,

@@ -47,15 +47,27 @@ def _field(run_h: int, param: int) -> list[float]:
     ]
 
 
-def _add_run(tree, run_h: int) -> dict:
+def _add_run(tree, run_h: int, with_idx: bool = False) -> dict:
     """Stage one GFS run (U+V at the 12Z observation) into the fixture
-    tree; returns {(run_h, param): field}."""
+    tree; returns {(run_h, param): field}. `with_idx` also stages a
+    leading TMP record (which the wind extract must NOT transfer) and
+    the NOMADS .idx sidecar with real byte offsets (r10)."""
     ref = datetime(2020, 8, 12, run_h)
     fc = 12 - run_h
     d = tree / "gfs.20200812" / f"{run_h:02d}" / "atmos"
     d.mkdir(parents=True, exist_ok=True)
     fields = {}
     msgs = []
+    names = []
+    if with_idx:
+        msgs.append(
+            encode_grib2_message(
+                _field(run_h, 0), parameter_number=0,
+                parameter_category=0, ref_time=ref, forecast_hours=fc,
+                nx=NX, ny=NY,
+            )
+        )
+        names.append("TMP")
     for param in (2, 3):
         vals = _field(run_h, param)
         fields[(run_h, param)] = vals
@@ -65,8 +77,20 @@ def _add_run(tree, run_h: int) -> dict:
                 forecast_hours=fc, nx=NX, ny=NY, packing="complex_diff",
             )
         )
+        names.append("UGRD" if param == 2 else "VGRD")
     name = f"gfs.t{run_h:02d}z.pgrb2.1p00.f{fc:03d}"
     (d / name).write_bytes(encode_grib2_file(msgs))
+    if with_idx:
+        offs, o = [], 0
+        for m in msgs:
+            offs.append(o)
+            o += len(m)
+        idx = "".join(
+            f"{i + 1}:{offs[i]}:d=20200812{run_h:02d}:{names[i]}:"
+            f"10 m above ground:{fc} hour fcst:\n"
+            for i in range(len(msgs))
+        )
+        (d / (name + ".idx")).write_text(idx)
     return fields
 
 
@@ -710,3 +734,42 @@ def test_fetch_grib_ranges_absence_is_data(spark, tmp_path):
     errs = {r["url"]: r["error"] for r in out}
     assert "no matching records" in errs[path]
     assert "idx:" in errs[str(tmp_path / "missing.pgrb2")]
+
+
+def test_ingest_once_idx_mode_partial_fetch_and_fallback(spark, tmp_path):
+    """use_idx=True transfers only the UGRD/VGRD byte ranges (the
+    staged TMP record is never fetched) yet merges the IDENTICAL
+    table the full-fetch tick produces; a tree with no sidecar falls
+    back to the whole-file fetch transparently."""
+    from mints_wind_data_ingestion_spark.operators.ingest import ingest_once
+
+    now = "2020-08-12 13:30:00"
+
+    # idx-equipped tree (U, V AND a TMP record + real-offset sidecar)
+    tree, fields = _noaa_tree(tmp_path, present_runs=())
+    fields.update(_add_run(tree, 6, with_idx=True))
+    t_idx = str(tmp_path / "t_idx")
+    r = ingest_once(spark, f"file://{tree}", t_idx, now, attempts=6,
+                    use_idx=True)
+    assert r["status"] == "merged" and r["records"] == 2
+    rows = spark.read.parquet(t_idx).collect()
+    assert sorted(x.param for x in rows) == [2, 3]
+    for x in rows:
+        assert [round(float(v), 2) for v in x.data] == fields[(6, x.param)]
+
+    # full-fetch tick over the same tree → identical table
+    t_full = str(tmp_path / "t_full")
+    r2 = ingest_once(spark, f"file://{tree}", t_full, now, attempts=6)
+    assert r2["status"] == "merged" and r2["records"] == 2
+    a = sorted((x.param, tuple(x.data)) for x in rows)
+    b = sorted((x.param, tuple(x.data))
+               for x in spark.read.parquet(t_full).collect())
+    assert a == b
+
+    # no sidecar anywhere → idx mode falls back, still merges
+    (tmp_path / "plain").mkdir()
+    tree2, f2 = _noaa_tree(tmp_path / "plain", present_runs=(6,))
+    t_fb = str(tmp_path / "t_fb")
+    r3 = ingest_once(spark, f"file://{tree2}", t_fb, now, attempts=6,
+                     use_idx=True)
+    assert r3["status"] == "merged" and r3["records"] == 2
