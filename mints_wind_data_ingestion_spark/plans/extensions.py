@@ -4462,3 +4462,73 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(tables(spark, sf_dir)["embeddings"])
     C = train_ivf_centroids(emb, n_cells=16, iters=5)
     return semantic_dedup(emb, C, threshold=0.4)
+
+
+def _quality_probe_oracle(sf_dir: str) -> str:
+    """DuckDB replay of the linear-probe scoring with the TRAINED
+    model embedded as exact-repr literals (the IVF trained-centroid
+    convention): `linear_probe_local` recomputes the Spark trainer's
+    bit-identical weights from the parquet alone (shared feature SQL,
+    exact integer sufficient statistics, the same pure-Python GD
+    loop), so the margin expression below is the identical
+    left-associated double arithmetic the Spark plan runs."""
+    from ..operators.classifier import (
+        PROBE_FEATURE_SQL,
+        PROBE_FEATURES,
+        linear_probe_local,
+    )
+
+    m = linear_probe_local(sf_dir)
+    terms = [f"({m['w'][0]!r}) * 1.0"]
+    for i, name in enumerate(PROBE_FEATURES):
+        terms.append(
+            f"({m['w'][i + 1]!r}) * (({name} - ({m['mu'][i]!r}))"
+            f" / ({m['sigma'][i]!r}))"
+        )
+    margin = " + ".join(terms)
+    return f"""
+    WITH f AS ({PROBE_FEATURE_SQL}),
+    scored AS (SELECT doc_id, y, {margin} AS margin FROM f)
+    SELECT doc_id, y,
+           CAST(round(margin * 1000000.0) AS BIGINT) AS margin_e6,
+           margin >= 0.5 AS pred
+    FROM scored
+    """
+
+
+@query("x_quality_probe", oracle=_quality_probe_oracle,
+       tags=("ext", "text", "classifier"))
+def x_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-probe quality classifier, trained AND scored at corpus
+    scale (r10 — operators.classifier): distill the English-stopword
+    curation signal (the rule x_quality_filter thresholds) into a
+    ridge linear model over cheap text statistics — the
+    fastText-classifier stage of public LLM curation recipes, built
+    from exact integer sufficient statistics.
+
+    Plan shape — the classic distributed linear model: training is
+    TWO narrow corpus passes ending in map-side-combinable aggs whose
+    results are bounded driver pulls (11 + 27 integers — the model's
+    sufficient statistics; the x_classifier_eval collected-centroids
+    class), the fixed-iteration GD loop runs driver-side on those
+    exact integers, and scoring is one more narrow codegen projection.
+    At 100 TB: three scans, no shuffle wider than agg partials.
+
+    Hash-load-bearing: per-document margins (e6), predictions and
+    labels all cross the driver hash; the lazy oracle re-derives the
+    bit-identical weights engine-free (exact-integer statistics +
+    the same pure-Python solver) and replays the identical
+    left-associated margin arithmetic. On this synthetic corpus the
+    probe only edges past the base rate (~87% vs ~86% — the testdata's
+    text statistics are near-uncorrelated by construction); the
+    learnability of the MACHINERY is pinned separately by the planted
+    test in tests/test_classifier.py."""
+    from ..operators.classifier import (
+        probe_features,
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    feats = probe_features(_spread(tables(spark, sf_dir)["documents"]))
+    model = train_linear_probe(feats)
+    return score_linear_probe(feats, model)
