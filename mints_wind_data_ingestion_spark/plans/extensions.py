@@ -4529,6 +4529,14 @@ def x_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_linear_probe,
     )
 
-    feats = probe_features(_spread(tables(spark, sf_dir)["documents"]))
+    # cache the (doc_id + 6 ints) feature table: moments agg, products
+    # agg and the scoring projection would otherwise each re-run the
+    # interpreted-HOF feature extraction — interleaved same-window A/B
+    # at sf0.1 (5 reps/arm): cached 0.99 s min / 1.06 med vs uncached
+    # 1.67 min / 1.72 med. Mid-plan cache → prepared-plan-cache
+    # self-exclusion, the LM-trainer precedent.
+    feats = probe_features(
+        _spread(tables(spark, sf_dir)["documents"])
+    ).persist()
     model = train_linear_probe(feats)
     return score_linear_probe(feats, model)
