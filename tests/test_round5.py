@@ -773,3 +773,47 @@ def test_ingest_once_idx_mode_partial_fetch_and_fallback(spark, tmp_path):
     r3 = ingest_once(spark, f"file://{tree2}", t_fb, now, attempts=6,
                      use_idx=True)
     assert r3["status"] == "merged" and r3["records"] == 2
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(deadline=None, max_examples=60)
+@_given(
+    offs=_st.lists(_st.integers(0, 10**9), min_size=1, max_size=12,
+                   unique=True),
+    data=_st.data(),
+)
+def test_parse_grib_idx_property(offs, data):
+    """Inventory parsing is order-insensitive and end-stitching is
+    exact: for ANY offset set, ends are the successor offsets (last =
+    None), and junk lines never perturb the parse."""
+    from mints_wind_data_ingestion_spark.operators.fetch import (
+        parse_grib_idx,
+        select_idx_records,
+    )
+
+    offs_sorted = sorted(offs)
+    names = [
+        data.draw(_st.sampled_from(["UGRD", "VGRD", "TMP", "APCP"]))
+        for _ in offs
+    ]
+    lines = [
+        f"{i + 1}:{o}:d=2020081206:{names[i]}:10 m above ground:"
+        f"6 hour fcst:"
+        for i, o in enumerate(offs)
+    ]
+    lines.insert(data.draw(_st.integers(0, len(lines))), "not an idx line")
+    if data.draw(_st.booleans()):
+        lines.reverse()
+    recs = parse_grib_idx("\n".join(lines))
+    assert [r["start"] for r in recs] == offs_sorted
+    assert [r["end"] for r in recs] == offs_sorted[1:] + [None]
+    # contiguity: every byte past the first offset belongs to exactly
+    # one record's range
+    for a, b in zip(recs, recs[1:]):
+        assert a["end"] == b["start"]
+    sel = select_idx_records(recs, ("UGRD", "VGRD"))
+    assert all(r["var"] in ("UGRD", "VGRD") for r in sel)
+    assert len(sel) == sum(n in ("UGRD", "VGRD") for n in names)
