@@ -304,3 +304,42 @@ def test_dsir_gate_stream_equals_batch(spark, sf_dir, tmp_path):
     # quarantine carries the evidence
     assert {"doc_id", "n_grams", "logw_e6"} <= set(quar.columns)
     assert all(r["logw_e6"] < gate for r in quar.collect())
+
+
+def test_dsir_gate_replay_is_noop(spark, sf_dir, tmp_path):
+    """Re-running the DSIR gate stream with the same checkpoint (no
+    new files) is a no-op: same epochs, same kept rows — the
+    epoch-keyed exactly-once contract the other ingest gates pin."""
+    from mints_wind_data_ingestion_spark.operators.lm import (
+        persist_dsir_bucket_model,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_dsir_gate_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    model = str(tmp_path / "model")
+    persist_dsir_bucket_model(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+        model, hash_buckets=256,
+    )
+    landing = str(tmp_path / "landing")
+    docs.coalesce(1).write.mode("append").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    corpus = str(tmp_path / "corpus")
+    args = (spark, landing, corpus, str(tmp_path / "ckpt"), schema, model)
+
+    q = run_dsir_gate_ingest(*args, min_logw_e6=0)
+    q.awaitTermination(180)
+    assert q.exception() is None
+    first = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert first
+
+    q2 = run_dsir_gate_ingest(*args, min_logw_e6=0)
+    q2.awaitTermination(180)
+    assert q2.exception() is None
+    again = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert again == first
