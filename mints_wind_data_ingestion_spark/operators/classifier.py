@@ -207,10 +207,15 @@ def train_linear_probe(
     aggs = [F.count(F.lit(1)).alias("n")]
     for name in PROBE_FEATURES:
         aggs.append(F.sum(F.col(name)).alias(f"s_{name}"))
-        aggs.append(
-            F.sum(F.col(name) * F.col(name)).alias(f"ss_{name}")
-        )
+        # squares through DECIMAL: a pathological single-token doc can
+        # push awl_e6 to ~1e10, whose bigint square (1e20) would wrap
+        # SILENTLY (ANSI off) and diverge from the replica's exact
+        # Python integers; decimal(38,0) keeps the sum exact
+        c = F.col(name).cast("decimal(19,0)")
+        aggs.append(F.sum(c * c).alias(f"ss_{name}"))
     m = feats.agg(*aggs).first().asDict()  # bounded: 11 integers
+    for name in PROBE_FEATURES:  # Decimal → int for exact moments
+        m[f"ss_{name}"] = int(m[f"ss_{name}"])
     n = int(m["n"])
     if n == 0:
         raise ValueError("train_linear_probe: empty corpus")

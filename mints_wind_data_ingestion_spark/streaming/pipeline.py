@@ -950,17 +950,20 @@ def run_semdedup_ingest(
                     f"{corpus_path}/epoch={epoch_id}"
                 )
                 if quarantine_path is not None:
+                    # match_id keeps the index's NATIVE id type (a
+                    # long cast would silently NULL string ids)
+                    id_type = stored.schema["__sid"].dataType
                     q_batch = sd.filter(~F.col("keep")).select(
                         F.col(id_col),
                         F.lit("batch").alias("reason"),
-                        F.lit(None).cast("long").alias("match_id"),
+                        F.lit(None).cast(id_type).alias("match_id"),
                         F.lit(None).cast("double").alias("cosine_sim"),
                         F.col("n_dups"),
                     )
                     q_corpus = hits.select(
                         F.col("__qid").alias(id_col),
                         F.lit("corpus").alias("reason"),
-                        F.col("__sid").cast("long").alias("match_id"),
+                        F.col("__sid").alias("match_id"),
                         F.col("__cos").alias("cosine_sim"),
                         F.lit(None).cast("long").alias("n_dups"),
                     )
