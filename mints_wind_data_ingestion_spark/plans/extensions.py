@@ -4540,3 +4540,61 @@ def x_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     model = train_linear_probe(feats)
     return score_linear_probe(feats, model)
+
+
+@query("x_image_dedup", oracle=None,
+       tags=("ext", "multimodal", "dedup"), driver=False)
+def x_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash dedup (r10) — the LAION-class multimodal
+    dedup stage: decode → 64-bit dHash (integer ITU-R 601 luminance,
+    half-pixel-center 9×8 resize, horizontal-gradient bits) → banded
+    Hamming pairs (sources.multimodal.image_neardup_pairs; pigeonhole
+    recall exact for Hamming ≤ bands-1, the x_dedup_simhash shape —
+    never O(n²)).
+
+    Corpus: a deterministic murmur-mixed textured BMP per document id
+    plus a one-pixel-perturbed sibling for every 20th id — real binary
+    images through the real decode path, with planted near-dups whose
+    recovery is pinned by tests/test_multimodal.py. Rows-only check
+    (no SQL oracle: pixel decode + resize aren't SQL-expressible; the
+    planted-pair test is the exactness pin — the codec family
+    convention for non-replayable decoders)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.multimodal import (
+        encode_bmp,
+        image_dhash_df,
+        image_neardup_pairs,
+    )
+
+    ids = tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def gen(it):
+        u64 = np.uint64
+        for pdf in it:
+            out_ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for sib in (0, 1) if i % 20 == 0 else (0,):
+                    w, h = 24, 20
+                    yy, xx, cc = np.meshgrid(
+                        np.arange(h, dtype=np.uint64),
+                        np.arange(w, dtype=np.uint64),
+                        np.arange(3, dtype=np.uint64), indexing="ij",
+                    )
+                    v = (u64(i) * u64(2654435761) + xx * u64(40503)
+                         + yy * u64(65537) + cc * u64(97))
+                    v ^= v >> u64(13)
+                    v *= u64(0x5BD1E995)
+                    v ^= v >> u64(15)
+                    px = (v % u64(256)).astype(np.uint8)
+                    if sib:
+                        px = px.copy()
+                        px[h // 2, w // 2] = (px[h // 2, w // 2] + 9) % 256
+                    out_ids.append(i + sib * 10_000_000)
+                    payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
+
+    corpus = ids.mapInPandas(gen, "doc_id long, payload binary")
+    return image_neardup_pairs(image_dhash_df(corpus), max_hamming=6)

@@ -79,6 +79,9 @@ __all__ = [
     "transform_images",
     "synth_bmp_corpus",
     "resized_pixel_moments",
+    "dhash64",
+    "image_dhash_df",
+    "image_neardup_pairs",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -592,4 +595,122 @@ def resized_pixel_moments(
             f"{id_col} {id_t}, out_width int, out_height int, "
             "mean_r double, px_sum long, px_sumsq long"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash dedup (r10) — the LAION-class image dedup stage
+# ---------------------------------------------------------------------------
+
+
+def dhash64(pixels) -> int:
+    """Classic 64-bit difference hash (dHash): integer luminance →
+    nearest-neighbor resize to 9×8 (`resize_image`'s half-pixel-center
+    grid — exactly reproducible, no codec) → one bit per cell for the
+    horizontal gradient small[r, c] > small[r, c+1]. Near-duplicate
+    images (recompressed, lightly edited, slightly rescaled) land
+    within a small Hamming distance; the luminance weights are the
+    integer ITU-R 601 form ((299R + 587G + 114B) // 1000), so the
+    whole hash is exact integer arithmetic end-to-end."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim == 3:
+        r = px[..., 0].astype(np.int64)
+        g = px[..., 1].astype(np.int64)
+        b = px[..., 2].astype(np.int64)  # alpha (if any) ignored
+        px = (r * 299 + g * 587 + b * 114) // 1000
+    else:
+        px = px.astype(np.int64)
+    small = resize_image(px, 9, 8)
+    bits = small[:, :-1] > small[:, 1:]
+    weights = (1 << np.arange(63, -1, -1, dtype=np.uint64))
+    return int(bits.reshape(-1).astype(np.uint64) @ weights)
+
+
+def image_dhash_df(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, dhash) per image payload — one Arrow-batched decode+hash
+    pass over the native formats (BMP/PPM/PGM/PNG); a corrupt or
+    codec-gated payload yields a NULL dhash row (the transform-UDTF
+    quarantine contract), never a task failure. dhash is emitted as a
+    SIGNED bigint (the raw 64 bits reinterpreted) so the banded join
+    and bit_count run on JVM longs."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(i)
+                try:
+                    h = dhash64(decode_image(bytes(payload))["pixels"])
+                    hashes.append(np.int64(np.uint64(h)))
+                except MM_DECODE_ERRORS:
+                    hashes.append(None)
+            yield pd.DataFrame({id_col: ids, "dhash": pd.array(
+                hashes, dtype="Int64")})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs from a dHash table: band the 64 bits
+    into `bands` equal slices, equi-join on (band, slice) — pigeonhole
+    guarantees every pair within Hamming `bands - 1` shares a band, so
+    recall is EXACT for max_hamming ≤ bands - 1 — then verify by
+    bit_count(xor). Same bucketed never-O(n²) shape as the text
+    SimHash pipeline (plans.extensions.x_dedup_simhash); NULL-dhash
+    (undecodable) rows drop out before the join."""
+    if 64 % bands:
+        raise ValueError(f"bands {bands} must divide 64")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} exceeds the banded recall "
+            f"guarantee (bands - 1 = {bands - 1})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fp = hashes.filter(F.col("dhash").isNotNull())
+    banded = fp.select(
+        F.col(id_col),
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), j * width)
+                    .bitwiseAND(F.lit(mask))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
