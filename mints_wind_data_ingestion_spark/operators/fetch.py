@@ -233,16 +233,19 @@ def _idx_re():
         import re
 
         _IDX_LINE = re.compile(
-            r"^(\d+):(\d+):d=(\d{10,12}):([^:]*):([^:]*):([^:]*)"
+            r"^(\d+(?:\.\d+)?):(\d+):d=(\d{10,12}):([^:]*):([^:]*):([^:]*)"
         )
     return _IDX_LINE
 
 
 def parse_grib_idx(text: str) -> list[dict]:
     """Parse one .idx inventory into [{msg, start, end, ref, var,
-    level, forecast}] — `end` is the next record's offset (None for
-    the last: fetch to EOF). Malformed lines are skipped (real NOMADS
-    inventories occasionally carry sub-field continuation lines)."""
+    level, forecast}] — `end` is the NEXT DISTINCT offset (None for
+    the last: fetch to EOF). Malformed lines are skipped. wgrib2/NOMADS
+    submessage lines ('587.1:offset:...') are accepted — the integer
+    part becomes `msg` — and because submessages of one GRIB message
+    share its byte offset, end-stitching uses the next STRICTLY
+    GREATER start, so no record ever gets a zero-length range."""
     recs = []
     for line in text.splitlines():
         m = _idx_re().match(line.strip())
@@ -250,7 +253,7 @@ def parse_grib_idx(text: str) -> list[dict]:
             continue
         recs.append(
             {
-                "msg": int(m.group(1)),
+                "msg": int(float(m.group(1))),
                 "start": int(m.group(2)),
                 "end": None,
                 "ref": m.group(3),
@@ -260,8 +263,10 @@ def parse_grib_idx(text: str) -> list[dict]:
             }
         )
     recs.sort(key=lambda r: r["start"])
-    for a, b in zip(recs, recs[1:]):
-        a["end"] = b["start"]
+    starts = sorted({r["start"] for r in recs})
+    nxt = {a: b for a, b in zip(starts, starts[1:])}
+    for r in recs:
+        r["end"] = nxt.get(r["start"])
     return recs
 
 
@@ -297,7 +302,13 @@ def _fetch_range_one(
             with open(path, "rb") as fh:
                 fh.seek(start)
                 body = fh.read() if end is None else fh.read(end - start)
-                return body, None
+            if end is not None and len(body) != end - start:
+                # short read = the inventory points past EOF (stale or
+                # corrupt sidecar); a truncated fragment is not a
+                # standalone GRIB message, so absence stays data
+                return None, (f"range length mismatch: got {len(body)}"
+                              f" want {end - start}")
+            return body, None
         except OSError as exc:
             return None, f"{type(exc).__name__}: {exc}"
     if scheme in ("http", "https"):
@@ -310,7 +321,25 @@ def _fetch_range_one(
             try:
                 req = Request(url, headers={"Range": rng})
                 with urlopen(req, timeout=timeout) as resp:  # noqa: S310
-                    return resp.read(), None
+                    status = resp.getcode()
+                    body = resp.read()
+                if status == 206:
+                    # the server honoured the Range — the body must be
+                    # exactly the requested slice, or the fragment is
+                    # not a standalone GRIB message
+                    if end is not None and len(body) != end - start:
+                        last = (f"range length mismatch: got {len(body)}"
+                                f" want {end - start}")
+                        continue
+                    return body, None
+                if status == 200:
+                    # server ignored the Range header and returned the
+                    # FULL file: slice locally so downstream decode
+                    # still sees exactly one record per selected range
+                    # (the ingress saving is lost, correctness is not)
+                    return (body[start:] if end is None
+                            else body[start:end]), None
+                last = f"unexpected status {status} for range request"
             except (URLError, OSError) as exc:
                 last = f"{type(exc).__name__}: {exc}"
         return None, last
@@ -388,7 +417,21 @@ def fetch_grib_ranges(
                 if not picked:
                     emit(ok=False, error="idx: no matching records")
                     continue
+                # submessages of one GRIB message share its byte
+                # offset — fetch each distinct range ONCE (decode
+                # yields every field in the message), joining the
+                # selected field labels with '+'
+                by_start: dict[int, dict] = {}
                 for r in picked:
+                    g = by_start.get(r["start"])
+                    if g is None:
+                        by_start[r["start"]] = dict(r)
+                    else:
+                        for k in ("var", "level", "forecast"):
+                            if r[k] not in g[k].split("+"):
+                                g[k] = g[k] + "+" + r[k]
+                for r in sorted(by_start.values(),
+                                key=lambda x: x["start"]):
                     body, ferr = _fetch_range_one(
                         url, r["start"], r["end"], timeout, retries
                     )

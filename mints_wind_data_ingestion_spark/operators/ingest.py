@@ -119,32 +119,50 @@ def ingest_once(
 
     one = spark.createDataFrame([(w.rank, w.url)], "rank int, url string")
     fetched = None
+    ranged = None
     if use_idx:
         from .fetch import fetch_grib_ranges
 
         ranged = fetch_grib_ranges(
             one, variables=idx_variables, level=idx_level
         ).persist()  # ≤ a handful of rows: one winner × selected records
-        if ranged.filter("ok").count() > 0:
+        # ALL-OR-NOTHING: the strict staleness gate (stored_ref >=
+        # run_ts → skip_current) would permanently freeze a bucket
+        # merged from a PARTIAL record set (e.g. UGRD ok, VGRD range
+        # fetch failed), so the idx path is taken only when every
+        # selected range fetched — otherwise fall back to the
+        # reference's whole-file fetch, which keeps the merged table
+        # identical either way.
+        counts = ranged.groupBy("ok").count().collect()  # bounded: ≤2 rows
+        n_ok = sum(r["count"] for r in counts if r["ok"])
+        n_bad = sum(r["count"] for r in counts if not r["ok"])
+        if n_ok > 0 and n_bad == 0:
             fetched = ranged
-        else:  # no sidecar / no matches → the reference's full fetch
+        else:  # no sidecar / no matches / partial → full fetch
             ranged.unpersist()
-    if fetched is None:
-        fetched = fetch_binary(one, "url")
-    decoded = decode_binary_df(
-        fetched.filter("ok").select(F.col("url").alias("path"), "content"),
-        decoder,
-    )
-    batch = decoded.select(
-        F.col("header.parameterNumber").alias("param"),
-        F.to_timestamp(
-            F.col("header.refTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"
-        ).alias("ref_time"),
-        F.col("header.forecastTime").alias("forecast_hours"),
-        "header",
-        "data",
-    ).withColumn("recorded_time", F.lit(w.obs_ts).cast("timestamp"))
-    _merge_publish_epoch(batch, table_path, epoch_id=0)
+            ranged = None
+    try:
+        if fetched is None:
+            fetched = fetch_binary(one, "url")
+        decoded = decode_binary_df(
+            fetched.filter("ok").select(
+                F.col("url").alias("path"), "content"
+            ),
+            decoder,
+        )
+        batch = decoded.select(
+            F.col("header.parameterNumber").alias("param"),
+            F.to_timestamp(
+                F.col("header.refTime"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+            ).alias("ref_time"),
+            F.col("header.forecastTime").alias("forecast_hours"),
+            "header",
+            "data",
+        ).withColumn("recorded_time", F.lit(w.obs_ts).cast("timestamp"))
+        _merge_publish_epoch(batch, table_path, epoch_id=0)
+    finally:
+        if ranged is not None:  # a cron loop must not leak one cache/tick
+            ranged.unpersist()
     n = spark.read.parquet(table_path).filter(
         (F.col("recorded_time") == F.lit(w.obs_ts))
         & (F.col("ref_time") == F.lit(w.run_ts))

@@ -1,0 +1,255 @@
+"""Round-11 hardening of the .idx byte-range partial fetch + ingest:
+
+- wgrib2/NOMADS submessage inventory lines ('587.1:off:...') parse,
+  duplicate byte offsets never yield zero-length ranges, and a
+  multi-field message is fetched ONCE (labels coalesced with '+');
+- `_fetch_range_one` validates the HTTP response: 206 bodies must be
+  exactly the requested slice, a 200 (server ignored Range) is sliced
+  locally so correctness survives even when the ingress saving is
+  lost, and short local reads (stale sidecar past EOF) are errors;
+- `ingest_once(use_idx=True)` is ALL-OR-NOTHING: a partially-fetched
+  record set falls back to the whole-file fetch instead of merging a
+  bucket the strict staleness gate would then freeze incomplete;
+- the idx success path no longer leaks one persisted DataFrame per
+  cron tick.
+
+Reference parity: converter.py:138-171 (fetch loop + staleness gate);
+the .idx convention is NOAA NOMADS' public partial-transfer interface.
+"""
+from __future__ import annotations
+
+import threading
+from datetime import datetime, timezone
+from functools import partial
+from http.server import BaseHTTPRequestHandler, SimpleHTTPRequestHandler
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from mints_wind_data_ingestion_spark.operators.fetch import (
+    _fetch_range_one,
+    fetch_grib_ranges,
+    parse_grib_idx,
+    select_idx_records,
+)
+from mints_wind_data_ingestion_spark.sources.grib2codec import (
+    decode_grib2_bytes,
+    encode_grib2_file,
+    encode_grib2_message,
+)
+from tests.test_round5 import _add_run, _noaa_tree
+
+
+# ---------------------------------------------------------------------------
+# inventory parsing: submessages + duplicate offsets
+# ---------------------------------------------------------------------------
+
+
+def test_parse_grib_idx_submessage_lines():
+    """wgrib2-style submessage numbers ('3.1', '3.2') parse (integer
+    part becomes msg); records sharing one byte offset all stitch to
+    the next STRICTLY GREATER offset — no zero-length range exists."""
+    text = (
+        "1:0:d=2020081206:TMP:2 m above ground:6 hour fcst:\n"
+        "2:800:d=2020081206:APCP:surface:0-6 hour acc fcst:\n"
+        "3.1:2000:d=2020081206:UGRD:10 m above ground:6 hour fcst:\n"
+        "3.2:2000:d=2020081206:VGRD:10 m above ground:6 hour fcst:\n"
+        "4:5000:d=2020081206:GUST:surface:6 hour fcst:\n"
+    )
+    recs = parse_grib_idx(text)
+    assert [(r["msg"], r["start"], r["end"]) for r in recs] == [
+        (1, 0, 800), (2, 800, 2000),
+        (3, 2000, 5000), (3, 2000, 5000),     # both subfields, full msg
+        (4, 5000, None),
+    ]
+    assert all(r["end"] is None or r["end"] > r["start"] for r in recs)
+    sel = select_idx_records(recs, ("UGRD", "VGRD"))
+    assert [r["var"] for r in sel] == ["UGRD", "VGRD"]
+
+
+def test_fetch_grib_ranges_coalesces_shared_offsets(spark, tmp_path):
+    """Two selected inventory records at ONE byte offset (an NCEP
+    multi-field message) fetch that range ONCE — one output row with
+    '+'-joined labels whose content is the complete message — never
+    two duplicate rows or an ok=True empty body."""
+    rt = datetime(2020, 8, 12, 6, tzinfo=timezone.utc)
+    vals = lambda s: [((i * 7 + s * 31) % 2600) / 100.0 for i in range(24)]
+    msgs = [
+        encode_grib2_message(vals(0), parameter_number=0,
+                             parameter_category=0, ref_time=rt,
+                             nx=6, ny=4),                      # TMP
+        encode_grib2_message(vals(1), parameter_number=2, ref_time=rt,
+                             nx=6, ny=4),                      # UGRD(+VGRD)
+    ]
+    blob = encode_grib2_file(msgs)
+    path = tmp_path / "gfs.t06z.pgrb2.1p00.f006"
+    path.write_bytes(blob)
+    # sidecar lists the second message twice (submessage style): same
+    # offset, two variable names
+    off2 = len(msgs[0])
+    (tmp_path / (path.name + ".idx")).write_text(
+        f"1:0:d=2020081206:TMP:2 m above ground:6 hour fcst:\n"
+        f"2.1:{off2}:d=2020081206:UGRD:10 m above ground:6 hour fcst:\n"
+        f"2.2:{off2}:d=2020081206:VGRD:10 m above ground:6 hour fcst:\n"
+    )
+    df = spark.createDataFrame([(str(path),)], "url string")
+    out = fetch_grib_ranges(df, variables=("UGRD", "VGRD")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ok"] and r["variable"] == "UGRD+VGRD"
+    assert (r["range_start"], r["range_end"]) == (off2, None)
+    assert bytes(r["content"]) == msgs[1]
+    assert len(decode_grib2_bytes(bytes(r["content"]))) == 1
+
+
+# ---------------------------------------------------------------------------
+# _fetch_range_one response validation
+# ---------------------------------------------------------------------------
+
+
+class _NoRangeHandler(SimpleHTTPRequestHandler):
+    """Serves GET but IGNORES the Range header (returns 200 + full
+    body) — the misbehaving-server case ADVICE r10 flagged."""
+
+    def log_message(self, *args):
+        pass
+
+
+class _RangeHandler(BaseHTTPRequestHandler):
+    """Honours Range with 206; `short_by` > 0 truncates the 206 body
+    (a corrupt partial response that must be rejected)."""
+
+    blob: bytes = b""
+    short_by: int = 0
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        cls = type(self)
+        rng = self.headers.get("Range")
+        assert rng and rng.startswith("bytes=")
+        lo, _, hi = rng[len("bytes="):].partition("-")
+        start = int(lo)
+        end = (int(hi) + 1) if hi else len(cls.blob)
+        body = cls.blob[start:end]
+        if cls.short_by:
+            body = body[: max(0, len(body) - cls.short_by)]
+        self.send_response(206)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):
+        pass
+
+
+@pytest.fixture()
+def _serve():
+    """Start a loopback server for a handler class; yields base_url."""
+    servers = []
+
+    def start(handler, **kw):
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        servers.append((srv, t))
+        return f"http://127.0.0.1:{srv.server_address[1]}"
+
+    yield start
+    for srv, t in servers:
+        srv.shutdown()
+        t.join(timeout=5)
+
+
+def test_fetch_range_http_200_sliced_locally(tmp_path, _serve):
+    """A server that ignores Range returns the FULL file with 200;
+    the fetcher slices [start, end) locally so each selected record
+    still decodes exactly once (no duplicate rows downstream)."""
+    blob = bytes(range(256)) * 4
+    (tmp_path / "f.bin").write_bytes(blob)
+    base = _serve(partial(_NoRangeHandler, directory=str(tmp_path)))
+    body, err = _fetch_range_one(base + "/f.bin", 100, 300, 10.0, 1)
+    assert err is None and body == blob[100:300]
+    tail, err2 = _fetch_range_one(base + "/f.bin", 1000, None, 10.0, 1)
+    assert err2 is None and tail == blob[1000:]
+
+
+def test_fetch_range_http_206_validated(_serve):
+    """An honoured Range round-trips; a truncated 206 body is an
+    error (never an ok row with a non-standalone GRIB fragment)."""
+    blob = bytes((i * 13) % 251 for i in range(2048))
+
+    class _H(_RangeHandler):
+        pass
+
+    _H.blob = blob
+    base = _serve(_H)
+    body, err = _fetch_range_one(base + "/x", 64, 192, 10.0, 1)
+    assert err is None and body == blob[64:192]
+
+    _H.short_by = 5
+    body2, err2 = _fetch_range_one(base + "/x", 64, 192, 10.0, 2)
+    assert body2 is None and "length mismatch" in err2
+
+
+def test_fetch_range_local_short_read_is_error(tmp_path):
+    """A stale sidecar pointing past EOF yields an error row, not a
+    silently-truncated ok body."""
+    p = tmp_path / "short.bin"
+    p.write_bytes(b"0123456789")
+    body, err = _fetch_range_one(str(p), 4, 8, 10.0, 1)
+    assert err is None and body == b"4567"
+    body2, err2 = _fetch_range_one(str(p), 4, 99, 10.0, 1)
+    assert body2 is None and "length mismatch" in err2
+
+
+# ---------------------------------------------------------------------------
+# ingest_once: all-or-nothing idx path + no cache leak
+# ---------------------------------------------------------------------------
+
+
+def _corrupt_idx_phantom_tail(tree):
+    """Append a phantom record past EOF to every staged sidecar: the
+    last REAL record's end now exceeds the file, so exactly one of
+    the selected ranges fails while the others succeed — the partial
+    case the staleness gate must never see merged."""
+    for idx in tree.rglob("*.idx"):
+        data = (idx.parent / idx.name[: -len(".idx")]).stat().st_size
+        idx.write_text(
+            idx.read_text()
+            + f"9:{data + 4096}:d=2020081206:GUST:surface:6 hour fcst:\n"
+        )
+
+
+def test_ingest_idx_partial_range_falls_back_whole_file(spark, tmp_path):
+    """use_idx=True with ONE failing range (UGRD ok, VGRD short) must
+    NOT merge a partial bucket — it falls back to the full-file fetch
+    and merges the identical 2-record table (ADVICE r10, medium)."""
+    from mints_wind_data_ingestion_spark.operators.ingest import ingest_once
+
+    now = "2020-08-12 13:30:00"
+    tree, fields = _noaa_tree(tmp_path, present_runs=())
+    fields.update(_add_run(tree, 6, with_idx=True))
+    _corrupt_idx_phantom_tail(tree)
+    t = str(tmp_path / "t")
+    r = ingest_once(spark, f"file://{tree}", t, now, attempts=6,
+                    use_idx=True)
+    assert r["status"] == "merged" and r["records"] == 2
+    rows = spark.read.parquet(t).collect()
+    assert sorted(x.param for x in rows) == [2, 3]
+    for x in rows:
+        assert [round(float(v), 2) for v in x.data] == fields[(6, x.param)]
+
+
+def test_ingest_idx_success_path_unpersists(spark, tmp_path):
+    """A cron loop calling ingest_once(use_idx=True) must not leak one
+    cached DataFrame per tick (ADVICE r10: only the fallback branch
+    unpersisted)."""
+    from mints_wind_data_ingestion_spark.operators.ingest import ingest_once
+
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    tree, _ = _noaa_tree(tmp_path, present_runs=())
+    _add_run(tree, 6, with_idx=True)
+    r = ingest_once(spark, f"file://{tree}", str(tmp_path / "t"),
+                    "2020-08-12 13:30:00", attempts=6, use_idx=True)
+    assert r["status"] == "merged" and r["records"] == 2
+    assert jsc.getPersistentRDDs().size() == before
