@@ -1299,7 +1299,14 @@ def q_lineitem_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lmm_oracle() -> str:
+def _lmm_oracle(sf_dir: str) -> str:
+    # LAZY composite oracle (the only one): the two image parts embed
+    # replica-derived literals, so the whole union resolves per sf_dir
+    # (resolve_oracle calls through; fixed component SQL is unchanged)
+    from .registry import resolve_oracle
+
+    img_h = resolve_oracle(REGISTRY["x_image_dhash"], sf_dir)
+    img_p = resolve_oracle(REGISTRY["x_image_dedup"], sf_dir)
     return f"""
     SELECT 'grid' AS part, CAST(label AS BIGINT) AS k1,
            CAST(lat_band AS BIGINT) AS k2, CAST(cell_cnt AS BIGINT) AS n1,
@@ -1328,22 +1335,42 @@ def _lmm_oracle() -> str:
            CAST(px_sumsq AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM {_oracle("x_mm_transform")}
+    UNION ALL
+    SELECT 'image_dhash', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(dhash AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({img_h})
+    UNION ALL
+    SELECT 'image_pairs', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(hamming AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({img_p})
     """
 
 
-@query("x_layout_mm_suite", oracle=_lmm_oracle(), tags=("ext", "composite"))
+@query("x_layout_mm_suite", oracle=_lmm_oracle, tags=("ext", "composite"))
 def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout/raster/multimodal suite: per-lat-band raster statistics
     (x_grid_stats), Morton-key layout statistics (x_zorder_stats), the
-    multimodal metadata decode (x_mm_decode), and the full media
-    decode→resize→re-encode transform pipeline (x_mm_transform),
-    tagged into one superset — four independent small scans sharing
+    multimodal metadata decode (x_mm_decode), the full media
+    decode→resize→re-encode transform pipeline (x_mm_transform), and —
+    since r11 (VERDICT r10 #1) — the image perceptual-hash dedup's
+    hash table (x_image_dhash) and near-dup pairs (x_image_dedup),
+    tagged into one superset — six independent small scans sharing
     one driver slot; every component's exact values still ride the
-    hash."""
+    hash. The image parts make the composite's oracle LAZY: their
+    expected rows are replica-derived literals (image_dhash_local /
+    image_pairs_local, the linear-probe convention)."""
     g = REGISTRY["x_grid_stats"].build(spark, sf_dir)
     z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
     m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
     t = REGISTRY["x_mm_transform"].build(spark, sf_dir)
+    ih = REGISTRY["x_image_dhash"].build(spark, sf_dir)
+    ip = REGISTRY["x_image_dedup"].build(spark, sf_dir)
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
         n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
@@ -1360,6 +1387,14 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part(t, "mm_transform", k1=_b("doc_id"), k2=_nb(),
               n1=_b("out_width"), n2=_b("out_height"), n3=_b("mean_r_e6"),
               n4=_b("px_sum"), n5=_b("px_sumsq"),
+              d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(ih, "image_dhash", k1=_b("doc_id"), k2=_nb(),
+              n1=_b("dhash"), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
+              d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(ip, "image_pairs", k1=_b("id_a"), k2=_b("id_b"),
+              n1=_b("hamming"), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
               d1=_nd(), d2=_nd(), d3=_nd())
     )
 
