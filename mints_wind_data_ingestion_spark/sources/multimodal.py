@@ -82,6 +82,7 @@ __all__ = [
     "dhash64",
     "image_dhash_df",
     "image_neardup_pairs",
+    "image_neardup_join",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -660,6 +661,37 @@ def image_dhash_df(
     )
 
 
+def _check_bands(bands: int, max_hamming: int) -> None:
+    if 64 % bands:
+        raise ValueError(f"bands {bands} must divide 64")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} exceeds the banded recall "
+            f"guarantee (bands - 1 = {bands - 1})"
+        )
+
+
+def _banded_dhash(hashes: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, dhash, band, band_val) — the 64 hash bits sliced into
+    `bands` equal-width equi-join keys; NULL-dhash (undecodable) rows
+    drop out before any join."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return hashes.filter(F.col("dhash").isNotNull()).select(
+        F.col(id_col),
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("dhash"), j * width)
+                    .bitwiseAND(F.lit(mask))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+
+
 def image_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -673,29 +705,8 @@ def image_neardup_pairs(
     bit_count(xor). Same bucketed never-O(n²) shape as the text
     SimHash pipeline (plans.extensions.x_dedup_simhash); NULL-dhash
     (undecodable) rows drop out before the join."""
-    if 64 % bands:
-        raise ValueError(f"bands {bands} must divide 64")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming {max_hamming} exceeds the banded recall "
-            f"guarantee (bands - 1 = {bands - 1})"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    fp = hashes.filter(F.col("dhash").isNotNull())
-    banded = fp.select(
-        F.col(id_col),
-        "dhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("dhash"), j * width)
-                    .bitwiseAND(F.lit(mask))
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
+    _check_bands(bands, max_hamming)
+    banded = _banded_dhash(hashes, id_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -709,6 +720,42 @@ def image_neardup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
                 F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def image_neardup_join(
+    new: DataFrame,
+    stored: DataFrame,
+    id_new: str = "doc_id",
+    id_stored: str = "stored_id",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """TWO-SIDED banded Hamming join — every (new, stored) image pair
+    within `max_hamming`: the incremental twin of
+    `image_neardup_pairs`, joining a batch's dHash table against a
+    persisted corpus index instead of self-joining one table. Same
+    pigeonhole-exact recall (max_hamming ≤ bands - 1), same
+    never-O(n²) shape: both sides explode to `bands` fixed-width keys
+    and meet in an equi-join, so cost is O(batch + collisions) however
+    large the stored side grows. `new` and `stored` are (id, dhash)
+    tables; output (id_new, id_stored, hamming), distinct."""
+    _check_bands(bands, max_hamming)
+    a = _banded_dhash(new.select(F.col(id_new), "dhash"), id_new, bands)
+    b = _banded_dhash(
+        stored.select(F.col(id_stored), "dhash"), id_stored, bands
+    ).withColumnRenamed("dhash", "__dhash_s")
+    return (
+        a.join(b, ["band", "band_val"])
+        .select(
+            id_new,
+            id_stored,
+            F.bit_count(
+                F.col("dhash").bitwiseXOR(F.col("__dhash_s"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -36,6 +36,7 @@ __all__ = [
     "run_continuous_rollup",
     "run_dedup_ingest",
     "run_neardup_ingest",
+    "run_image_dedup_ingest",
     "run_decontam_ingest",
     "run_quality_gate_ingest",
     "run_lm_gate_ingest",
@@ -566,6 +567,138 @@ def run_neardup_ingest(
             )
             fresh = fresh.join(hits, id_col, "left_anti")
         fresh.write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_image_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 8,
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming IMAGE near-dup gate (r11, VERDICT r10 #2) — the
+    ingest-time twin of the batch `x_image_dedup` pipeline, mirroring
+    `run_neardup_ingest`'s persisted-index shape for binary image
+    payloads: each micro-batch dHashes its images ONCE
+    (`sources.multimodal.image_dhash_df`), drops in-batch near-dups
+    (banded Hamming self-join, lower id kept), drops batch images
+    near-duplicate to ANY stored image (two-sided banded equi-join
+    against the stored dhash column — never a batch×corpus cross
+    join), and appends survivors WITH their dhash. The corpus only
+    ever grows by novel images and the perceptual-hash index rides
+    along for free — no re-hashing of history, cost per epoch is
+    O(batch + collisions).
+
+    Rejects land in `quarantine_path` WITH the evidence — the best
+    (lowest-Hamming, ties lowest id) match and its distance, plus a
+    reason: 'batch_dup' / 'corpus_dup' / 'undecodable' (corrupt
+    payloads carry NULL match — they cannot be admitted because they
+    cannot be deduplicated against).
+
+    Exactly-once: per-epoch subdirectories exactly as
+    `run_dedup_ingest` (a replayed epoch re-derives the same
+    anti-join against strictly-older epochs, then overwrites only its
+    own subdir)."""
+    from ..sources.multimodal import (
+        image_dhash_df,
+        image_neardup_join,
+        image_neardup_pairs,
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def _best(pairs: DataFrame, dup_id: str, match_id: str) -> DataFrame:
+        # one row per dropped image: the strongest evidence (min
+        # hamming, ties lowest match id) — struct min gives both
+        return pairs.groupBy(F.col(dup_id).alias(id_col)).agg(
+            F.min(F.struct("hamming", match_id)).alias("__m")
+        ).select(
+            id_col,
+            F.col(f"__m.{match_id}").alias("best_match"),
+            F.col("__m.hamming").alias("hamming"),
+        )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        # hash ONCE: the dhash plan (Arrow decode pass) feeds the
+        # self-join's two sides, the cross-epoch join and the final
+        # write — without the checkpoint the decode would run 4×
+        hashes = image_dhash_df(batch, id_col, payload_col).localCheckpoint()
+        bad = hashes.filter(F.col("dhash").isNull()).select(id_col)
+        quarantined = bad.select(
+            id_col,
+            F.lit("undecodable").alias("reason"),
+            F.lit(None).cast("long").alias("best_match"),
+            F.lit(None).cast("int").alias("hamming"),
+        )
+
+        # in-batch near-dup drop: keep the lower id of every pair
+        pairs = image_neardup_pairs(
+            hashes, id_col, max_hamming=max_hamming, bands=bands
+        )
+        batch_dups = _best(pairs, "id_b", "id_a")
+        fresh = (
+            hashes.filter(F.col("dhash").isNotNull())
+            .join(batch_dups.select(id_col), id_col, "left_anti")
+        )
+        quarantined = quarantined.unionByName(
+            batch_dups.select(
+                id_col, F.lit("batch_dup").alias("reason"),
+                F.col("best_match").cast("long"), "hamming",
+            )
+        )
+
+        # cross-epoch: drop batch images within max_hamming of any
+        # STRICTLY OLDER stored image. Unreadable corpus → the epoch
+        # fails and retries (_read_if_exists), never a silent skip
+        # that re-admits near-duplicates.
+        corpus = _read_if_exists(s, corpus_path)
+        if corpus is not None:
+            stored = corpus.filter(F.col("epoch") < epoch_id).select(
+                F.col(id_col).alias("__oid"), "dhash"
+            )
+            hits = image_neardup_join(
+                fresh.select(id_col, "dhash"), stored,
+                id_new=id_col, id_stored="__oid",
+                max_hamming=max_hamming, bands=bands,
+            )
+            corpus_dups = _best(hits, id_col, "__oid")
+            fresh = fresh.join(
+                corpus_dups.select(id_col), id_col, "left_anti"
+            )
+            quarantined = quarantined.unionByName(
+                corpus_dups.select(
+                    id_col, F.lit("corpus_dup").alias("reason"),
+                    F.col("best_match").cast("long"), "hamming",
+                )
+            )
+
+        # survivors keep their payload AND their dhash (the persisted
+        # index future epochs join against)
+        batch.join(
+            fresh.select(id_col, "dhash"), id_col
+        ).write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
+        if quarantine_path is not None:
+            quarantined.write.mode("overwrite").parquet(
+                f"{quarantine_path}/epoch={epoch_id}"
+            )
 
     return (
         raw.writeStream.outputMode("append")

@@ -239,6 +239,123 @@ def test_ingest_idx_partial_range_falls_back_whole_file(spark, tmp_path):
         assert [round(float(v), 2) for v in x.data] == fields[(6, x.param)]
 
 
+# ---------------------------------------------------------------------------
+# streaming image near-dup ingest gate (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+
+def test_image_neardup_join_two_sided(spark):
+    """The two-sided banded Hamming join finds every (new, stored)
+    pair within max_hamming and nothing beyond it — same pigeonhole
+    recall as the self-join variant, against a separate stored side."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        image_neardup_join,
+    )
+
+    base = 0x0123456789ABCDEF
+    new = spark.createDataFrame(
+        [(1, base), (2, base ^ 0xFF), (3, None)],  # d=0, d=8, undecodable
+        "doc_id long, dhash long",
+    )
+    stored = spark.createDataFrame(
+        [(100, base), (101, base ^ 0b111)],  # d=0/3 to id1; d=8/5 to id2
+        "stored_id long, dhash long",
+    )
+    got = {
+        (r.doc_id, r.stored_id): r.hamming
+        for r in image_neardup_join(new, stored, max_hamming=6).collect()
+    }
+    assert got == {(1, 100): 0, (1, 101): 3, (2, 101): 5}
+
+
+def test_image_dedup_ingest_gate(spark, tmp_path, sf_dir):
+    """The streaming image near-dup gate over the x_image_dedup corpus
+    streamed in 3 chunks (planted siblings land in DIFFERENT chunks,
+    so cross-epoch dedup is exercised): the stored corpus contains no
+    near-dup pair, every clean image survives, exactly one of each
+    planted pair survives, quarantine carries the best match + its
+    Hamming distance, a corrupt payload quarantines as undecodable,
+    and replay leaves the corpus byte-identical."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        _IMG_SIB_OFFSET,
+        _image_corpus,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        image_neardup_pairs,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_image_dedup_ingest,
+    )
+
+    corpus_df = _image_corpus(spark, sf_dir)
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+    for i in range(3):
+        chunk = corpus_df.filter(F.pmod("doc_id", F.lit(3)) == i)
+        if i == 0:  # plant one undecodable payload in the first chunk
+            chunk = chunk.unionByName(
+                spark.createDataFrame(
+                    [(999_999_999, bytearray(b"not an image"))],
+                    "doc_id long, payload binary",
+                )
+            )
+        chunk.coalesce(1).write.mode("append").parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+    q = run_image_dedup_ingest(
+        spark, landing, corpus, ckpt, schema, quarantine_path=quar
+    )
+    q.awaitTermination(240)
+
+    kept = spark.read.parquet(corpus)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # survivors carry their dhash (the persisted index) and contain
+    # no remaining near-dup pair
+    assert "dhash" in kept.columns
+    assert image_neardup_pairs(
+        kept.select("doc_id", "dhash"), max_hamming=6
+    ).isEmpty()
+
+    all_ids = {int(r.doc_id) for r in corpus_df.select("doc_id").collect()}
+    planted = {i for i in all_ids if i < _IMG_SIB_OFFSET and i % 20 == 0}
+    clean = all_ids - planted - {i + _IMG_SIB_OFFSET for i in planted}
+    assert planted, "fixture must plant sibling pairs"
+    assert clean <= kept_ids
+    for i in planted:  # exactly one of each planted pair survives
+        assert (i in kept_ids) != (i + _IMG_SIB_OFFSET in kept_ids)
+    assert 999_999_999 not in kept_ids
+
+    quarantined = {r.doc_id: r for r in spark.read.parquet(quar).collect()}
+    assert quarantined[999_999_999].reason == "undecodable"
+    assert quarantined[999_999_999].best_match is None
+    for i in planted:  # the dropped twin names its survivor, hamming 0
+        dropped = i + _IMG_SIB_OFFSET if i in kept_ids else i
+        surv = i if i in kept_ids else i + _IMG_SIB_OFFSET
+        row = quarantined[dropped]
+        assert row.best_match == surv and row.hamming == 0
+        assert row.reason in ("batch_dup", "corpus_dup")
+    # siblings land in different chunks → some dedup crossed epochs
+    assert any(
+        quarantined[i + _IMG_SIB_OFFSET if i in kept_ids else i].reason
+        == "corpus_dup"
+        for i in planted
+    )
+
+    # replay: byte-identical corpus
+    before = sorted(kept_ids)
+    q2 = run_image_dedup_ingest(
+        spark, landing, corpus, ckpt, schema, quarantine_path=quar
+    )
+    q2.awaitTermination(240)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    ) == before
+
+
 def test_ingest_idx_success_path_unpersists(spark, tmp_path):
     """A cron loop calling ingest_once(use_idx=True) must not leak one
     cached DataFrame per tick (ADVICE r10: only the fallback branch
@@ -246,10 +363,18 @@ def test_ingest_idx_success_path_unpersists(spark, tmp_path):
     from mints_wind_data_ingestion_spark.operators.ingest import ingest_once
 
     jsc = spark.sparkContext._jsc
-    before = jsc.getPersistentRDDs().size()
+
+    def _rdd_ids() -> set[int]:
+        return {
+            int(str(x)) for x in jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    before = _rdd_ids()
     tree, _ = _noaa_tree(tmp_path, present_runs=())
     _add_run(tree, 6, with_idx=True)
     r = ingest_once(spark, f"file://{tree}", str(tmp_path / "t"),
                     "2020-08-12 13:30:00", attempts=6, use_idx=True)
     assert r["status"] == "merged" and r["records"] == 2
-    assert jsc.getPersistentRDDs().size() == before
+    # set-difference, not a count: other tests' async-cleaned caches
+    # may disappear concurrently — what matters is WE added nothing
+    assert _rdd_ids() - before == set()
