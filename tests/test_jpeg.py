@@ -1,0 +1,273 @@
+"""Native baseline-JPEG codec (sources/jpegcodec.py, r11).
+
+Verification strategy (the symmetric-bug trap): a decoder tested only
+against its own encoder cannot catch errors that cancel in round-trip
+(e.g. a transposed zigzag on both sides). Three independent anchors
+break the symmetry:
+
+1. the zigzag permutation and Annex-K quality scaling are pinned
+   against literal spec tables typed here, not generated;
+2. the 2-D DCT used in round-trip bounds is cross-checked against a
+   direct O(N^4) textbook double sum written in this file;
+3. the JVM's javax.imageio JPEG codec (shipped with Java 17, already
+   running for Spark) decodes our encoder's output and encodes
+   streams for our decoder — full third-party interop both ways,
+   bulk-transferred via BMP so no per-pixel py4j traffic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mints_wind_data_ingestion_spark.sources.jpegcodec import (
+    QTABLE_LUMA,
+    ZIGZAG,
+    _A,
+    decode_jpeg,
+    encode_jpeg,
+    scaled_qtable,
+)
+from mints_wind_data_ingestion_spark.sources.multimodal import (
+    decode_image,
+    dhash64,
+    encode_bmp,
+    _decode_bmp,
+)
+
+
+def _gradient_rgb(h: int = 40, w: int = 56) -> np.ndarray:
+    """Smooth (wrap-free) gradients: worst case for header/layout bugs,
+    easy case for the DCT, so tight error bounds are meaningful."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(yy * 4, 0, 255),
+            np.clip(xx * 3, 0, 255),
+            np.clip(yy + xx, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _rmse(a: np.ndarray, b: np.ndarray) -> float:
+    d = a.astype(np.float64) - b.astype(np.float64)
+    return float(np.sqrt((d * d).mean()))
+
+
+# ---------------------------------------------------------------------------
+# spec-literal anchors
+# ---------------------------------------------------------------------------
+
+
+def test_zigzag_matches_spec_literal():
+    # ITU-T T.81 figure 5: zigzag position of each raster cell
+    spec = [
+        0, 1, 5, 6, 14, 15, 27, 28,
+        2, 4, 7, 13, 16, 26, 29, 42,
+        3, 8, 12, 17, 25, 30, 41, 43,
+        9, 11, 18, 24, 31, 40, 44, 53,
+        10, 19, 23, 32, 39, 45, 52, 54,
+        20, 22, 33, 38, 46, 51, 55, 60,
+        21, 34, 37, 47, 50, 56, 59, 61,
+        35, 36, 48, 49, 57, 58, 62, 63,
+    ]
+    inv = np.zeros(64, dtype=np.int64)
+    inv[ZIGZAG] = np.arange(64)
+    assert list(inv) == spec
+
+
+def test_quality_scaling_matches_ijg_formula():
+    # quality 50 is the identity on Annex K values
+    assert (scaled_qtable(QTABLE_LUMA, 50) == QTABLE_LUMA).all()
+    # hand-computed spots: Q=90 -> scale 20; Q=10 -> scale 500
+    assert scaled_qtable(QTABLE_LUMA, 90)[0] == (16 * 20 + 50) // 100
+    assert scaled_qtable(QTABLE_LUMA, 10)[0] == min(255, (16 * 500 + 50) // 100)
+    # everything clamps into the 8-bit DQT range
+    assert (scaled_qtable(QTABLE_LUMA, 1) <= 255).all()
+    assert (scaled_qtable(QTABLE_LUMA, 100) >= 1).all()
+    with pytest.raises(ValueError):
+        scaled_qtable(QTABLE_LUMA, 0)
+
+
+def test_dct_basis_against_textbook_double_sum():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-128, 127, (8, 8))
+    fast = _A @ x @ _A.T
+    slow = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(0.5) if u == 0 else 1.0
+            cv = np.sqrt(0.5) if v == 0 else 1.0
+            s = 0.0
+            for m in range(8):
+                for n in range(8):
+                    s += (
+                        x[m, n]
+                        * np.cos((2 * m + 1) * u * np.pi / 16)
+                        * np.cos((2 * n + 1) * v * np.pi / 16)
+                    )
+            slow[u, v] = 0.25 * cu * cv * s
+    assert np.abs(fast - slow).max() < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+def test_gray_round_trip():
+    yy, xx = np.mgrid[0:33, 0:41]
+    img = np.clip(yy * 5 + xx * 2, 0, 255).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=95))
+    assert (d["mode"], d["width"], d["height"]) == ("L", 41, 33)
+    assert d["pixels"].shape == (33, 41)
+    assert _rmse(d["pixels"], img) < 2.0
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_rgb_round_trip(sub, ri):
+    img = _gradient_rgb()
+    d = decode_jpeg(
+        encode_jpeg(img, quality=92, subsampling=sub, restart_interval=ri)
+    )
+    assert (d["mode"], d["width"], d["height"]) == ("RGB", 56, 40)
+    assert d["pixels"].shape == (40, 56, 3)
+    assert _rmse(d["pixels"], img) < (2.5 if sub == "4:4:4" else 4.0)
+
+
+def test_restart_markers_change_bytes_not_pixels():
+    img = _gradient_rgb()
+    plain = encode_jpeg(img, quality=90)
+    restarted = encode_jpeg(img, quality=90, restart_interval=2)
+    assert plain != restarted
+    assert b"\xff\xd0" in restarted or b"\xff\xd1" in restarted
+    a = decode_jpeg(plain)["pixels"]
+    b = decode_jpeg(restarted)["pixels"]
+    assert (a == b).all()
+
+
+def test_odd_dimensions_and_single_block():
+    for h, w in [(17, 13), (8, 8), (1, 1), (9, 24)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [np.clip(yy * 7, 0, 255), np.clip(xx * 9, 0, 255), (yy + xx) % 200],
+            axis=-1,
+        ).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:2:0"))
+        assert d["pixels"].shape == (h, w, 3)
+        assert _rmse(d["pixels"], img) < 6.0
+
+
+def test_noise_survives_high_quality():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=98))
+    assert _rmse(d["pixels"], img) < 4.0
+
+
+def test_determinism():
+    img = _gradient_rgb()
+    assert encode_jpeg(img, quality=85) == encode_jpeg(img, quality=85)
+
+
+# ---------------------------------------------------------------------------
+# corruption / unsupported-mode quarantine contract
+# ---------------------------------------------------------------------------
+
+
+def test_corruption_raises_valueerror():
+    img = _gradient_rgb()
+    good = bytearray(encode_jpeg(img, quality=90))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) // 2]))  # truncated mid-scan
+    # corrupt a DHT byte: either an invalid Huffman code or a
+    # structurally broken table — both must surface as ValueError
+    sof = bytes(good).find(b"\xff\xc4")
+    bad = bytearray(good)
+    bad[sof + 6] = 0xFF
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+def test_progressive_rejected_with_clear_error():
+    img = _gradient_rgb()
+    good = bytearray(encode_jpeg(img, quality=90))
+    i = bytes(good).find(b"\xff\xc0")
+    good[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(good))
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _gradient_rgb()
+    d = decode_image(encode_jpeg(img, quality=95))
+    assert d["mode"] == "RGB"
+    assert _rmse(d["pixels"], img) < 2.5
+
+
+# ---------------------------------------------------------------------------
+# dhash stability across a re-encode (VERDICT r10 #6 acceptance)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_stable_across_jpeg_reencode():
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        synth_image_pixels,
+    )
+
+    for doc_id in range(8):
+        px = synth_image_pixels(doc_id, 0)
+        h0 = dhash64(px)
+        h1 = dhash64(decode_jpeg(encode_jpeg(px, quality=90))["pixels"])
+        assert bin(h0 ^ h1).count("1") <= 6, doc_id
+
+
+# ---------------------------------------------------------------------------
+# third-party interop: the JVM's javax.imageio codec
+# ---------------------------------------------------------------------------
+
+
+def _jvm_io(spark):
+    jvm = spark._jvm
+
+    def jvm_read(b: bytes):
+        return jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(b)
+        )
+
+    def jvm_write(bimg, fmt: str) -> bytes:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bimg, fmt, baos)
+        return bytes(baos.toByteArray())
+
+    return jvm_read, jvm_write
+
+
+def test_jvm_decodes_our_encoder(spark):
+    jvm_read, jvm_write = _jvm_io(spark)
+    img = _gradient_rgb(32, 48)
+    for sub, ri in [("4:4:4", 0), ("4:2:0", 0), ("4:4:4", 2)]:
+        bimg = jvm_read(encode_jpeg(img, quality=95, subsampling=sub,
+                                    restart_interval=ri))
+        assert bimg is not None, "JVM ImageIO rejected our stream"
+        assert (bimg.getWidth(), bimg.getHeight()) == (48, 32)
+        theirs = _decode_bmp(jvm_write(bimg, "bmp"))["pixels"]
+        assert _rmse(theirs, img) < 4.0, (sub, ri)
+
+
+def test_our_decoder_reads_jvm_encoder(spark):
+    jvm_read, jvm_write = _jvm_io(spark)
+    img = _gradient_rgb(32, 48)
+    jvm_jpg = jvm_write(jvm_read(encode_bmp(img)), "jpg")
+    mine = decode_jpeg(jvm_jpg)
+    assert (mine["mode"], mine["width"], mine["height"]) == ("RGB", 48, 32)
+    # decode-vs-decode of the SAME bitstream: only IDCT rounding and
+    # the chroma upsample filter (ours nearest, theirs interpolated)
+    # may differ — a structural bug would blow far past this bound
+    theirs = _decode_bmp(jvm_write(jvm_read(jvm_jpg), "bmp"))["pixels"]
+    assert _rmse(mine["pixels"], theirs) < 2.0
+    assert _rmse(mine["pixels"], img) < 6.0  # JVM default quality ~75

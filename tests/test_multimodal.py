@@ -92,9 +92,10 @@ def test_y4m_frame_sampling():
 
 
 def test_compressed_formats_raise_contract():
-    # JPEG still dispatches to (absent) PIL; PNG is native since r10,
-    # so a damaged PNG raises the quarantine-class ValueError instead
-    with pytest.raises(NotImplementedError):
+    # PNG is native since r10 and baseline JPEG since r11, so damaged
+    # streams of both raise the quarantine-class ValueError; formats
+    # with no native path still dispatch to (absent) optional libs
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....jpeg")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")

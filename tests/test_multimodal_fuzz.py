@@ -30,10 +30,14 @@ def _payloads():
         b"YUV4MPEG2 W16 H12 F25:1 Ip A1:1 C420\n"
         + b"".join(b"FRAME\n" + bytes(16 * 12 * 3 // 2) for _ in range(4))
     )
+    from mints_wind_data_ingestion_spark.sources.jpegcodec import encode_jpeg
+
     return [
         (mm.encode_bmp(px), "img"),
         (b"P6\n16 12\n255\n" + px.tobytes(), "img"),
         (b"P5\n# c\n16 12 255\n" + px[:, :, 0].tobytes(), "img"),
+        (encode_jpeg(px, quality=85, subsampling="4:2:0"), "img"),
+        (encode_jpeg(px[:, :, 0], quality=85, restart_interval=1), "img"),
         (wav, "aud"),
         (y4m, "vid"),
     ]
