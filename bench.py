@@ -229,6 +229,46 @@ def main() -> None:
         1.12 * sum(prior_min[n] for n in covered)
         + sum(min(timings[n], 2.0) for n in names if n not in prior_min),
     )
+
+    # plan_cache=off A/B pass (VERDICT r6 #3): one full uncached sweep
+    # so the artifact pins the build-vs-execution split per round and
+    # cross-round totals stay comparable across the r6 metric change.
+    # Single pass (not best-of): it's a split estimate, not the
+    # headline — the headline stays sum-of-mins under the cache.
+    # Runs BEFORE the burst-recovery passes (VERDICT r10 #5): recovery
+    # can legitimately eat the whole remaining budget in a noisy
+    # window, and r10's recorded artifact lost the split exactly that
+    # way (recovery_passes 5, total_plan_cache_off null). The split is
+    # per-round evidence; recovery only sharpens a sum-of-mins that is
+    # already burst-resistant — so the split gets the budget first.
+    # Failure-isolated and budget-checked per query: the headline
+    # metric line MUST print even if one uncached run dies or the
+    # sweep overruns (uncached runs are strictly slower than the
+    # cached total the entry guard estimates with).
+    # Entry guard scaled by the observed uncached/cached ratio (~1.7×,
+    # BASELINE.md): the uncached sweep is strictly slower than the
+    # cached sum, and the in-loop check only fires between queries —
+    # entering with merely `sum(timings)` of headroom routinely
+    # overran the advisory budget by a full slow query (ADVICE r7).
+    # 2× headroom keeps the overrun rare without demanding a
+    # pathological calm window.
+    nocache: dict[str, float] | None = None
+    if elapsed() + 2.0 * sum(timings.values()) < budget:
+        enable_plan_cache(False)
+        nocache = {}
+        try:
+            for name in names:
+                nocache[name] = round(run_once(name), 4)
+                if elapsed() > budget:
+                    break
+        except Exception:  # noqa: BLE001 — the A/B is advisory
+            pass
+        finally:
+            enable_plan_cache(True)
+        if len(nocache) < len(names):
+            nocache = None  # partial sweep: a partial sum would read
+            # as a (wrong) full-surface split
+
     recovery = 0
     while (
         sum(timings.values()) > trigger
@@ -254,37 +294,6 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — the ledger must never eat the metric line
             pass
 
-    # plan_cache=off A/B pass (VERDICT r6 #3): one full uncached sweep
-    # so the artifact pins the build-vs-execution split per round and
-    # cross-round totals stay comparable across the r6 metric change.
-    # Single pass (not best-of): it's a split estimate, not the
-    # headline — the headline stays sum-of-mins under the cache.
-    # Failure-isolated and budget-checked per query: the headline
-    # metric line MUST print even if one uncached run dies or the
-    # sweep overruns (uncached runs are strictly slower than the
-    # cached total the entry guard estimates with).
-    # Entry guard scaled by the observed uncached/cached ratio (~1.7×,
-    # BASELINE.md): the uncached sweep is strictly slower than `total`,
-    # and the in-loop check only fires between queries — entering with
-    # merely `total` of headroom routinely overran the advisory budget
-    # by a full slow query (ADVICE r7). 2× headroom keeps the overrun
-    # rare without demanding a pathological calm window.
-    nocache: dict[str, float] | None = None
-    if elapsed() + 2.0 * total < budget:
-        enable_plan_cache(False)
-        nocache = {}
-        try:
-            for name in names:
-                nocache[name] = round(run_once(name), 4)
-                if elapsed() > budget:
-                    break
-        except Exception:  # noqa: BLE001 — the A/B is advisory
-            pass
-        finally:
-            enable_plan_cache(True)
-        if len(nocache) < len(names):
-            nocache = None  # partial sweep: a partial sum would read
-            # as a (wrong) full-surface split
     result = {
         "metric": "total_query_sec",
         # staleness marker (r8 review): BENCH_LAST.json is only

@@ -7,13 +7,14 @@ before BMP/PPM/PNG, and this container ships no PIL. Follows the
 engine's RFC-2083 PNG decoder precedent (sources/grib2codec.py:441).
 
 Decoder (`decode_jpeg`):
-  baseline sequential DCT, Huffman entropy coding (SOF0; SOF1 extended
-  sequential decodes on the same path), 8-bit precision, grayscale and
-  3-component YCbCr (JFIF) or RGB (Adobe APP14 transform 0), any
-  integer chroma subsampling the spec's MCU grid can express (4:4:4,
-  4:2:2, 4:2:0, 4:1:1, ...), restart intervals (DRI/RSTn), byte
-  stuffing, single interleaved or sequential per-component scans.
-  Progressive (SOF2), lossless, arithmetic-coded and 12-bit streams
+  sequential DCT (SOF0; SOF1 extended sequential decodes on the same
+  path) AND full progressive (SOF2: spectral selection + successive
+  approximation, EOBn runs, DC/AC refinement scans — T.81 Annex G),
+  8-bit precision, grayscale and 3-component YCbCr (JFIF) or RGB
+  (Adobe APP14 transform 0), any integer chroma subsampling the
+  spec's MCU grid can express (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...),
+  restart intervals (DRI/RSTn), byte stuffing, interleaved and
+  per-component scans. Lossless, arithmetic-coded and 12-bit streams
   raise ValueError — the one exception class the multimodal quarantine
   boundary (multimodal.MM_DECODE_ERRORS) converts to an error row, so
   one damaged payload can never fail a task.
@@ -265,7 +266,6 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -279,16 +279,23 @@ _SOF_UNSUPPORTED = {
 }
 
 #: dimension sanity bound, matching the PNG decoder's _MAX_POINTS idea:
-#: a corrupt SOF must not allocate an unbounded pixel buffer.
-_MAX_PIXELS = 1 << 26
+#: a corrupt SOF must not allocate an unbounded coefficient buffer
+#: (the per-component plan allocates at SOF time — 16 Mpx ≈ 4096², a
+#: sane ceiling for a curation-pipeline thumbnailing/dedup decode).
+_MAX_PIXELS = 1 << 24
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "w", "ht", "bx", "by", "blocks", "done")
+    """Per-component decode state. `coef` is the (by*bx, 64) int32
+    zigzag-ordered quantized-coefficient plane, allocated at SOF and
+    filled by one (sequential) or many (progressive) scans; IDCT runs
+    once at EOI."""
+
+    __slots__ = ("cid", "h", "v", "tq", "w", "ht", "bx", "by", "coef", "touched")
 
     def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
-        self.done = False
+        self.touched = False
 
 
 def _split_scan(data: bytes, o: int) -> tuple[list[bytes], int]:
@@ -332,9 +339,10 @@ def _idct_blocks(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Baseline JPEG → {"width", "height", "mode", "pixels"} matching
-    the multimodal.decode_image contract. Every corruption mode raises
-    ValueError (quarantine boundary; see module docstring)."""
+    """Baseline or progressive JPEG → {"width", "height", "mode",
+    "pixels"} matching the multimodal.decode_image contract. Every
+    corruption mode raises ValueError (quarantine boundary; see module
+    docstring)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI signature")
     qtables: dict[int, np.ndarray] = {}
@@ -342,6 +350,7 @@ def decode_jpeg(data: bytes) -> dict:
     comps: list[_Component] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
     adobe_transform: int | None = None
     o = 2
     try:
@@ -368,9 +377,10 @@ def decode_jpeg(data: bytes) -> dict:
                     f"JPEG: {_SOF_UNSUPPORTED[marker]} not supported "
                     "(baseline sequential only)"
                 )
-            if marker in (0xC0, 0xC1):  # SOF0 / SOF1: same decode path
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
                 if comps:
                     raise ValueError("JPEG: multiple SOF segments")
+                progressive = marker == 0xC2
                 prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
                 if prec != 8:
                     raise ValueError(f"JPEG: {prec}-bit precision unsupported")
@@ -384,6 +394,21 @@ def decode_jpeg(data: bytes) -> dict:
                 for c in comps:
                     if not 1 <= c.h <= 4 or not 1 <= c.v <= 4:
                         raise ValueError("JPEG: sampling factor out of range")
+                # allocate coefficient planes on the storage grid:
+                # MCU-padded for multi-component frames; a single-
+                # component frame ignores its sampling factors (A.1.1)
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                for c in comps:
+                    if ncomp == 1:
+                        c.w, c.ht = w, h
+                        c.bx, c.by = -(-w // 8), -(-h // 8)
+                    else:
+                        c.w = -(-w * c.h // hmax)
+                        c.ht = -(-h * c.v // vmax)
+                        c.bx = -(-w // (8 * hmax)) * c.h
+                        c.by = -(-h // (8 * vmax)) * c.v
+                    c.coef = np.zeros((c.by * c.bx, 64), dtype=np.int32)
             elif marker == 0xC4:  # DHT
                 p = 0
                 while p < len(body):
@@ -420,21 +445,24 @@ def decode_jpeg(data: bytes) -> dict:
                 if not comps:
                     raise ValueError("JPEG: SOS before SOF")
                 o = _decode_scan(
-                    data, o, body, comps, qtables, htables,
-                    w, h, restart_interval,
+                    data, o, body, comps, htables, restart_interval,
+                    progressive, w, h,
                 )
             # APPn / COM / others: skipped
     except (struct.error, IndexError) as exc:
         raise ValueError(f"JPEG: truncated stream ({exc})") from exc
-    if not comps or not all(c.done for c in comps):
+    if not comps or not all(c.touched for c in comps):
         raise ValueError("JPEG: missing scan data for some components")
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     planes = []
     for c in comps:
-        plane = (
-            c.blocks.transpose(0, 2, 1, 3).reshape(c.by * 8, c.bx * 8)
-        )
+        if c.tq not in qtables:
+            raise ValueError("JPEG: SOF references missing quant table")
+        blocks = _idct_blocks(
+            c.coef.astype(np.int64), qtables[c.tq]
+        ).reshape(c.by, c.bx, 8, 8)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(c.by * 8, c.bx * 8)
         ry, rx = vmax // c.v, hmax // c.h
         if (ry * c.v, rx * c.h) != (vmax, hmax):
             raise ValueError("JPEG: non-integer subsampling ratio")
@@ -460,100 +488,202 @@ def decode_jpeg(data: bytes) -> dict:
     return {"width": w, "height": h, "mode": "RGB", "pixels": pixels}
 
 
+def _block_dc_first(reader: _BitReader, blk, dc_tab: dict, al: int,
+                    pred: int) -> int:
+    """First (or only) DC pass: Huffman size class + EXTEND bits,
+    differential against `pred`; progressive point transform shifts
+    the value left by Al (F.2.2.1 / G.1.2.1)."""
+    s = _decode_huff(reader, dc_tab)
+    if s > 11:
+        raise ValueError("JPEG: DC size out of range")
+    pred += _extend(reader.read(s), s)
+    blk[0] = pred << al
+    return pred
+
+
+def _block_ac_first(reader: _BitReader, blk, ac_tab: dict, ss: int,
+                    se: int, al: int, eobrun: int) -> int:
+    """First AC pass over band [ss, se]: run/size symbols with the
+    progressive EOBn extension (G.1.2.2 — EOB run = 2^r + r extra
+    bits; baseline's plain EOB is the r=0 degenerate case, so one
+    loop serves both modes)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC run past band end")
+        blk[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _block_dc_refine(reader: _BitReader, blk, al: int) -> None:
+    """DC successive-approximation refinement: one appended bit
+    (G.1.2.1); bitwise-OR on the two's-complement value."""
+    if reader.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _block_ac_refine(reader: _BitReader, blk, ac_tab: dict, ss: int,
+                     se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement (G.1.2.3): newly nonzero
+    coefficients arrive as ±2^Al; every already-nonzero coefficient
+    crossed on the way receives one correction bit. History-zero
+    coefficients alone count toward the run length."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # ZRL: skip 16 history-zero coefficients, insert nothing
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run: correction bits only
+            c = int(blk[k])
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_scan(
     data: bytes,
     o: int,
     sos: bytes,
     comps: list[_Component],
-    qtables: dict[int, np.ndarray],
     htables: dict[tuple[int, int], dict],
+    restart_interval: int,
+    progressive: bool,
     w: int,
     h: int,
-    restart_interval: int,
 ) -> int:
-    """Decode one scan (interleaved or single-component); returns the
-    offset of the marker that terminated the entropy-coded data."""
+    """Decode one scan into the components' coefficient planes —
+    interleaved or single-component, first pass or successive-
+    approximation refinement; returns the offset of the marker that
+    terminated the entropy-coded data."""
     ns = sos[0]
-    scan: list[tuple[_Component, dict, dict]] = []
+    if ns < 1 or len(sos) < 4 + 2 * ns:
+        raise ValueError("JPEG: truncated SOS header")
+    if progressive:
+        ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+        ah, al = sos[3 + 2 * ns] >> 4, sos[3 + 2 * ns] & 0xF
+        if ss > se or se > 63 or al > 13 or ah > 13:
+            raise ValueError("JPEG: invalid spectral selection")
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive scan mixes DC and AC")
+        if ss > 0 and ns != 1:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0  # fixed for sequential (B.2.3)
+    need_dc = ss == 0 and ah == 0
+    need_ac = se > 0
+    scan: list[tuple[_Component, dict | None, dict | None]] = []
     for i in range(ns):
         cs, tda = sos[1 + 2 * i], sos[2 + 2 * i]
         comp = next((c for c in comps if c.cid == cs), None)
         if comp is None:
             raise ValueError(f"JPEG: SOS names unknown component {cs}")
-        dc = htables.get((0, tda >> 4))
-        ac = htables.get((1, tda & 0xF))
-        if dc is None or ac is None:
+        dc = htables.get((0, tda >> 4)) if need_dc else None
+        ac = htables.get((1, tda & 0xF)) if need_ac else None
+        if (need_dc and dc is None) or (need_ac and ac is None):
             raise ValueError("JPEG: SOS references missing Huffman table")
-        if comp.tq not in qtables:
-            raise ValueError("JPEG: SOF references missing quant table")
         scan.append((comp, dc, ac))
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    for c in comps:
-        c.w = -(-w * c.h // hmax)  # ceil(w * h_i / hmax), A.1.1
-        c.ht = -(-h * c.v // vmax)
+    # unit geometry: an interleaved unit is one MCU; a single-
+    # component scan's unit is one block on the COMPONENT's own grid
+    # (A.2.2 — NOT the MCU-padded storage grid, which may be wider)
     if ns == 1:
-        # non-interleaved: the MCU is one block of the one component
         comp = scan[0][0]
-        mcux, mcuy = -(-comp.w // 8), -(-comp.ht // 8)
-        layout = [(scan[0], 1, 1)]
-        comp.bx, comp.by = mcux, mcuy
+        nbx, nby = -(-comp.w // 8), -(-comp.ht // 8)
+        n_units = nbx * nby
     else:
-        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-        layout = [((c, dc, ac), c.h, c.v) for (c, dc, ac) in scan]
-        for c, _, _ in scan:
-            c.bx, c.by = mcux * c.h, mcuy * c.v
-    coeffs = {
-        c.cid: np.zeros((c.by * c.bx, 64), dtype=np.int64)
-        for (c, _, _) in scan
-    }
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n_units = mcux * mcuy
     segs, end = _split_scan(data, o)
     seg_i = 0
     reader = _BitReader(segs[0])
     pred = {c.cid: 0 for (c, _, _) in scan}
-    n_mcu = mcux * mcuy
-    for mcu in range(n_mcu):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_i += 1  # RSTn: byte-align, reset DC predictions
+    eobrun = 0
+    ac_ss = max(ss, 1)
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1  # RSTn: byte-align, reset DC preds + EOB run
             if seg_i >= len(segs):
                 raise ValueError("JPEG: missing restart segment")
             reader = _BitReader(segs[seg_i])
             pred = {c.cid: 0 for (c, _, _) in scan}
-        my, mx = divmod(mcu, mcux)
-        for (comp, dc_tab, ac_tab), ch, cv in layout:
-            arr = coeffs[comp.cid]
-            for v in range(cv):
-                for hh in range(ch):
-                    if ns == 1:
-                        bi = mcu
-                    else:
-                        bi = (my * cv + v) * comp.bx + (mx * ch + hh)
-                    blk = arr[bi]
-                    s = _decode_huff(reader, dc_tab)
-                    if s > 11:
-                        raise ValueError("JPEG: DC size out of range")
-                    pred[comp.cid] += _extend(reader.read(s), s)
-                    blk[0] = pred[comp.cid]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(reader, ac_tab)
-                        r_, s_ = rs >> 4, rs & 0xF
-                        if s_ == 0:
-                            if r_ == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r_
-                        if k > 63:
-                            raise ValueError("JPEG: AC run past block end")
-                        blk[k] = _extend(reader.read(s_), s_)
-                        k += 1
-    for (comp, _, _), _, _ in layout:
-        q = qtables[comp.tq]
-        comp.blocks = _idct_blocks(coeffs[comp.cid], q).reshape(
-            comp.by, comp.bx, 8, 8
-        )
-        comp.done = True
+            eobrun = 0
+        if ns == 1:
+            comp, dc_tab, ac_tab = scan[0]
+            by_, bx_ = divmod(u, nbx)
+            units = [(comp, dc_tab, ac_tab, by_ * comp.bx + bx_)]
+        else:
+            my, mx = divmod(u, mcux)
+            units = [
+                (c, dc_tab, ac_tab, (my * c.v + v) * c.bx + (mx * c.h + hh))
+                for (c, dc_tab, ac_tab) in scan
+                for v in range(c.v)
+                for hh in range(c.h)
+            ]
+        for comp, dc_tab, ac_tab, bi in units:
+            blk = comp.coef[bi]
+            if ah == 0:
+                if need_dc:
+                    pred[comp.cid] = _block_dc_first(
+                        reader, blk, dc_tab, al, pred[comp.cid]
+                    )
+                if need_ac:
+                    eobrun = _block_ac_first(
+                        reader, blk, ac_tab, ac_ss, se, al, eobrun
+                    )
+            else:
+                if ss == 0:
+                    _block_dc_refine(reader, blk, al)
+                if need_ac:
+                    eobrun = _block_ac_refine(
+                        reader, blk, ac_tab, ac_ss, se, al, eobrun
+                    )
+    for comp, _, _ in scan:
+        comp.touched = True
     return end
 
 

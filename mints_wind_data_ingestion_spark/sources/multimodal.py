@@ -257,15 +257,16 @@ def _decode_png(payload: bytes) -> dict:
 def decode_image(payload: bytes) -> dict:
     """Image decode → {"width", "height", "mode", "pixels": ndarray}.
 
-    BMP (24-bit BI_RGB), binary PPM/PGM, PNG AND baseline JPEG decode
-    natively — the first two are raw containers, PNG rides the
-    engine's own RFC 2083 decoder (r10), JPEG the engine's own
-    ITU-T T.81 baseline codec (r11, sources/jpegcodec.py; JVM
-    javax.imageio cross-validated in tests/test_jpeg.py). Remaining
-    compressed formats (JPEG2000, progressive JPEG, WebP, ...)
-    dispatch to PIL when importable; this container ships none, so
-    they raise with the contract intact. Plug into `extract_meta`'s
-    iterator in place of `byte_stats_meta` for real metadata.
+    BMP (24-bit BI_RGB), binary PPM/PGM, PNG AND JPEG (baseline +
+    progressive) decode natively — the first two are raw containers,
+    PNG rides the engine's own RFC 2083 decoder (r10), JPEG the
+    engine's own ITU-T T.81 codec (r11, sources/jpegcodec.py; JVM
+    javax.imageio cross-validated in tests/test_jpeg.py, grayscale
+    progressive bit-exact). Remaining compressed formats (JPEG2000,
+    arithmetic-coded JPEG, WebP, ...) dispatch to PIL when importable;
+    this container ships none, so they raise with the contract intact.
+    Plug into `extract_meta`'s iterator in place of `byte_stats_meta`
+    for real metadata.
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
@@ -280,8 +281,8 @@ def decode_image(payload: bytes) -> dict:
             return decode_jpeg(payload)
         except ValueError as exc:
             if "support" not in str(exc):
-                raise  # corrupt baseline stream: quarantine verdict
-            # progressive/arithmetic/12-bit coding modes: give the
+                raise  # corrupt stream: quarantine verdict
+            # arithmetic/lossless/12-bit coding modes: give the
             # optional PIL gate a chance before quarantining
     try:
         from io import BytesIO

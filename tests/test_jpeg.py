@@ -193,12 +193,12 @@ def test_corruption_raises_valueerror():
         decode_jpeg(bytes(bad))
 
 
-def test_progressive_rejected_with_clear_error():
+def test_arithmetic_rejected_with_clear_error():
     img = _gradient_rgb()
     good = bytearray(encode_jpeg(img, quality=90))
     i = bytes(good).find(b"\xff\xc0")
-    good[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="progressive"):
+    good[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg(bytes(good))
 
 
@@ -257,6 +257,71 @@ def test_jvm_decodes_our_encoder(spark):
         assert (bimg.getWidth(), bimg.getHeight()) == (48, 32)
         theirs = _decode_bmp(jvm_write(bimg, "bmp"))["pixels"]
         assert _rmse(theirs, img) < 4.0, (sub, ri)
+
+
+def _jvm_write_progressive(spark, bimg) -> bytes:
+    """JPEG bytes via ImageIO's PROGRESSIVE writer (MODE_DEFAULT emits
+    the classic 10-scan jpeg_simple_progression script: interleaved
+    first+refinement DC, spectral AC bands, two successive-
+    approximation AC refinement levels — every Annex G decode path)."""
+    jvm = spark._jvm
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpg"
+    ).next()
+    p = writer.getDefaultWriteParam()
+    p.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    out = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(out)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), p)
+    out.flush()
+    writer.dispose()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_color_vs_jvm(spark):
+    jvm_read, jvm_write = _jvm_io(spark)
+    img = _gradient_rgb(32, 48)
+    pj = _jvm_write_progressive(spark, jvm_read(encode_bmp(img)))
+    assert b"\xff\xc2" in pj  # really SOF2
+    mine = decode_jpeg(pj)
+    assert (mine["mode"], mine["width"], mine["height"]) == ("RGB", 48, 32)
+    theirs = _decode_bmp(jvm_write(jvm_read(pj), "bmp"))["pixels"]
+    # same-bitstream decode: only IDCT rounding + chroma upsample
+    # filter may differ (ours nearest, theirs interpolated)
+    assert _rmse(mine["pixels"], theirs) < 2.0
+    assert _rmse(mine["pixels"], img) < 6.0
+
+
+def test_progressive_gray_bitexact_vs_jvm(spark):
+    jvm = spark._jvm
+    jvm_read, jvm_write = _jvm_io(spark)
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = np.clip(yy * 5 + xx, 0, 255).astype(np.uint8)
+    bi = jvm_read(encode_bmp(np.stack([g, g, g], axis=-1)))
+    gray_bi = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    gray_bi.getGraphics().drawImage(bi, 0, 0, None)
+    pj = _jvm_write_progressive(spark, gray_bi)
+    assert b"\xff\xc2" in pj
+    mine = decode_jpeg(pj)
+    assert mine["mode"] == "L"
+    # no chroma, no upsampling: our scan pipeline must match the JVM
+    # decoder EXACTLY — any Annex G bookkeeping slip shows up here
+    dec = jvm_read(pj)
+    rgb_bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    rgb_bi.getGraphics().drawImage(dec, 0, 0, None)
+    theirs = _decode_bmp(jvm_write(rgb_bi, "bmp"))["pixels"][:, :, 0]
+    assert (mine["pixels"] == theirs).all()
+
+
+def test_progressive_dispatches_through_decode_image(spark):
+    jvm_read, _ = _jvm_io(spark)
+    img = _gradient_rgb(24, 24)
+    pj = _jvm_write_progressive(spark, jvm_read(encode_bmp(img)))
+    d = decode_image(pj)
+    assert d["mode"] == "RGB"
+    assert _rmse(d["pixels"], img) < 8.0
 
 
 def test_our_decoder_reads_jvm_encoder(spark):
