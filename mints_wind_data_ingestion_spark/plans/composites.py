@@ -1307,6 +1307,8 @@ def _lmm_oracle(sf_dir: str) -> str:
 
     img_h = resolve_oracle(REGISTRY["x_image_dhash"], sf_dir)
     img_p = resolve_oracle(REGISTRY["x_image_dedup"], sf_dir)
+    vid_s = resolve_oracle(REGISTRY["x_video_sig"], sf_dir)
+    vid_p = resolve_oracle(REGISTRY["x_video_dedup"], sf_dir)
     return f"""
     SELECT 'grid' AS part, CAST(label AS BIGINT) AS k1,
            CAST(lat_band AS BIGINT) AS k2, CAST(cell_cnt AS BIGINT) AS n1,
@@ -1349,6 +1351,20 @@ def _lmm_oracle(sf_dir: str) -> str:
            CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM ({img_p})
+    UNION ALL
+    SELECT 'video_sig', CAST(doc_id AS BIGINT), CAST(frame_idx AS BIGINT),
+           CAST(fhash AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({vid_s})
+    UNION ALL
+    SELECT 'video_pairs', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(jaccard AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({vid_p})
     """
 
 
@@ -1360,17 +1376,21 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode→resize→re-encode transform pipeline (x_mm_transform), and —
     since r11 (VERDICT r10 #1) — the image perceptual-hash dedup's
     hash table (x_image_dhash) and near-dup pairs (x_image_dedup),
-    tagged into one superset — six independent small scans sharing
-    one driver slot; every component's exact values still ride the
-    hash. The image parts make the composite's oracle LAZY: their
-    expected rows are replica-derived literals (image_dhash_local /
-    image_pairs_local, the linear-probe convention)."""
+    plus (late r11) the video frame-hash signatures (x_video_sig) and
+    frame-set-Jaccard near-dup pairs (x_video_dedup), tagged into one
+    superset — eight independent small scans sharing one driver slot;
+    every component's exact values still ride the hash. The image and
+    video parts make the composite's oracle LAZY: their expected rows
+    are replica-derived literals (image_dhash_local / video_frames_local
+    etc., the linear-probe convention)."""
     g = REGISTRY["x_grid_stats"].build(spark, sf_dir)
     z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
     m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
     t = REGISTRY["x_mm_transform"].build(spark, sf_dir)
     ih = REGISTRY["x_image_dhash"].build(spark, sf_dir)
     ip = REGISTRY["x_image_dedup"].build(spark, sf_dir)
+    vs = REGISTRY["x_video_sig"].build(spark, sf_dir)
+    vp = REGISTRY["x_video_dedup"].build(spark, sf_dir)
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
         n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
@@ -1396,6 +1416,14 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _part(ip, "image_pairs", k1=_b("id_a"), k2=_b("id_b"),
               n1=_b("hamming"), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
               d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(vs, "video_sig", k1=_b("doc_id"), k2=_b("frame_idx"),
+              n1=_b("fhash"), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
+              d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(vp, "video_pairs", k1=_b("id_a"), k2=_b("id_b"),
+              n1=_nb(), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
+              d1=_d("jaccard"), d2=_nd(), d3=_nd())
     )
 
 

@@ -4743,3 +4743,200 @@ def x_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         REGISTRY["x_image_dhash"].build(spark, sf_dir),
         max_hamming=_IMG_MAX_HAMMING,
     )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (r11) — frame-sampled perceptual signatures, the third
+# modality of the dedup family (text shingles / image dHash / video
+# frame-hash sets). Same verification architecture as the image pair:
+# a shared deterministic corpus DEFINITION, an engine-free replica, and
+# lazy VALUES-literal oracles riding x_layout_mm_suite's composite.
+# ---------------------------------------------------------------------------
+
+_VID_SIB_OFFSET = 20_000_000
+_VID_W, _VID_H, _VID_FRAMES = 24, 20, 8
+_VID_JACCARD_T = 0.5
+#: sibling videos replace these frame indices with fresh content —
+#: the edited/re-cut near-duplicate model (6 of 8 frames shared:
+#: jaccard = 6 / (8 + 8 - 6) = 0.6 ≥ threshold)
+_VID_EDIT_FRAMES = (2, 5)
+
+
+def synth_video_frames(i: int, sib: int) -> list:
+    """The deterministic gray frame sequence for video id `i` (one
+    video per 10th document id; `sib=1` is the two-frames-replaced
+    edited sibling staged for every 40th id) — the video-dedup corpus
+    DEFINITION, shared by the Spark generator and the engine-free
+    replica so both hash identical frames."""
+    import numpy as np
+
+    u64 = np.uint64
+    w, h = _VID_W, _VID_H
+    yy, xx = np.meshgrid(
+        np.arange(h, dtype=np.uint64),
+        np.arange(w, dtype=np.uint64), indexing="ij",
+    )
+    frames = []
+    for f in range(_VID_FRAMES):
+        seed = i + 999_983 if (sib and f in _VID_EDIT_FRAMES) else i
+        v = (u64(seed) * u64(2654435761) + u64(f) * u64(1299709)
+             + xx * u64(40503) + yy * u64(65537))
+        v ^= v >> u64(13)
+        v *= u64(0x5BD1E995)
+        v ^= v >> u64(15)
+        frames.append((v % u64(256)).astype(np.uint8))
+    return frames
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) — one deterministic Y4M clip per 10th document
+    id plus the edited sibling for every 40th, generated executor-side
+    in one Arrow pass (at corpus scale the payload column would simply
+    BE the input, e.g. a binaryFile scan)."""
+    import pandas as pd
+
+    from ..sources.multimodal import encode_y4m_gray
+
+    ids = tables(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+    def gen(it):
+        for pdf in it:
+            out_ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for sib in (0, 1) if i % 40 == 0 else (0,):
+                    out_ids.append(i + sib * _VID_SIB_OFFSET)
+                    payloads.append(
+                        encode_y4m_gray(synth_video_frames(i, sib))
+                    )
+            yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
+
+    return ids.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def _dhash_replica_gray(px) -> int:
+    """`_dhash_replica` for a single-channel frame: own resize grid
+    and bit packing, no luminance mix (the Y plane IS luminance)."""
+    h, w = len(px), len(px[0])
+    rows = [min(int((r + 0.5) * h / 8), h - 1) for r in range(8)]
+    cols = [min(int((c + 0.5) * w / 9), w - 1) for c in range(9)]
+    out = 0
+    for r in rows:
+        for ci in range(8):
+            out = (out << 1) | int(
+                int(px[r][cols[ci]]) > int(px[r][cols[ci + 1]])
+            )
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def video_frames_local(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Recompute the x_video_sig table WITHOUT Spark: DuckDB reads the
+    document ids, `synth_video_frames` regenerates the clips and
+    `_dhash_replica_gray` hashes each frame. The engine path
+    round-trips the same frames through encode_y4m_gray →
+    sample_video_frames → dhash64, so a hash match verifies the Y4M
+    container walk and the hash kernel, not just the join."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0]) for r in con.sql(
+            f"SELECT doc_id FROM "
+            f"'{os.path.join(sf_dir, 'documents.parquet')}' "
+            f"WHERE doc_id % 10 = 0"
+        ).fetchall()
+    ]
+    out = {}
+    for i in ids:
+        for sib in (0, 1) if i % 40 == 0 else (0,):
+            for f, px in enumerate(synth_video_frames(i, sib)):
+                out[(i + sib * _VID_SIB_OFFSET, f)] = _dhash_replica_gray(px)
+    return out
+
+
+def video_pairs_local(
+    sf_dir: str, threshold: float = _VID_JACCARD_T
+) -> list[tuple[int, int, float]]:
+    """Brute-force ground-truth video pairs: exact Jaccard over the
+    replica frame-hash SETS for every pair (the O(n²) the inverted-
+    index join avoids; affordable at verification scale)."""
+    sets: dict[int, set] = {}
+    for (vid, _f), fh in video_frames_local(sf_dir).items():
+        sets.setdefault(vid, set()).add(fh)
+    vids = sorted(sets)
+    out = []
+    for ai in range(len(vids)):
+        for bi in range(ai + 1, len(vids)):
+            a, b = vids[ai], vids[bi]
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                out.append((a, b, j))
+    return out
+
+
+def _video_sig_oracle(sf_dir: str) -> str:
+    rows = ",".join(
+        f"({vid},{f},{fh})"
+        for (vid, f), fh in sorted(video_frames_local(sf_dir).items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(fhash AS BIGINT) AS fhash
+    FROM (VALUES {rows}) AS t(doc_id, frame_idx, fhash)
+    """
+
+
+def _video_pairs_oracle(sf_dir: str) -> str:
+    pairs = video_pairs_local(sf_dir)
+    if not pairs:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, "
+                "CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS DOUBLE) AS jaccard WHERE 1 = 0")
+    rows = ",".join(f"({a},{b},{j!r})" for a, b, j in pairs)
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(jaccard AS DOUBLE) AS jaccard
+    FROM (VALUES {rows}) AS t(id_a, id_b, jaccard)
+    """
+
+
+@query("x_video_sig", oracle=_video_sig_oracle,
+       tags=("ext", "multimodal", "dedup"), driver=False)
+def x_video_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video perceptual-signature TABLE (r11): Y4M container walk
+    (arithmetic frame seeking — only sampled frames decode) → 64-bit
+    dHash of each sampled Y plane, one Arrow-batched pass
+    (sources.multimodal.video_dhash_df). Every frame-hash bit is
+    verified against the engine-free replica (`video_frames_local`)
+    via the lazy VALUES oracle; folded into x_layout_mm_suite for the
+    driver gate."""
+    from ..sources.multimodal import video_dhash_df
+
+    return video_dhash_df(_video_corpus(spark, sf_dir), every_n=1)
+
+
+@query("x_video_dedup", oracle=_video_pairs_oracle,
+       tags=("ext", "multimodal", "dedup"), driver=False)
+def x_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (r11): frame-hash SET Jaccard ≥ 0.5 over
+    the sampled-frame signatures — physically the text dedup engine's
+    inverted-index count plan (operators.dedup.jaccard_similarity_join)
+    with frame hashes as shingles; the n² pair space is never
+    enumerated. Corpus: one deterministic clip per 10th document id
+    plus a two-frames-replaced edited sibling for every 40th (exact
+    expected jaccard 0.6). The lazy oracle embeds brute-force
+    all-pairs ground truth (`video_pairs_local`)."""
+    from ..sources.multimodal import video_neardup_pairs
+
+    return video_neardup_pairs(
+        REGISTRY["x_video_sig"].build(spark, sf_dir),
+        threshold=_VID_JACCARD_T,
+    )

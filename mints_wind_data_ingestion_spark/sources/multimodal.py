@@ -83,6 +83,9 @@ __all__ = [
     "image_dhash_df",
     "image_neardup_pairs",
     "image_neardup_join",
+    "encode_y4m_gray",
+    "video_dhash_df",
+    "video_neardup_pairs",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -775,3 +778,97 @@ def image_neardup_join(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# video near-dup (r11) — frame-sampled perceptual signatures
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m_gray(frames) -> bytes:
+    """Encode a list of (H, W) uint8 Y planes as a YUV4MPEG2 stream
+    (C420, chroma planes flat 128) — the inverse of
+    `sample_video_frames`'s container walk, for fixtures and the
+    re-encode half of a video transform loop."""
+    import numpy as np
+
+    h, w = np.asarray(frames[0]).shape
+    chroma = bytes([128]) * ((w // 2) * (h // 2) * 2)
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode())
+    for f in frames:
+        out += b"FRAME\n"
+        out += np.asarray(f, dtype=np.uint8).tobytes()
+        out += chroma
+    return bytes(out)
+
+
+def video_dhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """(id, frame_idx, fhash) per SAMPLED frame — one Arrow-batched
+    pass: container walk (`sample_video_frames` seeks arithmetically,
+    decoding only every Nth frame) then the same 64-bit dHash the
+    image dedup path uses, on the Y plane directly (dHash is a
+    luminance hash; 4:2:0 video already carries luminance separated).
+    A corrupt or codec-gated payload yields one NULL row (the
+    transform-UDTF quarantine contract), never a task failure."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = sample_video_frames(bytes(payload), every_n)
+                    for idx, y in frames:
+                        ids.append(i)
+                        idxs.append(idx)
+                        hashes.append(np.int64(np.uint64(dhash64(y))))
+                except MM_DECODE_ERRORS:
+                    ids.append(i)
+                    idxs.append(None)
+                    hashes.append(None)
+            yield pd.DataFrame({
+                id_col: ids,
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "fhash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, frame_idx int, fhash long"
+    )
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for video pairs whose sampled-frame
+    perceptual-hash SETS overlap with Jaccard ≥ threshold — the
+    edited/re-cut near-duplicate model: trims, frame replacements and
+    re-stitches keep most frame hashes identical, so set overlap
+    survives where any frame-aligned comparison breaks.
+
+    Physically this is the text dedup engine verbatim: each video's
+    frame-hash set plays the shingle set and rides
+    `operators.dedup.jaccard_similarity_join`'s inverted-index count
+    plan — explode, self-equi-join on the hash, count per pair; the n²
+    pair space is never enumerated and no signature array crosses a
+    shuffle. Robustness to re-encoding lives in the per-frame dHash
+    (pinned by the JPEG re-encode stability test), orthogonal to the
+    pair semantics here."""
+    from ..operators.dedup import jaccard_similarity_join
+
+    sigs = (
+        frame_hashes.filter(F.col("fhash").isNotNull())
+        .groupBy(id_col)
+        .agg(F.collect_set("fhash").alias("__fh"))
+    )
+    return jaccard_similarity_join(sigs, id_col, "__fh", threshold)
