@@ -86,6 +86,7 @@ __all__ = [
     "encode_y4m_gray",
     "video_dhash_df",
     "video_neardup_pairs",
+    "video_neardup_join",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -872,3 +873,47 @@ def video_neardup_pairs(
         .agg(F.collect_set("fhash").alias("__fh"))
     )
     return jaccard_similarity_join(sigs, id_col, "__fh", threshold)
+
+
+def video_neardup_join(
+    new_sigs: DataFrame,
+    stored_sigs: DataFrame,
+    id_new: str = "doc_id",
+    id_stored: str = "__oid",
+    sig_col: str = "__fh",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-sided frame-set Jaccard join — the ingest-gate shape: NEW
+    video signatures against a PERSISTED signature index. Both inputs
+    are (id, sig_col: array<long>) tables; each explodes to
+    (id, n, fhash) postings and they meet in an equi-join on the frame
+    hash, so cost is O(batch + collisions) however large the stored
+    side grows; no signature array ever crosses a shuffle and the
+    batch×corpus pair space is never enumerated. Output
+    (id_new, id_stored, jaccard), jaccard ≥ threshold."""
+    def _postings(df: DataFrame, idc: str):
+        return df.select(
+            F.col(idc),
+            F.size(sig_col).alias(f"__n_{idc}"),
+            F.explode(F.array_distinct(sig_col)).alias("__s"),
+        )
+
+    a = _postings(new_sigs, id_new)
+    b = _postings(stored_sigs, id_stored)
+    inter = (
+        a.join(b, "__s")
+        .groupBy(id_new, id_stored)
+        .agg(
+            F.count("*").alias("__i"),
+            F.first(f"__n_{id_new}").alias("__na"),
+            F.first(f"__n_{id_stored}").alias("__nb"),
+        )
+    )
+    return inter.select(
+        id_new,
+        id_stored,
+        (
+            F.col("__i")
+            / (F.col("__na") + F.col("__nb") - F.col("__i"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

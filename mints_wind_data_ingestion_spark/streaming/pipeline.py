@@ -1214,3 +1214,135 @@ def build_gram_index(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def run_video_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+    every_n: int = 1,
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming VIDEO near-dup gate (late r11) — the third modality's
+    ingest-time twin (text `run_neardup_ingest`, image
+    `run_image_dedup_ingest`): each micro-batch frame-hashes its
+    videos ONCE (`sources.multimodal.video_dhash_df` — arithmetic
+    frame seeking, one Arrow pass), drops in-batch near-dups
+    (frame-set Jaccard ≥ threshold via the inverted-index count plan,
+    lower id kept), drops batch videos near-duplicate to ANY stored
+    video (two-sided postings equi-join against the persisted
+    signature column — never a batch×corpus cross join), and appends
+    survivors WITH their frame-hash signature, so the index rides the
+    corpus and history is never re-decoded; cost per epoch is
+    O(batch + collisions).
+
+    Rejects land in `quarantine_path` WITH the evidence — the best
+    (highest-Jaccard, ties lowest id) match and its similarity, plus a
+    reason: 'batch_dup' / 'corpus_dup' / 'undecodable'.
+
+    Exactly-once: per-epoch subdirectories exactly as
+    `run_dedup_ingest` (a replayed epoch re-derives the same anti-join
+    against strictly-older epochs, then overwrites only its own
+    subdir)."""
+    from ..sources.multimodal import (
+        video_dhash_df,
+        video_neardup_join,
+        video_neardup_pairs,
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+
+    def _best(pairs: DataFrame, dup_id: str, match_id: str) -> DataFrame:
+        # strongest evidence per dropped video: max jaccard, ties
+        # lowest match id (min over (-jaccard, id) gives both)
+        return pairs.groupBy(F.col(dup_id).alias(id_col)).agg(
+            F.min(F.struct((-F.col("jaccard")).alias("__nj"), match_id))
+            .alias("__m")
+        ).select(
+            id_col,
+            F.col(f"__m.{match_id}").alias("best_match"),
+            (-F.col("__m.__nj")).alias("jaccard"),
+        )
+
+    def ingest(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        # hash ONCE: the frame-hash plan feeds the self-join, the
+        # cross-epoch join and the final write
+        frames = video_dhash_df(
+            batch, id_col, payload_col, every_n
+        ).localCheckpoint()
+        bad = frames.filter(F.col("fhash").isNull()).select(id_col)
+        quarantined = bad.select(
+            id_col,
+            F.lit("undecodable").alias("reason"),
+            F.lit(None).cast("long").alias("best_match"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+
+        sigs = (
+            frames.filter(F.col("fhash").isNotNull())
+            .groupBy(id_col)
+            .agg(F.collect_set("fhash").alias("__fh"))
+        )
+
+        # in-batch near-dup drop: keep the lower id of every pair
+        pairs = video_neardup_pairs(frames, id_col, threshold=threshold)
+        batch_dups = _best(pairs, "id_b", "id_a")
+        fresh = sigs.join(batch_dups.select(id_col), id_col, "left_anti")
+        quarantined = quarantined.unionByName(
+            batch_dups.select(
+                id_col, F.lit("batch_dup").alias("reason"),
+                F.col("best_match").cast("long"), "jaccard",
+            )
+        )
+
+        # cross-epoch: drop batch videos whose frame sets overlap any
+        # STRICTLY OLDER stored video at ≥ threshold. Unreadable
+        # corpus → the epoch fails and retries (_read_if_exists),
+        # never a silent skip that re-admits near-duplicates.
+        corpus = _read_if_exists(s, corpus_path)
+        if corpus is not None:
+            stored = corpus.filter(F.col("epoch") < epoch_id).select(
+                F.col(id_col).alias("__oid"), F.col("fhashes").alias("__fh")
+            )
+            hits = video_neardup_join(
+                fresh, stored, id_new=id_col, id_stored="__oid",
+                threshold=threshold,
+            )
+            corpus_dups = _best(hits, id_col, "__oid")
+            fresh = fresh.join(
+                corpus_dups.select(id_col), id_col, "left_anti"
+            )
+            quarantined = quarantined.unionByName(
+                corpus_dups.select(
+                    id_col, F.lit("corpus_dup").alias("reason"),
+                    F.col("best_match").cast("long"), "jaccard",
+                )
+            )
+
+        # survivors keep their payload AND their signature (the
+        # persisted index future epochs join against)
+        batch.join(
+            fresh.select(id_col, F.col("__fh").alias("fhashes")), id_col
+        ).write.mode("overwrite").parquet(f"{corpus_path}/epoch={epoch_id}")
+        if quarantine_path is not None:
+            quarantined.write.mode("overwrite").parquet(
+                f"{quarantine_path}/epoch={epoch_id}"
+            )
+
+    return (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )

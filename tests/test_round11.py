@@ -440,3 +440,91 @@ def test_ingest_idx_success_path_unpersists(spark, tmp_path):
     # set-difference, not a count: other tests' async-cleaned caches
     # may disappear concurrently — what matters is WE added nothing
     assert _rdd_ids() - before == set()
+
+
+def test_video_dedup_ingest_gate(spark, sf_dir, tmp_path):
+    """The VIDEO near-dup ingest gate (late r11): planted edited
+    siblings streamed in 3 chunks (sibling offset % 3 != 0, so pairs
+    straddle epochs and the cross-epoch join is exercised), corrupt
+    payload quarantined with NULL evidence, survivors carry the
+    persisted signature, replay byte-identical."""
+    from pyspark.sql import functions as F
+
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        _VID_SIB_OFFSET,
+        _video_corpus,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        video_neardup_pairs,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_video_dedup_ingest,
+    )
+
+    corpus_df = _video_corpus(spark, sf_dir)
+    landing = str(tmp_path / "landing")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+    for i in range(3):
+        chunk = corpus_df.filter(F.pmod("doc_id", F.lit(3)) == i)
+        if i == 0:  # plant one undecodable payload in the first chunk
+            chunk = chunk.unionByName(
+                spark.createDataFrame(
+                    [(999_999_999, bytearray(b"not a video"))],
+                    "doc_id long, payload binary",
+                )
+            )
+        chunk.coalesce(1).write.mode("append").parquet(landing)
+
+    schema = spark.read.parquet(landing).schema
+    q = run_video_dedup_ingest(
+        spark, landing, corpus, ckpt, schema, quarantine_path=quar
+    )
+    q.awaitTermination(240)
+
+    kept = spark.read.parquet(corpus)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # survivors carry their signature (the persisted index) and
+    # contain no remaining near-dup pair
+    assert "fhashes" in kept.columns
+    frames = kept.select(
+        "doc_id", F.explode("fhashes").alias("fhash")
+    ).withColumn("frame_idx", F.lit(0))
+    assert video_neardup_pairs(frames, threshold=0.5).isEmpty()
+
+    all_ids = {int(r.doc_id) for r in corpus_df.select("doc_id").collect()}
+    planted = {i for i in all_ids if i < _VID_SIB_OFFSET and i % 40 == 0}
+    clean = all_ids - planted - {i + _VID_SIB_OFFSET for i in planted}
+    assert planted, "fixture must plant sibling pairs"
+    assert clean <= kept_ids
+    for i in planted:  # exactly one of each planted pair survives
+        assert (i in kept_ids) != (i + _VID_SIB_OFFSET in kept_ids)
+    assert 999_999_999 not in kept_ids
+
+    quarantined = {r.doc_id: r for r in spark.read.parquet(quar).collect()}
+    assert quarantined[999_999_999].reason == "undecodable"
+    assert quarantined[999_999_999].best_match is None
+    for i in planted:  # the dropped twin names its survivor, jacc 0.6
+        dropped = i + _VID_SIB_OFFSET if i in kept_ids else i
+        surv = i if i in kept_ids else i + _VID_SIB_OFFSET
+        row = quarantined[dropped]
+        assert row.best_match == surv
+        assert abs(row.jaccard - 0.6) < 1e-12
+        assert row.reason in ("batch_dup", "corpus_dup")
+    # siblings land in different chunks → some dedup crossed epochs
+    assert any(
+        quarantined[i + _VID_SIB_OFFSET if i in kept_ids else i].reason
+        == "corpus_dup"
+        for i in planted
+    )
+
+    # replay: byte-identical corpus
+    before = sorted(kept_ids)
+    q2 = run_video_dedup_ingest(
+        spark, landing, corpus, ckpt, schema, quarantine_path=quar
+    )
+    q2.awaitTermination(240)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    ) == before
