@@ -336,3 +336,27 @@ def test_our_decoder_reads_jvm_encoder(spark):
     theirs = _decode_bmp(jvm_write(jvm_read(jvm_jpg), "bmp"))["pixels"]
     assert _rmse(mine["pixels"], theirs) < 2.0
     assert _rmse(mine["pixels"], img) < 6.0  # JVM default quality ~75
+
+
+def test_cross_format_near_dup_detection(spark):
+    """The LAION scenario end-to-end: the same image stored as BMP and
+    as a JPEG re-encode (quality 90) must land within the banded
+    Hamming join's reach — format-crossing near-dup detection through
+    the real decode dispatch, on the Spark path."""
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        synth_image_pixels,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        image_dhash_df,
+        image_neardup_pairs,
+    )
+
+    rows = []
+    for i in range(6):
+        px = synth_image_pixels(i, 0)
+        rows.append((i, bytearray(encode_bmp(px))))
+        rows.append((100 + i, bytearray(encode_jpeg(px, quality=90))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = image_neardup_pairs(image_dhash_df(df), max_hamming=6)
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(i, 100 + i) for i in range(6)]
