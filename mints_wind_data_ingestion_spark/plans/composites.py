@@ -1309,6 +1309,8 @@ def _lmm_oracle(sf_dir: str) -> str:
     img_p = resolve_oracle(REGISTRY["x_image_dedup"], sf_dir)
     vid_s = resolve_oracle(REGISTRY["x_video_sig"], sf_dir)
     vid_p = resolve_oracle(REGISTRY["x_video_dedup"], sf_dir)
+    aud_s = resolve_oracle(REGISTRY["x_audio_sig"], sf_dir)
+    aud_p = resolve_oracle(REGISTRY["x_audio_dedup"], sf_dir)
     return f"""
     SELECT 'grid' AS part, CAST(label AS BIGINT) AS k1,
            CAST(lat_band AS BIGINT) AS k2, CAST(cell_cnt AS BIGINT) AS n1,
@@ -1365,6 +1367,20 @@ def _lmm_oracle(sf_dir: str) -> str:
            CAST(NULL AS BIGINT),
            CAST(jaccard AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM ({vid_p})
+    UNION ALL
+    SELECT 'audio_sig', CAST(doc_id AS BIGINT), CAST(frame_idx AS BIGINT),
+           CAST(fhash AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({aud_s})
+    UNION ALL
+    SELECT 'audio_pairs', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(jaccard AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({aud_p})
     """
 
 
@@ -1376,13 +1392,15 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode→resize→re-encode transform pipeline (x_mm_transform), and —
     since r11 (VERDICT r10 #1) — the image perceptual-hash dedup's
     hash table (x_image_dhash) and near-dup pairs (x_image_dedup),
-    plus (late r11) the video frame-hash signatures (x_video_sig) and
-    frame-set-Jaccard near-dup pairs (x_video_dedup), tagged into one
-    superset — eight independent small scans sharing one driver slot;
-    every component's exact values still ride the hash. The image and
-    video parts make the composite's oracle LAZY: their expected rows
-    are replica-derived literals (image_dhash_local / video_frames_local
-    etc., the linear-probe convention)."""
+    plus (late r11) the video frame-hash signatures (x_video_sig) /
+    frame-set-Jaccard pairs (x_video_dedup) and the audio spectral
+    fingerprints (x_audio_sig) / fingerprint-set pairs
+    (x_audio_dedup), tagged into one superset — ten independent small
+    scans sharing one driver slot; every component's exact values
+    still ride the hash. The image/video/audio parts make the
+    composite's oracle LAZY: their expected rows are replica-derived
+    literals (image_dhash_local / video_frames_local /
+    audio_frames_local etc., the linear-probe convention)."""
     g = REGISTRY["x_grid_stats"].build(spark, sf_dir)
     z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
     m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
@@ -1391,6 +1409,8 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip = REGISTRY["x_image_dedup"].build(spark, sf_dir)
     vs = REGISTRY["x_video_sig"].build(spark, sf_dir)
     vp = REGISTRY["x_video_dedup"].build(spark, sf_dir)
+    asg = REGISTRY["x_audio_sig"].build(spark, sf_dir)
+    ap = REGISTRY["x_audio_dedup"].build(spark, sf_dir)
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
         n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
@@ -1422,6 +1442,14 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               d1=_nd(), d2=_nd(), d3=_nd())
     ).unionByName(
         _part(vp, "video_pairs", k1=_b("id_a"), k2=_b("id_b"),
+              n1=_nb(), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
+              d1=_d("jaccard"), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(asg, "audio_sig", k1=_b("doc_id"), k2=_b("frame_idx"),
+              n1=_b("fhash"), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
+              d1=_nd(), d2=_nd(), d3=_nd())
+    ).unionByName(
+        _part(ap, "audio_pairs", k1=_b("id_a"), k2=_b("id_b"),
               n1=_nb(), n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
               d1=_d("jaccard"), d2=_nd(), d3=_nd())
     )

@@ -4940,3 +4940,200 @@ def x_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         REGISTRY["x_video_sig"].build(spark, sf_dir),
         threshold=_VID_JACCARD_T,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup (late r11) — the fourth modality. Same
+# architecture: shared corpus definition, engine-free replica, lazy
+# VALUES oracles riding x_layout_mm_suite.
+# ---------------------------------------------------------------------------
+
+_AUD_SIB_OFFSET = 30_000_000
+_AUD_SEGMENTS = 8
+_AUD_SEG_SAMPLES = 512  # == multimodal._AFP_FRAME: segments align with frames
+_AUD_EDIT_SEGMENTS = (2, 5)
+_AUD_JACCARD_T = 0.5
+
+
+def _aud_freq(seed: int, seg: int) -> int:
+    v = (seed * 2654435761 + seg * 1299709) % (1 << 64)
+    v ^= v >> 13
+    v = (v * 0x5BD1E995) % (1 << 64)
+    v ^= v >> 15
+    return 200 + v % 1800  # Hz, well inside the 8 kHz Nyquist
+
+
+def synth_audio_segments(i: int, sib: int):
+    """The deterministic int16 waveform for audio id `i` (one clip per
+    doc_id % 10 == 5; `sib=1` replaces two segments — the edited
+    sibling, staged for every doc_id % 40 == 5) — the audio-dedup
+    corpus DEFINITION shared by the Spark generator and the replica.
+    Each 512-sample segment is a two-harmonic tone with its own
+    id-and-segment-derived fundamental; segments align exactly with
+    fingerprint frames, so an edit changes only its own frame."""
+    import numpy as np
+
+    t = np.arange(_AUD_SEG_SAMPLES, dtype=np.float64) / 8000.0
+    segs = []
+    for s in range(_AUD_SEGMENTS):
+        seed = i + 999_983 if (sib and s in _AUD_EDIT_SEGMENTS) else i
+        f = float(_aud_freq(seed, s))
+        w = 0.6 * np.sin(2 * np.pi * f * t) + 0.3 * np.sin(
+            2 * np.pi * 2 * f * t
+        )
+        segs.append(np.round(w * 20000.0).astype("<i2"))
+    return np.concatenate(segs)
+
+
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) — one deterministic WAV clip per matching
+    document id plus the edited sibling, generated executor-side in
+    one Arrow pass."""
+    import pandas as pd
+
+    from ..sources.multimodal import encode_wav_pcm16
+
+    ids = tables(spark, sf_dir)["documents"].select("doc_id").filter(
+        F.col("doc_id") % 10 == 5
+    )
+
+    def gen(it):
+        for pdf in it:
+            out_ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for sib in (0, 1) if i % 40 == 5 else (0,):
+                    out_ids.append(i + sib * _AUD_SIB_OFFSET)
+                    payloads.append(
+                        encode_wav_pcm16(synth_audio_segments(i, sib))
+                    )
+            yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
+
+    return ids.mapInPandas(gen, "doc_id long, payload binary")
+
+
+def _afp_replica(wave_i16) -> list:
+    """Independent re-derivation of the 32-bit spectral fingerprints:
+    own int16→[-1,1] normalization (decode_audio's convention), frame
+    split, rfft band energies and gradient-bit packing — it calls
+    nothing from sources.multimodal, so a match also verifies the WAV
+    round trip and the kernel's geometry constants."""
+    import numpy as np
+
+    w = np.asarray(wave_i16, dtype=np.float64) / 32768.0
+    frames = w[: (len(w) // 512) * 512].reshape(-1, 512)
+    mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    bands = mag2[:, 1 : 1 + 33 * 7].reshape(-1, 33, 7).sum(axis=2)
+    out = []
+    for fi in range(bands.shape[0]):
+        fp = 0
+        for b in range(32):
+            fp = (fp << 1) | int(bands[fi, b] > bands[fi, b + 1])
+        out.append((fi, fp))
+    return out
+
+
+def audio_frames_local(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Recompute the x_audio_sig table WITHOUT Spark (the
+    video_frames_local convention)."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0]) for r in con.sql(
+            f"SELECT doc_id FROM "
+            f"'{os.path.join(sf_dir, 'documents.parquet')}' "
+            f"WHERE doc_id % 10 = 5"
+        ).fetchall()
+    ]
+    out = {}
+    for i in ids:
+        for sib in (0, 1) if i % 40 == 5 else (0,):
+            for fi, fp in _afp_replica(synth_audio_segments(i, sib)):
+                out[(i + sib * _AUD_SIB_OFFSET, fi)] = fp
+    return out
+
+
+def audio_pairs_local(
+    sf_dir: str, threshold: float = _AUD_JACCARD_T
+) -> list[tuple[int, int, float]]:
+    """Brute-force ground-truth audio pairs: exact Jaccard over the
+    replica fingerprint SETS for every pair."""
+    sets: dict[int, set] = {}
+    for (aid, _f), fp in audio_frames_local(sf_dir).items():
+        sets.setdefault(aid, set()).add(fp)
+    aids = sorted(sets)
+    out = []
+    for x in range(len(aids)):
+        for y in range(x + 1, len(aids)):
+            a, b = aids[x], aids[y]
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                out.append((a, b, j))
+    return out
+
+
+def _audio_sig_oracle(sf_dir: str) -> str:
+    rows = ",".join(
+        f"({aid},{f},{fp})"
+        for (aid, f), fp in sorted(audio_frames_local(sf_dir).items())
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(fhash AS BIGINT) AS fhash
+    FROM (VALUES {rows}) AS t(doc_id, frame_idx, fhash)
+    """
+
+
+def _audio_pairs_oracle(sf_dir: str) -> str:
+    pairs = audio_pairs_local(sf_dir)
+    if not pairs:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, "
+                "CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS DOUBLE) AS jaccard WHERE 1 = 0")
+    rows = ",".join(f"({a},{b},{j!r})" for a, b, j in pairs)
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(jaccard AS DOUBLE) AS jaccard
+    FROM (VALUES {rows}) AS t(id_a, id_b, jaccard)
+    """
+
+
+@query("x_audio_sig", oracle=_audio_sig_oracle,
+       tags=("ext", "multimodal", "dedup"), driver=False)
+def x_audio_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio fingerprint TABLE (late r11): WAV chunk walk →
+    per-frame 32-bit spectral fingerprints (band-energy gradient bits,
+    the spectral half of Haitsma & Kalker 2002), one Arrow-batched
+    pass (sources.multimodal.audio_fingerprint_df). Every fingerprint
+    bit is verified against the engine-free replica
+    (`audio_frames_local`) via the lazy VALUES oracle; folded into
+    x_layout_mm_suite for the driver gate."""
+    from ..sources.multimodal import audio_fingerprint_df
+
+    return audio_fingerprint_df(_audio_corpus(spark, sf_dir))
+
+
+@query("x_audio_dedup", oracle=_audio_pairs_oracle,
+       tags=("ext", "multimodal", "dedup"), driver=False)
+def x_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (late r11): fingerprint-set Jaccard ≥ 0.5
+    — the identical inverted-index plan the video pairs ride
+    (sources.multimodal.video_neardup_pairs works verbatim on the
+    shared (id, frame_idx, fhash) shape); the n² pair space is never
+    enumerated. Corpus: one deterministic two-harmonic clip per
+    matching document id plus a two-segments-replaced edited sibling
+    (expected jaccard 0.6). Lazy oracle embeds brute-force ground
+    truth (`audio_pairs_local`)."""
+    from ..sources.multimodal import video_neardup_pairs
+
+    return video_neardup_pairs(
+        REGISTRY["x_audio_sig"].build(spark, sf_dir),
+        threshold=_AUD_JACCARD_T,
+    )

@@ -87,6 +87,9 @@ __all__ = [
     "video_dhash_df",
     "video_neardup_pairs",
     "video_neardup_join",
+    "encode_wav_pcm16",
+    "audio_fingerprint",
+    "audio_fingerprint_df",
 ]
 
 #: metadata emitted per payload — the shape a real image decoder fills
@@ -917,3 +920,110 @@ def video_neardup_join(
             / (F.col("__na") + F.col("__nb") - F.col("__i"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint near-dup (late r11) — the fourth modality of the
+# dedup family (text shingles / image dHash / video frame sets /
+# audio frame fingerprints)
+# ---------------------------------------------------------------------------
+
+#: fingerprint geometry: non-overlapping frames of `_AFP_FRAME`
+#: samples; 33 equal-width spectral bands of `_AFP_BAND_W` rfft bins
+#: starting at bin 1 (DC skipped) → 32 energy-gradient bits per frame
+_AFP_FRAME = 512
+_AFP_BANDS = 33
+_AFP_BAND_W = 7
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an (n,) or (n, ch) int16 array as RIFF WAV PCM — the
+    inverse of `decode_audio`'s chunk walk, for fixtures and the
+    re-encode half of an audio transform loop."""
+    import numpy as np
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    pcm = s.reshape(-1).tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, ch, sample_rate,
+            sample_rate * ch * 2, ch * 2, 16,
+        )
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def audio_fingerprint(waveform) -> list:
+    """Per-frame 32-bit spectral fingerprints of a mono waveform in
+    [-1, 1]: split into non-overlapping 512-sample frames, rfft
+    magnitude-squared, 33 equal-width band energies (DC skipped),
+    one bit per adjacent band pair — bit b set iff E[b] > E[b+1]
+    (the spectral half of the Haitsma & Kalker 2002 fingerprint;
+    the temporal difference is dropped so frames stay independent,
+    which the set-overlap dedup model depends on). Returns
+    [(frame_idx, fp), ...]; the tail shorter than one frame is
+    dropped."""
+    import numpy as np
+
+    w = np.asarray(waveform, dtype=np.float64)
+    if w.ndim == 2:
+        w = w.mean(axis=1)  # mono mix
+    n = (len(w) // _AFP_FRAME) * _AFP_FRAME
+    if n == 0:
+        raise ValueError("audio shorter than one fingerprint frame")
+    frames = w[:n].reshape(-1, _AFP_FRAME)
+    mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    # bands: bins [1 + b*W, 1 + (b+1)*W) — equal width, DC skipped
+    bands = mag2[:, 1 : 1 + _AFP_BANDS * _AFP_BAND_W].reshape(
+        -1, _AFP_BANDS, _AFP_BAND_W
+    ).sum(axis=2)
+    bits = bands[:, :-1] > bands[:, 1:]
+    weights = 1 << np.arange(_AFP_BANDS - 2, -1, -1, dtype=np.int64)
+    fps = bits.astype(np.int64) @ weights
+    return list(enumerate(int(v) for v in fps))
+
+
+def audio_fingerprint_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, frame_idx, fhash) per audio frame — one Arrow-batched
+    pass: WAV chunk walk (`decode_audio`) then the spectral
+    fingerprint. Emits the same (id, frame_idx, fhash) shape as
+    `video_dhash_df`, so the set-Jaccard pair machinery is shared
+    verbatim. Corrupt or codec-gated payloads yield one NULL row."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fps = audio_fingerprint(
+                        decode_audio(bytes(payload))["waveform"]
+                    )
+                    for idx, fp in fps:
+                        ids.append(i)
+                        idxs.append(idx)
+                        hashes.append(fp)
+                except MM_DECODE_ERRORS:
+                    ids.append(i)
+                    idxs.append(None)
+                    hashes.append(None)
+            yield pd.DataFrame({
+                id_col: ids,
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "fhash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, frame_idx int, fhash long"
+    )

@@ -1216,41 +1216,24 @@ def build_gram_index(
     )
 
 
-def run_video_dedup_ingest(
+def _run_sig_dedup_ingest(
     spark: SparkSession,
     landing_dir: str,
     corpus_path: str,
     checkpoint_dir: str,
     schema,
-    id_col: str = "doc_id",
-    payload_col: str = "payload",
-    threshold: float = 0.5,
-    every_n: int = 1,
-    quarantine_path: str | None = None,
+    hash_fn,
+    id_col: str,
+    quarantine_path: str | None,
+    threshold: float,
 ) -> StreamingQuery:
-    """Streaming VIDEO near-dup gate (late r11) — the third modality's
-    ingest-time twin (text `run_neardup_ingest`, image
-    `run_image_dedup_ingest`): each micro-batch frame-hashes its
-    videos ONCE (`sources.multimodal.video_dhash_df` — arithmetic
-    frame seeking, one Arrow pass), drops in-batch near-dups
-    (frame-set Jaccard ≥ threshold via the inverted-index count plan,
-    lower id kept), drops batch videos near-duplicate to ANY stored
-    video (two-sided postings equi-join against the persisted
-    signature column — never a batch×corpus cross join), and appends
-    survivors WITH their frame-hash signature, so the index rides the
-    corpus and history is never re-decoded; cost per epoch is
-    O(batch + collisions).
-
-    Rejects land in `quarantine_path` WITH the evidence — the best
-    (highest-Jaccard, ties lowest id) match and its similarity, plus a
-    reason: 'batch_dup' / 'corpus_dup' / 'undecodable'.
-
-    Exactly-once: per-epoch subdirectories exactly as
-    `run_dedup_ingest` (a replayed epoch re-derives the same anti-join
-    against strictly-older epochs, then overwrites only its own
-    subdir)."""
+    """Shared engine for the signature-set ingest gates (video and
+    audio twins): `hash_fn(batch) -> (id, frame_idx, fhash)` is the
+    modality-specific Arrow pass; everything downstream — in-batch
+    set-Jaccard drop, cross-epoch drop against the persisted
+    signature column, epoch-keyed exactly-once writes, evidence-
+    carrying quarantine — is modality-agnostic."""
     from ..sources.multimodal import (
-        video_dhash_df,
         video_neardup_join,
         video_neardup_pairs,
     )
@@ -1277,9 +1260,7 @@ def run_video_dedup_ingest(
         s = batch.sparkSession
         # hash ONCE: the frame-hash plan feeds the self-join, the
         # cross-epoch join and the final write
-        frames = video_dhash_df(
-            batch, id_col, payload_col, every_n
-        ).localCheckpoint()
+        frames = hash_fn(batch).localCheckpoint()
         bad = frames.filter(F.col("fhash").isNull()).select(id_col)
         quarantined = bad.select(
             id_col,
@@ -1345,4 +1326,71 @@ def run_video_dedup_ingest(
         .foreachBatch(ingest)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def run_video_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+    every_n: int = 1,
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming VIDEO near-dup gate (late r11) — the third modality's
+    ingest-time twin (text `run_neardup_ingest`, image
+    `run_image_dedup_ingest`): each micro-batch frame-hashes its
+    videos ONCE (`sources.multimodal.video_dhash_df` — arithmetic
+    frame seeking, one Arrow pass), drops in-batch near-dups
+    (frame-set Jaccard ≥ threshold via the inverted-index count plan,
+    lower id kept), drops batch videos near-duplicate to ANY stored
+    video (two-sided postings equi-join against the persisted
+    signature column — never a batch×corpus cross join), and appends
+    survivors WITH their frame-hash signature, so the index rides the
+    corpus and history is never re-decoded; cost per epoch is
+    O(batch + collisions).
+
+    Rejects land in `quarantine_path` WITH the evidence — the best
+    (highest-Jaccard, ties lowest id) match and its similarity, plus a
+    reason: 'batch_dup' / 'corpus_dup' / 'undecodable'.
+
+    Exactly-once: per-epoch subdirectories exactly as
+    `run_dedup_ingest` (a replayed epoch re-derives the same anti-join
+    against strictly-older epochs, then overwrites only its own
+    subdir)."""
+    from ..sources.multimodal import video_dhash_df
+
+    return _run_sig_dedup_ingest(
+        spark, landing_dir, corpus_path, checkpoint_dir, schema,
+        lambda b: video_dhash_df(b, id_col, payload_col, every_n),
+        id_col, quarantine_path, threshold,
+    )
+
+
+def run_audio_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    threshold: float = 0.5,
+    quarantine_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming AUDIO near-dup gate (late r11) — the fourth
+    modality's twin: identical contract to `run_video_dedup_ingest`
+    with the per-frame spectral fingerprint
+    (`sources.multimodal.audio_fingerprint_df`) as the signature
+    pass; both ride `_run_sig_dedup_ingest`."""
+    from ..sources.multimodal import audio_fingerprint_df
+
+    return _run_sig_dedup_ingest(
+        spark, landing_dir, corpus_path, checkpoint_dir, schema,
+        lambda b: audio_fingerprint_df(b, id_col, payload_col),
+        id_col, quarantine_path, threshold,
     )
