@@ -1405,11 +1405,16 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
     m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
     t = REGISTRY["x_mm_transform"].build(spark, sf_dir)
-    ih = REGISTRY["x_image_dhash"].build(spark, sf_dir)
+    # the three signature tables are each consumed by their own part
+    # AND by the pair query derived from them — cache so the corpus
+    # synth + decode + hash Arrow pass materializes once per modality
+    # (under the prepared-plan cache the pair queries hold the same
+    # DataFrame object, so one cache covers every reference)
+    ih = REGISTRY["x_image_dhash"].build(spark, sf_dir).cache()
     ip = REGISTRY["x_image_dedup"].build(spark, sf_dir)
-    vs = REGISTRY["x_video_sig"].build(spark, sf_dir)
+    vs = REGISTRY["x_video_sig"].build(spark, sf_dir).cache()
     vp = REGISTRY["x_video_dedup"].build(spark, sf_dir)
-    asg = REGISTRY["x_audio_sig"].build(spark, sf_dir)
+    asg = REGISTRY["x_audio_sig"].build(spark, sf_dir).cache()
     ap = REGISTRY["x_audio_dedup"].build(spark, sf_dir)
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),

@@ -725,8 +725,15 @@ def image_neardup_pairs(
     recall is EXACT for max_hamming ≤ bands - 1 — then verify by
     bit_count(xor). Same bucketed never-O(n²) shape as the text
     SimHash pipeline (plans.extensions.x_dedup_simhash); NULL-dhash
-    (undecodable) rows drop out before the join."""
+    (undecodable) rows drop out before the join.
+
+    The hash table is cached before the self-join (the
+    jaccard_similarity_join posting-cache convention): both join
+    sides consume it, and without a materialization point the
+    upstream decode+hash Arrow pass executes once PER SIDE —
+    measured 3× decode inside x_layout_mm_suite (r11)."""
     _check_bands(bands, max_hamming)
+    hashes = hashes.filter(F.col("dhash").isNotNull()).cache()
     banded = _banded_dhash(hashes, id_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
