@@ -1595,6 +1595,8 @@ def _ivf_suite_oracle(sf_dir: str) -> str:
     sess = resolve_oracle(REGISTRY["x_sim_topk_ivf"], sf_dir)
     idx = resolve_oracle(REGISTRY["x_sim_topk_ivf_index"], sf_dir)
     brute = resolve_oracle(REGISTRY["x_sim_topk_bruteforce"], sf_dir)
+    pq_t = resolve_oracle(REGISTRY["x_pq_topk"], sf_dir)
+    pq_c = resolve_oracle(REGISTRY["x_pq_codes"], sf_dir)
     return f"""
     SELECT 'session' AS part, query_id, neighbor_id, cosine_sim, rank
     FROM ({sess})
@@ -1604,6 +1606,13 @@ def _ivf_suite_oracle(sf_dir: str) -> str:
     UNION ALL
     SELECT 'brute', query_id, neighbor_id, cosine_sim, rank
     FROM ({brute})
+    UNION ALL
+    SELECT 'pq', query_id, neighbor_id, cosine_sim, rank
+    FROM ({pq_t})
+    UNION ALL
+    SELECT 'pq_codes', CAST(vec_id AS BIGINT), CAST(sub AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(code AS BIGINT)
+    FROM ({pq_c})
     """
 
 
@@ -1617,9 +1626,12 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic k-means. The exact brute-force cosine top-k — the
     recall baseline every ANN variant is judged against — rides along
     as a third part on the same (query, neighbor, sim, rank) schema.
-    Values are bit-identical to the standalone components (same
-    centroids, same assignment, same rerank), which stay registered
-    and pytest-verified individually."""
+    Late r11 adds the PQ compression leg: the 16-byte-code table
+    (slot-packed `pq_codes` part) and the ADC-shortlist exact-rerank
+    top-k (`pq` part, recall@10 = 1.0 vs the brute part on this
+    corpus). Values are bit-identical to the standalone components
+    (same centroids/codebooks, same assignment, same rerank), which
+    stay registered and pytest-verified individually."""
     import numpy as np
 
     from ..operators.similarity import (
@@ -1645,12 +1657,23 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, probes, k=10, nprobe=4, dim=64, centroids=centroids
     )
     brute = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
+    # PQ (late r11): the compression leg — codes table + ADC-shortlist
+    # rerank top-k, both replica-literal-hashed (slot-packed: codes
+    # ride (query_id=vec_id, neighbor_id=sub, rank=code))
+    pq_t = REGISTRY["x_pq_topk"].build(spark, sf_dir)
+    pq_c = REGISTRY["x_pq_codes"].build(spark, sf_dir)
     cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))
     return (
         _part(sess, "session", **cols)
         .unionByName(_part(indexed, "indexed", **cols))
         .unionByName(_part(brute, "brute", **cols))
+        .unionByName(_part(pq_t, "pq", **cols))
+        .unionByName(
+            _part(pq_c, "pq_codes", query_id=_b("vec_id"),
+                  neighbor_id=_b("sub"), cosine_sim=_nd(),
+                  rank=_b("code"))
+        )
     )
 
 

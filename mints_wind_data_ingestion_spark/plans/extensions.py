@@ -5137,3 +5137,146 @@ def x_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         REGISTRY["x_audio_sig"].build(spark, sf_dir),
         threshold=_AUD_JACCARD_T,
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (late r11) — the compression leg of the ANN
+# stack (Jégou et al. 2011). Verification: the trainer and the replica
+# share the deterministic _pq_lloyd core (the ivf_centroids_local
+# convention); the codes table is literal-hashed; the top-k query's
+# ADC SHORTLIST is replica-derived literals and the exact-cosine
+# rerank runs in matching SQL on both engines.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_KS, _PQ_ITERS = 16, 256, 5
+_PQ_K, _PQ_SHORTLIST = 10, 30
+
+
+def pq_codes_local(sf_dir: str):
+    """(vec_id-sorted) code matrix from the pyarrow replica."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import _pq_assign, pq_local
+
+    books = pq_local(sf_dir, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pandas().sort_values("vec_id", ignore_index=True)
+    X = np.array(t["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return t["vec_id"].to_numpy(), X, _pq_assign(X, books), books
+
+
+def pq_shortlist_local(sf_dir: str) -> list[tuple[int, int]]:
+    """Replica ADC shortlist: for each probe (vec_id < 8), the
+    `_PQ_SHORTLIST` highest approximate-inner-product neighbors
+    (ties → lower id), self excluded — the same total order
+    topk_pq's window pins."""
+    import numpy as np
+
+    from ..operators.similarity import _pq_lut
+
+    vids, X, codes, books = pq_codes_local(sf_dir)
+    probe_mask = vids < 8
+    lut = _pq_lut(X[probe_mask], books)
+    out = []
+    for qi, qid in enumerate(vids[probe_mask]):
+        scores = np.zeros(len(vids), dtype=np.float64)
+        for s in range(_PQ_M):
+            scores += lut[qi, s, :][codes[:, s]]
+        keep = vids != qid
+        order = np.lexsort((vids[keep], -scores[keep]))
+        for nid in vids[keep][order[:_PQ_SHORTLIST]]:
+            out.append((int(qid), int(nid)))
+    return out
+
+
+def _pq_codes_oracle(sf_dir: str) -> str:
+    vids, _X, codes, _books = pq_codes_local(sf_dir)
+    rows = ",".join(
+        f"({int(v)},{s},{int(codes[i, s])})"
+        for i, v in enumerate(vids)
+        for s in range(_PQ_M)
+    )
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS INT) AS sub,
+           CAST(code AS INT) AS code
+    FROM (VALUES {rows}) AS t(vec_id, sub, code)
+    """
+
+
+def _pq_topk_oracle(sf_dir: str) -> str:
+    rows = ",".join(f"({a},{b})" for a, b in pq_shortlist_local(sf_dir))
+    return f"""
+    WITH short(query_id, neighbor_id) AS (VALUES {rows}),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_d_dot("q.embedding", "c.embedding")}
+               / (sqrt({_d_dot("q.embedding", "q.embedding")})
+                  * sqrt({_d_dot("c.embedding", "c.embedding")})) AS cosine_sim
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {_PQ_K}
+    """
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import train_pq_codebooks
+
+    return train_pq_codebooks(
+        tables(spark, sf_dir)["embeddings"],
+        m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS,
+    )
+
+
+@query("x_pq_codes", oracle=_pq_codes_oracle,
+       tags=("ext", "similarity"), driver=False)
+def x_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code TABLE: deterministic per-subspace k-means codebooks
+    (m=16 × ks=256 over 64-dim → 16 bytes/vector, 16× vs float32) and
+    one Arrow-batched encode pass; exploded to (vec_id, sub, code) so
+    every code crosses the driver hash. The lazy oracle embeds the
+    pyarrow replica's codes (shared _pq_lloyd/_pq_assign core — the
+    ivf_centroids_local convention). Folded into x_sim_ivf_suite."""
+    from ..operators.similarity import pq_encode
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    codes = pq_encode(emb, _pq_books(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+@query("x_pq_topk", oracle=_pq_topk_oracle,
+       tags=("ext", "similarity"), driver=False)
+def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with exact rerank (operators.similarity.
+    topk_pq_rerank — the FAISS refine pattern): the 16-byte-code scan
+    proposes a 30-deep shortlist per probe, exact cosine re-ranks to
+    k=10; measured recall@10 = 1.0 on the test corpus (vs 0.62
+    unreranked). Same output schema as every ANN entry. The lazy
+    oracle embeds the replica-derived ADC shortlist and re-ranks it
+    with the same explicit-fold cosine SQL, so the whole pipeline —
+    training, encoding, LUT scoring, tie order, rerank — is
+    hash-load-bearing. Folded into x_sim_ivf_suite."""
+    from ..operators.similarity import pq_encode, topk_pq_rerank
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    books = _pq_books(spark, sf_dir)
+    codes = pq_encode(emb, books)
+    probes = emb.filter(F.col("vec_id") < 8)
+    return topk_pq_rerank(
+        probes, codes, emb, books,
+        k=_PQ_K, shortlist=_PQ_SHORTLIST, dim=64,
+    )
