@@ -1029,8 +1029,11 @@ def _pq_lloyd(X, m: int, ks: int, iters: int):
         sub = X[:, s * dsub : (s + 1) * dsub]
         C = sub[np.linspace(0, n - 1, ks, dtype=int)].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            # argmin ‖x−c‖² == argmin (‖c‖² − 2·x·c): two BLAS calls
+            # instead of an (n × ks × dsub) broadcast temp
+            assign = (
+                (C * C).sum(axis=1)[None, :] - 2.0 * (sub @ C.T)
+            ).argmin(axis=1)
             for c in range(ks):
                 members = sub[assign == c]
                 if len(members):
@@ -1111,8 +1114,10 @@ def _pq_assign(X, books):
     codes = np.empty((len(X), m), dtype=np.uint8)
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
-        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-        codes[:, s] = d2.argmin(axis=1)
+        C = books[s]
+        codes[:, s] = (
+            (C * C).sum(axis=1)[None, :] - 2.0 * (sub @ C.T)
+        ).argmin(axis=1)
     return codes
 
 
@@ -1272,3 +1277,61 @@ def topk_pq_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def build_pq_books(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+):
+    """Train-or-load persisted PQ codebooks — the `build_ivf_index`
+    index-once/query-many contract for the compression leg: a
+    completed training over the same corpus with identical parameters
+    is read back (tiny parquet), not retrained; the meta marker
+    carries the same count + xxhash64 corpus fingerprint and is
+    written LAST so a partial build never passes the check. Returns
+    the (m, ks, dim/m) float64 codebook array either way."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    fp = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"bit_xor(xxhash64({id_col}, cast({vec_col} as string)))"
+        ).alias("h"),
+    ).first()
+    marker = path.rstrip("/") + "/_PQ_META.json"
+    meta = {"m": m, "ks": ks, "iters": iters, "sample": sample,
+            "id_col": id_col, "vec_col": vec_col,
+            "n_rows": fp["n"], "id_hash": fp["h"]}
+    prior = _hadoop_read_text(spark, marker)
+    if prior is not None:
+        try:
+            if json.loads(prior) == meta:
+                pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
+                pdf = pdf.sort_values(["sub", "code"], ignore_index=True)
+                dsub = len(pdf["centroid"].iloc[0])
+                return np.array(
+                    pdf["centroid"].tolist(), dtype=np.float64
+                ).reshape(m, ks, dsub)
+        except ValueError:
+            pass
+    books = train_pq_codebooks(df, id_col, vec_col, m, ks, iters, sample)
+    rows = pd.DataFrame({
+        "sub": np.repeat(np.arange(m), ks),
+        "code": np.tile(np.arange(ks), m),
+        "centroid": [list(map(float, c)) for b in books for c in b],
+    })
+    spark.createDataFrame(rows).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codebooks")
+    _hadoop_write_text(spark, marker, json.dumps(meta))
+    return books

@@ -1659,9 +1659,30 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = REGISTRY["x_sim_topk_bruteforce"].build(spark, sf_dir)
     # PQ (late r11): the compression leg — codes table + ADC-shortlist
     # rerank top-k, both replica-literal-hashed (slot-packed: codes
-    # ride (query_id=vec_id, neighbor_id=sub, rank=code))
-    pq_t = REGISTRY["x_pq_topk"].build(spark, sf_dir)
-    pq_c = REGISTRY["x_pq_codes"].build(spark, sf_dir)
+    # ride (query_id=vec_id, neighbor_id=sub, rank=code)). Trained and
+    # encoded ONCE here (the same move as the shared IVF quantizer
+    # above): the standalone x_pq_* entries each train their own
+    # codebooks — identical deterministic values, but two trainings
+    # and two encode passes the composite doesn't need to pay.
+    from ..operators.similarity import pq_encode, topk_pq_rerank
+    from .extensions import (
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_KS,
+        _PQ_M,
+        _PQ_SHORTLIST,
+        _pq_books,
+    )
+
+    books = _pq_books(spark, sf_dir)
+    pq_codes = pq_encode(emb, books).cache()
+    pq_t = topk_pq_rerank(
+        emb.filter(F.col("vec_id") < 8), pq_codes, emb, books,
+        k=_PQ_K, shortlist=_PQ_SHORTLIST, dim=64,
+    )
+    pq_c = pq_codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
     cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))
     return (

@@ -5231,11 +5231,23 @@ def _pq_topk_oracle(sf_dir: str) -> str:
     """
 
 
-def _pq_books(spark: SparkSession, sf_dir: str):
-    from ..operators.similarity import train_pq_codebooks
+def _pq_index_path(sf_dir: str) -> str:
+    """Deterministic per-sf codebook location (the _ivf_index_path
+    convention) shared by the standalone PQ entries and the
+    x_sim_ivf_suite composite — index-once/query-many."""
+    import hashlib
+    import os
+    import tempfile
 
-    return train_pq_codebooks(
-        tables(spark, sf_dir)["embeddings"],
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"windflow_pq_{tag}")
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import build_pq_books
+
+    return build_pq_books(
+        tables(spark, sf_dir)["embeddings"], _pq_index_path(sf_dir),
         m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS,
     )
 
