@@ -360,3 +360,56 @@ def test_cross_format_near_dup_detection(spark):
     pairs = image_neardup_pairs(image_dhash_df(df), max_hamming=6)
     got = sorted((r.id_a, r.id_b) for r in pairs.collect())
     assert got == [(i, 100 + i) for i in range(6)]
+
+
+# ---------------------------------------------------------------------------
+# property: round trip over the supported encode matrix
+# ---------------------------------------------------------------------------
+
+
+def test_round_trip_property_matrix():
+    """Randomized dims × quality × subsampling × restart interval ×
+    gray/color: decode(encode(x)) must keep shape/mode exactly and
+    land within a quantization-error bound that scales with quality.
+    Deterministic seeds (the hypothesis-free matrix form — the codec
+    matrix convention): failures replay exactly."""
+    rng = np.random.default_rng(20260816)
+    for trial in range(24):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        gray = bool(rng.integers(0, 2))
+        quality = int(rng.choice([70, 85, 92, 98]))
+        sub = str(rng.choice(["4:4:4", "4:2:0"]))
+        ri = int(rng.choice([0, 1, 3]))
+        # smooth random field: low-order 2-D cosine mix (JPEG's own
+        # basis, so error bounds stay tight and meaningful)
+        yy, xx = np.mgrid[0:h, 0:w]
+        a, b, c = rng.uniform(-1, 1, 3)
+        base = (
+            128
+            + 90 * a * np.cos(np.pi * yy / max(h, 1) * 1.5)
+            + 90 * b * np.cos(np.pi * xx / max(w, 1) * 2.0)
+            + 40 * c
+        )
+        if gray:
+            img = np.clip(base, 0, 255).astype(np.uint8)
+        else:
+            # chroma-smooth color (correlated channels): 4:2:0 halves
+            # CHROMA resolution, so an anti-correlated fixture would
+            # measure the subsampling itself, not the codec
+            img = np.clip(
+                np.stack([base, base * 0.9 + 10, base * 0.7 + 40], axis=-1),
+                0, 255,
+            ).astype(np.uint8)
+        d = decode_jpeg(
+            encode_jpeg(img, quality=quality, subsampling=sub,
+                        restart_interval=ri)
+        )
+        assert d["pixels"].shape == img.shape, (trial, h, w, gray, sub, ri)
+        assert d["mode"] == ("L" if gray else "RGB")
+        bound = 6.0 if quality >= 90 else 12.0
+        if sub == "4:2:0" and not gray:
+            bound += 4.0
+        assert _rmse(d["pixels"], img) < bound, (
+            trial, h, w, gray, quality, sub, ri, _rmse(d["pixels"], img)
+        )
