@@ -500,15 +500,30 @@ def transform_images(
     out_h: int,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    out_format: str = "bmp",
+    quality: int = 90,
 ) -> DataFrame:
     """Executor-side image pipeline: decode → nearest-neighbor resize →
-    re-encode (BMP) + features, as one Arrow-batched mapInPandas pass —
+    re-encode + features, as one Arrow-batched mapInPandas pass —
     binary column in, binary column + typed features out, the
     decode-transform-store shape of an image-training-data job.
+    `out_format`: "bmp" (lossless container) or "jpeg" (the engine's
+    own T.81 encoder at `quality` — what a thumbnail/training-shard
+    writer actually stores; `decode_image` reads both back).
     Undecodable payloads become NULL rows (counted by the caller), not
     task failures. Nothing touches the driver; memory is bounded by
     one Arrow batch of payloads."""
     import numpy as np
+
+    if out_format == "bmp":
+        encode = encode_bmp
+    elif out_format == "jpeg":
+        from .jpegcodec import encode_jpeg
+
+        def encode(px):
+            return encode_jpeg(px, quality=quality)
+    else:
+        raise ValueError(f"out_format {out_format!r}: bmp or jpeg")
 
     out_schema = StructType(
         [
@@ -533,7 +548,7 @@ def transform_images(
                     rs = resize_image(px, out_w, out_h)
                     feats = image_features(rs)
                     rows.append(
-                        (i, encode_bmp(rs), out_w, out_h,
+                        (i, encode(rs), out_w, out_h,
                          feats["channel_means"][0], feats["pixel_std"])
                     )
                 except MM_DECODE_ERRORS:

@@ -413,3 +413,33 @@ def test_round_trip_property_matrix():
         assert _rmse(d["pixels"], img) < bound, (
             trial, h, w, gray, quality, sub, ri, _rmse(d["pixels"], img)
         )
+
+
+def test_transform_images_jpeg_output(spark):
+    """transform_images(out_format='jpeg'): the resized shard is a
+    decodable JPEG whose pixels track the BMP (lossless) output of
+    the same pipeline within quantization error; corrupt payloads
+    still quarantine to NULL rows."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        transform_images,
+    )
+
+    rows = [
+        (1, bytearray(encode_bmp(_gradient_rgb(30, 30)))),
+        (2, bytearray(encode_jpeg(_gradient_rgb(25, 35), quality=95))),
+        (3, bytearray(b"garbage payload")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    jpg = {r.doc_id: r for r in transform_images(
+        df, 16, 16, out_format="jpeg", quality=95
+    ).collect()}
+    bmp = {r.doc_id: r for r in transform_images(df, 16, 16).collect()}
+    for i in (1, 2):
+        assert bytes(jpg[i].resized)[:2] == b"\xff\xd8"
+        a = decode_image(bytes(jpg[i].resized))["pixels"]
+        b = decode_image(bytes(bmp[i].resized))["pixels"]
+        assert a.shape == b.shape == (16, 16, 3)
+        assert _rmse(a, b) < 3.0
+    assert jpg[3].resized is None and bmp[3].resized is None
+    with pytest.raises(ValueError, match="out_format"):
+        transform_images(df, 16, 16, out_format="tiff")
