@@ -40,6 +40,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_similarity_join",
     "jaccard_join_prefix_filtered",
+    "jaccard_join_prefix_filtered_rs",
     "minhash_dedup_pairs",
     "minhash_dedup_pairs_against",
     "minhash_index",
@@ -182,6 +183,7 @@ def jaccard_similarity_join(
     id_col: str,
     shingle_col: str,
     threshold: float,
+    cache: bool = True,
 ) -> DataFrame:
     """All-pairs set-similarity join: (id_a, id_b, jaccard) for every
     pair with shingle-set Jaccard ≥ threshold, id_a < id_b.
@@ -209,11 +211,14 @@ def jaccard_similarity_join(
     # cache: the posting list is consumed by BOTH sides of the self-join;
     # without a materialization point the shingling upstream (often a
     # mapInPandas) executes twice. (id, n, hash) rows are ~16 B each.
-    posting = (
-        sets.select("__id", "__n", F.explode("__sh").alias("__raw"))
-        .select("__id", "__n", F.xxhash64("__raw").alias("__s"))
-        .cache()
-    )
+    # `cache=False` for callers whose input is already materialized
+    # (e.g. a streaming gate's localCheckpoint) — an internal .cache()
+    # there would leak one CacheManager entry per epoch.
+    posting = sets.select(
+        "__id", "__n", F.explode("__sh").alias("__raw")
+    ).select("__id", "__n", F.xxhash64("__raw").alias("__s"))
+    if cache:
+        posting = posting.cache()
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -236,6 +241,7 @@ def jaccard_join_prefix_filtered(
     id_col: str,
     shingle_col: str,
     threshold: float,
+    cache: bool = True,
 ) -> DataFrame:
     """PPJoin-style EXACT set-similarity join for SKEWED shingle
     distributions — same output as `jaccard_similarity_join`.
@@ -258,25 +264,14 @@ def jaccard_join_prefix_filtered(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(shingle_col)).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
-    posting = sets.select("__id", "__n", F.explode("__sh").alias("__s"))
-    # global rarity order; (df, shingle) is a total order → deterministic
-    ranked = posting.join(
-        posting.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")), "__s"
-    )
-    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__s").asc())
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    prefix = ranked.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= prefix_len
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+    # `sets` feeds the df-count, both prefix sides AND the verify —
+    # four consumers; without a materialization point an expensive
+    # upstream (shingling / frame-hash mapInPandas) runs four times.
+    # cache=False for callers whose input is already materialized
+    # (streaming gates over a localCheckpoint).
+    if cache:
+        sets = sets.cache()
+    cands = _ppjoin_self_candidates(sets, threshold)
     sa = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
@@ -286,6 +281,125 @@ def jaccard_join_prefix_filtered(
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _prefix_of(posting: DataFrame, df_map: DataFrame) -> DataFrame:
+    """Keep only each set's PPJoin prefix — the p = n − ⌈t·n⌉ + 1
+    rarest elements under the global (document frequency asc, value
+    asc) order — where `__p` (precomputed prefix length) rides
+    `posting` (__id, __n, __p, __s). Elements absent from `df_map`
+    count df = 0 (rarer than anything seen), keeping the order total
+    and common across join sides."""
+    ranked = posting.join(df_map, "__s", "left").fillna(0, ["__df"])
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__df").asc(), F.col("__s").asc()
+    )
+    return ranked.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= F.col("__p")
+    )
+
+
+def _ppjoin_self_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b) candidate pairs of the self PPJoin prefix filter —
+    exposed for the planted-hot-key tests, which assert the candidate
+    count stays bounded when one element hits every set (the Zipf-head
+    case the plain inverted-index count plan explodes on)."""
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).cast("int")
+    posting = sets.withColumn("__p", prefix_len).select(
+        "__id", "__n", "__p", F.explode("__sh").alias("__s")
+    )
+    # global rarity order; (df, value) is a total order → deterministic
+    df_map = posting.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    prefix = _prefix_of(posting, df_map)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _ppjoin_rs_candidates(
+    sets_n: DataFrame, sets_s: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a=new, id_b=stored) candidate pairs of the R-S PPJoin —
+    both sides prefixed under the (stored-side df asc, value asc)
+    order, new-side-only values at df = 0. Exposed for the planted
+    hot-key tests (bounded candidate count when one value hits every
+    stored set). Inputs are (__id, __sh, __n) set tables."""
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).cast("int")
+
+    def _posting(sets: DataFrame) -> DataFrame:
+        return sets.withColumn("__p", prefix_len).select(
+            "__id", "__n", "__p", F.explode("__sh").alias("__s")
+        )
+
+    post_s = _posting(sets_s)
+    df_map = post_s.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    pa = _prefix_of(_posting(sets_n), df_map).alias("a")
+    pb = _prefix_of(post_s, df_map).alias("b")
+    return (
+        pa.join(pb, F.col("a.__s") == F.col("b.__s"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_join_prefix_filtered_rs(
+    new: DataFrame,
+    stored: DataFrame,
+    id_new: str,
+    id_stored: str,
+    sig_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Two-sided (R-S) PPJoin: every (new, stored) pair with set
+    Jaccard ≥ threshold — the EXACT skew-safe twin of the plain
+    postings equi-join used by the incremental ingest gates.
+
+    The PPJoin prefix theorem holds under ANY total order common to
+    both sides, so the order here is (stored-side document frequency
+    asc, value asc), with new-side-only values at df = 0: the Zipf
+    head of the CORPUS (the black frame every video shares, the
+    silent frame every clip ends on) sorts last and drops out of both
+    prefixes, so the hot posting list never meets itself in the join.
+    Cost: one df aggregation over the stored postings (the plain join
+    already pays a full stored-postings pass) + the prefix equi-join
+    + an array verify on surviving candidates only.
+
+    Inputs are (id, sig_col: array) tables; output
+    (id_new, id_stored, jaccard), jaccard ≥ threshold."""
+
+    def _sets(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias("__id"),
+            F.array_distinct(F.col(sig_col)).alias("__sh"),
+        ).withColumn("__n", F.size("__sh"))
+
+    sets_n, sets_s = _sets(new, id_new), _sets(stored, id_stored)
+    cands = _ppjoin_rs_candidates(sets_n, sets_s, threshold).select(
+        F.col("id_a").alias(id_new), F.col("id_b").alias(id_stored)
+    )
+    sa = sets_n.select(F.col("__id").alias(id_new), F.col("__sh").alias("__sh_a"))
+    sb = sets_s.select(
+        F.col("__id").alias(id_stored), F.col("__sh").alias("__sh_b")
+    )
+    jac = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.size(
+        F.array_union("__sh_a", "__sh_b")
+    )
+    return (
+        cands.join(sa, id_new)
+        .join(sb, id_stored)
+        .select(id_new, id_stored, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

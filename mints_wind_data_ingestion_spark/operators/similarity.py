@@ -1186,6 +1186,10 @@ def topk_pq(
     import pandas as pd
 
     books = np.asarray(codebooks, dtype=np.float64)
+    # id type rides through from the codes table (the generic id_col
+    # contract every other mapInPandas here honors — a string vec_id
+    # must not be silently cast to long)
+    id_type = codes.schema[id_col].dataType.simpleString()
     qpdf = probes.select(id_col, vec_col).toPandas().sort_values(
         id_col, ignore_index=True
     )
@@ -1211,7 +1215,8 @@ def topk_pq(
             yield pd.DataFrame(out)
 
     scored = codes.select(id_col, "codes").mapInPandas(
-        batches, schema="query_id long, neighbor_id long, adist double"
+        batches,
+        schema=f"query_id {id_type}, neighbor_id {id_type}, adist double",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").desc(), F.col("neighbor_id").asc()

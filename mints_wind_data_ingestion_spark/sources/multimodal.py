@@ -733,6 +733,7 @@ def image_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 6,
     bands: int = 8,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs from a dHash table: band the 64 bits
     into `bands` equal slices, equi-join on (band, slice) — pigeonhole
@@ -746,9 +747,14 @@ def image_neardup_pairs(
     jaccard_similarity_join posting-cache convention): both join
     sides consume it, and without a materialization point the
     upstream decode+hash Arrow pass executes once PER SIDE —
-    measured 3× decode inside x_layout_mm_suite (r11)."""
+    measured 3× decode inside x_layout_mm_suite (r11). Pass
+    `cache=False` when the input is already materialized (a
+    streaming gate's localCheckpoint) — an internal .cache() there
+    would leak one CacheManager entry per epoch."""
     _check_bands(bands, max_hamming)
-    hashes = hashes.filter(F.col("dhash").isNotNull()).cache()
+    hashes = hashes.filter(F.col("dhash").isNotNull())
+    if cache:
+        hashes = hashes.cache()
     banded = _banded_dhash(hashes, id_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -819,6 +825,11 @@ def encode_y4m_gray(frames) -> bytes:
     import numpy as np
 
     h, w = np.asarray(frames[0]).shape
+    if h % 2 or w % 2:
+        # 4:2:0 subsampling needs even dimensions; an odd fixture
+        # would misparse subsequent FRAME markers downstream instead
+        # of failing here at encode time
+        raise ValueError(f"C420 requires even dimensions, got {w}x{h}")
     chroma = bytes([128]) * ((w // 2) * (h // 2) * 2)
     out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode())
     for f in frames:
@@ -852,6 +863,12 @@ def video_dhash_df(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     frames = sample_video_frames(bytes(payload), every_n)
+                    if not frames:
+                        # a headers-only stream (e.g. Y4M with zero
+                        # FRAME sections) must still leave evidence —
+                        # one NULL row, so the ingest gate quarantines
+                        # it instead of the id silently vanishing
+                        raise ValueError("no frames decoded")
                     for idx, y in frames:
                         ids.append(i)
                         idxs.append(idx)
@@ -875,6 +892,8 @@ def video_neardup_pairs(
     frame_hashes: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    method: str = "prefix",
+    cache: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for video pairs whose sampled-frame
     perceptual-hash SETS overlap with Jaccard ≥ threshold — the
@@ -883,21 +902,39 @@ def video_neardup_pairs(
     survives where any frame-aligned comparison breaks.
 
     Physically this is the text dedup engine verbatim: each video's
-    frame-hash set plays the shingle set and rides
-    `operators.dedup.jaccard_similarity_join`'s inverted-index count
-    plan — explode, self-equi-join on the hash, count per pair; the n²
-    pair space is never enumerated and no signature array crosses a
-    shuffle. Robustness to re-encoding lives in the per-frame dHash
-    (pinned by the JPEG re-encode stability test), orthogonal to the
-    pair semantics here."""
-    from ..operators.dedup import jaccard_similarity_join
+    frame-hash set plays the shingle set. The DEFAULT plan is the
+    skew-safe PPJoin prefix filter
+    (`operators.dedup.jaccard_join_prefix_filtered`): frame hashes
+    from real video are exactly the Zipf-head case — black frames,
+    title cards, credit rolls all hash identically, so one hot fhash
+    posting list of m videos would explode the plain inverted-index
+    self-join into m²/2 rows before the group-by. The prefix filter
+    prunes the hot hash out of every set's prefix EXACTLY (no recall
+    loss; PPJoin theorem), so collisions stay bounded by the rare-
+    hash fan-out. `method='uniform'` keeps the plain count plan
+    (`jaccard_similarity_join`) for corpora known to be hot-key-free
+    (synthetic fixtures, pre-pruned postings). Robustness to
+    re-encoding lives in the per-frame dHash (pinned by the JPEG
+    re-encode stability test), orthogonal to the pair semantics."""
+    from ..operators.dedup import (
+        jaccard_join_prefix_filtered,
+        jaccard_similarity_join,
+    )
 
     sigs = (
         frame_hashes.filter(F.col("fhash").isNotNull())
         .groupBy(id_col)
         .agg(F.collect_set("fhash").alias("__fh"))
     )
-    return jaccard_similarity_join(sigs, id_col, "__fh", threshold)
+    if method == "prefix":
+        return jaccard_join_prefix_filtered(
+            sigs, id_col, "__fh", threshold, cache=cache
+        )
+    if method == "uniform":
+        return jaccard_similarity_join(
+            sigs, id_col, "__fh", threshold, cache=cache
+        )
+    raise ValueError(f"unknown method {method!r} (want 'prefix' or 'uniform')")
 
 
 def video_neardup_join(
@@ -907,19 +944,38 @@ def video_neardup_join(
     id_stored: str = "__oid",
     sig_col: str = "__fh",
     threshold: float = 0.5,
+    method: str = "prefix",
 ) -> DataFrame:
     """Two-sided frame-set Jaccard join — the ingest-gate shape: NEW
     video signatures against a PERSISTED signature index. Both inputs
-    are (id, sig_col: array<long>) tables; each explodes to
-    (id, n, fhash) postings and they meet in an equi-join on the frame
-    hash, so cost is O(batch + collisions) however large the stored
-    side grows; no signature array ever crosses a shuffle and the
-    batch×corpus pair space is never enumerated. Output
-    (id_new, id_stored, jaccard), jaccard ≥ threshold."""
+    are (id, sig_col: array<long>) tables. The DEFAULT plan is the
+    R-S PPJoin prefix filter
+    (`operators.dedup.jaccard_join_prefix_filtered_rs`): a hot frame
+    hash in the corpus (the black frame every clip opens on) would
+    otherwise fan the postings equi-join out to |batch| × df(hot)
+    rows per epoch; the prefix filter sorts the Zipf head out of
+    every prefix exactly, no recall loss. `method='uniform'` keeps
+    the plain postings equi-join — explode both sides to
+    (id, n, fhash), meet on the hash, count per pair — for hot-key-
+    free corpora; there cost is O(batch + collisions) however large
+    the stored side grows, and no signature array crosses a shuffle.
+    Output (id_new, id_stored, jaccard), jaccard ≥ threshold."""
+    if method == "prefix":
+        from ..operators.dedup import jaccard_join_prefix_filtered_rs
+
+        return jaccard_join_prefix_filtered_rs(
+            new_sigs, stored_sigs, id_new, id_stored, sig_col, threshold
+        )
+    if method != "uniform":
+        raise ValueError(f"unknown method {method!r} (want 'prefix' or 'uniform')")
+
     def _postings(df: DataFrame, idc: str):
+        # size over the SAME de-duplicated set the intersection counts
+        # (an input array with repeated hashes must not understate
+        # jaccard)
         return df.select(
             F.col(idc),
-            F.size(sig_col).alias(f"__n_{idc}"),
+            F.size(F.array_distinct(sig_col)).alias(f"__n_{idc}"),
             F.explode(F.array_distinct(sig_col)).alias("__s"),
         )
 

@@ -649,9 +649,12 @@ def run_image_dedup_ingest(
             F.lit(None).cast("int").alias("hamming"),
         )
 
-        # in-batch near-dup drop: keep the lower id of every pair
+        # in-batch near-dup drop: keep the lower id of every pair.
+        # cache=False: `hashes` is already a localCheckpoint; an
+        # internal .cache() here would leak one CacheManager entry
+        # per epoch
         pairs = image_neardup_pairs(
-            hashes, id_col, max_hamming=max_hamming, bands=bands
+            hashes, id_col, max_hamming=max_hamming, bands=bands, cache=False
         )
         batch_dups = _best(pairs, "id_b", "id_a")
         fresh = (
@@ -1275,8 +1278,13 @@ def _run_sig_dedup_ingest(
             .agg(F.collect_set("fhash").alias("__fh"))
         )
 
-        # in-batch near-dup drop: keep the lower id of every pair
-        pairs = video_neardup_pairs(frames, id_col, threshold=threshold)
+        # in-batch near-dup drop: keep the lower id of every pair.
+        # cache=False: `frames` is already a localCheckpoint, and an
+        # internal .cache() inside foreachBatch would leak one
+        # CacheManager entry per epoch (never unpersisted)
+        pairs = video_neardup_pairs(
+            frames, id_col, threshold=threshold, cache=False
+        )
         batch_dups = _best(pairs, "id_b", "id_a")
         fresh = sigs.join(batch_dups.select(id_col), id_col, "left_anti")
         quarantined = quarantined.unionByName(
