@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caching import managed_cache
 from ..functions.text import char_shingles, word_shingles  # noqa: F401
 
 __all__ = [
@@ -218,7 +219,7 @@ def jaccard_similarity_join(
         "__id", "__n", F.explode("__sh").alias("__raw")
     ).select("__id", "__n", F.xxhash64("__raw").alias("__s"))
     if cache:
-        posting = posting.cache()
+        posting = managed_cache(posting)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -270,7 +271,7 @@ def jaccard_join_prefix_filtered(
     # cache=False for callers whose input is already materialized
     # (streaming gates over a localCheckpoint).
     if cache:
-        sets = sets.cache()
+        sets = managed_cache(sets)
     cands = _ppjoin_self_candidates(sets, threshold)
     sa = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sb = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -427,10 +428,9 @@ def _minhash_band_buckets(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col(shingle_col)).alias("__sh"),
     )
-    posting = (
+    posting = managed_cache(
         sets.select("__id", F.explode("__sh").alias("__s"))
         .select("__id", F.xxhash64("__s").alias("__h"))
-        .cache()
     )
     mins_sql = (
         "array("
@@ -557,11 +557,10 @@ def minhash_dedup_pairs(
     # join; without a materialization point each branch would re-derive
     # the whole shingle→signature→bucket pipeline. The cached set is a
     # few (id, id) rows — near-dup pairs, not the corpus.
-    cands = (
+    cands = managed_cache(
         grouped.select(F.explode(pair_expr).alias("__p"))
         .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
-        .cache()
     )
     return _verify_pairs_by_count(cands, posting, threshold)
 
@@ -669,8 +668,8 @@ def minhash_dedup_pairs_against_index(
         )
         .select("id_a", "id_b")
         .distinct()
-        .cache()
     )
+    cands = managed_cache(cands)
     verified = _verify_pairs_by_count(
         cands, p_new, threshold, posting_b=base_posting
     )
@@ -1179,7 +1178,7 @@ def duplicated_window_positions_against(
     # branch re-derives the batch explode + the base-hash join (the
     # minhash candidate-set precedent). Candidates are matched
     # positions only, a small fraction of the batch's windows.
-    cand = wins_new.join(base_hashes, "__wh").cache()
+    cand = managed_cache(wins_new.join(base_hashes, "__wh"))
     # verify: candidate substrings must equal an ACTUAL base window.
     # Base subs are derived only for hash-matched windows — the sub
     # column is computed in the scan stage, pruned by the (small)

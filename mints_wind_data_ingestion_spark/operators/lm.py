@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import managed_cache
+
 __all__ = [
     "train_bigram_counts",
     "score_perplexity",
@@ -143,11 +145,10 @@ def _train_bigram_tables(
     """(counts, big, pre, vocab) — counts is the cached one-pass gram
     table the three derived views read; exposed so persist-time
     callers can unpersist exactly it rather than the whole catalog."""
-    counts = (
+    counts = managed_cache(
         _tagged_grams(_nn(train_docs, id_col, text_col), text_col)
         .groupBy("kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
     )
     big = counts.filter(F.col("kind") == 2).select(
         F.col("gram").alias("bg"), F.col("c").alias("c12")
@@ -291,12 +292,11 @@ def train_backoff_counts(
     `totals` is a 1-row (n_tokens, v) aggregate. All four are plain
     DataFrames — persist to parquet for the train-once/score-many
     regime exactly like `persist_bigram_model`."""
-    counts = (
+    counts = managed_cache(
         _tagged_grams(_nn(train_docs, id_col, text_col), text_col,
                       max_order=3)
         .groupBy("kind", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
     )
     tri = counts.filter(F.col("kind") == 3).select(
         F.col("gram").alias("tg"), F.col("c").alias("c123")
@@ -652,14 +652,13 @@ def train_dsir_bucket_model(
     # its prepared-plan-cache self-exclusion. The r10 first-cut built
     # meta/delta as four independent lineages and paid ~4 tokenization
     # passes (bench: 2.34 s at sf0.1, the most expensive LM entry).
-    counts = (
+    counts = managed_cache(
         _grams(target_docs, 1).unionByName(_grams(raw_docs, 0))
         .groupBy("b")
         .agg(
             F.sum(F.when(F.col("__tgt") == 1, 1).otherwise(0)).alias("ct"),
             F.sum(F.when(F.col("__tgt") == 0, 1).otherwise(0)).alias("cr"),
         )
-        .cache()
     )
 
     def _nll(c_col, tot_col):

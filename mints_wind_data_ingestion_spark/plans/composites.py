@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import punct_ratio, tokens, whitespace_ratio
-from .registry import REGISTRY, query, tables
+from .registry import REGISTRY, managed_cache, query, tables
 
 
 def _b(c: Column | str) -> Column:
@@ -1409,12 +1409,20 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND by the pair query derived from them — cache so the corpus
     # synth + decode + hash Arrow pass materializes once per modality
     # (under the prepared-plan cache the pair queries hold the same
-    # DataFrame object, so one cache covers every reference)
-    ih = REGISTRY["x_image_dhash"].build(spark, sf_dir).cache()
+    # DataFrame object, so one cache covers every reference).
+    # managed_cache: a rebuild of this composite RELEASES the prior
+    # build's cache entries instead of stacking new ones per build
+    ih = managed_cache(
+        REGISTRY["x_image_dhash"].build(spark, sf_dir), "x_layout_mm_suite", "ih"
+    )
     ip = REGISTRY["x_image_dedup"].build(spark, sf_dir)
-    vs = REGISTRY["x_video_sig"].build(spark, sf_dir).cache()
+    vs = managed_cache(
+        REGISTRY["x_video_sig"].build(spark, sf_dir), "x_layout_mm_suite", "vs"
+    )
     vp = REGISTRY["x_video_dedup"].build(spark, sf_dir)
-    asg = REGISTRY["x_audio_sig"].build(spark, sf_dir).cache()
+    asg = managed_cache(
+        REGISTRY["x_audio_sig"].build(spark, sf_dir), "x_layout_mm_suite", "as"
+    )
     ap = REGISTRY["x_audio_dedup"].build(spark, sf_dir)
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
@@ -1675,7 +1683,9 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     books = _pq_books(spark, sf_dir)
-    pq_codes = pq_encode(emb, books).cache()
+    pq_codes = managed_cache(
+        pq_encode(emb, books), "x_sim_ivf_suite", "pq_codes"
+    )
     pq_t = topk_pq_rerank(
         emb.filter(F.col("vec_id") < 8), pq_codes, emb, books,
         k=_PQ_K, shortlist=_PQ_SHORTLIST, dim=64,

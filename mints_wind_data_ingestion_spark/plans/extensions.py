@@ -46,6 +46,7 @@ from ..operators.dedup import (
 )
 from ..operators.similarity import topk_bruteforce, topk_lsh
 from ..sources.multimodal import extract_meta, with_payload
+from ..caching import managed_cache
 from .registry import REGISTRY, query, tables
 
 # ---------------------------------------------------------------------------
@@ -401,9 +402,9 @@ def simhash_pairs_from_shingles(
     sets = with_sh.select(
         "doc_id", F.array_distinct(shingle_col).alias("sh")
     )
-    fp = simhash_fingerprints(
+    fp = managed_cache(simhash_fingerprints(
         sets, "doc_id", "sh", hash_fn=_md5_60, nbits=60,
-    ).cache()
+    ))
     banded = fp.select(
         "doc_id",
         "simhash",

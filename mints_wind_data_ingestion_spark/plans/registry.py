@@ -22,12 +22,14 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import managed_cache  # noqa: F401 — re-export
 from ..sources.tables import load_tables
 
 __all__ = [
     "Query",
     "REGISTRY",
     "enable_plan_cache",
+    "managed_cache",
     "query",
     "resolve_oracle",
     "tables",

@@ -754,7 +754,9 @@ def image_neardup_pairs(
     _check_bands(bands, max_hamming)
     hashes = hashes.filter(F.col("dhash").isNotNull())
     if cache:
-        hashes = hashes.cache()
+        from ..caching import managed_cache
+
+        hashes = managed_cache(hashes)
     banded = _banded_dhash(hashes, id_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     return (

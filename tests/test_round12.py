@@ -147,6 +147,31 @@ def test_rs_duplicate_array_entries_do_not_understate_jaccard(spark):
         assert rows[0]["jaccard"] == pytest.approx(3 / 4)
 
 
+def test_repeated_composite_builds_do_not_grow_cache(spark):
+    """VERDICT r11 #5: rebuilding a mid-plan-caching composite in one
+    session must REPLACE its cache entries, not stack new ones —
+    managed_cache bounds live entries by distinct plan, not by build
+    count."""
+    import os
+
+    from mints_wind_data_ingestion_spark.plans.registry import REGISTRY
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    counts = []
+    for _ in range(3):
+        REGISTRY["x_layout_mm_suite"].build(spark, sf_dir).count()
+        counts.append(n_persistent())
+    # first build establishes the steady state; rebuilds must not grow
+    assert counts[1] == counts[2] == counts[0], counts
+
+
 def test_prefix_rs_function_direct(spark):
     """jaccard_join_prefix_filtered_rs with custom column names."""
     new = spark.createDataFrame(
