@@ -1605,6 +1605,7 @@ def _ivf_suite_oracle(sf_dir: str) -> str:
     brute = resolve_oracle(REGISTRY["x_sim_topk_bruteforce"], sf_dir)
     pq_t = resolve_oracle(REGISTRY["x_pq_topk"], sf_dir)
     pq_c = resolve_oracle(REGISTRY["x_pq_codes"], sf_dir)
+    ivfpq = resolve_oracle(REGISTRY["x_ivfpq_topk"], sf_dir)
     return f"""
     SELECT 'session' AS part, query_id, neighbor_id, cosine_sim, rank
     FROM ({sess})
@@ -1617,6 +1618,9 @@ def _ivf_suite_oracle(sf_dir: str) -> str:
     UNION ALL
     SELECT 'pq', query_id, neighbor_id, cosine_sim, rank
     FROM ({pq_t})
+    UNION ALL
+    SELECT 'ivfpq', query_id, neighbor_id, cosine_sim, rank
+    FROM ({ivfpq})
     UNION ALL
     SELECT 'pq_codes', CAST(vec_id AS BIGINT), CAST(sub AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(code AS BIGINT)
@@ -1695,11 +1699,24 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = dict(query_id=_b("query_id"), neighbor_id=_b("neighbor_id"),
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))
+    # IVFPQ (r12): the composed shape — reuses the index THIS suite
+    # already built and the same codebooks; only build_ivfpq_codes'
+    # one-time cell-partitioned write (marker-idempotent) is new
+    from ..operators.similarity import build_ivfpq_codes, topk_ivfpq
+    from .extensions import _IVFPQ_NPROBE
+
+    build_ivfpq_codes(spark, idx, books)
+    ivfpq = topk_ivfpq(
+        spark, idx, probes, books, emb,
+        k=_PQ_K, nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST,
+        dim=64, centroids=centroids,
+    )
     return (
         _part(sess, "session", **cols)
         .unionByName(_part(indexed, "indexed", **cols))
         .unionByName(_part(brute, "brute", **cols))
         .unionByName(_part(pq_t, "pq", **cols))
+        .unionByName(_part(ivfpq, "ivfpq", **cols))
         .unionByName(
             _part(pq_c, "pq_codes", query_id=_b("vec_id"),
                   neighbor_id=_b("sub"), cosine_sim=_nd(),

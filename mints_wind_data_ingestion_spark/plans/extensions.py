@@ -5293,3 +5293,101 @@ def x_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, codes, emb, books,
         k=_PQ_K, shortlist=_PQ_SHORTLIST, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ (r12, VERDICT r11 #3) — the composed production shape: the
+# coarse quantizer prunes the scan to nprobe/n_cells of the corpus,
+# PQ compresses what remains to m bytes/vector, exact rerank refines.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 4
+
+
+def ivfpq_shortlist_local(sf_dir: str) -> list[tuple[int, int]]:
+    """Replica IVFPQ ADC shortlist: cell-assign every vector to its
+    nearest trained centroid (the `_assign_cells_pandas` float64
+    normalize + stable-argsort order), probe each query's
+    `_IVFPQ_NPROBE` nearest cells, ADC-score ONLY vectors in probed
+    cells, take the `_PQ_SHORTLIST` best (ties → lower id), self
+    excluded — the exact pair set `topk_ivfpq`'s window pins before
+    its rerank."""
+    import numpy as np
+
+    from ..operators.similarity import _pq_lut, ivf_centroids_local
+
+    C = ivf_centroids_local(sf_dir, n_cells=16, iters=5)
+    vids, X, codes, books = pq_codes_local(sf_dir)  # X already normalized
+    S = X @ np.asarray(C, dtype=np.float64).T
+    order = np.argsort(-S, axis=1, kind="stable")
+    cell = order[:, 0]
+    probe_mask = vids < 8
+    probe_cells = order[probe_mask, :_IVFPQ_NPROBE]
+    lut = _pq_lut(X[probe_mask], books)
+    out = []
+    for qi, qid in enumerate(vids[probe_mask]):
+        in_probed = np.isin(cell, probe_cells[qi]) & (vids != qid)
+        scores = np.zeros(in_probed.sum(), dtype=np.float64)
+        sub = codes[in_probed]
+        for s in range(_PQ_M):
+            scores += lut[qi, s, :][sub[:, s]]
+        sub_ids = vids[in_probed]
+        pick = np.lexsort((sub_ids, -scores))[:_PQ_SHORTLIST]
+        for nid in sub_ids[pick]:
+            out.append((int(qid), int(nid)))
+    return out
+
+
+def _ivfpq_topk_oracle(sf_dir: str) -> str:
+    rows = ",".join(f"({a},{b})" for a, b in ivfpq_shortlist_local(sf_dir))
+    return f"""
+    WITH short(query_id, neighbor_id) AS (VALUES {rows}),
+    scored AS (
+        SELECT s.query_id, s.neighbor_id,
+               {_d_dot("q.embedding", "c.embedding")}
+               / (sqrt({_d_dot("q.embedding", "q.embedding")})
+                  * sqrt({_d_dot("c.embedding", "c.embedding")})) AS cosine_sim
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {_PQ_K}
+    """
+
+
+@query("x_ivfpq_topk", oracle=_ivfpq_topk_oracle,
+       tags=("ext", "similarity", "ivf"), driver=False)
+def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ top-k (r12, VERDICT r11 #3 — the FAISS IVFPQ production
+    shape): the persisted IVF index gains a cell-partitioned PQ codes
+    table (operators.similarity.build_ivfpq_codes); queries probe
+    nprobe=4 of 16 cells, the ADC gather-sum reads ONLY the probed
+    cells' code directories (partition pruning — the scan fraction
+    drops to ~nprobe/n_cells of the COMPRESSED corpus), and the
+    30-deep shortlist re-ranks exactly. The lazy oracle replays
+    assignment → probe → cell-restricted ADC → tie order in the
+    pyarrow replica and re-ranks the embedded shortlist with the
+    explicit-fold cosine SQL, so coarse quantizer, codebooks,
+    pruning, and LUT scoring are all hash-load-bearing. Folded into
+    x_sim_ivf_suite."""
+    from ..operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_codes,
+        topk_ivfpq,
+    )
+
+    emb = _spread(tables(spark, sf_dir)["embeddings"])
+    idx = _ivf_index_path(sf_dir)
+    build_ivf_index(emb, idx, n_cells=16, iters=5)
+    books = _pq_books(spark, sf_dir)
+    build_ivfpq_codes(spark, idx, books)
+    probes = emb.filter(F.col("vec_id") < 8)
+    return topk_ivfpq(
+        spark, idx, probes, books, emb,
+        k=_PQ_K, nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST, dim=64,
+    )
