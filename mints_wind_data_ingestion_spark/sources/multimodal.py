@@ -13,15 +13,16 @@ array, SURVEY.md §1.4). This module supplies the Spark-side plumbing:
   collected to the driver, and the payload column is dropped on output
   so only the (small) metadata survives the shuffle boundary.
 - `decode_image` / `decode_audio` / `sample_video_frames`: REAL
-  decoders for the uncompressed container formats that need no
-  external library — BMP (24-bit BI_RGB), PPM/PGM and PNG images
-  (PNG rides the engine's own RFC 2083 decoder, grib2codec's template
-  5.41 machinery — all depths/filters, zlib over stdlib; r10), RIFF
-  WAV PCM audio, YUV4MPEG2 (y4m) video — parsed with struct/numpy,
+  decoders for the container formats that need no external library —
+  BMP (24-bit BI_RGB), PPM/PGM, PNG (the engine's own RFC 2083
+  decoder; r10) and JPEG (the engine's own T.81 baseline+progressive
+  codec, `jpegcodec`; r11) images, RIFF WAV PCM and G.711 µ-law/
+  A-law audio (r12), YUV4MPEG2 (y4m) and MJPEG-in-AVI video (r12:
+  RIFF/idx1 index walk → per-frame JPEG) — parsed with struct/numpy,
   round-tripped in tests against self-encoded fixtures. The remaining
-  compressed codecs (JPEG, MP3/FLAC, MP4/H.264) dispatch to
-  PIL/soundfile/ffmpeg behind import-tries and raise with the
-  contract documented when the library is absent, as it is in this
+  compressed codecs (MP3/FLAC, MP4/H.264) dispatch to
+  soundfile/ffmpeg behind import-tries and raise with the contract
+  documented when the library is absent, as it is in this
   container.
 - `byte_stats_meta` remains the deterministic byte-level extractor
   used by the registry query (its oracle must be SQL-expressible).
@@ -84,10 +85,12 @@ __all__ = [
     "image_neardup_pairs",
     "image_neardup_join",
     "encode_y4m_gray",
+    "encode_mjpeg_avi",
     "video_dhash_df",
     "video_neardup_pairs",
     "video_neardup_join",
     "encode_wav_pcm16",
+    "encode_wav_g711",
     "audio_fingerprint",
     "audio_fingerprint_df",
 ]
@@ -311,6 +314,80 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
+_G711_TABLES: dict = {}
+
+
+def _g711_table(law: str):
+    """256-entry G.711 expand table (companded byte → int16 linear),
+    built from the ITU-T G.711 segment layout (the classic public
+    ulaw2linear/alaw2linear forms): µ-law is BIAS-offset with
+    complemented bytes; A-law XORs 0x55 with an un-biased first
+    segment. Cached per law."""
+    import numpy as np
+
+    t = _G711_TABLES.get(law)
+    if t is not None:
+        return t
+    codes = np.arange(256, dtype=np.uint8)
+    if law == "ulaw":
+        u = (~codes) & 0xFF
+        mag = (((u & 0x0F) << 3) + 0x84).astype(np.int32)
+        mag <<= (u >> 4) & 0x07
+        mag -= 0x84
+        out = np.where(u & 0x80, -mag, mag)
+    elif law == "alaw":
+        a = codes ^ 0x55
+        seg = (a >> 4) & 0x07
+        mant = (a & 0x0F).astype(np.int32)
+        mag = np.where(
+            seg == 0,
+            (mant << 4) + 8,
+            ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+        )
+        out = np.where(a & 0x80, mag, -mag)
+    else:
+        raise ValueError(f"unknown G.711 law {law!r}")
+    t = out.astype(np.int16)
+    _G711_TABLES[law] = t
+    return t
+
+
+def encode_wav_g711(
+    samples, law: str = "ulaw", sample_rate: int = 8000
+) -> bytes:
+    """Encode an (n,) or (n, ch) int16 array as a G.711 µ-law/A-law
+    RIFF WAV (format codes 7/6) — the compressed-telephony inverse of
+    `decode_audio`'s expand path, for fixtures and re-encode tests.
+    Companding quantizes each sample to the nearest of the law's 256
+    decode levels (what the standard segment encoder approximates)."""
+    import struct
+
+    import numpy as np
+
+    table = _g711_table(law)
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int32)
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    flat = s.reshape(-1).astype(np.int32)
+    pos = np.searchsorted(levels, flat)
+    pos = np.clip(pos, 1, len(levels) - 1)
+    lo, hi = levels[pos - 1], levels[pos]
+    pick = np.where(np.abs(flat - lo) <= np.abs(hi - flat), pos - 1, pos)
+    comp = order[pick].astype(np.uint8).tobytes()
+    fmt_code = 6 if law == "alaw" else 7
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(comp)) + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, fmt_code, ch, sample_rate,
+            sample_rate * ch, ch, 8,
+        )
+        + b"data" + struct.pack("<I", len(comp)) + comp
+    )
+
+
 def decode_audio(payload: bytes) -> dict:
     """Audio decode → {"sample_rate", "n_channels", "n_samples",
     "waveform": float64 ndarray in [-1, 1], shape (n_samples, ch)}.
@@ -331,7 +408,7 @@ def decode_audio(payload: bytes) -> dict:
         except ImportError as e:
             raise NotImplementedError(
                 "non-WAV audio decode requires soundfile, not shipped in "
-                "this environment; RIFF PCM WAV decodes natively"
+                "this environment; RIFF PCM and G.711 WAV decode natively"
             ) from e
         data, sr = soundfile.read(BytesIO(payload))
         return {
@@ -354,11 +431,28 @@ def decode_audio(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, ch, sr, _, _, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"only integer PCM supported (format={audio_format})")
+    if audio_format not in (1, 6, 7):
+        raise ValueError(
+            f"only integer PCM / G.711 supported (format={audio_format})"
+        )
     if ch == 0:  # corrupt fmt chunk: len(raw) % 0 would be a
         # ZeroDivisionError outside the quarantine class
         raise ValueError("WAV with 0 channels")
+    if audio_format in (6, 7):  # G.711 A-law / µ-law (r12): 8-bit
+        # companded bytes expand through the 256-entry tables to
+        # 16-bit linear — format codes 6/7 of the RIFF spec
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit (bits={bits})")
+        table = _g711_table("alaw" if audio_format == 6 else "ulaw")
+        raw = table[np.frombuffer(data, dtype=np.uint8)]
+        raw = raw[: len(raw) - len(raw) % ch].reshape(-1, ch)
+        wave = raw.astype(np.float64) / 32768.0
+        return {
+            "sample_rate": sr,
+            "n_channels": ch,
+            "n_samples": wave.shape[0],
+            "waveform": wave,
+        }
     dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
     raw = np.frombuffer(data, dtype=dtype)
     raw = raw[: len(raw) - len(raw) % ch].reshape(-1, ch)
@@ -381,16 +475,25 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
     YUV4MPEG2 (.y4m) decodes natively: one ASCII header line, then
     'FRAME…\\n'-prefixed raw 4:2:0 planes — seeking is arithmetic, so
     sampling skips (not decodes) the in-between frames, exactly the
-    access pattern a real keyframe sampler wants. Compressed video
-    requires ffmpeg/pyav; absent here, it raises with the contract
-    intact.
+    access pattern a real keyframe sampler wants.
+
+    MJPEG-in-AVI (r12, VERDICT r11 #4) also decodes natively: the
+    RIFF/AVI 'idx1' index walk seeks straight to every Nth '00dc'
+    frame chunk and only THOSE JPEG payloads decode (the engine's own
+    T.81 codec, sources.jpegcodec) — a real compressed container with
+    zero new dependencies, same skip-don't-decode access pattern.
+    Remaining codecs (H.264/MP4) require ffmpeg/pyav; absent here,
+    they raise with the contract intact.
     """
     import numpy as np
 
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _sample_avi_mjpeg_frames(payload, every_n)
     if not payload.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
             "compressed video decode requires ffmpeg/pyav, not shipped in "
-            "this environment; YUV4MPEG2 (.y4m) decodes natively"
+            "this environment; YUV4MPEG2 (.y4m) and MJPEG-AVI decode "
+            "natively"
         )
     nl = payload.index(b"\n")
     params = dict(
@@ -411,6 +514,153 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
         off = body + frame_bytes
         idx += 1
     return out
+
+
+def _luma_plane(px):
+    """Y (luminance) plane of decoded pixels — the integer ITU-R 601
+    form `dhash64` uses, so a hash of this plane equals a hash of the
+    RGB frame; grayscale passes through."""
+    import numpy as np
+
+    px = np.asarray(px)
+    if px.ndim == 3:
+        r = px[..., 0].astype(np.int64)
+        g = px[..., 1].astype(np.int64)
+        b = px[..., 2].astype(np.int64)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    return px.astype(np.uint8, copy=False)
+
+
+def _sample_avi_mjpeg_frames(payload: bytes, every_n: int) -> list:
+    """MJPEG-in-AVI frame sampling: walk the top-level RIFF chunks to
+    the 'movi' LIST and the 'idx1' index; seek via the index (falling
+    back to a sequential movi walk for index-less files) to every Nth
+    video chunk ('##dc'/'##db' of stream 0) and JPEG-decode only
+    those. Returns [(frame_index, Y-plane), ...] like the Y4M path.
+    Corrupt structure raises ValueError (quarantine class)."""
+    import struct
+
+    from .jpegcodec import decode_jpeg
+
+    movi_fcc = None  # offset of the 'movi' fourcc itself
+    idx1 = None
+    off = 12
+    riff_end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while off + 8 <= riff_end:
+        cid = payload[off : off + 4]
+        size = struct.unpack_from("<I", payload, off + 4)[0]
+        if off + 8 + size > len(payload):
+            raise ValueError(f"AVI chunk at {off} overruns payload")
+        if cid == b"LIST" and payload[off + 8 : off + 12] == b"movi":
+            movi_fcc = off + 8
+        elif cid == b"idx1":
+            idx1 = payload[off + 8 : off + 8 + size]
+        off += 8 + size + (size & 1)
+    if movi_fcc is None:
+        raise ValueError("AVI without a movi list")
+
+    def _is_video(cid: bytes) -> bool:
+        return cid[2:4] in (b"dc", b"db") and cid[:2].isdigit()
+
+    frames = []  # (chunk_header_offset, size)
+    if idx1 is not None and len(idx1) >= 16:
+        n_ent = len(idx1) // 16
+        for i in range(n_ent):
+            cid, _flags, coff, csize = struct.unpack_from(
+                "<4sIII", idx1, i * 16
+            )
+            if not _is_video(cid):
+                continue
+            # offsets are relative to the 'movi' fourcc in most files,
+            # absolute in some — disambiguate by checking the fourcc
+            # actually present at the target
+            rel = movi_fcc + coff
+            if payload[rel : rel + 4] == cid:
+                frames.append((rel, csize))
+            elif payload[coff : coff + 4] == cid:
+                frames.append((coff, csize))
+            else:
+                raise ValueError(f"idx1 entry {i} points at no {cid!r} chunk")
+    else:
+        movi_size = struct.unpack_from("<I", payload, movi_fcc - 4)[0]
+        end = movi_fcc + movi_size
+        off = movi_fcc + 4
+        while off + 8 <= end:
+            cid = payload[off : off + 4]
+            csize = struct.unpack_from("<I", payload, off + 4)[0]
+            if _is_video(cid):
+                frames.append((off, csize))
+            off += 8 + csize + (csize & 1)
+
+    out = []
+    for idx, (hoff, csize) in enumerate(frames):
+        if idx % every_n:
+            continue
+        jpeg = payload[hoff + 8 : hoff + 8 + csize]
+        out.append((idx, _luma_plane(decode_jpeg(jpeg)["pixels"])))
+    return out
+
+
+def encode_mjpeg_avi(frames, quality: int = 90, fps: int = 25) -> bytes:
+    """Encode frames ((H, W) gray or (H, W, 3) RGB uint8 arrays) as an
+    MJPEG-in-AVI container — per-frame baseline JPEG (the engine's own
+    encoder) in '00dc' chunks with a standard 'idx1' index; the
+    inverse of `_sample_avi_mjpeg_frames`' walk, for fixtures and the
+    re-encode half of a video transform loop."""
+    import struct
+
+    import numpy as np
+
+    from .jpegcodec import encode_jpeg
+
+    if not frames:
+        raise ValueError("encode_mjpeg_avi: no frames")
+    jpegs = [
+        encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality)
+        for f in frames
+    ]
+    h, w = np.asarray(frames[0]).shape[:2]
+    n = len(jpegs)
+    sugbuf = max(len(j) for j in jpegs) + 8
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, sugbuf, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, sugbuf,
+        0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+
+    movi_children = b""
+    idx_entries = b""
+    for j in jpegs:
+        # offset is relative to the 'movi' fourcc; first chunk sits
+        # right after it (offset 4)
+        idx_entries += struct.pack(
+            "<4sIII", b"00dc", 0x10, 4 + len(movi_children), len(j)
+        )
+        movi_children += chunk(b"00dc", j)
+    movi = lst(b"movi", movi_children)
+    idx1 = chunk(b"idx1", idx_entries)
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------

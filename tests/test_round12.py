@@ -202,6 +202,327 @@ def test_ivfpq_matches_exact_ivf_and_prunes(spark):
     assert ivfpq == ivf
 
 
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (VERDICT r11 #4): the video dedup path meets a real
+# compressed container with zero new dependencies
+# ---------------------------------------------------------------------------
+
+
+def _gradient_frames(n=6, h=32, w=48, seed=3):
+    import numpy as np
+
+    frames = []
+    for i in range(n):
+        y, x = np.mgrid[0:h, 0:w]
+        frames.append(((x * (i + seed) + y * 2) % 256).astype(np.uint8))
+    return frames
+
+
+def test_mjpeg_avi_round_trip_and_sampling():
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        dhash64,
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    frames = _gradient_frames()
+    avi = encode_mjpeg_avi(frames, quality=92)
+    back = sample_video_frames(avi, every_n=1)
+    assert [i for i, _ in back] == list(range(len(frames)))
+    for (_, yb), orig in zip(back, frames):
+        assert yb.shape == orig.shape
+        # JPEG is lossy but the perceptual hash must survive re-encode
+        assert bin(dhash64(yb) ^ dhash64(orig)).count("1") <= 2
+    # arithmetic sampling decodes ONLY every Nth frame
+    assert [i for i, _ in sample_video_frames(avi, every_n=3)] == [0, 3]
+    # RGB frames ride the same container; the Y plane comes back
+    rgb = [np.stack([f, f // 2, f // 3], axis=-1) for f in frames[:3]]
+    got = sample_video_frames(encode_mjpeg_avi(rgb, quality=95), every_n=1)
+    assert len(got) == 3 and got[0][1].ndim == 2
+
+
+def test_mjpeg_avi_dhash_stable_across_y4m_reencode():
+    """The same content hashed from the uncompressed Y4M container and
+    from an MJPEG-AVI re-encode must land within a small Hamming
+    distance — the property the near-dup model rests on."""
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        synth_video_frames,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        dhash64,
+        encode_mjpeg_avi,
+        encode_y4m_gray,
+        sample_video_frames,
+    )
+
+    frames = synth_video_frames(40, 0)
+    y4m = sample_video_frames(encode_y4m_gray(frames), every_n=1)
+    avi = sample_video_frames(
+        encode_mjpeg_avi(frames, quality=95), every_n=1
+    )
+    assert len(y4m) == len(avi)
+    for (_, a), (_, b) in zip(y4m, avi):
+        assert bin(dhash64(a) ^ dhash64(b)).count("1") <= 2
+
+
+def test_mjpeg_avi_corrupt_quarantine(spark):
+    """Corrupt AVI structures raise ValueError (the quarantine class),
+    and the Arrow pass converts them to NULL evidence rows."""
+    import pytest as _pytest
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        encode_mjpeg_avi,
+        sample_video_frames,
+        video_dhash_df,
+    )
+
+    good = encode_mjpeg_avi(_gradient_frames(3), quality=90)
+    # truncated movi chunk
+    with _pytest.raises(ValueError):
+        sample_video_frames(good[:80], every_n=1)
+    # idx1 pointing nowhere: corrupt the first entry's offset field
+    # (idx1 header 8 B, then ckid+flags precede the offset)
+    bad = bytearray(good)
+    i = bytes(bad).rindex(b"idx1")
+    bad[i + 16 : i + 20] = (99999).to_bytes(4, "little")
+    with _pytest.raises(ValueError):
+        sample_video_frames(bytes(bad), every_n=1)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:80]))],
+        "doc_id long, payload binary",
+    )
+    out = video_dhash_df(df).toPandas()
+    assert len(out[out.doc_id == 1]) == 3
+    bad_rows = out[out.doc_id == 2]
+    assert len(bad_rows) == 1 and bad_rows.fhash.isna().all()
+
+
+def test_mjpeg_avi_indexless_fallback():
+    """An AVI stripped of its idx1 still decodes via the sequential
+    movi walk (some writers omit the index)."""
+    import struct
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    avi = encode_mjpeg_avi(_gradient_frames(4), quality=90)
+    i = avi.rindex(b"idx1")
+    stripped = avi[:i]
+    # fix the RIFF size field for the removed tail
+    stripped = (
+        stripped[:4]
+        + struct.pack("<I", len(stripped) - 8)
+        + stripped[8:]
+    )
+    got = sample_video_frames(stripped, every_n=1)
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+
+
+def test_mjpeg_avi_through_gate_parity(spark, tmp_path):
+    """Gate parity: an MJPEG-AVI corpus rides run_video_dedup_ingest
+    unchanged — near-dup AVI clips are quarantined exactly like their
+    Y4M twins."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        encode_mjpeg_avi,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_video_dedup_ingest,
+    )
+
+    frames = _gradient_frames(8)
+    edited = list(frames)
+    edited[0] = np.zeros_like(frames[0])  # replace one frame
+    rows = [
+        (1, bytearray(encode_mjpeg_avi(frames, quality=92))),
+        (2, bytearray(encode_mjpeg_avi(edited, quality=92))),  # near-dup of 1
+        (3, bytearray(encode_mjpeg_avi(_gradient_frames(8, seed=40), quality=92))),
+    ]
+    landing = str(tmp_path / "landing")
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    df.coalesce(1).write.parquet(landing)
+    q = run_video_dedup_ingest(
+        spark,
+        landing,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        "doc_id long, payload binary",
+        threshold=0.5,
+        quarantine_path=str(tmp_path / "quar"),
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    quar = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(str(tmp_path / "quar")).collect()
+    }
+    assert kept == [1, 3]
+    assert quar == {2: "batch_dup"}
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law WAV (VERDICT r11 #6): audio format widening
+# ---------------------------------------------------------------------------
+
+
+def _two_tone(n=4096, sr=8000):
+    import numpy as np
+
+    t = np.arange(n)
+    return (
+        8000 * np.sin(2 * np.pi * 440 * t / sr)
+        + 4000 * np.sin(2 * np.pi * 1313 * t / sr)
+    ).astype(np.int16)
+
+
+@pytest.mark.parametrize("law,fmt_code", [("ulaw", 7), ("alaw", 6)])
+def test_g711_decode_parity(law, fmt_code):
+    """G.711 companding round-trips at telephony quality (SNR well
+    above 30 dB) and the format code lands in the fmt chunk."""
+    import struct
+
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    x = _two_tone()
+    wav = encode_wav_g711(x, law=law)
+    assert struct.unpack_from("<H", wav, 20)[0] == fmt_code
+    d = decode_audio(wav)
+    assert (d["sample_rate"], d["n_channels"], d["n_samples"]) == (8000, 1, len(x))
+    orig = x.astype(np.float64) / 32768.0
+    got = d["waveform"][:, 0]
+    snr = 10 * np.log10(np.mean(orig**2) / np.mean((got - orig) ** 2))
+    assert snr > 30, snr
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_levels_round_trip_exactly(law):
+    """A signal already on the law's 256 decode levels survives an
+    encode→decode cycle bit-exactly — pins the expand tables and the
+    nearest-level encoder against each other."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        _g711_table,
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    levels = _g711_table(law)  # all 256 decode levels, one of each
+    wav = encode_wav_g711(levels, law=law)
+    back = decode_audio(wav)["waveform"][:, 0]
+    assert np.array_equal(
+        np.round(back * 32768.0).astype(np.int16), levels
+    )
+
+
+def test_g711_fingerprint_near_stability():
+    """Across a µ-law re-encode of PCM16 content the spectral
+    fingerprint stays within the Haitsma-Kalker match band (bit error
+    rate < 1/3 per frame) — companding noise may flip near-tie band
+    comparisons, so EXACT set dedup holds within one law (bit-equal
+    decode), while cross-law matching needs the banded-Hamming path."""
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+        encode_wav_g711,
+        encode_wav_pcm16,
+    )
+
+    x = _two_tone()
+    fp_pcm = dict(
+        audio_fingerprint(decode_audio(encode_wav_pcm16(x))["waveform"])
+    )
+    for law in ("ulaw", "alaw"):
+        fp_g = dict(
+            audio_fingerprint(
+                decode_audio(encode_wav_g711(x, law=law))["waveform"]
+            )
+        )
+        assert fp_g.keys() == fp_pcm.keys()
+        # BER ≤ 0.375 per frame (Haitsma-Kalker matches at ≤ 0.35 on
+        # average; this two-tone fixture is adversarial — most bands
+        # are noise floor, so companding noise flips near-tie bits)
+        for i in fp_pcm:
+            assert bin(fp_pcm[i] ^ fp_g[i]).count("1") <= 12, (law, i)
+
+
+def test_g711_bad_bits_quarantined():
+    import pytest as _pytest
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    wav = bytearray(encode_wav_g711(_two_tone(), law="ulaw"))
+    wav[34] = 16  # claim 16-bit G.711 — invalid
+    with _pytest.raises(ValueError):
+        decode_audio(bytes(wav))
+
+
+def test_g711_through_audio_gate(spark, tmp_path):
+    """Gate parity: a µ-law corpus rides run_audio_dedup_ingest
+    unchanged — an edited sibling companded under the SAME law shares
+    its unedited segments bit-exactly, so the frame-set model catches
+    it exactly as it does for PCM."""
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        synth_audio_segments,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        encode_wav_g711,
+    )
+    from mints_wind_data_ingestion_spark.streaming.pipeline import (
+        run_audio_dedup_ingest,
+    )
+
+    base = synth_audio_segments(10, 0)
+    sib = synth_audio_segments(10, 1)  # edited sibling (2 segments differ)
+    other = synth_audio_segments(77, 0)
+    rows = [
+        (1, bytearray(encode_wav_g711(base, law="ulaw"))),
+        (2, bytearray(encode_wav_g711(sib, law="ulaw"))),
+        (3, bytearray(encode_wav_g711(other, law="ulaw"))),
+    ]
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(
+        1
+    ).write.parquet(landing)
+    q = run_audio_dedup_ingest(
+        spark,
+        landing,
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+        "doc_id long, payload binary",
+        threshold=0.5,
+        quarantine_path=str(tmp_path / "quar"),
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    quar = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(str(tmp_path / "quar")).collect()
+    }
+    assert kept == [1, 3]
+    assert quar == {2: "batch_dup"}
+
+
 def test_prefix_rs_function_direct(spark):
     """jaccard_join_prefix_filtered_rs with custom column names."""
     new = spark.createDataFrame(
