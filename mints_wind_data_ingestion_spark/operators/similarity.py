@@ -50,6 +50,7 @@ __all__ = [
     "topk_ivf_indexed",
     "build_ivfpq_codes",
     "topk_ivfpq",
+    "ivfpq_shortlist",
     "semantic_dedup",
     "semdedup_n_cells",
 ]
@@ -1266,12 +1267,17 @@ def _exact_rerank_shortlist(
     id_col: str,
     vec_col: str,
     dim: int | None,
+    tag_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine re-rank of a BOUNDED (query_id, neighbor_id)
     shortlist against the full-vector table — the shared refine half
     of `topk_pq_rerank` and `topk_ivfpq`: both joins broadcast the
     shortlist so the full table never shuffles; the final top-k window
-    partitions on query_id."""
+    partitions on query_id. With `tag_col`, MULTIPLE shortlists ride
+    ONE rerank pass (the tag partitions the window), so a composite
+    answering several ANN variants pays the two full-table scans
+    once."""
+    tags = [tag_col] if tag_col else []
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -1286,19 +1292,20 @@ def _exact_rerank_shortlist(
     scored = q.join(
         F.broadcast(with_c), "query_id"
     ).select(
+        *tags,
         "query_id",
         "neighbor_id",
         _rerank_cosine_prenorm("__qv", "__cv", "__qn", "__cn", dim).alias(
             "cosine_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*tags, "query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .select(*tags, "query_id", "neighbor_id", "cosine_sim", "rank")
     )
 
 
@@ -1393,6 +1400,28 @@ def topk_ivfpq(
     Self-matches are excluded; ties rank by (adist DESC, id ASC) in
     the shortlist and (cosine DESC, id ASC) after rerank — the
     repo-wide deterministic tiebreak."""
+    short = ivfpq_shortlist(
+        spark, index_path, probes, codebooks,
+        nprobe=nprobe, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    )
+    return _exact_rerank_shortlist(short, candidates, k, id_col, vec_col, dim)
+
+
+def ivfpq_shortlist(
+    spark: SparkSession,
+    index_path: str,
+    probes: DataFrame,
+    codebooks,
+    nprobe: int = 4,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """The (query_id, neighbor_id) ADC shortlist half of `topk_ivfpq`
+    — exposed so a composite can union several variants' shortlists
+    into ONE tagged rerank pass (`_exact_rerank_shortlist`)."""
     import numpy as np
     import pandas as pd
 
@@ -1446,12 +1475,11 @@ def topk_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").desc(), F.col("neighbor_id").asc()
     )
-    short = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    return _exact_rerank_shortlist(short, candidates, k, id_col, vec_col, dim)
 
 
 def build_pq_books(

@@ -1384,6 +1384,119 @@ def _lmm_oracle(sf_dir: str) -> str:
     """
 
 
+#: prepared-plan memo for the fused signature pass — the composite
+#: itself can never enter the registry plan cache (it registers
+#: mid-plan caches), but its most expensive subtree CAN: returning the
+#: same DataFrame object per (session, sf) keeps managed_cache's
+#: materialization warm across bench re-builds exactly as the
+#: plan-cached child queries used to. Honors the plan-cache toggle so
+#: tests (cache off) always build fresh.
+_FUSED_SIGS: dict = {}
+
+
+def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mod, doc_id, frame_idx, fhash): ALL THREE modalities' signature
+    tables in ONE Arrow pass over ONE documents scan (r12, VERDICT r11
+    #1 — the composite previously paid three separate synth+decode+
+    hash jobs). Per doc id the pass runs exactly the standalone
+    pipelines' kernels — BMP encode→decode→dHash for every id (sibling
+    every 20th), Y4M encode→frame-walk→dHash for every 10th, WAV
+    encode→decode→spectral fingerprint for every 10th+5 — so each
+    slice is bit-identical to x_image_dhash / x_video_sig /
+    x_audio_sig (the lazy replica oracles pin it)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+        decode_image,
+        dhash64,
+        encode_bmp,
+        encode_wav_pcm16,
+        encode_y4m_gray,
+        sample_video_frames,
+    )
+    from .extensions import (
+        _AUD_SIB_OFFSET,
+        _IMG_SIB_OFFSET,
+        _VID_SIB_OFFSET,
+        synth_audio_segments,
+        synth_image_pixels,
+        synth_video_frames,
+    )
+
+    from . import registry as _registry
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if _registry._plan_cache_on:
+        hit = _FUSED_SIGS.get(memo_key)
+        if hit is not None:
+            return hit
+
+    # spread the bare ids wide first (the _spread high-work_factor
+    # case): the scan is ONE split at test scale, and per id this pass
+    # runs BMP+Y4M+WAV encode/decode/hash — serializing it onto one
+    # core was the measured 2.6x cost (1.37 s vs 0.52 s, r12 A/B)
+    from .extensions import _spread as _spread_ids
+
+    ids = _spread_ids(
+        tables(spark, sf_dir)["documents"].select("doc_id"),
+        work_factor=256,
+    )
+
+    def gen(it):
+        for pdf in it:
+            mods, oids, fidx, fh = [], [], [], []
+
+            def emit(m, i, x, h):
+                mods.append(m)
+                oids.append(i)
+                fidx.append(x)
+                fh.append(h)
+
+            for i in pdf["doc_id"]:
+                i = int(i)
+                for sib in (0, 1) if i % 20 == 0 else (0,):
+                    h = dhash64(
+                        decode_image(encode_bmp(synth_image_pixels(i, sib)))[
+                            "pixels"
+                        ]
+                    )
+                    emit("i", i + sib * _IMG_SIB_OFFSET, None,
+                         int(np.int64(np.uint64(h))))
+                if i % 10 == 0:
+                    for sib in (0, 1) if i % 40 == 0 else (0,):
+                        frames = sample_video_frames(
+                            encode_y4m_gray(synth_video_frames(i, sib)), 1
+                        )
+                        for idx, y in frames:
+                            emit("v", i + sib * _VID_SIB_OFFSET, idx,
+                                 int(np.int64(np.uint64(dhash64(y)))))
+                if i % 10 == 5:
+                    for sib in (0, 1) if i % 40 == 5 else (0,):
+                        fps = audio_fingerprint(
+                            decode_audio(
+                                encode_wav_pcm16(synth_audio_segments(i, sib))
+                            )["waveform"]
+                        )
+                        for idx, fp in fps:
+                            emit("a", i + sib * _AUD_SIB_OFFSET, idx, fp)
+            yield pd.DataFrame({
+                "mod": mods,
+                "doc_id": oids,
+                "frame_idx": pd.array(fidx, dtype="Int32"),
+                "fhash": pd.array(fh, dtype="Int64"),
+            })
+
+    df = ids.mapInPandas(
+        gen, "mod string, doc_id long, frame_idx int, fhash long"
+    )
+    if _registry._plan_cache_on:
+        _FUSED_SIGS[memo_key] = df
+    return df
+
+
 @query("x_layout_mm_suite", oracle=_lmm_oracle, tags=("ext", "composite"))
 def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout/raster/multimodal suite: per-lat-band raster statistics
@@ -1405,25 +1518,44 @@ def x_layout_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = REGISTRY["x_zorder_stats"].build(spark, sf_dir)
     m = REGISTRY["x_mm_decode"].build(spark, sf_dir)
     t = REGISTRY["x_mm_transform"].build(spark, sf_dir)
-    # the three signature tables are each consumed by their own part
-    # AND by the pair query derived from them — cache so the corpus
-    # synth + decode + hash Arrow pass materializes once per modality
-    # (under the prepared-plan cache the pair queries hold the same
-    # DataFrame object, so one cache covers every reference).
-    # managed_cache: a rebuild of this composite RELEASES the prior
-    # build's cache entries instead of stacking new ones per build
-    ih = managed_cache(
-        REGISTRY["x_image_dhash"].build(spark, sf_dir), "x_layout_mm_suite", "ih"
+    # r12: ONE fused Arrow pass builds all three modalities' signature
+    # tables (previously three separate synth+decode+hash jobs over
+    # three documents scans); each slice is bit-identical to its
+    # standalone query, which stays registered and replica-verified.
+    # managed_cache: the fused table feeds six parts (three slices +
+    # three pair joins), and a composite rebuild RELEASES the prior
+    # build's entry instead of stacking a new one.
+    from ..sources.multimodal import image_neardup_pairs, video_neardup_pairs
+    from .extensions import (
+        _AUD_JACCARD_T,
+        _IMG_MAX_HAMMING,
+        _VID_JACCARD_T,
     )
-    ip = REGISTRY["x_image_dedup"].build(spark, sf_dir)
-    vs = managed_cache(
-        REGISTRY["x_video_sig"].build(spark, sf_dir), "x_layout_mm_suite", "vs"
+
+    fused = managed_cache(
+        _mm_fused_sigs(spark, sf_dir), "x_layout_mm_suite", "sigs"
     )
-    vp = REGISTRY["x_video_dedup"].build(spark, sf_dir)
-    asg = managed_cache(
-        REGISTRY["x_audio_sig"].build(spark, sf_dir), "x_layout_mm_suite", "as"
+    ih = fused.filter(F.col("mod") == "i").select(
+        "doc_id", F.col("fhash").alias("dhash")
     )
-    ap = REGISTRY["x_audio_dedup"].build(spark, sf_dir)
+    ip = image_neardup_pairs(ih, max_hamming=_IMG_MAX_HAMMING, cache=False)
+    vs = fused.filter(F.col("mod") == "v").select(
+        "doc_id", "frame_idx", "fhash"
+    )
+    # method='uniform': THIS corpus is synthetic and hot-key-free by
+    # construction (distinct gradient frames per clip), exactly the
+    # case the plain count plan is documented for — real corpora keep
+    # the skew-safe prefix default, pinned by the standalone entries
+    # and the planted hot-key tests (tests/test_round12.py)
+    vp = video_neardup_pairs(
+        vs, threshold=_VID_JACCARD_T, method="uniform", cache=False
+    )
+    asg = fused.filter(F.col("mod") == "a").select(
+        "doc_id", "frame_idx", "fhash"
+    )
+    ap = video_neardup_pairs(
+        asg, threshold=_AUD_JACCARD_T, method="uniform", cache=False
+    )
     return _part(
         g, "grid", k1=_b("label"), k2=_b("lat_band"), n1=_b("cell_cnt"),
         n2=_nb(), n3=_nb(), n4=_nb(), n5=_nb(),
@@ -1648,7 +1780,6 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import (
         build_ivf_index,
-        topk_ivf,
         topk_ivf_indexed,
     )
 
@@ -1660,7 +1791,14 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpdf = spark.read.parquet(f"{idx}/centroids").toPandas().sort_values("cell")
     centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
     probes = emb.filter(F.col("vec_id") < 8)
-    sess = topk_ivf(probes, emb, k=10, centroids=centroids, nprobe=8, dim=64)
+    # the session part answers THROUGH the index at nprobe=8 (r12):
+    # topk_ivf_indexed == topk_ivf for the same quantizer (pinned by
+    # test_ivf_index_persists_and_prunes), and the index's stored cell
+    # assignment saves re-assigning the whole corpus per run — the
+    # composite already paid that assignment once in build_ivf_index
+    sess = topk_ivf_indexed(
+        spark, idx, probes, k=10, nprobe=8, dim=64, centroids=centroids
+    )
     # the standalone x_sim_topk_ivf_index entry calls build_ivf_index
     # itself; going through topk_ivf_indexed directly here reuses the
     # build THIS composite just did instead of paying the fingerprint
@@ -1676,8 +1814,15 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above): the standalone x_pq_* entries each train their own
     # codebooks — identical deterministic values, but two trainings
     # and two encode passes the composite doesn't need to pay.
-    from ..operators.similarity import pq_encode, topk_pq_rerank
+    from ..operators.similarity import (
+        _exact_rerank_shortlist,
+        build_ivfpq_codes,
+        ivfpq_shortlist,
+        pq_encode,
+        topk_pq,
+    )
     from .extensions import (
+        _IVFPQ_NPROBE,
         _PQ_ITERS,
         _PQ_K,
         _PQ_KS,
@@ -1690,10 +1835,6 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_codes = managed_cache(
         pq_encode(emb, books), "x_sim_ivf_suite", "pq_codes"
     )
-    pq_t = topk_pq_rerank(
-        emb.filter(F.col("vec_id") < 8), pq_codes, emb, books,
-        k=_PQ_K, shortlist=_PQ_SHORTLIST, dim=64,
-    )
     pq_c = pq_codes.select(
         "vec_id", F.posexplode("codes").alias("sub", "code")
     )
@@ -1701,16 +1842,27 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine_sim=_d("cosine_sim"), rank=_b("rank"))
     # IVFPQ (r12): the composed shape — reuses the index THIS suite
     # already built and the same codebooks; only build_ivfpq_codes'
-    # one-time cell-partitioned write (marker-idempotent) is new
-    from ..operators.similarity import build_ivfpq_codes, topk_ivfpq
-    from .extensions import _IVFPQ_NPROBE
-
+    # one-time cell-partitioned write (marker-idempotent) is new.
+    # The flat-PQ and IVFPQ shortlists union into ONE TAGGED rerank
+    # (r12 shave): both parts' exact refine rides a single pair of
+    # full-table scans instead of two — values unchanged (the window
+    # partitions on (tag, query), so each variant ranks alone).
     build_ivfpq_codes(spark, idx, books)
-    ivfpq = topk_ivfpq(
-        spark, idx, probes, books, emb,
-        k=_PQ_K, nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST,
-        dim=64, centroids=centroids,
+    short_pq = topk_pq(
+        probes, pq_codes, books, k=_PQ_SHORTLIST
+    ).select("query_id", "neighbor_id")
+    short_iv = ivfpq_shortlist(
+        spark, idx, probes, books,
+        nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST, centroids=centroids,
     )
+    tagged = short_pq.withColumn("__t", F.lit("pq")).unionByName(
+        short_iv.withColumn("__t", F.lit("iv"))
+    )
+    rr = _exact_rerank_shortlist(
+        tagged, emb, _PQ_K, "vec_id", "embedding", 64, tag_col="__t"
+    )
+    pq_t = rr.filter(F.col("__t") == "pq").drop("__t")
+    ivfpq = rr.filter(F.col("__t") == "iv").drop("__t")
     return (
         _part(sess, "session", **cols)
         .unionByName(_part(indexed, "indexed", **cols))

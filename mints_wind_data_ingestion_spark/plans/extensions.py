@@ -4688,7 +4688,13 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.multimodal import encode_bmp
 
-    ids = tables(spark, sf_dir)["documents"].select("doc_id")
+    # spread the bare ids wide first: the parquet scan arrives as ONE
+    # split, and the per-id synth+encode+decode work is ~KBs per
+    # 8-byte id — exactly the high-work_factor case _spread exists for
+    ids = _spread(
+        tables(spark, sf_dir)["documents"].select("doc_id"),
+        work_factor=256,
+    )
 
     def gen(it):
         for pdf in it:
@@ -4798,8 +4804,11 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.multimodal import encode_y4m_gray
 
-    ids = tables(spark, sf_dir)["documents"].select("doc_id").filter(
-        F.col("doc_id") % 10 == 0
+    ids = _spread(
+        tables(spark, sf_dir)["documents"].select("doc_id").filter(
+            F.col("doc_id") % 10 == 0
+        ),
+        work_factor=256,
     )
 
     def gen(it):
@@ -4994,8 +5003,11 @@ def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.multimodal import encode_wav_pcm16
 
-    ids = tables(spark, sf_dir)["documents"].select("doc_id").filter(
-        F.col("doc_id") % 10 == 5
+    ids = _spread(
+        tables(spark, sf_dir)["documents"].select("doc_id").filter(
+            F.col("doc_id") % 10 == 5
+        ),
+        work_factor=256,
     )
 
     def gen(it):
