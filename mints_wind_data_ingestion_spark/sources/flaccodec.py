@@ -1,0 +1,503 @@
+"""Native FLAC codec (r12) — lossless audio for the multimodal path.
+
+Written from the public FLAC format specification (xiph.org /
+RFC 9639): "fLaC" magic → metadata blocks (STREAMINFO mandatory) →
+frames of rice-coded subframes. The decoder covers the full subset
+real encoders emit for integer PCM: CONSTANT / VERBATIM / FIXED
+(orders 0-4) / LPC (orders 1-32) subframes, both rice residual
+methods (4- and 5-bit parameters, escape-to-raw partitions, partition
+orders 0-15), all four channel assignments (independent, left/side,
+right/side, mid/side), 8/12/16/20/24-bit samples, and both blocking
+strategies. CRC-8 (frame header) and CRC-16 (whole frame) are
+VERIFIED — a corrupt stream raises ValueError (the multimodal
+quarantine class), never returns wrong samples silently.
+
+The encoder half (`encode_flac`) is the fixtures/re-encode
+counterpart (the encode_bmp / encode_y4m_gray / encode_jpeg
+precedent): deterministic fixed-predictor selection (orders 0-2 by
+residual magnitude), single-partition rice residuals, CONSTANT
+collapse, independent channels — a valid, compact subset any
+spec-conforming decoder reads back bit-exactly.
+
+Because FLAC is LOSSLESS, the audio fingerprint dedup model survives
+a WAV→FLAC re-encode EXACTLY (bit-equal waveforms → bit-equal
+fingerprints) — unlike the G.711 companded path, where only
+near-stability holds. Pinned in tests/test_round12.py.
+
+Reference parity note: the reference repo (a GRIB2→JSON→Postgres cron
+ETL, SURVEY.md §1) has no audio surface; this module serves the
+engine's multimodal-corpus mandate (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["decode_flac", "encode_flac"]
+
+#: frame-header sample-rate codes (Hz); None = read from elsewhere
+_SR_TABLE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        while n:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC: bitstream truncated")
+            avail = 8 - self.bit
+            take = min(n, avail)
+            byte = self.data[self.pos]
+            out = (out << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC: bitstream truncated in unary")
+            if self.read(1):
+                return q
+            q += 1
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _read_utf8_number(r: _BitReader) -> int:
+    """The frame header's UTF-8-style coded number (up to 36 bits)."""
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("FLAC: bad UTF-8 coded number")
+    val = b0 & (mask - 1)
+    for _ in range(n):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("FLAC: bad UTF-8 continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"FLAC: reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    n_part = 1 << porder
+    if blocksize % n_part:
+        raise ValueError("FLAC: partition does not divide block size")
+    out: list[int] = []
+    for p in range(n_part):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC: predictor order exceeds first partition")
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            for _ in range(n):
+                out.append(r.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = r.read_unary()
+                v = (q << param) | r.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("FLAC: subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC: wasted bits exceed sample size")
+
+    if stype == 0:  # CONSTANT
+        v = r.read_signed(eff)
+        samples = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [r.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        samples = [r.read_signed(eff) for _ in range(order)]
+        resid = _decode_residual(r, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for res in resid:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(res + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        samples = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 0xF:
+            raise ValueError("FLAC: invalid LPC precision")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(r, blocksize, order)
+        for res in resid:
+            acc = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(res + (acc >> shift))
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(payload: bytes) -> dict:
+    """FLAC → the `decode_audio` contract: {"sample_rate",
+    "n_channels", "n_samples", "waveform": float64 in [-1, 1],
+    shape (n, ch)}. Raises ValueError on any corruption (bad magic,
+    CRC mismatch, reserved codes, truncation)."""
+    import numpy as np
+
+    if payload[:4] != b"fLaC":
+        raise ValueError("FLAC: bad magic")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC: truncated metadata")
+        hdr = payload[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("FLAC: truncated metadata block")
+        if btype == 0:
+            if length != 34:
+                raise ValueError("FLAC: STREAMINFO must be 34 bytes")
+            streaminfo = body
+        pos += 4 + length
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC: missing STREAMINFO")
+    si = _BitReader(streaminfo)
+    si.read(16)  # min blocksize
+    si.read(16)  # max blocksize
+    si.read(24)  # min framesize
+    si.read(24)  # max framesize
+    sr_si = si.read(20)
+    ch_si = si.read(3) + 1
+    bps_si = si.read(5) + 1
+    total = si.read(36)
+
+    channels_out: list[list[int]] = [[] for _ in range(ch_si)]
+    r = _BitReader(payload, pos)
+    while r.pos < len(payload):
+        frame_start = r.pos
+        if r.read(14) != 0x3FFE:
+            raise ValueError(f"FLAC: lost frame sync at {frame_start}")
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)  # reserved
+        _read_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = r.read(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 0:
+            pass
+        elif sr_code in _SR_TABLE:
+            pass
+        elif sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        else:
+            raise ValueError("FLAC: invalid sample rate code")
+        bps = {0: bps_si, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if bps is None:
+            raise ValueError(f"FLAC: reserved sample size code {ss_code}")
+        r.align()
+        # CRC-8 covers the header bytes up to (excluding) the crc byte
+        if _crc8(payload[frame_start : r.pos]) != r.read(8):
+            raise ValueError("FLAC: frame header CRC-8 mismatch")
+
+        if ch_code <= 7:
+            n_ch = ch_code + 1
+            if n_ch != ch_si:
+                raise ValueError("FLAC: channel count mismatch")
+            subs = [
+                _decode_subframe(r, blocksize, bps) for _ in range(n_ch)
+            ]
+        elif ch_code in (8, 9, 10):
+            if ch_si != 2:
+                raise ValueError("FLAC: stereo decorrelation in non-stereo stream")
+            bps_a = bps + (1 if ch_code == 9 else 0)
+            bps_b = bps + (1 if ch_code in (8, 10) else 0)
+            a = _decode_subframe(r, blocksize, bps_a)
+            b = _decode_subframe(r, blocksize, bps_b)
+            if ch_code == 8:  # left/side
+                subs = [a, [x - s for x, s in zip(a, b)]]
+            elif ch_code == 9:  # right/side
+                subs = [[s + x for s, x in zip(a, b)], b]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(a, b):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
+        r.align()
+        body_end = r.pos
+        if _crc16(payload[frame_start:body_end]) != r.read(16):
+            raise ValueError("FLAC: frame CRC-16 mismatch")
+        for c in range(ch_si):
+            channels_out[c].extend(subs[c])
+
+    n = min(len(channels_out[0]), total) if total else len(channels_out[0])
+    arr = np.array([c[:n] for c in channels_out], dtype=np.float64).T
+    wave = arr / float(1 << (bps_si - 1))
+    return {
+        "sample_rate": sr_si,
+        "n_channels": ch_si,
+        "n_samples": n,
+        "waveform": wave,
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixtures / re-encode half)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _utf8_number(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    n_cont = 1
+    while bits > 6 * n_cont + (6 - n_cont):
+        n_cont += 1
+    for i in range(n_cont):
+        out.append(0x80 | ((n >> (6 * (n_cont - 1 - i))) & 0x3F))
+    lead = (0xFF << (7 - n_cont)) & 0xFF | (n >> (6 * n_cont))
+    return bytes([lead] + out)
+
+
+def _best_rice_param(resid: list[int]) -> tuple[int, int]:
+    """(k, total bits) of the smallest-size rice parameter (4-bit
+    method, k ≤ 14)."""
+    best = (0, None)
+    for k in range(15):
+        bits = sum(((abs(2 * r) - (r < 0)) >> k) + 1 + k for r in resid)
+        if best[1] is None or bits < best[1]:
+            best = (k, bits)
+    return best
+
+
+def _write_residual(w: _BitWriter, resid: list[int]) -> None:
+    """Method 0 (4-bit rice), partition order 0."""
+    w.write(0, 2)
+    w.write(0, 4)
+    k, _bits = _best_rice_param(resid)
+    w.write(k, 4)
+    for rv in resid:
+        z = (rv << 1) if rv >= 0 else ((-rv) << 1) - 1
+        q = z >> k
+        for _ in range(q):
+            w.write(0, 1)
+        w.write(1, 1)
+        w.write(z, k)
+
+
+def _encode_subframe(w: _BitWriter, s: list[int], bps: int) -> None:
+    if all(v == s[0] for v in s):
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(s[0], bps)
+        return
+    # fixed predictor order 0-2, chosen by ACTUAL coded size (warmup
+    # + optimal-k rice bits), against the verbatim floor
+    cands = []
+    for order, coefs in list(_FIXED_COEFS.items())[:3]:
+        if len(s) <= order:
+            continue
+        resid = [
+            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(s))
+        ]
+        _k, rice_bits = _best_rice_param(resid)
+        cands.append((order * bps + rice_bits, order, resid))
+    bits, order, resid = min(cands)
+    if bits >= len(s) * bps:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for v in s:
+            w.write(v, bps)
+        return
+    w.write(0, 1)
+    w.write(8 + order, 6)  # FIXED
+    w.write(0, 1)
+    for v in s[:order]:
+        w.write(v, bps)
+    _write_residual(w, resid)
+
+
+def encode_flac(
+    samples, sample_rate: int = 8000, block_size: int = 4096
+) -> bytes:
+    """Encode an (n,) or (n, ch) int16 array as a FLAC stream —
+    deterministic subset encoder (fixed predictors 0-2, 4-bit rice,
+    partition order 0, independent channels)."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if not n:
+        raise ValueError("encode_flac: no samples")
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+
+    frames = bytearray()
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = s[start : start + block_size]
+        bs = len(blk)
+        w = _BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 1)
+        w.write(0, 1)  # fixed blocking
+        w.write(7, 4)  # 16-bit block size follows
+        w.write(13, 4)  # 16-bit sample rate (Hz) follows
+        w.write(ch - 1, 4)
+        w.write(4, 3)  # 16 bps
+        w.write(0, 1)
+        for b in _utf8_number(fi):
+            w.write(b, 8)
+        w.write(bs - 1, 16)
+        w.write(sample_rate, 16)
+        # header is byte-aligned by construction (32 bits + whole
+        # UTF-8 bytes + 2×16); CRC-8 covers every header byte so far
+        w.write(_crc8(bytes(w.buf)), 8)
+        for c in range(ch):
+            _encode_subframe(w, [int(v) for v in blk[:, c]], 16)
+        w.align()
+        body = bytes(w.buf)
+        frames += body + struct.pack(">H", _crc16(body))
+
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(ch - 1, 3)
+    si.write(15, 5)  # 16 bps
+    si.write(n, 36)
+    si.align()
+    streaminfo = si.bytes() + md5
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes(frames)
+    )

@@ -400,6 +400,10 @@ def decode_audio(payload: bytes) -> dict:
 
     import numpy as np
 
+    if payload[:4] == b"fLaC":  # lossless FLAC decodes natively (r12)
+        from .flaccodec import decode_flac
+
+        return decode_flac(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         try:
             from io import BytesIO
@@ -407,8 +411,9 @@ def decode_audio(payload: bytes) -> dict:
             import soundfile  # type: ignore[import-not-found]
         except ImportError as e:
             raise NotImplementedError(
-                "non-WAV audio decode requires soundfile, not shipped in "
-                "this environment; RIFF PCM and G.711 WAV decode natively"
+                "non-WAV/FLAC audio decode requires soundfile, not shipped "
+                "in this environment; RIFF PCM, G.711 WAV and FLAC decode "
+                "natively"
             ) from e
         data, sr = soundfile.read(BytesIO(payload))
         return {

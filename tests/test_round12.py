@@ -523,6 +523,109 @@ def test_g711_through_audio_gate(spark, tmp_path):
     assert quar == {2: "batch_dup"}
 
 
+# ---------------------------------------------------------------------------
+# FLAC (r12): lossless audio, zero dependencies
+# ---------------------------------------------------------------------------
+
+
+def test_flac_round_trip_matrix():
+    """Bit-exact encode→decode across the encoder's subframe types:
+    constant runs, tonal content (fixed predictors), and full-range
+    noise (verbatim), mono and stereo, short last frame."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(9)
+    t = np.arange(9000)
+    tone = (6000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    noise = rng.integers(-32768, 32767, 9000, dtype=np.int16)
+    const = np.full(9000, -123, dtype=np.int16)
+    stereo = np.stack([tone, noise], axis=1)
+    for sig, bs in [(tone, 4096), (noise, 1000), (const, 4096),
+                    (stereo, 777)]:
+        f = encode_flac(sig, 8000, block_size=bs)
+        d = decode_flac(f)
+        back = np.round(d["waveform"] * 32768).astype(np.int16)
+        if sig.ndim == 1:
+            back = back[:, 0]
+        assert np.array_equal(back, sig), (sig.shape, bs)
+        assert d["sample_rate"] == 8000
+    # tonal content must actually compress under the fixed predictors
+    assert len(encode_flac(tone, 8000)) < 0.8 * tone.nbytes
+
+
+def test_flac_corruption_quarantined():
+    import numpy as np
+    import pytest as _pytest
+
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = (3000 * np.sin(np.arange(5000) / 7)).astype(np.int16)
+    good = encode_flac(x, 8000)
+    for mutate in (
+        lambda b: b[:3],                                   # bad magic
+        lambda b: b[:40],                                  # truncated
+        lambda b: b[: len(b) // 2] + b"\xff" + b[len(b) // 2 + 1 :],
+    ):
+        with _pytest.raises(ValueError):
+            decode_flac(bytes(mutate(bytearray(good))))
+
+
+def test_flac_fingerprints_exact_vs_wav(spark):
+    """FLAC is lossless, so the fingerprint-set dedup model survives a
+    WAV→FLAC re-encode EXACTLY (the property the G.711 companded path
+    only approximates) — and the gate treats a FLAC near-dup of a WAV
+    clip as a duplicate."""
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        synth_audio_segments,
+    )
+    from mints_wind_data_ingestion_spark.sources.flaccodec import encode_flac
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        audio_fingerprint,
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    x = synth_audio_segments(30, 0)
+    fp_wav = audio_fingerprint(decode_audio(encode_wav_pcm16(x))["waveform"])
+    fp_flac = audio_fingerprint(decode_audio(encode_flac(x))["waveform"])
+    assert fp_wav == fp_flac
+
+    # cross-container gate: WAV clip stored, FLAC twin arrives later
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        audio_fingerprint_df,
+        video_neardup_join,
+    )
+    import pyspark.sql.functions as F
+
+    both = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(x))),
+            (2, bytearray(encode_flac(x))),
+        ],
+        "doc_id long, payload binary",
+    )
+    sigs = (
+        audio_fingerprint_df(both)
+        .filter(F.col("fhash").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.collect_set("fhash").alias("__fh"))
+    )
+    new = sigs.filter(F.col("doc_id") == 2)
+    stored = sigs.filter(F.col("doc_id") == 1).select(
+        F.col("doc_id").alias("__oid"), "__fh"
+    )
+    hits = video_neardup_join(new, stored).collect()
+    assert len(hits) == 1 and hits[0]["jaccard"] == 1.0
+
+
 def test_prefix_rs_function_direct(spark):
     """jaccard_join_prefix_filtered_rs with custom column names."""
     new = spark.createDataFrame(
