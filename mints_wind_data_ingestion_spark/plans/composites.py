@@ -1407,6 +1407,7 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ..sources.flaccodec import encode_flac
     from ..sources.multimodal import (
         audio_fingerprint,
         decode_audio,
@@ -1475,9 +1476,16 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  int(np.int64(np.uint64(dhash64(y)))))
                 if i % 10 == 5:
                     for sib in (0, 1) if i % 40 == 5 else (0,):
+                        # every 4th clip ships as FLAC — mirrors
+                        # _audio_corpus exactly (lossless, so the
+                        # fingerprints and oracles are unchanged)
+                        enc = (
+                            encode_flac if (i // 10) % 4 == 0
+                            else encode_wav_pcm16
+                        )
                         fps = audio_fingerprint(
                             decode_audio(
-                                encode_wav_pcm16(synth_audio_segments(i, sib))
+                                enc(synth_audio_segments(i, sib))
                             )["waveform"]
                         )
                         for idx, fp in fps:

@@ -5001,6 +5001,7 @@ def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow pass."""
     import pandas as pd
 
+    from ..sources.flaccodec import encode_flac
     from ..sources.multimodal import encode_wav_pcm16
 
     ids = _spread(
@@ -5017,9 +5018,16 @@ def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 for sib in (0, 1) if i % 40 == 5 else (0,):
                     out_ids.append(i + sib * _AUD_SIB_OFFSET)
-                    payloads.append(
-                        encode_wav_pcm16(synth_audio_segments(i, sib))
+                    # every 4th clip ships as FLAC (r12): the codec is
+                    # LOSSLESS, so the replica oracle (which derives
+                    # fingerprints from the synth samples directly) is
+                    # container-blind — the swap makes the native FLAC
+                    # decode path driver-hash-load-bearing for free
+                    enc = (
+                        encode_flac if (i // 10) % 4 == 0
+                        else encode_wav_pcm16
                     )
+                    payloads.append(enc(synth_audio_segments(i, sib)))
             yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
 
     return ids.mapInPandas(gen, "doc_id long, payload binary")
