@@ -30,8 +30,10 @@ def _payloads():
         b"YUV4MPEG2 W16 H12 F25:1 Ip A1:1 C420\n"
         + b"".join(b"FRAME\n" + bytes(16 * 12 * 3 // 2) for _ in range(4))
     )
+    from mints_wind_data_ingestion_spark.sources.flaccodec import encode_flac
     from mints_wind_data_ingestion_spark.sources.jpegcodec import encode_jpeg
 
+    samples = np.frombuffer(pcm, dtype="<i2")
     return [
         (mm.encode_bmp(px), "img"),
         (b"P6\n16 12\n255\n" + px.tobytes(), "img"),
@@ -39,7 +41,14 @@ def _payloads():
         (encode_jpeg(px, quality=85, subsampling="4:2:0"), "img"),
         (encode_jpeg(px[:, :, 0], quality=85, restart_interval=1), "img"),
         (wav, "aud"),
+        # r12 codecs: G.711 (both laws), FLAC, MJPEG-in-AVI
+        (mm.encode_wav_g711(samples, law="ulaw"), "aud"),
+        (mm.encode_wav_g711(samples, law="alaw"), "aud"),
+        (encode_flac(samples, 8000, block_size=512), "aud"),
         (y4m, "vid"),
+        (mm.encode_mjpeg_avi(
+            [px[:, :, 0], (px[:, :, 1] // 2)], quality=85
+        ), "vid"),
     ]
 
 
