@@ -1085,9 +1085,9 @@ def x_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dedup_clusters materializes its edges eagerly, populating the
     # persist for the lazy neardup branch)
     emb = _spread(tables(spark, sf_dir)["embeddings"])
-    nd = cosine_pairs_blockwise(
+    nd = managed_cache(cosine_pairs_blockwise(
         emb, "vec_id", "embedding", threshold=0.4, round_to=6
-    ).persist()
+    ))
     cl = dedup_clusters(
         emb.select("vec_id"), nd.select("id_a", "id_b"), id_col="vec_id"
     )
@@ -1941,7 +1941,9 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread 2.14 s vs gated-off 3.34 s), the same shape that sized
     # decontamination's factor.
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
-    with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0").persist()
+    with_sh = managed_cache(
+        shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0")
+    )
     ja = jaccard_similarity_join(with_sh, "doc_id", "sh0", threshold=0.5)
     si = simhash_pairs_from_shingles(with_sh, shingle_col="sh0")
     return (

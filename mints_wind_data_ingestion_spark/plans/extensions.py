@@ -2966,10 +2966,9 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second full-text groupBy shuffle. A real curation pipeline
     # materializes this stage boundary (staging table); in-session
     # MEMORY_AND_DISK persist is the same decision.
-    uniq = (
+    uniq = managed_cache(
         exact_dedup(en, cols=["text"], id_col="doc_id")
         .select("doc_id", "text")
-        .persist()
     )
     with_sh = shingle_docs_pandas(uniq, "doc_id", "text", 3, out="shingles")
     pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
@@ -4536,9 +4535,9 @@ def x_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1 (5 reps/arm): cached 0.99 s min / 1.06 med vs uncached
     # 1.67 min / 1.72 med. Mid-plan cache → prepared-plan-cache
     # self-exclusion, the LM-trainer precedent.
-    feats = probe_features(
+    feats = managed_cache(probe_features(
         _spread(tables(spark, sf_dir)["documents"])
-    ).persist()
+    ))
     model = train_linear_probe(feats)
     return score_linear_probe(feats, model)
 

@@ -620,6 +620,8 @@ def encode_mjpeg_avi(frames, quality: int = 90, fps: int = 25) -> bytes:
 
     if not frames:
         raise ValueError("encode_mjpeg_avi: no frames")
+    if fps <= 0:
+        raise ValueError(f"encode_mjpeg_avi: fps must be positive, got {fps}")
     jpegs = [
         encode_jpeg(np.asarray(f, dtype=np.uint8), quality=quality)
         for f in frames
