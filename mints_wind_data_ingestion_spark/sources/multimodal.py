@@ -75,6 +75,7 @@ __all__ = [
     "sample_video_frames",
     "resize_image",
     "encode_bmp",
+    "encode_png",
     "image_features",
     "audio_features",
     "transform_images",
@@ -717,6 +718,44 @@ def encode_bmp(pixels) -> bytes:
     return bytes(header) + bytes(body)
 
 
+def encode_png(pixels, level: int = 6) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as an
+    8-bit PNG (color type 0/2, filter 0 rows, one zlib IDAT) — pure
+    stdlib (zlib deflate + crc32), the LOSSLESS re-encode option of
+    the image transform loop (`decode_image` reads it back through the
+    engine's own RFC 2083 decoder, so the round trip is closed with
+    zero dependencies and dHash survives exactly)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if px.ndim not in (2, 3) or (px.ndim == 3 and px.shape[2] != 3):
+        raise ValueError("encode_png expects (H, W) or (H, W, 3) uint8")
+    h, w = px.shape[:2]
+    if not h or not w:
+        raise ValueError("encode_png: empty image")
+    gray = px.ndim == 2
+    rows = px if gray else px.reshape(h, w * 3)
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        c = tag + body
+        return (
+            struct.pack(">I", len(body)) + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, level))
+        + chunk(b"IEND", b"")
+    )
+
+
 def image_features(pixels) -> dict:
     """Pixel-statistics feature vector: per-channel means, global std,
     and an 8-bin luminance histogram (normalized) — the cheap signals
@@ -764,9 +803,10 @@ def transform_images(
     re-encode + features, as one Arrow-batched mapInPandas pass —
     binary column in, binary column + typed features out, the
     decode-transform-store shape of an image-training-data job.
-    `out_format`: "bmp" (lossless container) or "jpeg" (the engine's
-    own T.81 encoder at `quality` — what a thumbnail/training-shard
-    writer actually stores; `decode_image` reads both back).
+    `out_format`: "bmp" (lossless, uncompressed), "png" (lossless,
+    deflate — r12) or "jpeg" (the engine's own T.81 encoder at
+    `quality` — what a thumbnail/training-shard writer actually
+    stores); `decode_image` reads all three back.
     Undecodable payloads become NULL rows (counted by the caller), not
     task failures. Nothing touches the driver; memory is bounded by
     one Arrow batch of payloads."""
@@ -774,13 +814,15 @@ def transform_images(
 
     if out_format == "bmp":
         encode = encode_bmp
+    elif out_format == "png":
+        encode = encode_png
     elif out_format == "jpeg":
         from .jpegcodec import encode_jpeg
 
         def encode(px):
             return encode_jpeg(px, quality=quality)
     else:
-        raise ValueError(f"out_format {out_format!r}: bmp or jpeg")
+        raise ValueError(f"out_format {out_format!r}: bmp, png or jpeg")
 
     out_schema = StructType(
         [

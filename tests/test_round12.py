@@ -626,6 +626,40 @@ def test_flac_fingerprints_exact_vs_wav(spark):
     assert len(hits) == 1 and hits[0]["jaccard"] == 1.0
 
 
+def test_png_encode_round_trip(spark):
+    """encode_png (r12): lossless stdlib PNG out, read back through
+    the engine's own RFC 2083 decoder — pixels AND dHash exact; the
+    transform pipeline gains the 'png' output format."""
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        decode_image,
+        dhash64,
+        encode_png,
+        synth_bmp_corpus,
+        transform_images,
+        with_payload,
+    )
+
+    rng = np.random.default_rng(4)
+    gray = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 21, 3), dtype=np.uint8)
+    for px in (gray, rgb):
+        back = decode_image(encode_png(px))["pixels"]
+        assert np.array_equal(back, px)
+        assert dhash64(back) == dhash64(px)
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = transform_images(
+        synth_bmp_corpus(docs), 8, 8, out_format="png"
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        img = decode_image(bytes(r.resized))
+        assert (img["width"], img["height"]) == (8, 8)
+        assert bytes(r.resized)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_prefix_rs_function_direct(spark):
     """jaccard_join_prefix_filtered_rs with custom column names."""
     new = spark.createDataFrame(
