@@ -1414,6 +1414,7 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image,
         dhash64,
         encode_bmp,
+        encode_png,
         encode_wav_pcm16,
         encode_y4m_gray,
         sample_video_frames,
@@ -1459,8 +1460,11 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 for sib in (0, 1) if i % 20 == 0 else (0,):
+                    # every 4th image ships as PNG — mirrors
+                    # _image_corpus exactly (lossless, hashes unchanged)
+                    enc_i = encode_png if i % 4 == 0 else encode_bmp
                     h = dhash64(
-                        decode_image(encode_bmp(synth_image_pixels(i, sib)))[
+                        decode_image(enc_i(synth_image_pixels(i, sib)))[
                             "pixels"
                         ]
                     )

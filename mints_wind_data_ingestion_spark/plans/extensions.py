@@ -4696,13 +4696,20 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(it):
+        from ..sources.multimodal import encode_png
+
         for pdf in it:
             out_ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 for sib in (0, 1) if i % 20 == 0 else (0,):
                     out_ids.append(i + sib * _IMG_SIB_OFFSET)
-                    payloads.append(encode_bmp(synth_image_pixels(i, sib)))
+                    # every 4th image ships as PNG (r12): lossless, so
+                    # the decode-skipping replica oracle is container-
+                    # blind and the RFC 2083 decode path becomes
+                    # driver-hash-load-bearing (the FLAC move)
+                    enc = encode_png if i % 4 == 0 else encode_bmp
+                    payloads.append(enc(synth_image_pixels(i, sib)))
             yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
 
     return ids.mapInPandas(gen, "doc_id long, payload binary")

@@ -92,15 +92,18 @@ def test_y4m_frame_sampling():
 
 
 def test_compressed_formats_raise_contract():
-    # PNG is native since r10 and baseline JPEG since r11, so damaged
-    # streams of both raise the quarantine-class ValueError; formats
-    # with no native path still dispatch to (absent) optional libs
+    # PNG is native since r10, baseline JPEG since r11, and FLAC since
+    # r12, so damaged streams of all three raise the quarantine-class
+    # ValueError; formats with no native path (MP3, MP4/H.264) still
+    # dispatch to (absent) optional libs
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0....jpeg")
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_audio(b"fLaC....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03\x00....mp3")
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00\x00 ftypisom....")
 
