@@ -511,6 +511,50 @@ def _write_residual(w: _BitWriter, resid: list[int]) -> None:
         w.write(z, k)
 
 
+_LPC_ORDER = 8
+_LPC_PRECISION = 12  # quantized coefficient bits
+
+
+def _lpc_quantized(s: list[int], order: int):
+    """(qcoefs, shift) via autocorrelation + Levinson-Durbin, coefs
+    quantized to `_LPC_PRECISION`-bit signed at a power-of-two shift —
+    the standard FLAC LPC path. Returns None when the block is too
+    short or numerically degenerate (caller falls back to FIXED)."""
+    import numpy as np
+
+    if len(s) <= order * 2:
+        return None
+    x = np.asarray(s, dtype=np.float64)
+    n = len(x)
+    r = np.array(
+        [np.dot(x[: n - lag], x[lag:]) for lag in range(order + 1)]
+    )
+    if r[0] == 0.0:
+        return None
+    # Levinson-Durbin recursion
+    err = r[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = r[i + 1] - np.dot(a[:i], r[i:0:-1][:i])
+        if err <= 0:
+            return None
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1.0 - k * k
+    cmax = np.abs(a).max()
+    if not np.isfinite(cmax) or cmax == 0.0:
+        return None
+    # shift: largest power of two keeping every coef in PRECISION bits
+    shift = _LPC_PRECISION - 1 - max(0, int(np.floor(np.log2(cmax))) + 1)
+    shift = max(1, min(15, shift))
+    q = np.round(a * (1 << shift)).astype(np.int64)
+    lim = 1 << (_LPC_PRECISION - 1)
+    q = np.clip(q, -lim, lim - 1)
+    if not q.any():
+        return None
+    return [int(v) for v in q], shift
+
+
 def _encode_subframe(w: _BitWriter, s: list[int], bps: int) -> None:
     if all(v == s[0] for v in s):
         w.write(0, 1)
@@ -518,8 +562,9 @@ def _encode_subframe(w: _BitWriter, s: list[int], bps: int) -> None:
         w.write(0, 1)
         w.write(s[0], bps)
         return
-    # fixed predictor order 0-2, chosen by ACTUAL coded size (warmup
-    # + optimal-k rice bits), against the verbatim floor
+    # candidates: fixed predictors 0-2 and one Levinson-Durbin LPC,
+    # all judged by ACTUAL coded size (header + warmup + optimal-k
+    # rice bits), against the verbatim floor
     cands = []
     for order, coefs in list(_FIXED_COEFS.items())[:3]:
         if len(s) <= order:
@@ -529,8 +574,21 @@ def _encode_subframe(w: _BitWriter, s: list[int], bps: int) -> None:
             for i in range(order, len(s))
         ]
         _k, rice_bits = _best_rice_param(resid)
-        cands.append((order * bps + rice_bits, order, resid))
-    bits, order, resid = min(cands)
+        cands.append((order * bps + rice_bits, ("fixed", order, None), resid))
+    lpc = _lpc_quantized(s, _LPC_ORDER)
+    if lpc is not None:
+        qc, shift = lpc
+        o = len(qc)
+        resid = [
+            s[i] - (sum(c * s[i - 1 - j] for j, c in enumerate(qc)) >> shift)
+            for i in range(o, len(s))
+        ]
+        _k, rice_bits = _best_rice_param(resid)
+        hdr = o * bps + 4 + 5 + o * _LPC_PRECISION
+        cands.append((hdr + rice_bits, ("lpc", o, (qc, shift)), resid))
+    bits, (kind, order, extra), resid = min(
+        cands, key=lambda c: (c[0], c[1][0], c[1][1])
+    )
     if bits >= len(s) * bps:
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
@@ -539,10 +597,21 @@ def _encode_subframe(w: _BitWriter, s: list[int], bps: int) -> None:
             w.write(v, bps)
         return
     w.write(0, 1)
-    w.write(8 + order, 6)  # FIXED
-    w.write(0, 1)
-    for v in s[:order]:
-        w.write(v, bps)
+    if kind == "fixed":
+        w.write(8 + order, 6)  # FIXED
+        w.write(0, 1)
+        for v in s[:order]:
+            w.write(v, bps)
+    else:
+        qc, shift = extra
+        w.write(31 + order, 6)  # LPC, order-1 = order-1 … type 1xxxxx
+        w.write(0, 1)
+        for v in s[:order]:
+            w.write(v, bps)
+        w.write(_LPC_PRECISION - 1, 4)
+        w.write(shift, 5)
+        for c in qc:
+            w.write(c, _LPC_PRECISION)
     _write_residual(w, resid)
 
 
