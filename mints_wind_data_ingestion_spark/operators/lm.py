@@ -58,6 +58,7 @@ __all__ = [
     "stupid_backoff_perplexity",
     "dsir_logweights",
     "dsir_bucket_logweights",
+    "dsir_bucket_logweights_split",
     "train_dsir_bucket_model",
     "score_dsir_buckets",
     "persist_dsir_bucket_model",
@@ -633,8 +634,6 @@ def train_dsir_bucket_model(
     plain DataFrames — persistable via `persist_dsir_bucket_model`,
     broadcast at score time. The hash family is NOT stored: callers
     must score with the same `hash_fn` they trained with."""
-    add_k = float(add_k)
-    b_lit = F.lit(int(hash_buckets))
 
     def _grams(corpus: DataFrame, flag: int) -> DataFrame:
         return _tagged_grams(
@@ -660,6 +659,17 @@ def train_dsir_bucket_model(
             F.sum(F.when(F.col("__tgt") == 0, 1).otherwise(0)).alias("cr"),
         )
     )
+    return _bucket_model_from_counts(counts, hash_buckets, add_k)
+
+
+def _bucket_model_from_counts(
+    counts: DataFrame, hash_buckets: int, add_k: float
+) -> tuple[DataFrame, DataFrame]:
+    """(delta, meta) from a (b, ct, cr) bucket-count table — the
+    shared back half of the two-corpus trainer and the single-pass
+    split scorer."""
+    add_k = float(add_k)
+    b_lit = F.lit(int(hash_buckets))
 
     def _nll(c_col, tot_col):
         return F.round(
@@ -695,6 +705,51 @@ def train_dsir_bucket_model(
         )
     )
     return delta, meta
+
+
+def dsir_bucket_logweights_split(
+    docs: DataFrame,
+    target_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_buckets: int = 10_000,
+    add_k: float = 0.1,
+    hash_fn=None,
+) -> DataFrame:
+    """`dsir_bucket_logweights` for the common case where target and
+    raw are a FILTER SPLIT of the scored corpus itself (`target_cond`
+    is a Column over the normalized `doc_id`): ONE cached
+    (doc_id, gram, b, tgt) Arrow pass feeds BOTH the bucket-count
+    training aggregate and the scoring join — the general three-corpus
+    form tokenizes the corpus twice (once for the split training
+    passes, once for scoring). Identical values to the general form
+    (same grams, same buckets, same quantized model — pinned by the
+    registry oracle)."""
+    g = managed_cache(
+        _doc_grams(docs, id_col, text_col).select(
+            "doc_id", "gram",
+            _bucket_col(F.col("gram"), hash_buckets, hash_fn),
+            F.when(target_cond, 1).otherwise(0).alias("__tgt"),
+        )
+    )
+    counts = g.filter(F.col("gram").isNotNull()).groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt") == 1, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("__tgt") == 0, 1).otherwise(0)).alias("cr"),
+    )
+    delta, meta = _bucket_model_from_counts(counts, hash_buckets, add_k)
+    scored = (
+        g.join(F.broadcast(delta), "b", "left")
+        .crossJoin(F.broadcast(meta.select("d0_e6")))
+        .select(
+            "doc_id",
+            F.when(F.col("gram").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(F.coalesce("d_e6", "d0_e6")).alias("lw_e6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("lw_e6").alias("n_grams"),
+        F.coalesce(F.sum("lw_e6"), F.lit(0)).alias("logw_e6"),
+    )
 
 
 def score_dsir_buckets(

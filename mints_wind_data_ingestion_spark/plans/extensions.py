@@ -4370,13 +4370,15 @@ def x_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB derives identical buckets; the library default stays
     xxhash64 for production. B=1024 keeps buckets genuinely colliding
     at the graded sf, exercising the hash-collision semantics."""
-    from ..operators.lm import dsir_bucket_logweights
+    from ..operators.lm import dsir_bucket_logweights_split
 
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=8)
-    target = docs.filter(F.col("doc_id") % 7 == 0)
-    raw = docs.filter(F.col("doc_id") % 7 != 0)
-    return dsir_bucket_logweights(
-        docs, target, raw, hash_buckets=_DSIR_B, add_k=0.1,
+    # split form (r12): target/raw are a filter split of the scored
+    # corpus itself, so ONE cached gram pass feeds training AND
+    # scoring — bit-identical to the general three-corpus form
+    # (equivalence pinned at two sfs), at half the Arrow gram work
+    return dsir_bucket_logweights_split(
+        docs, F.col("doc_id") % 7 == 0, hash_buckets=_DSIR_B, add_k=0.1,
         hash_fn=_md5_60,
     )
 
