@@ -732,9 +732,14 @@ def dsir_bucket_logweights_split(
             F.when(target_cond, 1).otherwise(0).alias("__tgt"),
         )
     )
-    counts = g.filter(F.col("gram").isNotNull()).groupBy("b").agg(
-        F.sum(F.when(F.col("__tgt") == 1, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("__tgt") == 0, 1).otherwise(0)).alias("cr"),
+    # the ≤B-row counts table is cached exactly as in the general
+    # trainer: meta and delta (which re-reads meta) would otherwise
+    # each re-aggregate the cached gram table
+    counts = managed_cache(
+        g.filter(F.col("gram").isNotNull()).groupBy("b").agg(
+            F.sum(F.when(F.col("__tgt") == 1, 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("__tgt") == 0, 1).otherwise(0)).alias("cr"),
+        )
     )
     delta, meta = _bucket_model_from_counts(counts, hash_buckets, add_k)
     scored = (
