@@ -1006,27 +1006,6 @@ def _check_bands(bands: int, max_hamming: int) -> None:
         )
 
 
-def _banded_dhash(hashes: DataFrame, id_col: str, bands: int) -> DataFrame:
-    """(id, dhash, band, band_val) — the 64 hash bits sliced into
-    `bands` equal-width equi-join keys; NULL-dhash (undecodable) rows
-    drop out before any join."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    return hashes.filter(F.col("dhash").isNotNull()).select(
-        F.col(id_col),
-        "dhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("dhash"), j * width)
-                    .bitwiseAND(F.lit(mask))
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band", "band_val"),
-    )
-
-
 def image_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -1042,6 +1021,16 @@ def image_neardup_pairs(
     SimHash pipeline (plans.extensions.x_dedup_simhash); NULL-dhash
     (undecodable) rows drop out before the join.
 
+    Since r13 the banded self-join COLLAPSES IDENTICAL FINGERPRINTS
+    first (operators.dedup.banded_hamming_pairs; VERDICT r12 "What's
+    wrong" #1): a real crawl carries thousands-to-millions of
+    byte-identical blank thumbnails / tracking pixels / default
+    avatars — all dHash-identical — and banding every row would push
+    m²/2 candidate rows × 8 bands through the shuffle per hot
+    cluster. Distinct hashes band-join; membership joins expand the
+    answer, proportional to the output. Pinned by the planted
+    10³-identical-image test (tests/test_round13.py).
+
     The hash table is cached before the self-join (the
     jaccard_similarity_join posting-cache convention): both join
     sides consume it, and without a materialization point the
@@ -1050,30 +1039,17 @@ def image_neardup_pairs(
     `cache=False` when the input is already materialized (a
     streaming gate's localCheckpoint) — an internal .cache() there
     would leak one CacheManager entry per epoch."""
+    from ..operators.dedup import banded_hamming_pairs
+
     _check_bands(bands, max_hamming)
     hashes = hashes.filter(F.col("dhash").isNotNull())
     if cache:
         from ..caching import managed_cache
 
         hashes = managed_cache(hashes)
-    banded = _banded_dhash(hashes, id_col, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return banded_hamming_pairs(
+        hashes, id_col, "dhash", nbits=64, bands=bands,
+        max_hamming=max_hamming,
     )
 
 
@@ -1090,26 +1066,21 @@ def image_neardup_join(
     `image_neardup_pairs`, joining a batch's dHash table against a
     persisted corpus index instead of self-joining one table. Same
     pigeonhole-exact recall (max_hamming ≤ bands - 1), same
-    never-O(n²) shape: both sides explode to `bands` fixed-width keys
-    and meet in an equi-join, so cost is O(batch + collisions) however
-    large the stored side grows. `new` and `stored` are (id, dhash)
-    tables; output (id_new, id_stored, hamming), distinct."""
+    never-O(n²) shape: both sides collapse to DISTINCT hashes before
+    banding (operators.dedup.banded_hamming_join_rs, r13 — a hot
+    identical cluster in the persisted index costs one representative
+    in the candidate join however many members it has), meet in an
+    equi-join, and membership joins expand the answer proportional to
+    the output. `new` and `stored` are (id, dhash) tables; output
+    (id_new, id_stored, hamming), distinct."""
+    from ..operators.dedup import banded_hamming_join_rs
+
     _check_bands(bands, max_hamming)
-    a = _banded_dhash(new.select(F.col(id_new), "dhash"), id_new, bands)
-    b = _banded_dhash(
-        stored.select(F.col(id_stored), "dhash"), id_stored, bands
-    ).withColumnRenamed("dhash", "__dhash_s")
-    return (
-        a.join(b, ["band", "band_val"])
-        .select(
-            id_new,
-            id_stored,
-            F.bit_count(
-                F.col("dhash").bitwiseXOR(F.col("__dhash_s"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return banded_hamming_join_rs(
+        new.select(F.col(id_new), "dhash"),
+        stored.select(F.col(id_stored), "dhash"),
+        id_new, id_stored, "dhash", "dhash",
+        nbits=64, bands=bands, max_hamming=max_hamming,
     )
 
 
