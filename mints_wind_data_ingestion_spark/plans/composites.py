@@ -1973,7 +1973,7 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering keep standalone slots — they are the structurally
     distinct 100 TB paths worth separate timing."""
     from ..functions.text import shingle_docs_pandas
-    from ..operators.dedup import jaccard_similarity_join
+    from ..operators.dedup import jaccard_join_adaptive
 
     from .extensions import _spread, simhash_pairs_from_shingles
 
@@ -1991,7 +1991,7 @@ def x_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sh = managed_cache(
         shingle_docs_pandas(docs, "doc_id", "text", 3, out="sh0")
     )
-    ja = jaccard_similarity_join(with_sh, "doc_id", "sh0", threshold=0.5)
+    ja = jaccard_join_adaptive(with_sh, "doc_id", "sh0", threshold=0.5)
     si = simhash_pairs_from_shingles(with_sh, shingle_col="sh0")
     return (
         _part(ex, "exact", k1=_b("doc_id"), k2=_nb(), s1=_s("text"),

@@ -38,7 +38,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     exact_dedup,
-    jaccard_similarity_join,
+    jaccard_join_adaptive,
     minhash_dedup_pairs,
     simhash_fingerprints,
     substring_dedup,
@@ -264,16 +264,21 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x_dedup_jaccard", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup"))
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) via
-    the inverted-index plan — the O(n²) pair space is never enumerated
-    (operators.dedup.jaccard_similarity_join). Own driver slot since
-    r8 (previously verified through x_dedup_pairs_suite's hash)."""
+    """All-pairs n-gram Jaccard set-similarity join (threshold 0.5) —
+    the O(n²) pair space is never enumerated. Since r13 the plan is
+    SKEW-ADAPTIVE (operators.dedup.jaccard_join_adaptive; VERDICT r12
+    "What's wrong" #2): one df-statistics agg over the cached posting
+    table routes near-uniform corpora to the inverted-index count
+    plan and Zipf-headed corpora (shared boilerplate shingles) to the
+    exact PPJoin prefix filter; both plans emit identical rows. Own
+    driver slot since r8 (previously verified through
+    x_dedup_pairs_suite's hash)."""
     # work_factor=64: the 3-gram shingle explosion dominates this
     # pipeline (A/B: spread-on 1.9x faster for the jaccard/cluster
     # shapes at sf0.1 — see _spread)
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
-    return jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
+    return jaccard_join_adaptive(with_sh, "doc_id", "shingles", threshold=0.5)
 
 
 @query("x_dedup_minhash", oracle=_D_JACCARD_PAIRS, tags=("ext", "dedup", "lsh"))
@@ -2523,7 +2528,7 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shapes at sf0.1 — see _spread)
     docs = _spread(tables(spark, sf_dir)["documents"], work_factor=64)
     with_sh = shingle_docs_pandas(docs, "doc_id", "text", 3, out="shingles")
-    pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
+    pairs = jaccard_join_adaptive(with_sh, "doc_id", "shingles", threshold=0.5)
     clusters = dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
@@ -2930,7 +2935,11 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     any stage (or in how stages compose) flips the hash.
 
     Scale: every stage is the bucketed/broadcast shape its standalone
-    query pins (inverted-index pair join, log-round CC, broadcast
+    query pins (skew-adaptive exact pair join — r13, the count plan
+    for uniform corpora, the PPJoin prefix filter past the measured
+    blowup cap, since the exact-dedup stage ahead removes identical
+    documents but NOT shared-boilerplate hot shingles —
+    log-round CC, broadcast
     component table, shuffle-free sample + chunk fan-out); the corpus
     crosses a shuffle only where a stage's semantics require it.
     Own driver slot since r8 (the flagship LLM-curation story was
@@ -2952,7 +2961,7 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     with_sh = shingle_docs_pandas(uniq, "doc_id", "text", 3, out="shingles")
-    pairs = jaccard_similarity_join(with_sh, "doc_id", "shingles", threshold=0.5)
+    pairs = jaccard_join_adaptive(with_sh, "doc_id", "shingles", threshold=0.5)
     clusters = dedup_clusters(
         uniq.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
