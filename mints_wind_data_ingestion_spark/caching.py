@@ -43,7 +43,14 @@ def managed_cache(
             owner = str(df._jdf.queryExecution().analyzed().semanticHash())
         except Exception:  # noqa: BLE001 — fingerprint is best-effort
             return df.cache()
-    key = (df.sparkSession.sparkContext.applicationId, owner, slot)
+    app_id = df.sparkSession.sparkContext.applicationId
+    # sweep entries from OTHER applications on insert: their sessions
+    # are stopped (one live SparkContext per process), so the keys
+    # only pin dead DataFrame/JVM handles in a long-lived process
+    # cycling many sessions
+    for dead in [k for k in _managed if k[0] != app_id]:
+        del _managed[dead]
+    key = (app_id, owner, slot)
     old = _managed.get(key)
     if old is not None and old is not df:
         try:

@@ -1168,6 +1168,29 @@ def _pq_lut(Q, books):
     return lut
 
 
+#: fail-loud ceiling on the PQ/IVFPQ probe-side driver pull: the ADC
+#: LUT build materializes the QUERY batch (never the corpus) on the
+#: driver — q × m × ks float64 LUT ≈ 1 MB per 1k probes at (16, 256)
+#: — so the contract is a bounded probe set. Past the cap the right
+#: plan is chunking the probe table (or the banded/LSH family), and a
+#: silent full pull would hide a driver OOM until production scale.
+PQ_PROBE_CAP = 65536
+
+
+def _pull_probes_bounded(probes: DataFrame, id_col: str, vec_col: str):
+    """Driver-side probe pull with the PQ_PROBE_CAP fail-loud bound
+    (VERDICT r12 #5): pulls at most cap+1 rows (LIMIT pushdown — never
+    the full over-cap table) and raises on overflow."""
+    pulled = probes.select(id_col, vec_col).limit(PQ_PROBE_CAP + 1).toPandas()
+    if len(pulled) > PQ_PROBE_CAP:
+        raise ValueError(
+            f"probe set exceeds PQ_PROBE_CAP={PQ_PROBE_CAP}: the ADC "
+            f"LUT is built driver-side from the query batch; chunk "
+            f"the probe table or raise the cap deliberately"
+        )
+    return pulled.sort_values(id_col, ignore_index=True)
+
+
 def topk_pq(
     probes: DataFrame,
     codes: DataFrame,
@@ -1193,9 +1216,7 @@ def topk_pq(
     # contract every other mapInPandas here honors — a string vec_id
     # must not be silently cast to long)
     id_type = codes.schema[id_col].dataType.simpleString()
-    qpdf = probes.select(id_col, vec_col).toPandas().sort_values(
-        id_col, ignore_index=True
-    )
+    qpdf = _pull_probes_bounded(probes, id_col, vec_col)
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     lut = _pq_lut(Q, books)
@@ -1435,9 +1456,7 @@ def ivfpq_shortlist(
         probes.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
     ).select("query_id", "cell")
 
-    qpdf = probes.select(id_col, vec_col).toPandas().sort_values(
-        id_col, ignore_index=True
-    )
+    qpdf = _pull_probes_bounded(probes, id_col, vec_col)
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     lut = _pq_lut(Q, books)

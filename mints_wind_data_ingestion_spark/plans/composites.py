@@ -1431,6 +1431,10 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import registry as _registry
 
     memo_key = (spark.sparkContext.applicationId, sf_dir)
+    # sweep other applications' memo entries (dead sessions) so a
+    # long-lived process cycling sessions never pins stale handles
+    for dead in [k for k in _FUSED_SIGS if k[0] != memo_key[0]]:
+        del _FUSED_SIGS[dead]
     if _registry._plan_cache_on:
         hit = _FUSED_SIGS.get(memo_key)
         if hit is not None:

@@ -631,6 +631,14 @@ def encode_flac(
     n, ch = s.shape
     if not n:
         raise ValueError("encode_flac: no samples")
+    if not 0 < sample_rate < 65536:
+        # the frame header carries the rate as a 16-bit Hz field
+        # (code 13); a larger rate would silently truncate in the
+        # bit writer and disagree with STREAMINFO's 20-bit field
+        raise ValueError(
+            f"encode_flac: sample_rate {sample_rate} outside the "
+            f"16-bit Hz frame-header range [1, 65535]"
+        )
     md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
 
     frames = bytearray()

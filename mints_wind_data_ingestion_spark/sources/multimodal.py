@@ -566,7 +566,10 @@ def _sample_avi_mjpeg_frames(payload: bytes, every_n: int) -> list:
         raise ValueError("AVI without a movi list")
 
     def _is_video(cid: bytes) -> bool:
-        return cid[2:4] in (b"dc", b"db") and cid[:2].isdigit()
+        # stream 0 ONLY, per the documented contract: a two-video-
+        # stream AVI must not interleave both streams' frames into
+        # one frame-index sequence
+        return cid[2:4] in (b"dc", b"db") and cid[:2] == b"00"
 
     frames = []  # (chunk_header_offset, size)
     if idx1 is not None and len(idx1) >= 16:
