@@ -1408,6 +1408,7 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..sources.flaccodec import encode_flac
+    from ..sources.gifcodec import encode_gif
     from ..sources.multimodal import (
         audio_fingerprint,
         decode_audio,
@@ -1464,9 +1465,12 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 for sib in (0, 1) if i % 20 == 0 else (0,):
-                    # every 4th image ships as PNG — mirrors
-                    # _image_corpus exactly (lossless, hashes unchanged)
-                    enc_i = encode_png if i % 4 == 0 else encode_bmp
+                    # every 4th image ships as PNG, every 4th+2 as
+                    # GIF (r13, grayscale → lossless palette) —
+                    # mirrors _image_corpus exactly
+                    enc_i = (encode_png if i % 4 == 0
+                             else encode_gif if i % 4 == 2
+                             else encode_bmp)
                     h = dhash64(
                         decode_image(enc_i(synth_image_pixels(i, sib)))[
                             "pixels"

@@ -4560,6 +4560,13 @@ def synth_image_pixels(i: int, sib: int):
     v *= u64(0x5BD1E995)
     v ^= v >> u64(15)
     px = (v % u64(256)).astype(np.uint8)
+    if i % 4 == 2:
+        # GIF ids (r13): grayscale texture (R = G = B = the channel-0
+        # values) so the 256-entry palette encodes it LOSSLESSLY and
+        # the decode-skipping replica stays container-blind — the
+        # PNG/FLAC convention. Part of the corpus DEFINITION: the
+        # Spark generator and the replica both call this.
+        px = np.repeat(px[:, :, :1], 3, axis=2)
     if sib:
         px = px.copy()
         px[h // 2, w // 2] = (px[h // 2, w // 2] + 9) % 256
@@ -4688,6 +4695,7 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(it):
+        from ..sources.gifcodec import encode_gif
         from ..sources.multimodal import encode_png
 
         for pdf in it:
@@ -4696,11 +4704,15 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 for sib in (0, 1) if i % 20 == 0 else (0,):
                     out_ids.append(i + sib * _IMG_SIB_OFFSET)
-                    # every 4th image ships as PNG (r12): lossless, so
-                    # the decode-skipping replica oracle is container-
-                    # blind and the RFC 2083 decode path becomes
+                    # every 4th image ships as PNG (r12) and every
+                    # 4th+2 as GIF (r13, grayscale texture → lossless
+                    # palette): both containers are exact, so the
+                    # decode-skipping replica oracle stays container-
+                    # blind and the RFC 2083 + GIF89a decode paths are
                     # driver-hash-load-bearing (the FLAC move)
-                    enc = encode_png if i % 4 == 0 else encode_bmp
+                    enc = (encode_png if i % 4 == 0
+                           else encode_gif if i % 4 == 2
+                           else encode_bmp)
                     payloads.append(enc(synth_image_pixels(i, sib)))
             yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
 

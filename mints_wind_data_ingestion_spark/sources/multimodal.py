@@ -285,6 +285,10 @@ def decode_image(payload: bytes) -> dict:
         return _decode_pnm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifcodec import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
