@@ -209,21 +209,35 @@ def jaccard_similarity_join(
     `jaccard_join_prefix_filtered`, which prunes the frequent-shingle
     fan-out exactly.
     """
-    sets = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(F.col(shingle_col)).alias("__sh"),
-    ).withColumn("__n", F.size("__sh"))
+    posting = _jaccard_posting(docs, id_col, shingle_col)
     # cache: the posting list is consumed by BOTH sides of the self-join;
     # without a materialization point the shingling upstream (often a
     # mapInPandas) executes twice. (id, n, hash) rows are ~16 B each.
     # `cache=False` for callers whose input is already materialized
     # (e.g. a streaming gate's localCheckpoint) — an internal .cache()
     # there would leak one CacheManager entry per epoch.
-    posting = sets.select(
-        "__id", "__n", F.explode("__sh").alias("__raw")
-    ).select("__id", "__n", F.xxhash64("__raw").alias("__s"))
     if cache:
         posting = managed_cache(posting)
+    return _jaccard_count_join(posting, threshold)
+
+
+def _jaccard_posting(
+    docs: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """(__id, __n, __s): the inverted-index posting table — distinct
+    shingles exploded and hashed to 8-byte longs, set size carried."""
+    sets = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(shingle_col)).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    return sets.select(
+        "__id", "__n", F.explode("__sh").alias("__raw")
+    ).select("__id", "__n", F.xxhash64("__raw").alias("__s"))
+
+
+def _jaccard_count_join(posting: DataFrame, threshold: float) -> DataFrame:
+    """The count-plan tail of `jaccard_similarity_join` over a
+    (possibly cached) posting table."""
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
@@ -290,17 +304,23 @@ def jaccard_join_prefix_filtered(
     )
 
 
-#: `jaccard_join_adaptive` switches to the prefix-filtered plan when
-#: the plain count plan's candidate volume (Σ df(s)²) exceeds this
-#: multiple of the posting count — i.e. when the AVERAGE posting is
-#: expected to fan out past `cap` co-occurrence rows. 8 is the
-#: measured crossover region: at sf0.1 the near-uniform synthetic
-#: corpus sits at blowup ≈ 1-2 (plain 0.71 s vs prefix 5.40 s,
-#: interleaved min-of-4) while a 3 000-doc corpus sharing one 30-
-#: shingle boilerplate header sits at blowup ≈ thousands, where the
-#: plain plan materializes 30·n²/2 rows and the prefix plan stays
-#: linear (SCALING.md r13).
-_JACCARD_BLOWUP_CAP = 8.0
+#: `jaccard_join_adaptive` switches to the prefix-filtered plan only
+#: when BOTH hold for the count plan's exact candidate volume
+#: Σ df(s)²: it exceeds `_JACCARD_BLOWUP_CAP` × postings (a genuine
+#: Zipf head — a boilerplate cluster of m docs alone drives the ratio
+#: to ~m·k/postings, thousands within a few thousand docs, while
+#: near-uniform corpora sit at single digits: the sf0.1 synthetic
+#: measures ratio 10.7 with maxdf 25) AND it exceeds
+#: `_JACCARD_VOL_FLOOR` rows absolutely — below the floor the
+#: codegen'd count join chews the candidates in well under a second,
+#: whereas the prefix plan's two extra shuffles and array-carrying
+#: verify measured 5.40 s vs 0.71 s on the sf0.1 synthetic corpus
+#: (vol 2.8e6). Measured crossover: a 4 000-doc boilerplate corpus
+#: (vol ≈ 1.6e8, ratio ≈ 1.3e3) is roughly break-even (2.45 vs
+#: 2.00 s); at 16 000 docs (vol ≈ 2.6e9) the count plan did not
+#: finish in 570 s while prefix held 3.1 s (SCALING.md r13).
+_JACCARD_BLOWUP_CAP = 64.0
+_JACCARD_VOL_FLOOR = 50_000_000
 
 
 def jaccard_join_adaptive(
@@ -310,6 +330,7 @@ def jaccard_join_adaptive(
     threshold: float,
     cache: bool = True,
     blowup_cap: float = _JACCARD_BLOWUP_CAP,
+    vol_floor: float = _JACCARD_VOL_FLOOR,
 ) -> DataFrame:
     """EXACT set-similarity join that picks its physical plan from the
     corpus's measured shingle skew (VERDICT r12 "What's wrong" #2 —
@@ -319,32 +340,31 @@ def jaccard_join_adaptive(
 
     One aggregation over the (already-cached) posting table computes
     Σ df(s)² — the plain count plan's exact candidate-row volume — and
-    the posting count. If the volume stays within `blowup_cap`× the
-    postings, the corpus is near-uniform and the inverted-index count
-    plan (`jaccard_similarity_join`) wins; past it, the Zipf head
-    would dominate the self-join and the PPJoin prefix filter
-    (`jaccard_join_prefix_filtered`) prunes it exactly. Both plans
-    return identical rows, so the dispatch is invisible to results —
-    the driver hashes pin that.
+    the posting count. The count plan keeps the job unless the volume
+    exceeds BOTH `blowup_cap` × postings (a genuine Zipf head, not
+    benign shingle reuse) and `vol_floor` rows absolutely (below the
+    floor the codegen'd count join is cheaper than the prefix plan's
+    extra shuffles however skewed the head looks); past both, the
+    PPJoin prefix filter (`jaccard_join_prefix_filtered`) prunes the
+    head exactly. Both plans return identical rows, so the dispatch is
+    invisible to results — the driver hashes pin that.
 
-    The stats pull is a bounded TWO-SCALAR collect off an aggregation
-    the prefix plan needs anyway (the df map) — the same bounded-
-    scalar contract as the centroid/vocab pulls. At 100 TB this is
-    one extra reduce over a table the join reads regardless; the
-    wrong-plan cost it avoids is quadratic.
+    Cost discipline (measured, r13): the COMPACT posting table
+    (~16 B rows) is what gets cached — exactly what the count plan
+    cached already — and the stats agg plus the count join both read
+    it, so the uniform route pays ONE extra reduce over cached rows
+    (the first cut cached the array-carrying sets table instead and
+    doubled x_dedup_cluster/x_dedup_pairs_suite). Only the prefix
+    route, the rare skewed case, re-derives the sets it needs for the
+    verify stage. The stats pull is a bounded TWO-SCALAR collect —
+    the same bounded-scalar contract as the centroid/vocab pulls.
 
     The chosen plan is recorded on the result as
     `df.windflow_jaccard_method` ('uniform' | 'prefix') for tests and
     plan audits."""
-    sets = docs.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(F.col(shingle_col)).alias("__sh"),
-    ).withColumn("__n", F.size("__sh"))
+    posting = _jaccard_posting(docs, id_col, shingle_col)
     if cache:
-        sets = managed_cache(sets)
-    posting = sets.select(
-        "__id", "__n", F.explode("__sh").alias("__raw")
-    ).select("__id", "__n", F.xxhash64("__raw").alias("__s"))
+        posting = managed_cache(posting)
     stats = (
         posting.groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -356,14 +376,15 @@ def jaccard_join_adaptive(
     )
     vol = stats["vol"] or 0
     n_postings = stats["n_postings"] or 0
-    if vol <= blowup_cap * max(n_postings, 1):
-        out = jaccard_similarity_join(
-            sets, "__id", "__sh", threshold, cache=False
-        )
+    if vol <= blowup_cap * max(n_postings, 1) or vol <= vol_floor:
+        out = _jaccard_count_join(posting, threshold)
         out.windflow_jaccard_method = "uniform"
     else:
         out = jaccard_join_prefix_filtered(
-            sets, "__id", "__sh", threshold, cache=False
+            docs.select(
+                F.col(id_col).alias("__id"), F.col(shingle_col).alias("__sh")
+            ),
+            "__id", "__sh", threshold, cache=cache,
         )
         out.windflow_jaccard_method = "prefix"
     return out
