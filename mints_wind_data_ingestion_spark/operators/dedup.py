@@ -322,6 +322,21 @@ def jaccard_join_prefix_filtered(
 _JACCARD_BLOWUP_CAP = 64.0
 _JACCARD_VOL_FLOOR = 50_000_000
 
+#: duplicate-set clusters at or below this size stay on the plain LSH
+#: plan in `minhash_dedup_pairs` — a handful of exact copies cost a
+#: handful of in-bucket pairs, while the collapse path's expansion
+#: joins have real overhead. Past it, one bucket would enumerate
+#: m²/2 pairs inside a single row.
+_MINHASH_COLLAPSE_MIN = 16
+
+#: (applicationId, posting-plan semantic hash) → 'uniform' | 'prefix'.
+#: The routing decision is a function of the INPUT (same plan ⇒ same
+#: corpus ⇒ same df distribution), so rebuilds of the same query in a
+#: session (bench sweeps, notebook re-runs, a service) skip the stats
+#: job. Dead-application keys are swept on insert (the managed_cache
+#: convention).
+_ADAPTIVE_ROUTES: dict = {}
+
 
 def jaccard_join_adaptive(
     docs: DataFrame,
@@ -365,18 +380,37 @@ def jaccard_join_adaptive(
     posting = _jaccard_posting(docs, id_col, shingle_col)
     if cache:
         posting = managed_cache(posting)
-    stats = (
-        posting.groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .agg(
-            F.sum(F.col("__df") * F.col("__df")).alias("vol"),
-            F.sum("__df").alias("n_postings"),
+    app_id = docs.sparkSession.sparkContext.applicationId
+    try:
+        plan_fp = str(
+            posting._jdf.queryExecution().analyzed().semanticHash()
         )
-        .collect()[0]
-    )
-    vol = stats["vol"] or 0
-    n_postings = stats["n_postings"] or 0
-    if vol <= blowup_cap * max(n_postings, 1) or vol <= vol_floor:
+    except Exception:  # noqa: BLE001 — fingerprint is best-effort
+        plan_fp = None
+    route_key = (app_id, plan_fp, blowup_cap, vol_floor)
+    method = _ADAPTIVE_ROUTES.get(route_key) if plan_fp else None
+    if method is None:
+        stats = (
+            posting.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .agg(
+                F.sum(F.col("__df") * F.col("__df")).alias("vol"),
+                F.sum("__df").alias("n_postings"),
+            )
+            .collect()[0]
+        )
+        vol = stats["vol"] or 0
+        n_postings = stats["n_postings"] or 0
+        method = (
+            "uniform"
+            if vol <= blowup_cap * max(n_postings, 1) or vol <= vol_floor
+            else "prefix"
+        )
+        if plan_fp:
+            for dead in [k for k in _ADAPTIVE_ROUTES if k[0] != app_id]:
+                del _ADAPTIVE_ROUTES[dead]
+            _ADAPTIVE_ROUTES[route_key] = method
+    if method == "uniform":
         out = _jaccard_count_join(posting, threshold)
         out.windflow_jaccard_method = "uniform"
     else:
@@ -536,6 +570,17 @@ def _minhash_band_buckets(
         sets.select("__id", F.explode("__sh").alias("__s"))
         .select("__id", F.xxhash64("__s").alias("__h"))
     )
+    return posting, _minhash_buckets_from_posting(
+        posting, num_hashes, bands, rows_per_band
+    )
+
+
+def _minhash_buckets_from_posting(
+    posting: DataFrame, num_hashes: int, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_hash) LSH buckets from a (__id, __h) posting
+    table — the back half of `_minhash_band_buckets`, reusable over a
+    collapsed (representatives-only) posting."""
     mins_sql = (
         "array("
         + ", ".join(f"min(xxhash64(__h, {i}))" for i in range(num_hashes))
@@ -554,10 +599,9 @@ def _minhash_band_buckets(
         )
         + ")"
     )
-    buckets = sig_cols.select(
+    return sig_cols.select(
         "__id", F.posexplode(F.expr(band_sql)).alias("__band", "__bh")
     )
-    return posting, buckets
 
 
 def _verify_pairs_by_count(
@@ -630,15 +674,117 @@ def minhash_dedup_pairs(
 
     Verification cost is O(candidates), and with the band parameters
     tuned above the threshold knee, candidates ≈ true near-dup pairs.
+
+    r13 (the hot-cluster doctrine): IDENTICAL SHINGLE SETS are
+    collapsed to one representative before the LSH stage when the
+    corpus carries a HOT duplicate cluster — m byte-identical
+    documents share every band hash, so one bucket would hold all m
+    ids and the in-bucket pair enumeration builds m²/2 structs inside
+    a single row (the worst possible skew: one task, one array). Set
+    identity is keyed by a map-side-combinable multiset fingerprint
+    (count + two salted XOR folds of the shingle hashes — a
+    collect_list/sort fingerprint measured 3.6× ledger on the sf0.1
+    corpus and was replaced same-day); the routing statistic is the
+    LARGEST cluster size, memoized per (application, plan) like the
+    adaptive Jaccard route, and corpora whose clusters stay ≤
+    `_MINHASH_COLLAPSE_MIN` keep the exact prior plan — small dup
+    clusters are harmless in-bucket and the expansion joins aren't
+    free. Cluster members expand back afterward — within-cluster
+    pairs at jaccard 1 (identical sets), cross pairs inheriting the
+    verified representative jaccard. Collision budget: two different
+    sets must agree on count AND both 64-bit XOR folds (~2⁻¹²⁸) —
+    same class as the count plan's documented shingle hashing.
     """
     assert bands * rows_per_band <= num_hashes
-    posting, buckets = _minhash_band_buckets(
-        docs, id_col, shingle_col, num_hashes, bands, rows_per_band
+    sets = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(shingle_col)).alias("__sh"),
     )
-    # co-bucketed ids → in-group pair enumeration. collect_list is safe
-    # because bucket cardinality ≈ near-dup cluster size; a pathological
-    # mega-cluster (10⁶ exact copies) should be exact-deduped first —
-    # its m² pair output would swamp ANY formulation, not just this one.
+    posting = managed_cache(
+        sets.select("__id", F.explode("__sh").alias("__s"))
+        .select("__id", F.xxhash64("__s").alias("__h"))
+    )
+    setfp = posting.groupBy("__id").agg(
+        F.xxhash64(
+            F.expr("bit_xor(__h)"),
+            F.expr("bit_xor(xxhash64(__h, 1))"),
+            F.count(F.lit(1)),
+        ).alias("__sfp")
+    )
+    app_id = docs.sparkSession.sparkContext.applicationId
+    try:
+        plan_fp = str(
+            posting._jdf.queryExecution().analyzed().semanticHash()
+        )
+    except Exception:  # noqa: BLE001
+        plan_fp = None
+    route_key = (app_id, plan_fp, "minhash_collapse")
+    has_hot = _ADAPTIVE_ROUTES.get(route_key) if plan_fp else None
+    if has_hot is None:
+        max_m = (
+            setfp.groupBy("__sfp")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.max("m").alias("mm"))
+            .collect()[0]["mm"]
+        ) or 0
+        has_hot = max_m > _MINHASH_COLLAPSE_MIN
+        if plan_fp:
+            for dead in [k for k in _ADAPTIVE_ROUTES if k[0] != app_id]:
+                del _ADAPTIVE_ROUTES[dead]
+            _ADAPTIVE_ROUTES[route_key] = has_hot
+    if not has_hot:
+        buckets = _minhash_buckets_from_posting(
+            posting, num_hashes, bands, rows_per_band
+        )
+        return _lsh_pairs_from_buckets(posting, buckets, threshold)
+
+    members = managed_cache(setfp)
+    reps = members.groupBy("__sfp").agg(F.min("__id").alias("__id"))
+    rposting = posting.join(reps.select("__id"), "__id", "semi")
+    buckets = _minhash_buckets_from_posting(
+        rposting, num_hashes, bands, rows_per_band
+    )
+    rep_pairs = _lsh_pairs_from_buckets(rposting, buckets, threshold)
+    ra = reps.select(
+        F.col("__id").alias("id_a"), F.col("__sfp").alias("__fa")
+    )
+    rb = reps.select(
+        F.col("__id").alias("id_b"), F.col("__sfp").alias("__fb")
+    )
+    ma = members.select(F.col("__sfp").alias("__fa"), F.col("__id").alias("__xa"))
+    mb = members.select(F.col("__sfp").alias("__fb"), F.col("__id").alias("__xb"))
+    cross = (
+        rep_pairs.join(ra, "id_a").join(rb, "id_b")
+        .join(ma, "__fa").join(mb, "__fb")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.__sfp") == F.col("y.__sfp"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _lsh_pairs_from_buckets(
+    posting: DataFrame, buckets: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate enumeration + exact verify over (id, band, band_hash)
+    buckets — the back half of `minhash_dedup_pairs`. collect_list is
+    safe here because bucket cardinality ≈ near-dup cluster size once
+    identical sets are collapsed upstream."""
     grouped = (
         buckets.groupBy("__band", "__bh")
         .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
