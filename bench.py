@@ -88,10 +88,40 @@ def roll_ledger(
         )
 
 
+def settle_host(max_wait: float, target_load1: float = 3.0) -> float:
+    """Load-coupled drift defense (BASELINE.md r12, measured): a sweep
+    that starts right after sustained 32-core work inherits a ~10%
+    hot-machine penalty — identical code read 47.2 s after a 9-minute
+    idle gap vs 51.8-53.1 s when started under hours of continuous
+    load. The recorded artifact should measure the engine, not the
+    scheduler's digestion of whatever ran before it, so wait (bounded)
+    for the 1-minute load average to decay below `target_load1` before
+    the first timed pass. This never changes WHAT is measured — only
+    when timing starts — and the wait actually taken is recorded in
+    the metric line (`settle_sec`). Disable or retune via
+    SPARK_GRAFT_BENCH_SETTLE_SEC (0 = off)."""
+    t0 = time.time()
+    try:
+        while time.time() - t0 < max_wait:
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+            if load1 <= target_load1:
+                break
+            time.sleep(10)
+    except (OSError, ValueError):
+        pass  # no /proc (non-Linux): skip, never abort the bench
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    settle_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "240")
+    )
+    settle_sec = settle_host(settle_budget) if settle_budget > 0 else 0.0
 
     spark = get_spark("windflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -309,6 +339,7 @@ def main() -> None:
             if k in timings
         },
         "recovery_passes": recovery,
+        "settle_sec": settle_sec,
         "plan_cache": True,
         "queries_plan_cache_off": nocache,
         "total_plan_cache_off": (
@@ -360,6 +391,7 @@ def headline_line(result: dict) -> str:
         },
         "n_queries": len(result["queries"]),
         "recovery_passes": result["recovery_passes"],
+        "settle_sec": result.get("settle_sec", 0.0),
         "plan_cache": result["plan_cache"],
         "total_plan_cache_off": result["total_plan_cache_off"],
         "n_promoted_excluded": len(result.get("promotions") or {}),
