@@ -1146,10 +1146,45 @@ def banded_hamming_pairs(
     Pigeonhole recall is unchanged (max_hamming ≤ bands − 1 still
     guarantees a shared band between distinct fingerprints), and the
     output matches the naive plan row-for-row. Contract: one
-    fingerprint row per id (a hash table, not a multimap)."""
+    fingerprint row per id (a hash table, not a multimap).
+
+    Corpora whose largest identical-fingerprint cluster stays ≤
+    `_MINHASH_COLLAPSE_MIN` keep the DIRECT row-banded self-join: the
+    collapse spends a distinct plus three membership joins that the
+    direct plan doesn't have, a net loss when there is nothing hot to
+    collapse (measured r13: x_dedup_pairs_suite 1.6× ledger with the
+    unconditional collapse on the near-dup-free synthetic corpus).
+    The routing statistic is one narrow aggregate over the
+    fingerprint table, memoized per (application, plan) like the
+    adaptive Jaccard route."""
     members = fps.filter(F.col(fp_col).isNotNull()).select(
         F.col(fp_col).alias("__fp"), F.col(id_col).alias("__mid")
     )
+    app_id = fps.sparkSession.sparkContext.applicationId
+    try:
+        plan_fp = str(
+            members._jdf.queryExecution().analyzed().semanticHash()
+        )
+    except Exception:  # noqa: BLE001
+        plan_fp = None
+    route_key = (app_id, plan_fp, "hamming_collapse")
+    has_hot = _ADAPTIVE_ROUTES.get(route_key) if plan_fp else None
+    if has_hot is None:
+        max_m = (
+            members.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.max("m").alias("mm"))
+            .collect()[0]["mm"]
+        ) or 0
+        has_hot = max_m > _MINHASH_COLLAPSE_MIN
+        if plan_fp:
+            for dead in [k for k in _ADAPTIVE_ROUTES if k[0] != app_id]:
+                del _ADAPTIVE_ROUTES[dead]
+            _ADAPTIVE_ROUTES[route_key] = has_hot
+    if not has_hot:
+        return _banded_hamming_pairs_direct(
+            members, nbits, bands, max_hamming
+        )
     fp_pairs = banded_fp_pairs(
         members.select(F.col("__fp")).distinct(),
         "__fp", nbits, bands, max_hamming,
@@ -1183,6 +1218,33 @@ def banded_hamming_pairs(
         )
     )
     return cross.unionByName(same)
+
+
+def _banded_hamming_pairs_direct(
+    members: DataFrame, nbits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """The row-banded self-join over (__fp, __mid) — the right plan
+    when every fingerprint is unique (no hot clusters to collapse);
+    emits the identical (id_a, id_b, hamming) rows."""
+    banded = _banded_fp(members, "__fp", nbits, bands, "__mid")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__mid") < F.col("b.__mid")),
+        )
+        .select(
+            F.col("a.__mid").alias("id_a"),
+            F.col("b.__mid").alias("id_b"),
+            F.bit_count(
+                F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def banded_hamming_join_rs(
