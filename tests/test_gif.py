@@ -150,3 +150,142 @@ def test_we_decode_jvm_gif_bitexact(spark):
     assert jgif[:4] == b"GIF8"
     got = decode_gif(jgif)
     assert (got["pixels"] == img).all()
+
+
+# ---------------------------------------------------------------------------
+# animated GIF (r13): frame walk, disposal/transparency composition,
+# and the video-dedup sampling contract
+# ---------------------------------------------------------------------------
+
+
+def test_animation_roundtrip_and_sampling():
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(37)
+    frames = [_palette_image(rng, 18, 22, n_colors=60) for _ in range(7)]
+    payload = encode_gif_frames(frames)
+    got = decode_gif_frames(payload, every_n=1)
+    assert [k for k, _ in got] == list(range(7))
+    for (_, rgb), want in zip(got, frames):
+        assert (rgb == want).all()
+    # every 3rd frame
+    got3 = decode_gif_frames(payload, every_n=3)
+    assert [k for k, _ in got3] == [0, 3, 6]
+    assert (got3[1][1] == frames[3]).all()
+
+
+def _gce(disposal, transparent=None):
+    import struct
+
+    flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+    return struct.pack(
+        "<BBBBHBB", 0x21, 0xF9, 4, flags, 4,
+        transparent if transparent is not None else 0, 0,
+    )
+
+
+def _handmade_animation():
+    """Frame 0: full 8×8 gray-100. Frame 1: 4×4 patch at (2,2) with a
+    transparent hole, disposal 3 (restore previous). Frame 2: full
+    gray-200. Exercises transparency, offsets and restore-to-previous."""
+    import struct
+
+    import numpy as np
+
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        _image_block,
+        _palette_and_indices,
+    )
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 8, 8, 0, 0, 0)
+
+    f0 = np.full((8, 8, 3), 100, dtype=np.uint8)
+    t0, i0, e0 = _palette_and_indices(f0)
+    out += _gce(disposal=1)
+    out += _image_block(i0, t0, e0)
+
+    # patch: palette [50, 77]; index 1 (value 77) declared transparent
+    patch = np.full((4, 4, 3), 50, dtype=np.uint8)
+    patch[1:3, 1:3] = 77
+    tp, ip, ep = _palette_and_indices(patch)
+    out += _gce(disposal=3, transparent=1)
+    out += _image_block(ip, tp, ep, ix=2, iy=2)
+
+    f2 = np.full((8, 8, 3), 200, dtype=np.uint8)
+    t2, i2, e2 = _palette_and_indices(f2)
+    out += _gce(disposal=1)
+    out += _image_block(i2, t2, e2)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_animation_transparency_and_disposal():
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        decode_gif_frames,
+    )
+
+    got = decode_gif_frames(_handmade_animation())
+    assert len(got) == 3
+    f0, f1, f2 = (rgb for _, rgb in got)
+    assert (f0 == 100).all()
+    # frame 1: patch of 50 at (2,2)..(5,5) with the transparent hole
+    # showing frame 0's 100 through
+    assert (f1[2:6, 2:6, 0] == [[50, 50, 50, 50],
+                                [50, 100, 100, 50],
+                                [50, 100, 100, 50],
+                                [50, 50, 50, 50]]).all()
+    assert (f1[0:2] == 100).all()
+    # frame 2 drew after disposal 3 restored frame 0's canvas, then
+    # painted fully over it
+    assert (f2 == 200).all()
+
+
+def test_video_sampler_takes_animated_gif():
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        encode_gif_frames,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(41)
+    g = [rng.integers(0, 256, (20, 24), dtype=np.uint8) for _ in range(6)]
+    got = sample_video_frames(encode_gif_frames(g), every_n=2)
+    assert [k for k, _ in got] == [0, 2, 4]
+    # grayscale frames: the Y plane equals the source exactly
+    assert all((y == g[k]).all() for k, y in got)
+
+
+def test_gif_video_dhash_pipeline(spark):
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        encode_gif_frames,
+    )
+    from mints_wind_data_ingestion_spark.sources.multimodal import (
+        video_dhash_df,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(43)
+    base = [rng.integers(0, 256, (20, 24), dtype=np.uint8)
+            for _ in range(8)]
+    edited = list(base)
+    edited[3] = rng.integers(0, 256, (20, 24), dtype=np.uint8)
+    other = [rng.integers(0, 256, (20, 24), dtype=np.uint8)
+             for _ in range(8)]
+    df = spark.createDataFrame(
+        [(1, encode_gif_frames(base)), (2, encode_gif_frames(edited)),
+         (3, encode_gif_frames(other)), (4, b"GIF89a\x00trunc")],
+        "doc_id long, payload binary",
+    )
+    hashes = video_dhash_df(df, every_n=1)
+    rows = hashes.collect()
+    # the corrupt payload leaves one NULL evidence row
+    assert [r.doc_id for r in rows if r.fhash is None] == [4]
+    pairs = video_neardup_pairs(
+        hashes, threshold=0.5, method="uniform", cache=False
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
