@@ -28,7 +28,12 @@ decode → dHash → banded-join machinery unchanged.
 
 from __future__ import annotations
 
-__all__ = ["decode_gif", "encode_gif"]
+__all__ = [
+    "decode_gif",
+    "decode_gif_frames",
+    "encode_gif",
+    "encode_gif_frames",
+]
 
 #: pass order/start/step of the GIF interlace scheme (spec appendix E)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -127,11 +132,13 @@ def _deinterlace(idx, h: int):
     return out
 
 
-def decode_gif(payload: bytes) -> dict:
-    """GIF87a/89a → the `decode_image` contract: {"width", "height",
-    "mode": "RGB", "pixels": (H, W, 3) uint8} — the first image frame
-    composed onto the logical screen (background-filled where the
-    frame doesn't cover it). Raises ValueError on corruption."""
+def _iter_image_blocks(payload: bytes):
+    """Parse a GIF stream: yields
+    (ix, iy, iw, ih, interlaced, palette, idx_array, transparent_index,
+    disposal) per image block, after first yielding the prelude
+    (sw, sh, gct, bg) as a 4-tuple. Graphic Control Extensions apply
+    to the image that follows them; other extensions skip per spec.
+    Raises ValueError on any corruption."""
     import struct
 
     import numpy as np
@@ -153,62 +160,145 @@ def decode_gif(payload: bytes) -> dict:
             payload, dtype=np.uint8, count=3 * gct_len, offset=pos
         ).reshape(gct_len, 3)
         pos += 3 * gct_len
+    yield (int(sw), int(sh), gct, int(bg))
 
+    transparent = None
+    disposal = 0
+    n_images = 0
     while True:
         if pos >= len(payload):
-            raise ValueError("GIF: no image descriptor before EOF")
+            raise ValueError(
+                "GIF: stream ends without a trailer"
+                if n_images else "GIF: no image descriptor before EOF"
+            )
         block = payload[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF: trailer before any image data")
+        if block == 0x3B:
+            if not n_images:
+                raise ValueError("GIF: trailer before any image data")
+            return
         if block == 0x21:  # extension: label byte + sub-blocks
             if pos >= len(payload):
                 raise ValueError("GIF: truncated extension")
+            label = payload[pos]
             pos += 1
-            _data, pos = _read_subblocks(payload, pos)
+            data, pos = _read_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control
+                flags = data[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[3] if flags & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"GIF: unexpected block 0x{block:02x}")
-        break
 
-    ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
-    pos += 9
-    if not iw or not ih:
-        raise ValueError(f"GIF: zero image {iw}x{ih}")
-    if ix + iw > sw or iy + ih > sh:
-        raise ValueError("GIF: image extends past the logical screen")
-    pal = gct
-    if ipacked & 0x80:
-        lct_len = 2 << (ipacked & 0x07)
-        if pos + 3 * lct_len > len(payload):
-            raise ValueError("GIF: truncated local color table")
-        pal = np.frombuffer(
-            payload, dtype=np.uint8, count=3 * lct_len, offset=pos
-        ).reshape(lct_len, 3)
-        pos += 3 * lct_len
-    if pal is None:
-        raise ValueError("GIF: image with neither global nor local palette")
+        ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if not iw or not ih:
+            raise ValueError(f"GIF: zero image {iw}x{ih}")
+        if ix + iw > sw or iy + ih > sh:
+            raise ValueError("GIF: image extends past the logical screen")
+        pal = gct
+        if ipacked & 0x80:
+            lct_len = 2 << (ipacked & 0x07)
+            if pos + 3 * lct_len > len(payload):
+                raise ValueError("GIF: truncated local color table")
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=3 * lct_len, offset=pos
+            ).reshape(lct_len, 3)
+            pos += 3 * lct_len
+        if pal is None:
+            raise ValueError(
+                "GIF: image with neither global nor local palette"
+            )
+        if pos >= len(payload):
+            raise ValueError("GIF: missing LZW minimum code size")
+        min_code_size = payload[pos]
+        pos += 1
+        data, pos = _read_subblocks(payload, pos)
+        idx = np.frombuffer(
+            _lzw_decode(data, min_code_size, iw * ih), dtype=np.uint8
+        ).reshape(ih, iw)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx, ih)
+        if int(idx.max()) >= len(pal):
+            raise ValueError(
+                f"GIF: pixel index {int(idx.max())} outside the "
+                f"{len(pal)}-entry palette"
+            )
+        n_images += 1
+        yield (int(ix), int(iy), int(iw), int(ih), bool(ipacked & 0x40),
+               pal, idx, transparent, disposal)
+        transparent = None
+        disposal = 0
 
-    if pos >= len(payload):
-        raise ValueError("GIF: missing LZW minimum code size")
-    min_code_size = payload[pos]
-    pos += 1
-    data, pos = _read_subblocks(payload, pos)
-    idx = np.frombuffer(
-        _lzw_decode(data, min_code_size, iw * ih), dtype=np.uint8
-    ).reshape(ih, iw)
-    if ipacked & 0x40:
-        idx = _deinterlace(idx, ih)
-    if int(idx.max()) >= len(pal):
-        raise ValueError(
-            f"GIF: pixel index {int(idx.max())} outside the "
-            f"{len(pal)}-entry palette"
-        )
 
-    screen = np.zeros((sh, sw, 3), dtype=np.uint8)
-    if gct is not None and bg < len(gct):
-        screen[:, :] = gct[bg]
-    screen[iy : iy + ih, ix : ix + iw] = pal[idx]
+def decode_gif_frames(payload: bytes, every_n: int = 1) -> list:
+    """Animated-GIF frame walk → [(frame_index, (H, W, 3) uint8 RGB
+    canvas), ...] for every Nth DISPLAYED frame, composed per the
+    GIF89a animation model: Graphic Control transparency (transparent
+    pixels leave the canvas through), and all four disposal methods
+    (0/1 leave, 2 restore-to-background, 3 restore-to-previous).
+
+    Unlike the Y4M/MJPEG-AVI samplers, every frame must DECODE even
+    when skipped — GIF frames are deltas over the canvas, so frame k's
+    pixels depend on frames < k (the same reason any P-frame codec
+    can't seek without decoding). Raises ValueError on corruption."""
+    import numpy as np
+
+    it = _iter_image_blocks(payload)
+    sw, sh, gct, bg = next(it)
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    out = []
+    for k, (ix, iy, iw, ih, _il, pal, idx, transparent, disposal) in (
+        enumerate(it)
+    ):
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        saved = region.copy() if disposal == 3 else None
+        rgb = pal[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        if k % every_n == 0:
+            out.append((k, canvas.copy()))
+        if disposal == 2:
+            region[:, :] = bg_rgb
+        elif disposal == 3:
+            region[:, :] = saved
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a → the `decode_image` contract: {"width", "height",
+    "mode": "RGB", "pixels": (H, W, 3) uint8} — the first DISPLAYED
+    frame composed onto the logical screen (background-filled where
+    the frame doesn't cover it; Graphic Control transparency honored).
+    Animations continue past frame 0 — sample them through
+    `decode_gif_frames` / the video path. Raises ValueError on
+    corruption."""
+    it = _iter_image_blocks(payload)
+    sw, sh, gct, bg = next(it)
+    import numpy as np
+
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    ix, iy, iw, ih, _il, pal, idx, transparent, _disp = next(it)
+    screen = np.empty((sh, sw, 3), dtype=np.uint8)
+    screen[:, :] = bg_rgb
+    rgb = pal[idx]
+    if transparent is not None:
+        mask = idx != transparent
+        screen[iy : iy + ih, ix : ix + iw][mask] = rgb[mask]
+    else:
+        screen[iy : iy + ih, ix : ix + iw] = rgb
     return {"width": int(sw), "height": int(sh), "mode": "RGB",
             "pixels": screen}
 
@@ -261,6 +351,98 @@ def _lzw_encode(indices, min_code_size: int) -> bytes:
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _palette_and_indices(px):
+    """(power-of-two palette table, (H, W) uint8 index array) for an
+    (H, W, 3) uint8 image with ≤ 256 distinct colors."""
+    import numpy as np
+
+    flat = px.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif: {len(palette)} distinct colors exceed the "
+            f"256-entry GIF palette (quantize first)"
+        )
+    size_exp = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << size_exp, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    return table, inverse.astype(np.uint8).reshape(px.shape[:2]), size_exp
+
+
+def _image_block(idx, table, size_exp, ix=0, iy=0, interlace=False,
+                 local_table=True) -> bytes:
+    """One image descriptor + optional local color table + LZW data
+    sub-blocks for an index array."""
+    import struct
+
+    h, w = idx.shape
+    if interlace:
+        rows = [
+            r for start, step in _INTERLACE_PASSES
+            for r in range(start, h, step)
+        ]
+        idx = idx[rows]
+    packed = (0x40 if interlace else 0)
+    if local_table:
+        packed |= 0x80 | (size_exp - 1)
+    out = bytearray(struct.pack("<BHHHHB", 0x2C, ix, iy, w, h, packed))
+    if local_table:
+        out += table.tobytes()
+    min_code_size = max(2, size_exp)
+    out.append(min_code_size)
+    lzw = _lzw_encode(idx.reshape(-1), min_code_size)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_frames(frames, delay_cs: int = 4) -> bytes:
+    """Encode a sequence of same-size (H, W) gray or (H, W, 3) RGB
+    uint8 arrays (each ≤ 256 distinct colors) as an animated GIF89a —
+    full-frame images with per-frame LOCAL color tables, disposal 1
+    (leave in place) and `delay_cs` centiseconds per frame. The
+    fixture half of `decode_gif_frames` (and of the video-dedup GIF
+    path): lossless per frame, so frame walks round-trip exactly."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_gif_frames: no frames")
+    norm = []
+    for f in frames:
+        px = np.asarray(f, dtype=np.uint8)
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError(
+                "encode_gif_frames expects (H, W) or (H, W, 3) uint8"
+            )
+        norm.append(px)
+    h, w = norm[0].shape[:2]
+    if any(px.shape[:2] != (h, w) for px in norm):
+        raise ValueError("encode_gif_frames: frames must share one size")
+
+    out = bytearray(b"GIF89a")
+    # no global color table: every frame carries a local one
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    # NETSCAPE 2.0 loop-forever — what real animated web GIFs carry
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for px in norm:
+        table, idx, size_exp = _palette_and_indices(px)
+        # Graphic Control: disposal 1 (packed bits 2-4), no
+        # transparency, then delay, transparent index, terminator
+        out += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, 1 << 2, delay_cs & 0xFFFF, 0, 0
+        )
+        out += _image_block(idx, table, size_exp)
+    out.append(0x3B)
     return bytes(out)
 
 

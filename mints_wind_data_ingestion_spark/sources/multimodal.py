@@ -499,11 +499,22 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list:
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _sample_avi_mjpeg_frames(payload, every_n)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # animated GIF (r13): the dominant short-loop video format in
+        # web crawls rides the same (frame_index, Y-plane) contract.
+        # Every frame decodes even when skipped — GIF frames are
+        # deltas over the canvas (see decode_gif_frames).
+        from .gifcodec import decode_gif_frames
+
+        return [
+            (k, _luma_plane(rgb))
+            for k, rgb in decode_gif_frames(payload, every_n)
+        ]
     if not payload.startswith(b"YUV4MPEG2"):
         raise NotImplementedError(
             "compressed video decode requires ffmpeg/pyav, not shipped in "
-            "this environment; YUV4MPEG2 (.y4m) and MJPEG-AVI decode "
-            "natively"
+            "this environment; YUV4MPEG2 (.y4m), MJPEG-AVI and animated "
+            "GIF decode natively"
         )
     nl = payload.index(b"\n")
     params = dict(
