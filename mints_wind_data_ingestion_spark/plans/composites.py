@@ -1408,7 +1408,7 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..sources.flaccodec import encode_flac
-    from ..sources.gifcodec import encode_gif
+    from ..sources.gifcodec import encode_gif, encode_gif_frames
     from ..sources.multimodal import (
         audio_fingerprint,
         decode_audio,
@@ -1480,8 +1480,13 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          int(np.int64(np.uint64(h))))
                 if i % 10 == 0:
                     for sib in (0, 1) if i % 40 == 0 else (0,):
+                        # every 4th clip ships as ANIMATED GIF —
+                        # mirrors _video_corpus exactly (gray frames
+                        # palette-encode losslessly)
+                        enc_v = (encode_gif_frames if i % 40 == 10
+                                 else encode_y4m_gray)
                         frames = sample_video_frames(
-                            encode_y4m_gray(synth_video_frames(i, sib)), 1
+                            enc_v(synth_video_frames(i, sib)), 1
                         )
                         for idx, y in frames:
                             emit("v", i + sib * _VID_SIB_OFFSET, idx,

@@ -4822,15 +4822,23 @@ def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(it):
+        from ..sources.gifcodec import encode_gif_frames
+
         for pdf in it:
             out_ids, payloads = [], []
             for i in pdf["doc_id"]:
                 i = int(i)
                 for sib in (0, 1) if i % 40 == 0 else (0,):
                     out_ids.append(i + sib * _VID_SIB_OFFSET)
-                    payloads.append(
-                        encode_y4m_gray(synth_video_frames(i, sib))
-                    )
+                    # every 4th clip ships as ANIMATED GIF (r13):
+                    # gray frames palette-encode losslessly, so the
+                    # decode-skipping replica stays container-blind
+                    # and the GIF89a animation walk becomes
+                    # driver-hash-load-bearing (the PNG/FLAC move;
+                    # MJPEG-AVI is lossy and stays test-pinned only)
+                    enc = (encode_gif_frames if i % 40 == 10
+                           else encode_y4m_gray)
+                    payloads.append(enc(synth_video_frames(i, sib)))
             yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})
 
     return ids.mapInPandas(gen, "doc_id long, payload binary")
