@@ -208,11 +208,12 @@ def _handmade_animation():
     out += _gce(disposal=1)
     out += _image_block(i0, t0, e0)
 
-    # patch: palette [50, 77]; index 1 (value 77) declared transparent
+    # patch: grayscale → identity palette (the fast path), so the
+    # transparent INDEX equals the gray value 77
     patch = np.full((4, 4, 3), 50, dtype=np.uint8)
     patch[1:3, 1:3] = 77
     tp, ip, ep = _palette_and_indices(patch)
-    out += _gce(disposal=3, transparent=1)
+    out += _gce(disposal=3, transparent=77)
     out += _image_block(ip, tp, ep, ix=2, iy=2)
 
     f2 = np.full((8, 8, 3), 200, dtype=np.uint8)
