@@ -1409,6 +1409,7 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.flaccodec import encode_flac
     from ..sources.gifcodec import encode_gif, encode_gif_frames
+    from ..sources.tiffcodec import encode_tiff
     from ..sources.multimodal import (
         audio_fingerprint,
         decode_audio,
@@ -1430,6 +1431,9 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from . import registry as _registry
+
+    def enc_tiff_lzw(px):
+        return encode_tiff(px, compression="lzw", predictor=True)
 
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     # sweep other applications' memo entries (dead sessions) so a
@@ -1466,10 +1470,11 @@ def _mm_fused_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 for sib in (0, 1) if i % 20 == 0 else (0,):
                     # every 4th image ships as PNG, every 4th+2 as
-                    # GIF (r13, grayscale → lossless palette) —
-                    # mirrors _image_corpus exactly
+                    # GIF, every 8th+1 as LZW+predictor TIFF —
+                    # mirrors _image_corpus exactly (all lossless)
                     enc_i = (encode_png if i % 4 == 0
                              else encode_gif if i % 4 == 2
+                             else enc_tiff_lzw if i % 8 == 1
                              else encode_bmp)
                     h = dhash64(
                         decode_image(enc_i(synth_image_pixels(i, sib)))[

@@ -4697,6 +4697,10 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(it):
         from ..sources.gifcodec import encode_gif
         from ..sources.multimodal import encode_png
+        from ..sources.tiffcodec import encode_tiff
+
+        def enc_tiff_lzw(px):
+            return encode_tiff(px, compression="lzw", predictor=True)
 
         for pdf in it:
             out_ids, payloads = [], []
@@ -4704,14 +4708,17 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 for sib in (0, 1) if i % 20 == 0 else (0,):
                     out_ids.append(i + sib * _IMG_SIB_OFFSET)
-                    # every 4th image ships as PNG (r12) and every
-                    # 4th+2 as GIF (r13, grayscale texture → lossless
-                    # palette): both containers are exact, so the
+                    # every 4th image ships as PNG (r12), every 4th+2
+                    # as GIF (r13, grayscale texture → lossless
+                    # palette) and every 8th+1 as LZW+predictor TIFF
+                    # (r13): all three containers are exact, so the
                     # decode-skipping replica oracle stays container-
-                    # blind and the RFC 2083 + GIF89a decode paths are
-                    # driver-hash-load-bearing (the FLAC move)
+                    # blind and the RFC 2083 + GIF89a + TIFF 6.0
+                    # decode paths are driver-hash-load-bearing (the
+                    # FLAC move)
                     enc = (encode_png if i % 4 == 0
                            else encode_gif if i % 4 == 2
+                           else enc_tiff_lzw if i % 8 == 1
                            else encode_bmp)
                     payloads.append(enc(synth_image_pixels(i, sib)))
             yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})

@@ -289,6 +289,10 @@ def decode_image(payload: bytes) -> dict:
         from .gifcodec import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
