@@ -31,11 +31,21 @@ def _payloads():
         + b"".join(b"FRAME\n" + bytes(16 * 12 * 3 // 2) for _ in range(4))
     )
     from mints_wind_data_ingestion_spark.sources.flaccodec import encode_flac
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        encode_gif,
+        encode_gif_frames,
+    )
     from mints_wind_data_ingestion_spark.sources.jpegcodec import encode_jpeg
+    from mints_wind_data_ingestion_spark.sources.tiffcodec import encode_tiff
 
     samples = np.frombuffer(pcm, dtype="<i2")
     return [
         (mm.encode_bmp(px), "img"),
+        # r13 codecs: GIF (still + animated), baseline TIFF
+        (encode_gif(px[:, :, 0]), "img"),
+        (encode_tiff(px, compression="lzw", predictor=True), "img"),
+        (encode_tiff(px[:, :, 0], compression="packbits"), "img"),
+        (encode_gif_frames([px[:, :, 0], px[:, :, 1]]), "vid"),
         (b"P6\n16 12\n255\n" + px.tobytes(), "img"),
         (b"P5\n# c\n16 12 255\n" + px[:, :, 0].tobytes(), "img"),
         (encode_jpeg(px, quality=85, subsampling="4:2:0"), "img"),
