@@ -88,6 +88,39 @@ def roll_ledger(
         )
 
 
+def window_factors(
+    timings: dict[str, float], prior_min: dict[str, float]
+) -> dict[str, float]:
+    """Per-query window factor: this sweep's reading over the ledger's
+    cross-round minimum (VERDICT r13 #1). A calm window reads ~1.0-1.25
+    uniformly; a degraded host window elevates untouched suites in
+    lockstep (median >1.5 observed in the r13 collapse). Emitting the
+    table makes a degraded recording machine-auditable from the
+    artifact alone — no cross-referencing sweep series in BASELINE.md."""
+    return {
+        n: round(timings[n] / prior_min[n], 3)
+        for n in timings
+        if n in prior_min and prior_min[n] > 0
+    }
+
+
+def wf_median(factors: dict[str, float]) -> float | None:
+    vals = sorted(factors.values())
+    if not vals:
+        return None
+    mid = len(vals) // 2
+    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    return round(med, 3)
+
+
+def read_load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def settle_host(max_wait: float, target_load1: float = 3.0) -> float:
     """Load-coupled drift defense (BASELINE.md r12, measured): a sweep
     that starts right after sustained 32-core work inherits a ~10%
@@ -213,6 +246,7 @@ def main() -> None:
     # under sustained degradation; observed r6: a degraded window ate
     # 5×27 adjacent retries and still left every suite ~1.4× elevated).
     timings: dict[str, float] = {}
+    load1_start = read_load1()
     for name in names:
         runs = [run_once(name), run_once(name)]
         target = prior_min.get(name)
@@ -223,6 +257,52 @@ def main() -> None:
         ):
             runs.append(run_once(name))
         timings[name] = round(min(runs), 4)
+
+    # budget scaled to the OBSERVED first-pass cost (VERDICT r13 #1):
+    # the fixed 480 s was exhausted by two adjacent passes when a
+    # degraded window priced a single pass at ~126 s, so the recovery
+    # loop and the plan-cache split — the machinery that exists for
+    # exactly that window — never ran. Headroom math: one more full
+    # sweep (1×) + the uncached split (~2× guard) + two recovery
+    # passes (2×) ≈ 5× the per-pass cost on top of what's spent.
+    # Capped (default 900 s, SPARK_GRAFT_BENCH_BUDGET_MAX_SEC) to stay
+    # inside the driver's per-step patience; a calm window never
+    # scales (elapsed + 5×sum < 480 for a healthy ~45 s pass).
+    budget_cap = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_MAX_SEC", "900")
+    )
+    budget = max(
+        budget,
+        min(budget_cap, elapsed() + 5.0 * sum(timings.values())),
+    )
+
+    # degraded-first-pass early retry (VERDICT r13 #1): when the first
+    # pass's MEDIAN window factor exceeds the degraded threshold, the
+    # whole pass — including every adjacent retry — sampled a collapsed
+    # host window (r13: median 2.51×, untouched pure-codegen suites at
+    # 1.6-1.9× in lockstep). Load average alone does not catch this:
+    # the r13 close measured loadavg decayed while the hot-machine
+    # penalty persisted. So: one fixed cool-down + a stricter load
+    # settle, then a full re-sweep min-merged into the timings. The
+    # metric is sum-of-mins, so this only sheds noise.
+    first_pass_wf = wf_median(window_factors(timings, prior_min))
+    degraded_at = float(
+        os.environ.get("SPARK_GRAFT_BENCH_DEGRADED_FACTOR", "1.5")
+    )
+    resettle_sec = 0.0
+    if (
+        first_pass_wf is not None
+        and first_pass_wf > degraded_at
+        and elapsed() + 90 + sum(timings.values()) < budget
+    ):
+        t_rs = time.time()
+        time.sleep(60)  # cooling recovers ~10% even after load decays
+        settle_host(120, target_load1=2.0)
+        resettle_sec = round(time.time() - t_rs, 1)
+        for name in names:
+            timings[name] = round(min(timings[name], run_once(name)), 4)
+            if elapsed() > budget:
+                break
 
     # second full sweep, unconditional (r5 verdict #5): a query's
     # initial runs are ADJACENT in time, so one multi-minute burst
@@ -324,6 +404,11 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — the ledger must never eat the metric line
             pass
 
+    # final per-query window-factor table (VERDICT r13 #1): the
+    # artifact carries its own audit — a recording whose wf_median
+    # exceeds ~1.25 on suites untouched since their mins is a host
+    # window, not a regression, and the table proves it in place.
+    wfs = window_factors(timings, prior_min)
     result = {
         "metric": "total_query_sec",
         # staleness marker (r8 review): BENCH_LAST.json is only
@@ -334,6 +419,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "window_factors": wfs,
+        "wf_median": wf_median(wfs),
+        "wf_max": max(wfs.values()) if wfs else None,
+        "wf_first_pass_median": first_pass_wf,
+        "resettle_sec": resettle_sec,
+        "budget_sec": round(budget, 1),
+        "load1_start": load1_start,
+        "load1_end": read_load1(),
         "prior_min": {
             k: round(v, 4) for k, v in sorted(prior_min.items())
             if k in timings
@@ -392,6 +485,13 @@ def headline_line(result: dict) -> str:
         "n_queries": len(result["queries"]),
         "recovery_passes": result["recovery_passes"],
         "settle_sec": result.get("settle_sec", 0.0),
+        # window audit scalars (full per-query table in BENCH_LAST.json)
+        "wf_median": result.get("wf_median"),
+        "wf_max": result.get("wf_max"),
+        "wf_first_pass_median": result.get("wf_first_pass_median"),
+        "resettle_sec": result.get("resettle_sec", 0.0),
+        "load1_start": result.get("load1_start"),
+        "load1_end": result.get("load1_end"),
         "plan_cache": result["plan_cache"],
         "total_plan_cache_off": result["total_plan_cache_off"],
         "n_promoted_excluded": len(result.get("promotions") or {}),

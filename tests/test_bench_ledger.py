@@ -113,6 +113,52 @@ def test_headline_line_fits_driver_tail_capture():
     assert json.loads(line)["queries"] == {}
 
 
+def test_window_factors_and_median():
+    """VERDICT r13 #1: the artifact must carry its own degraded-window
+    audit — per-query factor vs the ledger min, median/max scalars."""
+    from bench import wf_median, window_factors
+
+    pm = {"a": 1.0, "b": 2.0, "zero": 0.0}
+    t = {"a": 1.5, "b": 2.2, "zero": 5.0, "new_name": 3.0}
+    wfs = window_factors(t, pm)
+    # zero-ledger and ledger-unknown names are excluded, never divide
+    assert wfs == {"a": 1.5, "b": 1.1}
+    assert wf_median(wfs) == 1.3  # even count: mean of middle two
+    assert wf_median({"a": 1.0, "b": 2.0, "c": 9.0}) == 2.0
+    assert wf_median({}) is None
+
+
+def test_headline_carries_window_audit_scalars():
+    """The compact headline must include the wf audit scalars so a
+    degraded recording is machine-auditable from the driver-captured
+    stdout alone (the full table lives in BENCH_LAST.json)."""
+    from bench import _TAIL_CAPTURE_BUDGET, headline_line
+
+    result = {
+        "metric": "total_query_sec",
+        "value": 50.0,
+        "unit": "sec",
+        "queries": {"q": 1.0},
+        "recovery_passes": 0,
+        "plan_cache": True,
+        "total_plan_cache_off": None,
+        "sf": 0.1,
+        "wf_median": 1.21,
+        "wf_max": 1.9,
+        "wf_first_pass_median": 1.6,
+        "resettle_sec": 182.0,
+        "load1_start": 0.5,
+        "load1_end": 30.2,
+    }
+    line = headline_line(result)
+    assert len(line) <= _TAIL_CAPTURE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["wf_median"] == 1.21
+    assert parsed["wf_first_pass_median"] == 1.6
+    assert parsed["resettle_sec"] == 182.0
+    assert parsed["load1_end"] == 30.2
+
+
 def test_promoted_slots_are_driver_rows_backed_by_driver_composites():
     """Every promoted slot (excluded from bench timing) must still be a
     driver correctness row, and its subsuming composite must itself be
