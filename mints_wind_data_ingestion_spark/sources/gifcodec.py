@@ -38,6 +38,14 @@ __all__ = [
 #: pass order/start/step of the GIF interlace scheme (spec appendix E)
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+#: decompression-bomb guard (ADVICE r13): the logical-screen fields are
+#: 16-bit, so a 5-byte corrupt/adversarial header can demand a
+#: 65535×65535 canvas (~12.9 GB RGB) — and MemoryError is deliberately
+#: NOT a quarantine class, so the allocation must never be attempted.
+#: Same formula as Pillow's default MAX_IMAGE_PIXELS (¼ GB at 3 B/px),
+#: raised as a plain ValueError so the UDTF boundary quarantines it.
+_MAX_PIXELS = 1024 * 1024 * 1024 // 4 // 3
+
 
 def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
     """Concatenate a sub-block sequence starting at `pos`; returns
@@ -102,8 +110,14 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            # 12-bit codes cap the table at 4096 entries (spec: the
+            # encoder must CLEAR before exceeding it). Growing past the
+            # boundary — as pre-r14 did — lets a corrupt stream with no
+            # CLEAR codes build unboundedly long entries (ADVICE r13:
+            # multi-GB allocations before any exception fires).
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -150,6 +164,11 @@ def _iter_image_blocks(payload: bytes):
     sw, sh, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     if not sw or not sh:
         raise ValueError(f"GIF: zero logical screen {sw}x{sh}")
+    if sw * sh > _MAX_PIXELS:
+        raise ValueError(
+            f"GIF: logical screen {sw}x{sh} exceeds the "
+            f"{_MAX_PIXELS}-pixel decompression-bomb guard"
+        )
     pos = 13
     gct = None
     if packed & 0x80:

@@ -32,6 +32,10 @@ __all__ = ["decode_tiff", "encode_tiff"]
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8}
 
+#: decompression-bomb guard (ADVICE r13) — same formula as Pillow's
+#: default MAX_IMAGE_PIXELS; see gifcodec._MAX_PIXELS for rationale
+_MAX_PIXELS = 1024 * 1024 * 1024 // 4 // 3
+
 
 def _read_ifd(payload: bytes, off: int, bo: str) -> dict[int, tuple]:
     """tag → (type, values tuple) for one IFD."""
@@ -135,8 +139,12 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            # 12-bit cap (ADVICE r13): a compliant writer CLEARs before
+            # code 4096; growing past it lets a CLEAR-free corrupt
+            # stream build unboundedly long entries before any error
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -179,6 +187,14 @@ def decode_tiff(payload: bytes) -> dict:
     h = tagv(257, (0,))[0]
     if not w or not h:
         raise ValueError(f"TIFF: zero dimensions {w}x{h}")
+    if w * h > _MAX_PIXELS:
+        # width/height are 32-bit LONGs: an 8-byte header edit can
+        # demand a multi-GB canvas, and MemoryError is deliberately not
+        # a quarantine class (ADVICE r13) — refuse before allocating
+        raise ValueError(
+            f"TIFF: {w}x{h} exceeds the {_MAX_PIXELS}-pixel "
+            f"decompression-bomb guard"
+        )
     comp = tagv(259, (1,))[0]
     photo = tagv(262, (1,))[0]
     spp = tagv(277, (1,))[0]

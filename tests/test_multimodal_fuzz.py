@@ -111,3 +111,77 @@ def test_wav_bad_bit_depth_quarantines():
     )
     with pytest.raises(mm.MM_DECODE_ERRORS):
         mm.decode_audio(wav)
+
+
+def test_gif_decompression_bomb_header_refused_fast():
+    """ADVICE r13: a 5-byte header edit can demand a 65535x65535
+    (~12.9 GB RGB) canvas; MemoryError is NOT a quarantine class, so
+    the guard must raise ValueError BEFORE any allocation."""
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    px = (np.arange(8 * 8, dtype=np.int64) % 256).astype(np.uint8)
+    gif = bytearray(encode_gif(px.reshape(8, 8)))
+    struct.pack_into("<HH", gif, 6, 65535, 65535)  # logical screen
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_gif(bytes(gif))
+    assert time.perf_counter() - t0 < 0.5
+    with pytest.raises(mm.MM_DECODE_ERRORS):
+        mm.decode_image(bytes(gif))  # the UDTF boundary class covers it
+
+
+def test_tiff_decompression_bomb_header_refused_fast():
+    """TIFF width/height are 32-bit LONGs — an 8-byte edit can demand
+    a canvas in the hundreds of GB. Guard raises before allocating."""
+    from mints_wind_data_ingestion_spark.sources.tiffcodec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    px = (np.arange(8 * 8, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(8, 8)
+    tif = bytearray(encode_tiff(px))
+    # little-endian classic TIFF: find the IFD and patch tags 256/257
+    (ifd_off,) = struct.unpack_from("<I", tif, 4)
+    (n_entries,) = struct.unpack_from("<H", tif, ifd_off)
+    patched = 0
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from("<H", tif, e)
+        if tag in (256, 257):  # ImageWidth / ImageLength
+            struct.pack_into("<HHII", tif, e, tag, 4, 1, 500_000)
+            patched += 1
+    assert patched == 2
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_tiff(bytes(tif))
+    assert time.perf_counter() - t0 < 0.5
+
+
+def test_lzw_table_capped_at_4096_entries():
+    """ADVICE r13: both LZW decoders must stop growing the code table
+    at the 12-bit boundary (compliant writers CLEAR before it), so a
+    CLEAR-free corrupt stream cannot build unboundedly long entries.
+    Large images exercise the cap on the normal path: the encoders DO
+    emit clear-on-full, and round-trips must stay bit-exact."""
+    from mints_wind_data_ingestion_spark.sources.gifcodec import (
+        decode_gif,
+        encode_gif,
+    )
+    from mints_wind_data_ingestion_spark.sources.tiffcodec import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(20260816)
+    # enough entropy to fill the 4096-entry table several times over
+    g = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    gif_px = decode_gif(encode_gif(g))["pixels"]  # RGB canvas
+    assert np.array_equal(gif_px[:, :, 0], g)
+    assert np.array_equal(gif_px[:, :, 0], gif_px[:, :, 1])
+    out = decode_tiff(encode_tiff(g, compression="lzw"))
+    assert np.array_equal(out["pixels"], g)
