@@ -924,6 +924,9 @@ def _docpipe_oracle() -> str:
     SELECT 'curation', CAST(doc_id AS BIGINT), CAST(chunk_id AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), chunk_text
     FROM {_oracle("x_curation_pipeline")}
+    UNION ALL
+    SELECT part, doc_id, n1, n2, n3, txt
+    FROM {_oracle("x_warc_ingest")}
     """
 
 
@@ -935,14 +938,18 @@ def x_doc_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (x_curation_pipeline: language filter → exact dedup →
     Jaccard near-dup clustering → hash sample → chunking, verified by
     one recursive-CTE oracle), tagged into one superset over the
-    documents table. A regression in any stage or composition flips
-    the driver hash."""
+    documents table; r14 adds the WARC/WET container-ingestion e2e
+    (x_warc_ingest: documents → gzip-member-per-record WET shards →
+    member walk → WARC record parse → per-record text stats, planted
+    truncated members surfacing as 'warc_err' quarantine rows). A
+    regression in any stage or composition flips the driver hash."""
     dt = REGISTRY["x_doc_transform"].build(spark, sf_dir)
     cu = REGISTRY["x_curation_pipeline"].build(spark, sf_dir)
+    wa = REGISTRY["x_warc_ingest"].build(spark, sf_dir)
     return dt.unionByName(
         _part(cu, "curation", doc_id=_b("doc_id"), n1=_b("chunk_id"),
               n2=_nb(), n3=_nb(), txt=_s("chunk_text"))
-    )
+    ).unionByName(wa)
 
 
 # ---------------------------------------------------------------------------

@@ -5436,3 +5436,124 @@ def x_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx, probes, books, emb,
         k=_PQ_K, nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST, dim=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# x_warc_ingest — WARC/WET container ingestion, the CommonCrawl first
+# mile (r14, VERDICT r13 "What's missing" #1). Folded into
+# x_doc_pipeline_suite for the driver gate.
+# ---------------------------------------------------------------------------
+
+#: WET corpus layout: documents sharded into this many .wet.gz files
+#: (doc_id % _WET_FILES), one gzip member per record — the CommonCrawl
+#: convention the scanner is built for.
+_WET_FILES = 8
+
+
+def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, content) — the documents table serialized as WET files,
+    built executor-side per shard in one Arrow pass (at corpus scale
+    the .wet.gz files ARE the input; here the engine's own
+    deterministic encoder closes the loop, the x_grib_decode_stats /
+    image-corpus recipe). Every shard containing a doc_id ≡ 3
+    (mod 97) gets one TRUNCATED gzip member appended at EOF, so the
+    typed-quarantine path is driver-hash-load-bearing too — planted
+    at the END because a mid-stream gzip fault rightly quarantines
+    the remainder of the file."""
+    import pandas as pd
+
+    from ..sources.warc import _gzip_member, encode_wet
+
+    docs = (
+        tables(spark, sf_dir)["documents"]
+        .select("doc_id", "text")
+        .withColumn("__file", F.col("doc_id") % _WET_FILES)
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        fno = int(pdf["__file"].iloc[0])
+        recs = [
+            {
+                "target_uri": f"https://example.org/doc/{int(i)}",
+                "text": str(t),
+                "record_id": f"<urn:uuid:doc-{int(i)}>",
+            }
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        blob = encode_wet(recs)
+        if ((pdf["doc_id"] % 97) == 3).any():
+            blob += _gzip_member(b"planted-truncation")[:8]
+        return pd.DataFrame(
+            {"path": [f"mem://wet/{fno:02d}.wet.gz"], "content": [blob]}
+        )
+
+    return docs.groupBy("__file").applyInPandas(
+        build, "path string, content binary"
+    )
+
+
+def _warc_oracle() -> str:
+    # the engine extracts these stats from text that round-tripped
+    # through encode → gzip → member walk → WARC parse → UTF-8 decode;
+    # the oracle computes them straight off `documents` — equality IS
+    # the end-to-end ingestion check. n1 uses the WARC header's
+    # Content-Length on the engine side vs octet_length(text) here, so
+    # the header/block framing is load-bearing, not just the payload.
+    return f"""
+    SELECT 'warc' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(strlen(text) AS BIGINT) AS n1,
+           CAST(length(text) - length(replace(text, chr(10), ''))
+                + 1 AS BIGINT) AS n2,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS BIGINT) AS n3,
+           text AS txt
+    FROM documents
+    UNION ALL
+    SELECT 'warc_err', CAST(NULL AS BIGINT), CAST(1 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           'gzip: truncated member at offset #'
+    FROM (SELECT DISTINCT doc_id % {_WET_FILES}
+          FROM documents WHERE doc_id % 97 = 3)
+    """
+
+
+@query("x_warc_ingest", oracle=_warc_oracle(),
+       tags=("ext", "text", "source"), driver=False)
+def x_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET ingestion e2e (r14): documents → deterministic WET
+    shards (one gzip member per record, CommonCrawl layout) →
+    `sources.warc.scan_wet_df` (binary → member walk → WARC record
+    parse → typed quarantine) → per-record text stats. Every byte of
+    extracted text plus the WARC-header-derived Content-Length rides
+    the driver hash, and the planted truncated members surface as
+    'warc_err' rows (digit-normalized error text) — the quarantine
+    contract is hash-load-bearing exactly like the GRIB scan."""
+    from ..sources.warc import scan_wet_df
+
+    scanned = scan_wet_df(_wet_corpus(spark, sf_dir))
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stats = scanned.filter("error IS NULL").select(
+        F.lit("warc").alias("part"),
+        F.regexp_extract("target_uri", "doc/([0-9]+)$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("content_length").cast("bigint").alias("n1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "\n", ""))
+            + 1
+        ).cast("bigint").alias("n2"),
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(toks).cast("bigint").alias("n3"),
+        F.col("text").alias("txt"),
+    )
+    errs = scanned.filter("error IS NOT NULL").select(
+        F.lit("warc_err").alias("part"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(1).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.regexp_replace("error", "[0-9]+", "#").alias("txt"),
+    )
+    return stats.unionByName(errs)
