@@ -4560,12 +4560,13 @@ def synth_image_pixels(i: int, sib: int):
     v *= u64(0x5BD1E995)
     v ^= v >> u64(15)
     px = (v % u64(256)).astype(np.uint8)
-    if i % 4 == 2:
-        # GIF ids (r13): grayscale texture (R = G = B = the channel-0
-        # values) so the 256-entry palette encodes it LOSSLESSLY and
-        # the decode-skipping replica stays container-blind — the
-        # PNG/FLAC convention. Part of the corpus DEFINITION: the
-        # Spark generator and the replica both call this.
+    if i % 4 == 2 or i % 8 == 3:
+        # GIF ids (r13) and palette-WebP ids (r14): grayscale texture
+        # (R = G = B = the channel-0 values) so the 256-entry palette
+        # encodes it LOSSLESSLY and the decode-skipping replica stays
+        # container-blind — the PNG/FLAC convention. Part of the
+        # corpus DEFINITION: the Spark generator and the replica both
+        # call this.
         px = np.repeat(px[:, :, :1], 3, axis=2)
     if sib:
         px = px.copy()
@@ -4698,9 +4699,18 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.gifcodec import encode_gif
         from ..sources.multimodal import encode_png
         from ..sources.tiffcodec import encode_tiff
+        from ..sources.webpcodec import encode_webp
 
         def enc_tiff_lzw(px):
             return encode_tiff(px, compression="lzw", predictor=True)
+
+        def enc_webp_pal(px):
+            # grayscale textures always fit the 256-entry palette —
+            # exercises the color-indexing + bundling decode path
+            return encode_webp(px, use_palette=True)
+
+        def enc_webp_sg(px):
+            return encode_webp(px, subtract_green=True, cache_bits=6)
 
         for pdf in it:
             out_ids, payloads = [], []
@@ -4710,15 +4720,20 @@ def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out_ids.append(i + sib * _IMG_SIB_OFFSET)
                     # every 4th image ships as PNG (r12), every 4th+2
                     # as GIF (r13, grayscale texture → lossless
-                    # palette) and every 8th+1 as LZW+predictor TIFF
-                    # (r13): all three containers are exact, so the
-                    # decode-skipping replica oracle stays container-
-                    # blind and the RFC 2083 + GIF89a + TIFF 6.0
-                    # decode paths are driver-hash-load-bearing (the
-                    # FLAC move)
+                    # palette), every 8th+1 as LZW+predictor TIFF
+                    # (r13), and — r14 — every 8th+3 as palette-coded
+                    # lossless WebP with every 8th+7 as
+                    # subtract-green + color-cache WebP: all the
+                    # containers are exact, so the decode-skipping
+                    # replica oracle stays container-blind and the
+                    # RFC 2083 + GIF89a + TIFF 6.0 + VP8L decode
+                    # paths are driver-hash-load-bearing (the FLAC
+                    # move)
                     enc = (encode_png if i % 4 == 0
                            else encode_gif if i % 4 == 2
                            else enc_tiff_lzw if i % 8 == 1
+                           else enc_webp_pal if i % 8 == 3
+                           else enc_webp_sg if i % 8 == 7
                            else encode_bmp)
                     payloads.append(enc(synth_image_pixels(i, sib)))
             yield pd.DataFrame({"doc_id": out_ids, "payload": payloads})

@@ -273,8 +273,11 @@ def decode_image(payload: bytes) -> dict:
     PNG rides the engine's own RFC 2083 decoder (r10), JPEG the
     engine's own ITU-T T.81 codec (r11, sources/jpegcodec.py; JVM
     javax.imageio cross-validated in tests/test_jpeg.py, grayscale
-    progressive bit-exact). Remaining compressed formats (JPEG2000,
-    arithmetic-coded JPEG, WebP, ...) dispatch to PIL when importable;
+    progressive bit-exact), and lossless WebP the engine's own VP8L
+    codec (r14, sources/webpcodec.py — full transform/meta/cache/LZ77
+    surface; lossy VP8 stays a typed gate). Remaining compressed
+    formats (JPEG2000, arithmetic-coded JPEG, ...) dispatch to PIL
+    when importable;
     this container ships none, so they raise with the contract intact.
     Plug into `extract_meta`'s iterator in place of `byte_stats_meta`
     for real metadata.
@@ -293,6 +296,12 @@ def decode_image(payload: bytes) -> dict:
         from .tiffcodec import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webpcodec import decode_webp
+
+        # lossless VP8L decodes natively (r14); lossy VP8 raises a
+        # typed ValueError naming the gate — same quarantine class
+        return decode_webp(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 

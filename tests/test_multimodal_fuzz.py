@@ -37,6 +37,7 @@ def _payloads():
     )
     from mints_wind_data_ingestion_spark.sources.jpegcodec import encode_jpeg
     from mints_wind_data_ingestion_spark.sources.tiffcodec import encode_tiff
+    from mints_wind_data_ingestion_spark.sources.webpcodec import encode_webp
 
     samples = np.frombuffer(pcm, dtype="<i2")
     return [
@@ -46,6 +47,9 @@ def _payloads():
         (encode_tiff(px, compression="lzw", predictor=True), "img"),
         (encode_tiff(px[:, :, 0], compression="packbits"), "img"),
         (encode_gif_frames([px[:, :, 0], px[:, :, 1]]), "vid"),
+        # r14 codec: lossless WebP (plain + palette-bundled)
+        (encode_webp(px), "img"),
+        (encode_webp((px[:, :, 0] // 32) * 32, use_palette=True), "img"),
         (b"P6\n16 12\n255\n" + px.tobytes(), "img"),
         (b"P5\n# c\n16 12 255\n" + px[:, :, 0].tobytes(), "img"),
         (encode_jpeg(px, quality=85, subsampling="4:2:0"), "img"),
