@@ -96,6 +96,22 @@ QUERIES = [
     # corpus (the steady-state fixed-batch shape is profiled
     # separately in scaling_incremental.py's pattern)
     "x_substring_excise",
+    # round-14 additions (VERDICT r13 #7): the r13 skew machinery at
+    # 10×. x_dedup_jaccard drives jaccard_join_adaptive — the bounded
+    # stats pull + route decision runs at both scales, and the ratio
+    # statistic (Σdf²/postings) is scale-INVARIANT under replica
+    # derivation (df distribution per replica unchanged, vol and
+    # postings both ×10), so the uniform route must hold at sf1 —
+    # pinning the routing threshold at a second scale point.
+    # x_dedup_simhash exercises the banded-Hamming path whose
+    # identical-fingerprint collapse gate (r13) likewise reads a
+    # scale-linear statistic (largest cluster ×1 under replicas).
+    "x_dedup_jaccard",
+    "x_dedup_simhash",
+    # round-14 addition: the WARC/WET container-ingestion e2e — gzip
+    # member walk + record parse over 10× documents; pure per-doc
+    # work, the embarrassingly-parallel linear case
+    "x_warc_ingest",
 ]
 
 
