@@ -66,6 +66,8 @@ _MAX_MEMBER_BYTES = 1 << 28
 
 _GZIP_MAGIC = b"\x1f\x8b"
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+_BZ2_MAGIC = b"BZh"
 
 
 def iter_gzip_members(
@@ -109,6 +111,75 @@ def iter_gzip_members(
         consumed = (n - pos) - len(d.unused_data)
         yield pos, bytes(out)
         pos += consumed
+
+
+def _iter_decompressor_members(
+    data: bytes,
+    make,
+    fmt: str,
+    max_member_bytes: int,
+    errors: tuple = (),
+) -> Iterator[tuple[int, bytes]]:
+    """Generic multi-member walk over stdlib Decompressor objects
+    (lzma.LZMADecompressor / bz2.BZ2Decompressor — both expose
+    decompress(max_length)/eof/unused_data/needs_input), mirroring
+    `iter_gzip_members`' quarantine classes: truncation, stream
+    corruption (format-specific exceptions → ValueError), and the
+    decompression-bomb guard."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = make()
+        out = bytearray()
+        chunk_in = data[pos:]
+        try:
+            out += d.decompress(chunk_in, max_member_bytes + 1)
+            while not d.eof and not d.needs_input:
+                out += d.decompress(b"", max_member_bytes + 1)
+                if len(out) > max_member_bytes:
+                    break
+        except errors as exc:
+            raise ValueError(
+                f"{fmt}: {exc} (member offset {pos})"
+            ) from exc
+        if len(out) > max_member_bytes:
+            raise ValueError(
+                f"{fmt}: member at offset {pos} exceeds the "
+                f"{max_member_bytes}-byte decompression-bomb guard"
+            )
+        if not d.eof:
+            raise ValueError(f"{fmt}: truncated member at offset {pos}")
+        consumed = len(chunk_in) - len(d.unused_data)
+        yield pos, bytes(out)
+        pos += consumed
+        # xz streams may be padded with 4-byte zero blocks between
+        # members (the xz container spec's Stream Padding)
+        while fmt == "xz" and data[pos : pos + 4] == b"\x00\x00\x00\x00":
+            pos += 4
+
+
+def _iter_xz_members(
+    data: bytes, max_member_bytes: int
+) -> Iterator[tuple[int, bytes]]:
+    import lzma
+
+    return _iter_decompressor_members(
+        data,
+        lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ),
+        "xz",
+        max_member_bytes,
+        errors=(lzma.LZMAError,),
+    )
+
+
+def _iter_bz2_members(
+    data: bytes, max_member_bytes: int
+) -> Iterator[tuple[int, bytes]]:
+    import bz2
+
+    return _iter_decompressor_members(
+        data, bz2.BZ2Decompressor, "bz2", max_member_bytes, errors=(OSError,)
+    )
 
 
 def _decompress_zstd(data: bytes, max_member_bytes: int) -> bytes:
@@ -265,24 +336,15 @@ def scan_warc_bytes(
     row for the remainder. A stream-level gzip fault (framing lost)
     quarantines the rest of the file as one row."""
     rows: list[dict] = []
-    if content[:2] == _GZIP_MAGIC:
-        members: Iterator[tuple[int, bytes]] = iter_gzip_members(
-            content, max_member_bytes
-        )
-    elif content[:4] == _ZSTD_MAGIC:
-        def _one_zstd() -> Iterator[tuple[int, bytes]]:
-            yield 0, _decompress_zstd(content, max_member_bytes)
-
-        members = _one_zstd()
-    else:
-        members = iter(((0, content),))
+    members = _members_for(content, max_member_bytes)
     while True:
         try:
             m_off, blob = next(members)
         except StopIteration:
             break
         except ValueError as exc:
-            # gzip framing is lost from here on — quarantine the rest
+            # container framing is lost from here on — quarantine the
+            # rest of the file as one row
             rows.append(_error_row(path, -1, None, str(exc)))
             break
         try:
@@ -291,6 +353,25 @@ def scan_warc_bytes(
         except ValueError as exc:
             rows.append(_error_row(path, m_off, None, str(exc)))
     return rows
+
+
+def _members_for(
+    content: bytes, max_member_bytes: int
+) -> Iterator[tuple[int, bytes]]:
+    """Container dispatch by magic: multi-member gzip/xz/bz2 walks
+    (all stdlib), the zstd gate, or the raw bytes as one member."""
+    if content[:2] == _GZIP_MAGIC:
+        return iter_gzip_members(content, max_member_bytes)
+    if content[:6] == _XZ_MAGIC:
+        return _iter_xz_members(content, max_member_bytes)
+    if content[:3] == _BZ2_MAGIC:
+        return _iter_bz2_members(content, max_member_bytes)
+    if content[:4] == _ZSTD_MAGIC:
+        def _one_zstd() -> Iterator[tuple[int, bytes]]:
+            yield 0, _decompress_zstd(content, max_member_bytes)
+
+        return _one_zstd()
+    return iter(((0, content),))
 
 
 def scan_wet_df(
@@ -399,17 +480,7 @@ def scan_jsonl_bytes(
     rows (truncated member, bad CRC, bomb guard, zstd gate). Line
     numbering is per-file and continuous across members."""
     rows: list[dict] = []
-    if content[:2] == _GZIP_MAGIC:
-        members: Iterator[tuple[int, bytes]] = iter_gzip_members(
-            content, max_member_bytes
-        )
-    elif content[:4] == _ZSTD_MAGIC:
-        def _one_zstd() -> Iterator[tuple[int, bytes]]:
-            yield 0, _decompress_zstd(content, max_member_bytes)
-
-        members = _one_zstd()
-    else:
-        members = iter(((0, content),))
+    members = _members_for(content, max_member_bytes)
     line_no = 0
     while True:
         try:

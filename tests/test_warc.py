@@ -225,3 +225,40 @@ def test_wet_streaming_gate_stream_equals_batch(spark, tmp_path):
     q2 = run_wet_ingest_stream(spark, str(land), corpus, ckpt, quar)
     q2.awaitTermination(180)
     assert snap(spark.read.parquet(corpus)) == got
+
+
+def test_xz_and_bz2_containers():
+    """.xz and .bz2 WET/JSONL containers walk through the stdlib
+    decompressors with the same member/quarantine contract (r14:
+    Wikipedia-dump-class .bz2 and .xz corpora)."""
+    import bz2
+    import lzma
+
+    plain = encode_wet(_records(3), compress=False)
+    # two concatenated xz streams = two members
+    xz = lzma.compress(plain, format=lzma.FORMAT_XZ) + lzma.compress(
+        encode_wet(_records(2), compress=False), format=lzma.FORMAT_XZ
+    )
+    rows = scan_warc_bytes("f.wet.xz", xz)
+    assert [r["error"] for r in rows] == [None] * 5
+    assert len({r["member_offset"] for r in rows}) == 2
+
+    bz = bz2.compress(plain)
+    rows = scan_warc_bytes("f.wet.bz2", bz)
+    assert [r["error"] for r in rows] == [None] * 3
+
+    # truncation quarantines
+    rows = scan_warc_bytes("f.wet.xz", xz[: len(xz) // 3])
+    assert any("xz" in (r["error"] or "") for r in rows)
+    rows = scan_warc_bytes("f.wet.bz2", bz[:-8])
+    assert rows[-1]["error"] is not None
+
+    # bomb guard
+    big = lzma.compress(b"x" * 1_000_000, format=lzma.FORMAT_XZ)
+    rows = scan_warc_bytes("f.xz", big, max_member_bytes=65536)
+    assert "decompression-bomb" in rows[0]["error"]
+
+    # JSONL twin
+    lines = b'{"a": 1}\n{"a": 2}\n'
+    rows = scan_jsonl_bytes("d.jsonl.bz2", bz2.compress(lines))
+    assert [r["line"] for r in rows] == ['{"a": 1}', '{"a": 2}']
