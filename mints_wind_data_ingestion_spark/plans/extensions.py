@@ -5474,7 +5474,15 @@ def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod 97) gets one TRUNCATED gzip member appended at EOF, so the
     typed-quarantine path is driver-hash-load-bearing too — planted
     at the END because a mid-stream gzip fault rightly quarantines
-    the remainder of the file."""
+    the remainder of the file.
+
+    r14b: shards 5/6/7 ship as `.wet.zst` / `.wet.xz` / `.wet.bz2`
+    (one whole-stream member each) — the NATIVE RFC 8878 zstd decode
+    (FSE sequence tables + Huffman literals under `seq_mode='fse'`)
+    and the stdlib xz/bz2 walks are hash-load-bearing exactly like
+    the gzip path. Truncations are planted only on the gzip shards
+    0-4: a single-member container rightly loses its whole file to
+    one corrupt frame, which would take records out of the hash."""
     import pandas as pd
 
     from ..sources.warc import _gzip_member, encode_wet
@@ -5486,6 +5494,11 @@ def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import bz2
+        import lzma
+
+        from ..sources.zstdcodec import compress_zstd
+
         pdf = pdf.sort_values("doc_id")
         fno = int(pdf["__file"].iloc[0])
         recs = [
@@ -5496,11 +5509,26 @@ def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for i, t in zip(pdf["doc_id"], pdf["text"])
         ]
-        blob = encode_wet(recs)
-        if ((pdf["doc_id"] % 97) == 3).any():
-            blob += _gzip_member(b"planted-truncation")[:8]
+        if fno == 5:
+            blob = compress_zstd(
+                encode_wet(recs, compress=False), seq_mode="fse"
+            )
+            ext = "zst"
+        elif fno == 6:
+            blob = lzma.compress(
+                encode_wet(recs, compress=False), format=lzma.FORMAT_XZ
+            )
+            ext = "xz"
+        elif fno == 7:
+            blob = bz2.compress(encode_wet(recs, compress=False))
+            ext = "bz2"
+        else:
+            blob = encode_wet(recs)
+            ext = "gz"
+            if ((pdf["doc_id"] % 97) == 3).any():
+                blob += _gzip_member(b"planted-truncation")[:8]
         return pd.DataFrame(
-            {"path": [f"mem://wet/{fno:02d}.wet.gz"], "content": [blob]}
+            {"path": [f"mem://wet/{fno:02d}.wet.{ext}"], "content": [blob]}
         )
 
     return docs.groupBy("__file").applyInPandas(
@@ -5530,7 +5558,8 @@ def _warc_oracle() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            'gzip: truncated member at offset #'
     FROM (SELECT DISTINCT doc_id % {_WET_FILES}
-          FROM documents WHERE doc_id % 97 = 3)
+          FROM documents
+          WHERE doc_id % 97 = 3 AND doc_id % {_WET_FILES} <= 4)
     """
 
 

@@ -183,20 +183,14 @@ def _iter_bz2_members(
 
 
 def _decompress_zstd(data: bytes, max_member_bytes: int) -> bytes:
-    """zstd gate — typed ValueError naming the missing binding when
-    the `zstandard` package is absent (the MP3/AAC gate recipe)."""
-    try:
-        import zstandard  # noqa: PLC0415 — optional, import-gated
-    except ImportError as exc:
-        raise ValueError(
-            "zstd: this container is zstd-compressed; decoding needs "
-            "the 'zstandard' package (not installed) — record "
-            "quarantined, not dropped"
-        ) from exc
-    out = zstandard.ZstdDecompressor().decompress(
-        data, max_output_size=max_member_bytes
-    )
-    return out
+    """zstd decode — NATIVE since r14 (`sources.zstdcodec`, RFC 8878:
+    full frame/block/FSE/Huffman surface, checksum-verified, bomb
+    guard; dictionary frames raise a typed gate). Until r14 this was
+    a `zstandard` import gate; the binding now serves only as the
+    optional cross-check in tests/test_decoder_dispatch.py."""
+    from .zstdcodec import decompress_zstd
+
+    return decompress_zstd(data, max_output=max_member_bytes)
 
 
 def parse_warc_stream(data: bytes) -> Iterator[dict]:

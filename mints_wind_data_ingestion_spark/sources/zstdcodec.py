@@ -107,10 +107,10 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         i += 8
     if i + 4 <= n:
         (k,) = struct.unpack_from("<I", data, i)
-        h = ((_rotl(h ^ (k * _P1), 23) * _P2) + _P3) & _M64
+        h = ((_rotl((h ^ (k * _P1)) & _M64, 23) * _P2) + _P3) & _M64
         i += 4
     while i < n:
-        h = (_rotl(h ^ (data[i] * _P5), 11) * _P1) & _M64
+        h = (_rotl((h ^ (data[i] * _P5)) & _M64, 11) * _P1) & _M64
         i += 1
     h ^= h >> 33
     h = (h * _P2) & _M64
@@ -128,34 +128,65 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 class _BackBits:
     """Zstd backward bitstream: bytes are written forward, read from
     the END; the last byte's highest set bit is the padding sentinel.
-    `overread` permits the controlled past-the-end zero reads the
-    interleaved Huffman-weight decode relies on."""
+    Streaming implementation — a small accumulator refilled byte-wise
+    from the back, O(total bits) regardless of stream size (a whole-
+    stream big-int representation made every read O(stream) and the
+    literal decode quadratic). Controlled past-the-end reads
+    zero-fill from below (the interleaved Huffman-weight decode's
+    contract); `pos` is the bits remaining and goes negative then."""
 
-    __slots__ = ("val", "pos")
+    __slots__ = ("data", "byte_pos", "acc", "nbits", "pos")
 
     def __init__(self, data: bytes):
-        if not data:
-            raise ZstdError("zstd: empty backward bitstream")
-        self.val = int.from_bytes(data, "little")
-        if self.val == 0:
+        i = len(data) - 1
+        while i >= 0 and data[i] == 0:
+            i -= 1
+        if i < 0:
             raise ZstdError("zstd: backward bitstream missing sentinel")
-        self.pos = self.val.bit_length() - 1  # bits below the sentinel
+        top = data[i].bit_length() - 1  # bits below the sentinel byte
+        self.data = data
+        self.byte_pos = i
+        self.acc = data[i] & ((1 << top) - 1)
+        self.nbits = top
+        self.pos = top + 8 * i
+
+    def _fill(self, n: int) -> None:
+        while self.nbits < n and self.byte_pos > 0:
+            self.byte_pos -= 1
+            self.acc = (self.acc << 8) | self.data[self.byte_pos]
+            self.nbits += 8
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        self._fill(n)
         self.pos -= n
-        if self.pos >= 0:
-            return (self.val >> self.pos) & ((1 << n) - 1)
-        # over-read: zero-fill from below (caller checks pos)
-        shifted = self.val << (-self.pos)
-        return shifted & ((1 << n) - 1) if self.pos > -n else 0
+        if self.nbits >= n:
+            self.nbits -= n
+            out = (self.acc >> self.nbits) & ((1 << n) - 1)
+            self.acc &= (1 << self.nbits) - 1
+            return out
+        # over-read: remaining bits land at the TOP, zeros below
+        out = (self.acc << (n - self.nbits)) & ((1 << n) - 1)
+        self.acc = 0
+        self.nbits = 0
+        return out if self.pos > -n else 0
 
     def peek(self, n: int) -> int:
-        p = self.pos - n
-        if p >= 0:
-            return (self.val >> p) & ((1 << n) - 1)
-        return (self.val << (-p)) & ((1 << n) - 1)
+        self._fill(n)
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        return (self.acc << (n - self.nbits)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        self._fill(n)
+        self.pos -= n
+        if self.nbits >= n:
+            self.nbits -= n
+            self.acc &= (1 << self.nbits) - 1
+        else:
+            self.acc = 0
+            self.nbits = 0
 
 
 class _FwdBits:
@@ -196,13 +227,9 @@ class _FseTable:
 
     def __init__(self, counts: list[int], accuracy: int):
         size = 1 << accuracy
-        if sum(abs(c) if c == -1 else c for c in counts) + sum(
-            1 for c in counts if c == -1
-        ) - sum(1 for c in counts if c == -1) != size - sum(
-            1 for c in counts if c == -1
-        ):
-            # Σ positive counts + (#-1 cells) must equal the table size
-            pass  # validated below via spread coverage
+        # Σ positive counts + one cell per −1 entry must equal the
+        # table size — enforced structurally below: the spread must
+        # land back on position 0 with every cell filled.
         spread = [None] * size
         high = size - 1
         for sym, c in enumerate(counts):
@@ -374,10 +401,12 @@ class _HuffTable:
             if bb.pos <= 0:
                 raise ZstdError("zstd: Huffman stream exhausted")
             sym, nbits = self.table[bb.peek(mb)]
-            bb.pos -= nbits
+            bb.consume(nbits)
             out.append(sym)
-        if bb.pos < 0:
-            raise ZstdError("zstd: Huffman stream over-consumed")
+        if bb.pos != 0:
+            raise ZstdError(
+                f"zstd: Huffman stream mis-sized ({bb.pos} bits left)"
+            )
         return out
 
 
@@ -420,22 +449,24 @@ def _read_huffman_description(data: bytes) -> tuple[_HuffTable, int]:
     bb = _BackBits(comp[used:])
     s1 = bb.read(accuracy)
     s2 = bb.read(accuracy)
+    if bb.pos < 0:
+        raise ZstdError("zstd: Huffman weight stream too short")
+    # two-state interleaved decode (RFC 8878 §4.2.1.1): states
+    # alternate; when a state update exhausts the bitstream, the OTHER
+    # state's current symbol is the final weight
     listed: list[int] = []
     while True:
         listed.append(table.symbols[s1])
-        if bb.pos < 0:
-            raise ZstdError("zstd: Huffman weight stream underflow")
-        nb = table.nbits[s1]
-        base = table.baseline[s1]
-        if bb.pos - nb < 0 and bb.pos == 0 and nb > 0:
+        s1 = table.baseline[s1] + bb.read(table.nbits[s1])
+        if bb.pos <= 0:
             listed.append(table.symbols[s2])
             break
-        s1 = base + bb.read(nb)
-        if bb.pos < 0:
-            listed.append(table.symbols[s2])
+        listed.append(table.symbols[s2])
+        s2 = table.baseline[s2] + bb.read(table.nbits[s2])
+        if bb.pos <= 0:
+            listed.append(table.symbols[s1])
             break
-        listed, s1, s2 = listed, s2, s1  # alternate states
-        if len(listed) > 255:
+        if len(listed) > 253:
             raise ZstdError("zstd: too many Huffman weights")
     return _HuffTable(_complete_last_weight(listed)), 1 + header
 
@@ -771,8 +802,12 @@ def _decode_sequences(
         lit_pos += lit_len
         if offset > len(out):
             raise ZstdError("zstd: match offset before output start")
-        for _ in range(match_len):  # overlapping copies are the norm
-            out.append(out[-offset])
+        if offset >= match_len:  # non-overlapping: one slice copy
+            start = len(out) - offset
+            out += out[start : start + match_len]
+        else:  # overlapping run: the repeat is the point
+            for _ in range(match_len):
+                out.append(out[-offset])
 
         if i != nseq - 1:
             if ll[0] == "fse":
@@ -794,3 +829,453 @@ def _decode_sequences(
             f"zstd: {bb.pos} unconsumed sequence bits"
         )
     out += literals[lit_pos:]
+
+
+# ---------------------------------------------------------------------------
+# encoder (deterministic fixture half)
+# ---------------------------------------------------------------------------
+
+
+def _pack_backward(reads: list) -> bytes:
+    """Emit a zstd backward bitstream: `reads` is the (value, nbits)
+    list in DECODER-read order; the first read lands just under the
+    padding sentinel, exactly where `_BackBits` starts. Streaming:
+    the LAST read occupies the lowest bits, so building in reverse
+    lets finished low bytes flush immediately (O(total bits) — the
+    single big-int shift chain was quadratic)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for v, n in reversed(reads):
+        acc |= (v & ((1 << n) - 1)) << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    acc |= 1 << nbits  # sentinel above the first read
+    out.append(acc & 0xFF)
+    acc >>= 8
+    while acc:
+        out.append(acc & 0xFF)
+        acc >>= 8
+    return bytes(out)
+
+
+class _FwdBitsWriter:
+    """Forward LSB-first writer (FSE table descriptions)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _normalize_counts(freqs: dict[int, int], accuracy: int) -> list[int]:
+    """Histogram → normalized counts summing to 2^accuracy, every
+    present symbol ≥ 1 (the encoder never emits −1 probabilities —
+    the decoder's −1 path is spec-vector-tested)."""
+    size = 1 << accuracy
+    total = sum(freqs.values())
+    syms = sorted(freqs)
+    if len(syms) > size:
+        raise ZstdError("zstd: accuracy too small for symbol count")
+    counts = {s: max(1, (freqs[s] * size) // total) for s in syms}
+    diff = size - sum(counts.values())
+    # settle the remainder on the most frequent symbols (stable order)
+    by_freq = sorted(syms, key=lambda s: (-freqs[s], s))
+    i = 0
+    while diff != 0:
+        s = by_freq[i % len(by_freq)]
+        if diff > 0:
+            counts[s] += 1
+            diff -= 1
+        elif counts[s] > 1:
+            counts[s] -= 1
+            diff += 1
+        i += 1
+    return [counts.get(s, 0) for s in range(max(syms) + 1)]
+
+
+def _write_fse_counts(counts: list[int], accuracy: int) -> bytes:
+    """Serialize a normalized-count table (inverse of
+    `_read_fse_counts`), byte-aligned."""
+    bw = _FwdBitsWriter()
+    bw.write(accuracy - 5, 4)
+    remaining = (1 << accuracy) + 1
+    i = 0
+    while remaining > 1 and i < len(counts):
+        c = counts[i]
+        i += 1
+        bits = remaining.bit_length()
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        value = c + 1  # −1 would encode as 0; encoder never emits it
+        if value < threshold:
+            bw.write(value, bits - 1)
+        else:
+            v = value if value <= low_mask else value + threshold
+            bw.write(v, bits)
+        remaining -= c if c > 0 else (1 if c < 0 else 0)
+        if c == 0:
+            # count the zero run that follows and emit 2-bit repeats
+            z = 0
+            while i + z < len(counts) and counts[i + z] == 0:
+                z += 1
+            i += z
+            while z >= 3:
+                bw.write(3, 2)
+                z -= 3
+            bw.write(z, 2)
+    return bw.finish()
+
+
+def _fse_encode_states(
+    table: _FseTable, symbols: list[int]
+) -> tuple[int, list]:
+    """tANS encoding by decode-table inversion: returns (init_state,
+    [(bits, nbits) per transition in SEQUENCE order]). For each
+    backward step, the state whose [baseline, baseline+2^nbits) range
+    contains the successor state is unique."""
+    size = 1 << table.accuracy
+    by_symbol: dict[int, list[int]] = {}
+    for st in range(size):
+        by_symbol.setdefault(table.symbols[st], []).append(st)
+    cur = by_symbol[symbols[-1]][0]  # any state emitting the last symbol
+    transitions: list = []
+    for sym in reversed(symbols[:-1]):
+        for st in by_symbol[sym]:
+            lo = table.baseline[st]
+            if lo <= cur < lo + (1 << table.nbits[st]):
+                transitions.append((cur - lo, table.nbits[st]))
+                cur = st
+                break
+        else:
+            raise AssertionError("FSE inversion: no covering state")
+    transitions.reverse()
+    return cur, transitions
+
+
+def _huff_encode_info(freqs: dict[int, int]):
+    """Literal histogram → (weights list incl. implied last, codes
+    {sym: (code, nbits)}, serialized direct-weights description)."""
+    from .webpcodec import _huffman_lengths_impl
+
+    lengths = _huffman_lengths_impl(freqs, max_len=11)
+    max_len = max(lengths.values())
+    weights = {s: max_len + 1 - l for s, l in lengths.items()}
+    last_sym = max(weights)
+    full = [weights.get(s, 0) for s in range(last_sym + 1)]
+    # decode-table layout: symbols by (weight asc, symbol asc) fill
+    # 2^(w−1)-entry aligned spans; the code is the span's top bits
+    total = sum(1 << (w - 1) for w in full if w > 0)
+    max_bits = (total - 1).bit_length()
+    codes = {}
+    pos = 0
+    for w in range(1, max_bits + 1):
+        for sym in range(last_sym + 1):
+            if full[sym] != w:
+                continue
+            nbits = max_bits + 1 - w
+            codes[sym] = (pos >> (max_bits - nbits), nbits)
+            pos += 1 << (w - 1)
+    listed = full[:-1]  # last present symbol's weight is implied
+    desc = bytearray([127 + len(listed)])
+    for j in range(0, len(listed), 2):
+        hi = listed[j] << 4
+        lo = listed[j + 1] if j + 1 < len(listed) else 0
+        desc.append(hi | lo)
+    return full, codes, bytes(desc)
+
+
+def _code_of(value: int, kind: str) -> int:
+    table = _LL_CODE if kind == "ll" else _ML_CODE
+    # baselines ascend: binary search the last baseline ≤ value
+    lo, hi = 0, len(table) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if table[mid][0] <= value:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _find_sequences(data: bytes, min_match: int = 4):
+    """Greedy hash-table LZ77: returns (sequences, literals) where
+    sequences = [(lit_len, match_len, offset), ...] and `literals` is
+    the concatenation of all literal runs (zstd stores literals
+    separately from sequence structure)."""
+    n = len(data)
+    seqs = []
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + min_match <= n:
+        key = data[i : i + min_match]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and data[j : j + min_match] == key:
+            length = min_match
+            while i + length < n and data[j + length] == data[i + length]:
+                length += 1
+            lits += data[lit_start:i]
+            seqs.append((i - lit_start, length, i - j))
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    lits += data[lit_start:]
+    return seqs, bytes(lits)
+
+
+def _literals_section(
+    literals: bytes, mode: str
+) -> bytes:
+    n = len(literals)
+    # the direct-weights description lists at most 128 weights
+    # (headerByte = 127 + N ≤ 255), i.e. max symbol ≤ 128 — ASCII-ish
+    # corpora qualify; byte-diverse payloads fall back to raw (the
+    # FSE-weights form is decoder-only, per the module docstring)
+    if (
+        mode == "huffman"
+        and n >= 2
+        and len(set(literals)) >= 2
+        and max(literals) <= 128
+    ):
+        freqs: dict[int, int] = {}
+        for b in literals:
+            freqs[b] = freqs.get(b, 0) + 1
+        _, codes, desc = _huff_encode_info(freqs)
+        reads = [codes[b] for b in literals]
+        stream = _pack_backward(reads)
+        comp = len(desc) + len(stream)
+        if comp < n:  # only worth it when actually smaller
+            if n <= 1023 and comp <= 1023:
+                b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
+                hdr = bytes(
+                    [b0, (n >> 4) | ((comp & 3) << 6), comp >> 2]
+                )
+            elif n <= 16383 and comp <= 16383:
+                b0 = 2 | (2 << 2) | ((n & 0xF) << 4)
+                hdr = bytes(
+                    [
+                        b0, (n >> 4) & 0xFF,
+                        ((n >> 12) & 3) | ((comp & 0x3F) << 2),
+                        comp >> 6,
+                    ]
+                )
+            else:
+                b0 = 2 | (3 << 2) | ((n & 0xF) << 4)
+                hdr = bytes(
+                    [
+                        b0, (n >> 4) & 0xFF,
+                        ((n >> 12) & 0x3F) | ((comp & 3) << 6),
+                        (comp >> 2) & 0xFF, comp >> 10,
+                    ]
+                )
+            return hdr + desc + stream
+    # raw literals
+    if n <= 31:
+        return bytes([0 | (n << 3)]) + literals
+    if n <= 4095:
+        return bytes([0 | (1 << 2) | ((n & 0xF) << 4), n >> 4]) + literals
+    return bytes(
+        [0 | (3 << 2) | ((n & 0xF) << 4), (n >> 4) & 0xFF, n >> 12]
+    ) + literals
+
+
+def _sequences_section(seqs: list, seq_mode: str) -> bytes:
+    if not seqs:
+        return b"\x00"
+    nseq = len(seqs)
+    if nseq < 128:
+        count = bytes([nseq])
+    elif nseq < 0x7F00 + 255:
+        count = bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        rest = nseq - 0x7F00
+        count = bytes([255, rest & 0xFF, rest >> 8])
+
+    ll_syms, of_syms, ml_syms = [], [], []
+    of_extra, ml_extra, ll_extra = [], [], []
+    for lit_len, match_len, offset in seqs:
+        ov = offset + 3  # absolute offsets only (> 3 skips rep logic)
+        oc = ov.bit_length() - 1
+        of_syms.append(oc)
+        of_extra.append((ov - (1 << oc), oc))
+        mc = _code_of(match_len, "ml")
+        ml_syms.append(mc)
+        base, bits = _ML_CODE[mc]
+        ml_extra.append((match_len - base, bits))
+        lc = _code_of(lit_len, "ll")
+        ll_syms.append(lc)
+        base, bits = _LL_CODE[lc]
+        ll_extra.append((lit_len - base, bits))
+
+    def channel(kind: str, syms: list[int]):
+        """→ (mode, table_payload, fse_table_or_None). RLE only ever
+        applies to a genuinely uniform channel; a `seq_mode='rle'`
+        request on a mixed channel falls back to FSE."""
+        if len(set(syms)) == 1:
+            return 1, bytes([syms[0]]), None
+        if seq_mode in ("fse", "rle"):
+            freqs: dict[int, int] = {}
+            for s in syms:
+                freqs[s] = freqs.get(s, 0) + 1
+            acc = min(
+                _MAX_ACCURACY[kind],
+                max(5, (len(freqs) - 1).bit_length() + 1),
+            )
+            counts = _normalize_counts(freqs, acc)
+            return 2, _write_fse_counts(counts, acc), _FseTable(counts, acc)
+        # predefined — upgrade OF to fse when the default table's
+        # symbol range (≤ 28) can't express the offset
+        default = {
+            "ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT
+        }[kind]
+        if max(syms) >= len(default[0]):
+            freqs = {}
+            for s in syms:
+                freqs[s] = freqs.get(s, 0) + 1
+            acc = _MAX_ACCURACY[kind]
+            counts = _normalize_counts(freqs, acc)
+            return 2, _write_fse_counts(counts, acc), _FseTable(counts, acc)
+        return 0, b"", _FseTable(*default)
+
+    ll_mode, ll_pay, ll_tab = channel("ll", ll_syms)
+    of_mode, of_pay, of_tab = channel("of", of_syms)
+    ml_mode, ml_pay, ml_tab = channel("ml", ml_syms)
+    modes = (ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)
+
+    ll_init = of_init = ml_init = None
+    ll_tr = of_tr = ml_tr = []
+    if ll_tab is not None:
+        ll_init, ll_tr = _fse_encode_states(ll_tab, ll_syms)
+    if of_tab is not None:
+        of_init, of_tr = _fse_encode_states(of_tab, of_syms)
+    if ml_tab is not None:
+        ml_init, ml_tr = _fse_encode_states(ml_tab, ml_syms)
+
+    reads: list = []
+    if ll_init is not None:
+        reads.append((ll_init, ll_tab.accuracy))
+    if of_init is not None:
+        reads.append((of_init, of_tab.accuracy))
+    if ml_init is not None:
+        reads.append((ml_init, ml_tab.accuracy))
+    for i in range(nseq):
+        reads.append(of_extra[i])
+        reads.append(ml_extra[i])
+        reads.append(ll_extra[i])
+        if i != nseq - 1:
+            if ll_tab is not None:
+                reads.append(ll_tr[i])
+            if ml_tab is not None:
+                reads.append(ml_tr[i])
+            if of_tab is not None:
+                reads.append(of_tr[i])
+    return (
+        count + bytes([modes]) + ll_pay + of_pay + ml_pay
+        + _pack_backward(reads)
+    )
+
+
+def compress_zstd(
+    data: bytes,
+    *,
+    block_mode: str = "auto",
+    literals: str = "huffman",
+    seq_mode: str = "predefined",
+    use_sequences: bool = True,
+    single_segment: bool = True,
+    checksum: bool = True,
+    block_size: int = 1 << 17,
+) -> bytes:
+    """Deterministic zstd frame. Options map to decoder paths:
+    `block_mode` auto/raw/rle, `literals` huffman/raw, `seq_mode`
+    predefined/fse/rle (LZ77 sequences via the greedy matcher),
+    `single_segment` + `checksum` for the header variants."""
+    out = bytearray()
+    out += struct.pack("<I", _MAGIC)
+    desc = 0
+    if checksum:
+        desc |= 4
+    n = len(data)
+    if single_segment:
+        desc |= 0x20
+        if n < 256:
+            fcs_code, fcs_bytes = 0, n.to_bytes(1, "little")
+        elif n < 65536 + 256:
+            fcs_code, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+        else:
+            fcs_code, fcs_bytes = 2, n.to_bytes(4, "little")
+        out.append(desc | (fcs_code << 6))
+        out += fcs_bytes
+    else:
+        fcs_code, fcs_bytes = 2, n.to_bytes(4, "little")
+        out.append(desc | (fcs_code << 6))
+        # window descriptor: smallest window covering the content
+        exp = max(0, (max(n, 1024) - 1).bit_length() - 10)
+        out.append(exp << 3)
+        out += fcs_bytes
+
+    blocks = [data[i : i + block_size] for i in range(0, n, block_size)]
+    if not blocks:
+        blocks = [b""]
+    for bi, chunk in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        if block_mode == "raw" or not chunk:
+            out += struct.pack(
+                "<I", last | (0 << 1) | (len(chunk) << 3)
+            )[:3]
+            out += chunk
+            continue
+        if block_mode == "rle" or (
+            block_mode == "auto" and len(set(chunk)) == 1
+        ):
+            if len(set(chunk)) != 1:
+                raise ZstdError("zstd: rle block needs uniform bytes")
+            out += struct.pack(
+                "<I", last | (1 << 1) | (len(chunk) << 3)
+            )[:3]
+            out.append(chunk[0])
+            continue
+        if use_sequences:
+            seqs, lits = _find_sequences(chunk)
+        else:
+            seqs, lits = [], chunk
+        body = _literals_section(lits, literals) + _sequences_section(
+            seqs, seq_mode
+        )
+        if len(body) >= len(chunk):  # incompressible: raw block
+            out += struct.pack(
+                "<I", last | (0 << 1) | (len(chunk) << 3)
+            )[:3]
+            out += chunk
+        else:
+            out += struct.pack(
+                "<I", last | (2 << 1) | (len(body) << 3)
+            )[:3]
+            out += body
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -94,3 +94,31 @@ def test_gates_raise_typed_without_libs():
         pass
     with pytest.raises(NotImplementedError, match="PIL"):
         mm.decode_image(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_zstd_cross_validated_against_binding():
+    """Where the `zstandard` binding (libzstd) exists, cross-validate
+    both directions: our frames decode there, its frames decode here —
+    the javax.imageio recipe applied to zstd."""
+    zstandard = pytest.importorskip("zstandard")
+    from mints_wind_data_ingestion_spark.sources.zstdcodec import (
+        compress_zstd,
+        decompress_zstd,
+    )
+
+    data = (b"cross-validation payload " * 400) + bytes(range(129))
+    for kw in ({}, {"seq_mode": "fse"}, {"literals": "raw"},
+               {"single_segment": False}):
+        blob = compress_zstd(data, **kw)
+        assert zstandard.ZstdDecompressor().decompress(blob) == data, kw
+    for level in (1, 3, 19):
+        their = zstandard.ZstdCompressor(level=level).compress(data)
+        assert decompress_zstd(their) == data, level
+
+
+def test_xxh64_cross_validated_against_binding():
+    xxhash = pytest.importorskip("xxhash")
+    from mints_wind_data_ingestion_spark.sources.zstdcodec import xxh64
+
+    for payload in (b"", b"a", b"tail123", bytes(range(200)) * 7):
+        assert xxh64(payload) == xxhash.xxh64_intdigest(payload)

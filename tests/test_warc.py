@@ -122,16 +122,33 @@ def test_non_text_record_keeps_metadata_null_text():
     assert rows[0]["content_type"] == "image/jpeg"
 
 
-def test_zstd_gate_names_the_binding():
-    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 20
-    rows = scan_warc_bytes("f.wet.zst", blob)
-    try:
-        import zstandard  # noqa: F401
+def test_zstd_container_decodes_natively():
+    """r14: .zst containers decode through the native RFC 8878 codec
+    (sources/zstdcodec) — no external binding, full quarantine
+    contract for corrupt frames."""
+    from mints_wind_data_ingestion_spark.sources.zstdcodec import (
+        compress_zstd,
+    )
 
-        # binding present: a garbage frame is a decode error instead
-        assert rows[0]["error"] is not None
-    except ImportError:
-        assert "zstandard" in rows[0]["error"]
+    plain = encode_wet(_records(4), compress=False)
+    rows = scan_warc_bytes("f.wet.zst", compress_zstd(plain))
+    assert [r["error"] for r in rows] == [None] * 4
+    assert rows[3]["text"] == _records(4)[3]["text"]
+
+    # corrupt frame → typed quarantine row, not an exception
+    garbage = b"\x28\xb5\x2f\xfd" + b"\x00" * 20
+    rows = scan_warc_bytes("f.wet.zst", garbage)
+    assert len(rows) == 1 and "zstd" in rows[0]["error"]
+
+    # JSONL twin
+    lines = b'{"a": 1}\n{"a": 2}\n'
+    rows = scan_jsonl_bytes("d.jsonl.zst", compress_zstd(lines))
+    assert [r["line"] for r in rows] == ['{"a": 1}', '{"a": 2}']
+
+    # dictionary frames stay a typed gate
+    dict_frame = bytes([0x28, 0xB5, 0x2F, 0xFD, 0x21, 7, 2, 0, 0, 0])
+    rows = scan_warc_bytes("f.wet.zst", dict_frame)
+    assert "dictionary" in rows[0]["error"]
 
 
 def test_corruption_fuzz_stays_in_quarantine_class():
