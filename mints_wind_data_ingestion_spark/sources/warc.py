@@ -53,9 +53,11 @@ __all__ = [
     "parse_warc_stream",
     "read_jsonl_dir",
     "read_wet_dir",
+    "jsonl_records",
     "scan_jsonl_df",
     "scan_wet_df",
     "wet_conversion_texts",
+    "wet_documents",
 ]
 
 #: decompression-bomb guard: max decompressed bytes per gzip/zstd
@@ -404,6 +406,42 @@ def wet_conversion_texts(scanned: DataFrame) -> DataFrame:
     return scanned.filter(
         "error IS NULL AND warc_type = 'conversion' AND text IS NOT NULL"
     )
+
+
+def wet_documents(scanned: DataFrame) -> DataFrame:
+    """Adapter: a scanned WET corpus → the engine's `documents` shape
+    (doc_id, text, source) so every dedup / quality / curation
+    operator applies to a crawl dir unchanged. doc_id is the xxhash64
+    of (record_id, target_uri) — stable across re-scans, collision
+    odds the same documented ~n²/2⁶⁴ class as the shingle hashing."""
+    from pyspark.sql import functions as F
+
+    return wet_conversion_texts(scanned).select(
+        F.xxhash64("record_id", "target_uri").alias("doc_id"),
+        F.col("text"),
+        F.col("target_uri").alias("source"),
+    )
+
+
+def jsonl_records(scanned: DataFrame, schema: str) -> DataFrame:
+    """Adapter: scanned JSONL lines → typed records via an EXPLICIT
+    schema (`F.from_json` — schema-on-read stays declared, the S3
+    convention). Unparseable lines keep their row with the raw line
+    in `_corrupt` (PERMISSIVE mode's corrupt-record column) so
+    nothing silently drops: `filter("_corrupt IS NOT NULL")` is the
+    parse-quarantine view."""
+    from pyspark.sql import functions as F
+
+    parsed = scanned.filter("error IS NULL").select(
+        "source_path",
+        "line_no",
+        F.from_json(
+            "line",
+            f"{schema}, _corrupt string",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("rec"),
+    )
+    return parsed.select("source_path", "line_no", "rec.*")
 
 
 # ---------------------------------------------------------------------------

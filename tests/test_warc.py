@@ -279,3 +279,46 @@ def test_xz_and_bz2_containers():
     lines = b'{"a": 1}\n{"a": 2}\n'
     rows = scan_jsonl_bytes("d.jsonl.bz2", bz2.compress(lines))
     assert [r["line"] for r in rows] == ['{"a": 1}', '{"a": 2}']
+
+
+def test_wet_documents_and_jsonl_records_adapters(spark, tmp_path):
+    """The crawl-dir → documents-shape adapters: dedup/curation
+    operators consume a WET scan directly; JSONL parses against an
+    explicit schema with a parse-quarantine column."""
+    from mints_wind_data_ingestion_spark.sources.warc import (
+        jsonl_records,
+        scan_jsonl_df,
+        wet_documents,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "a.wet.gz").write_bytes(encode_wet(_records(4)))
+    docs = wet_documents(
+        scan_wet_df(spark.read.format("binaryFile").load(str(land)))
+    )
+    rows = docs.collect()
+    assert {r.source for r in rows} == {
+        f"https://example.org/doc/{i}" for i in range(4)
+    }
+    assert len({r.doc_id for r in rows}) == 4  # stable distinct ids
+    again = wet_documents(
+        scan_wet_df(spark.read.format("binaryFile").load(str(land)))
+    ).collect()
+    assert sorted(r.doc_id for r in again) == sorted(
+        r.doc_id for r in rows
+    )
+
+    jl = tmp_path / "jl"
+    jl.mkdir()
+    (jl / "d.jsonl").write_bytes(
+        b'{"id": 1, "text": "alpha"}\nnot json at all\n'
+        b'{"id": 2, "text": "beta"}\n'
+    )
+    recs = jsonl_records(
+        scan_jsonl_df(spark.read.format("binaryFile").load(str(jl))),
+        "id long, text string",
+    ).collect()
+    good = sorted((r.id, r.text) for r in recs if r._corrupt is None)
+    assert good == [(1, "alpha"), (2, "beta")]
+    assert sum(1 for r in recs if r._corrupt is not None) == 1
