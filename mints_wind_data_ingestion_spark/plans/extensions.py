@@ -5499,16 +5499,44 @@ def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..sources.zstdcodec import compress_zstd
 
+        import html as html_mod
+
         pdf = pdf.sort_values("doc_id")
         fno = int(pdf["__file"].iloc[0])
-        recs = [
-            {
-                "target_uri": f"https://example.org/doc/{int(i)}",
-                "text": str(t),
-                "record_id": f"<urn:uuid:doc-{int(i)}>",
-            }
-            for i, t in zip(pdf["doc_id"], pdf["text"])
-        ]
+        recs = []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i, t = int(i), str(t)
+            recs.append(
+                {
+                    "target_uri": f"https://example.org/doc/{i}",
+                    "text": t,
+                    "record_id": f"<urn:uuid:doc-{i}>",
+                }
+            )
+            if i % 11 == 4:
+                # r14c: every 11th doc ALSO ships as a raw-WARC
+                # `response` record — HTTP framing wrapping HTML with
+                # the doc text in <pre> (identity-preserving modulo
+                # the extractor's outer strip), so the native HTTP
+                # parse + HTML extraction is driver-hash-load-bearing
+                page = (
+                    "<html><head><title>d</title><script>x&&y<"
+                    "</script></head><body><pre>"
+                    + html_mod.escape(t)
+                    + "</pre></body></html>"
+                )
+                recs.append(
+                    {
+                        "target_uri": f"https://example.org/doc/{i}",
+                        "text": (
+                            "HTTP/1.1 200 OK\r\nContent-Type: "
+                            "text/html; charset=utf-8\r\n\r\n" + page
+                        ),
+                        "record_id": f"<urn:uuid:resp-{i}>",
+                        "warc_type": "response",
+                        "content_type": "application/http; msgtype=response",
+                    }
+                )
         if fno == 5:
             blob = compress_zstd(
                 encode_wet(recs, compress=False), seq_mode="fse"
@@ -5554,6 +5582,17 @@ def _warc_oracle() -> str:
            text AS txt
     FROM documents
     UNION ALL
+    SELECT 'warc_html' AS part, CAST(doc_id AS BIGINT),
+           CAST(strlen(trim(text, chr(10) || ' ')) AS BIGINT),
+           CAST(length(trim(text, chr(10) || ' '))
+                - length(replace(trim(text, chr(10) || ' '),
+                                 chr(10), '')) + 1 AS BIGINT),
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS BIGINT),
+           trim(text, chr(10) || ' ')
+    FROM documents WHERE doc_id % 11 = 4
+    UNION ALL
     SELECT 'warc_err', CAST(NULL AS BIGINT), CAST(1 AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            'gzip: truncated member at offset #'
@@ -5578,11 +5617,18 @@ def x_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scanned = scan_wet_df(_wet_corpus(spark, sf_dir))
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    is_resp = F.col("warc_type") == "response"
     stats = scanned.filter("error IS NULL").select(
-        F.lit("warc").alias("part"),
+        F.when(is_resp, F.lit("warc_html"))
+        .otherwise(F.lit("warc")).alias("part"),
         F.regexp_extract("target_uri", "doc/([0-9]+)$", 1)
         .cast("bigint").alias("doc_id"),
-        F.col("content_length").cast("bigint").alias("n1"),
+        # conversion rows pin the WARC header's Content-Length against
+        # the oracle's byte count; response rows carry the EXTRACTED
+        # text's bytes (their Content-Length covers HTTP+HTML framing)
+        F.when(is_resp, F.octet_length("text"))
+        .otherwise(F.col("content_length"))
+        .cast("bigint").alias("n1"),
         (
             F.length("text")
             - F.length(F.regexp_replace(F.col("text"), "\n", ""))

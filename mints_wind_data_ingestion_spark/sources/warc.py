@@ -281,29 +281,58 @@ WARC_SCAN_SCHEMA = StructType(
 _COLUMNS = [f.name for f in WARC_SCAN_SCHEMA.fields]
 
 
+def _extract_text(warc_type: str | None, ctype: str | None,
+                  payload: bytes) -> str | None:
+    """Per-record text extraction: text/* payloads decode as UTF-8
+    with replacement (the WET convention); `response` records whose
+    payload is an HTTP response wrapping text/HTML go through the
+    native HTTP parse + HTML extraction (r14,
+    functions/html.py) — the step that turns a raw .warc.gz into WET.
+    Extraction is LOSSY-TOLERANT (NULL on failure, metadata kept);
+    container/record framing is not (those are error rows)."""
+    base = (ctype or "").split(";")[0].strip().lower()
+    if base.startswith("text/") and base != "text/html":
+        return payload.decode("utf-8", "replace")
+    if base in ("text/html", "application/xhtml+xml"):
+        from ..functions.html import html_to_text
+
+        return html_to_text(payload.decode("utf-8", "replace"))
+    if base == "application/http" and warc_type == "response":
+        from ..functions.html import html_to_text, parse_http_response
+
+        try:
+            resp = parse_http_response(payload)
+        except ValueError:
+            return None
+        inner = resp["headers"].get("content-type", "")
+        inner_base = inner.split(";")[0].strip().lower()
+        try:
+            decoded = resp["body"].decode(resp["charset"], "replace")
+        except LookupError:  # unknown charset label in the wild
+            decoded = resp["body"].decode("utf-8", "replace")
+        if inner_base in ("text/html", "application/xhtml+xml"):
+            return html_to_text(decoded)
+        if inner_base.startswith("text/"):
+            return decoded
+    return None
+
+
 def _record_row(path: str, m_off: int, rec: dict) -> dict:
     h = rec["headers"]
     ctype = h.get("content-type")
-    is_text = bool(ctype) and ctype.split(";")[0].strip().startswith(
-        "text/"
-    )
+    warc_type = h.get("warc-type")
     return {
         "source_path": path,
         "member_offset": m_off,
         "record_offset": rec["offset"],
         "error": None,
-        "warc_type": h.get("warc-type"),
+        "warc_type": warc_type,
         "record_id": h.get("warc-record-id"),
         "warc_date": h.get("warc-date"),
         "target_uri": h.get("warc-target-uri"),
         "content_type": ctype,
         "content_length": len(rec["payload"]),
-        # text/* payloads decode as UTF-8 with replacement (the WET
-        # convention is UTF-8; extraction is lossy-tolerant, framing
-        # is not) — non-text records keep their metadata, text NULL
-        "text": (
-            rec["payload"].decode("utf-8", "replace") if is_text else None
-        ),
+        "text": _extract_text(warc_type, ctype, rec["payload"]),
     }
 
 
@@ -411,12 +440,18 @@ def wet_conversion_texts(scanned: DataFrame) -> DataFrame:
 def wet_documents(scanned: DataFrame) -> DataFrame:
     """Adapter: a scanned WET corpus → the engine's `documents` shape
     (doc_id, text, source) so every dedup / quality / curation
-    operator applies to a crawl dir unchanged. doc_id is the xxhash64
+    operator applies to a crawl dir unchanged — WET `conversion`
+    records AND raw-WARC `response` records (whose text came through
+    the native HTTP + HTML extraction) alike. doc_id is the xxhash64
     of (record_id, target_uri) — stable across re-scans, collision
     odds the same documented ~n²/2⁶⁴ class as the shingle hashing."""
     from pyspark.sql import functions as F
 
-    return wet_conversion_texts(scanned).select(
+    texts = scanned.filter(
+        "error IS NULL AND text IS NOT NULL "
+        "AND warc_type IN ('conversion', 'response')"
+    )
+    return texts.select(
         F.xxhash64("record_id", "target_uri").alias("doc_id"),
         F.col("text"),
         F.col("target_uri").alias("source"),

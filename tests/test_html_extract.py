@@ -1,0 +1,159 @@
+"""HTML → text extraction + HTTP response parsing (r14,
+functions/html.py) and the raw-WARC response-record path through the
+scan — the step that turns a `.warc.gz` crawl into WET-class text."""
+
+from __future__ import annotations
+
+import pytest
+
+from mints_wind_data_ingestion_spark.functions.html import (
+    html_to_text,
+    parse_http_response,
+)
+from mints_wind_data_ingestion_spark.sources.warc import (
+    encode_wet,
+    scan_warc_bytes,
+)
+
+
+def test_basic_extraction():
+    html = """<!DOCTYPE html><html><head><title>T</title>
+    <script>var x = "<p>not text</p>";</script>
+    <style>p { color: red }</style></head>
+    <body><h1>Header</h1><p>Para one.</p><p>Para   two
+    spans lines.</p><div>block</div>tail</body></html>"""
+    text = html_to_text(html)
+    assert "not text" not in text and "color" not in text
+    assert "T" not in text.split("\n")[0] or True  # head dropped
+    lines = [l for l in text.split("\n") if l]
+    assert lines == ["Header", "Para one.", "Para two spans lines.",
+                     "block", "tail"]
+
+
+def test_inline_tags_and_entities():
+    text = html_to_text(
+        "<p>a <b>bold</b> and <i>italic</i> &amp; 3 &lt; 4 &#169;</p>"
+    )
+    assert text == "a bold and italic & 3 < 4 \xa9"
+
+
+def test_pre_preserved_verbatim():
+    body = "line one\n  indented\t\nlast  line"
+    text = html_to_text(
+        f"<html><body><nav>menu</nav><pre>{body}</pre></body></html>"
+    )
+    assert body in text
+    assert text.startswith("menu")
+
+
+def test_comments_and_selfclosing():
+    text = html_to_text("x<!-- hidden -->y<br/>z")
+    assert "hidden" not in text
+    assert text == "xy\nz"
+
+
+def test_http_response_parse_plain_and_chunked():
+    body = "héllo wörld".encode("utf-8")
+    plain = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    r = parse_http_response(plain)
+    assert r["status"] == 200 and r["charset"] == "utf-8"
+    assert r["body"] == body
+
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/plain\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    assert parse_http_response(chunked)["body"] == b"hello world"
+
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_response(b"garbage\r\n\r\nbody")
+
+
+def test_latin1_charset_honored():
+    body = "café".encode("latin-1")
+    resp = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain; charset=ISO-8859-1\r\n\r\n" + body
+    )
+    r = parse_http_response(resp)
+    assert r["body"].decode(r["charset"]) == "caf\xe9"
+
+
+def test_response_record_extracts_html_through_scan():
+    """A raw-WARC `response` record (HTTP + HTML payload) comes out of
+    the scan with extracted text — the WET-generation path."""
+    html = (
+        "<html><head><script>no()</script></head>"
+        "<body><h1>Title</h1><p>Body &amp; more.</p></body></html>"
+    )
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+        "\r\n\r\n" + html
+    )
+    rec = {
+        "target_uri": "https://example.org/page",
+        "text": http,  # encode_wet writes the payload verbatim
+        "warc_type": "response",
+        "content_type": "application/http; msgtype=response",
+    }
+    rows = scan_warc_bytes("f.warc.gz", encode_wet([rec]))
+    assert rows[0]["error"] is None
+    assert rows[0]["text"] == "Title\n\nBody & more."
+
+    # a NON-HTML response (binary) keeps metadata, text NULL
+    rec2 = dict(rec, text="HTTP/1.1 200 OK\r\nContent-Type: "
+                          "image/png\r\n\r\nfakepng")
+    rows = scan_warc_bytes("f.warc.gz", encode_wet([rec2]))
+    assert rows[0]["error"] is None and rows[0]["text"] is None
+
+    # malformed HTTP: lossy-tolerant NULL, never an error row
+    rec3 = dict(rec, text="not an http response at all")
+    rows = scan_warc_bytes("f.warc.gz", encode_wet([rec3]))
+    assert rows[0]["error"] is None and rows[0]["text"] is None
+
+
+def test_wet_documents_includes_response_records(spark, tmp_path):
+    from mints_wind_data_ingestion_spark.sources.warc import (
+        scan_wet_df,
+        wet_documents,
+    )
+
+    html = "<body><p>response text</p></body>"
+    http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    )
+    recs = [
+        {"target_uri": "https://a.example/w", "text": "wet text",
+         "record_id": "<urn:uuid:1>"},
+        {"target_uri": "https://a.example/r", "text": http,
+         "warc_type": "response",
+         "content_type": "application/http; msgtype=response",
+         "record_id": "<urn:uuid:2>"},
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "mix.warc.gz").write_bytes(encode_wet(recs))
+    docs = wet_documents(
+        scan_wet_df(spark.read.format("binaryFile").load(str(land)))
+    ).collect()
+    assert sorted(d.text for d in docs) == ["response text", "wet text"]
+
+
+def test_extraction_fuzz_never_raises():
+    import random
+
+    rng = random.Random(20260816)
+    base = (
+        "<html><body><div><p>text &amp; <b>stuff</b></p>"
+        "<pre>verbatim</pre><script>x<y</script></div></body></html>"
+    )
+    for _ in range(800):
+        s = list(base)
+        for _ in range(rng.randint(1, 6)):
+            s[rng.randrange(len(s))] = chr(rng.randrange(32, 127))
+        out = html_to_text("".join(s))  # must never raise
+        assert isinstance(out, str)
