@@ -855,24 +855,48 @@ def _encode_entropy_image(
     cache = [None] * cache_size
 
     # token pass: (kind, payload) where kind 'lit' → argb, 'ref' →
-    # (length, dist_value), 'hit' → cache index
+    # (length, dist_value), 'hit' → cache index. use_rle enables a
+    # general greedy LZ77 matcher (3-pixel hash, min match 3) whose
+    # distances encode through the 2D plane-code map when the offset
+    # is in the 8-row neighborhood and as dist+120 otherwise — so
+    # round-trips exercise the full distance-mapping surface, not
+    # just the dist-1 run case.
     tokens: list[tuple] = []
     n = len(argb)
     i = 0
+    dist_code: dict[int, int] = {}
+    if use_rle:
+        for di, (dx, dy) in enumerate(_DIST_MAP):
+            d = dy * w + dx
+            if d >= 1 and d not in dist_code:
+                dist_code[d] = di + 1
+    match_table: dict[tuple, int] = {}
     while i < n:
-        if use_rle and i > 0:
-            run = 0
-            while i + run < n and argb[i + run] == argb[i - 1] and run < 4095:
-                run += 1
-            if run >= 4:
-                tokens.append(("ref", run, 2))  # dist 1 = plane code 2
-                if cache_size:
-                    px = argb[i - 1]
-                    cache[
-                        (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
-                    ] = px
-                i += run
-                continue
+        if use_rle and i + 3 <= n:
+            key = (argb[i], argb[i + 1], argb[i + 2])
+            j = match_table.get(key)
+            match_table[key] = i
+            if j is not None:
+                max_len = min(n - i, 4096)
+                length = 0
+                while length < max_len and argb[j + length] == argb[i + length]:
+                    length += 1
+                if length >= 3:
+                    dist = i - j
+                    tokens.append(
+                        ("ref", length, dist_code.get(dist, dist + 120))
+                    )
+                    if cache_size:
+                        # the decoder inserts every COPIED pixel —
+                        # replay it or the cache states diverge
+                        for k in range(length):
+                            px = argb[i + k]
+                            cache[
+                                (0x1E35A7BD * px & 0xFFFFFFFF)
+                                >> (32 - cache_bits)
+                            ] = px
+                    i += length
+                    continue
         px = argb[i]
         if cache_size:
             idx = (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)

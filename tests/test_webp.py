@@ -215,3 +215,77 @@ def test_deterministic_encoder():
 def test_dims_out_of_range_rejected():
     with pytest.raises(ValueError, match="out of range"):
         encode_webp(np.zeros((1, 20000), dtype=np.uint8))
+
+
+def test_lz77_general_distances_roundtrip():
+    """The r14b matcher emits arbitrary backref distances: tiled
+    images produce 2D plane-code offsets (row above, diagonal) AND
+    long linear distances (> the 120-entry map). Round-trips pin the
+    whole distance-mapping surface."""
+    rng = np.random.default_rng(17)
+    row = rng.integers(0, 256, size=(1, 40, 3), dtype=np.uint8)
+    vert = np.repeat(row, 30, axis=0)  # every row = row above (dist w)
+    _rt(vert)
+    tile = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    tiled = np.tile(tile, (5, 6, 1))  # horizontal dist 8, vertical 6*w
+    _rt(tiled)
+    _rt(tiled, cache_bits=5)  # cache replay along copied pixels
+    _rt(tiled, subtract_green=True)
+    wide = np.tile(
+        rng.integers(0, 256, size=(2, 300, 3), dtype=np.uint8), (8, 1, 1)
+    )  # dist 600 > 120: linear distance encoding
+    _rt(wide)
+
+
+def test_meta_prefix_codes_hand_vector():
+    """Decoder-only path until now: META prefix codes — a 2-group
+    spatially-varying code assignment. Hand-built stream: 8×4 image,
+    4-px blocks, left half group 0 (green 11), right half group 1
+    (green 77); every channel is a single-symbol simple code, so the
+    group selection alone determines the pixels."""
+    from mints_wind_data_ingestion_spark.sources.webpcodec import (
+        _BitWriter,
+        _write_prefix_code,
+        decode_webp,
+    )
+
+    w, h = 8, 4
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # META prefix codes present
+    bw.write(0, 3)  # huffman_bits = 2 → 4-px blocks → 2×1 meta image
+    # meta image (entropy-coded, no cache, no meta): 2 pixels whose
+    # (red<<8|green) are the group ids 0 and 1 → red 0, green 0 / 1
+    bw.write(0, 1)  # meta image: no cache
+    _write_prefix_code(bw, {0: 1, 1: 1}, 256 + 24)  # green: syms 0,1
+    _write_prefix_code(bw, {0: 1}, 256)  # red = 0
+    _write_prefix_code(bw, {0: 1}, 256)  # blue
+    _write_prefix_code(bw, {255: 1}, 256)  # alpha
+    _write_prefix_code(bw, {0: 1}, 40)  # distance (unused)
+    bw.write(0, 1)  # meta pixel 0: green code 0
+    bw.write(1, 1)  # meta pixel 1: green code 1
+    # two groups, each single-symbol codes: green 11 vs 77
+    for g in (11, 77):
+        _write_prefix_code(bw, {g: 1}, 256 + 24)
+        _write_prefix_code(bw, {5: 1}, 256)  # red
+        _write_prefix_code(bw, {9: 1}, 256)  # blue
+        _write_prefix_code(bw, {255: 1}, 256)  # alpha
+        _write_prefix_code(bw, {0: 1}, 40)
+    # pixel data: every channel single-symbol → zero data bits
+    payload = bw.finish()
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(payload) + (len(payload) & 1))
+        + b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    out = decode_webp(blob)["pixels"]
+    assert out.shape == (4, 8, 3)
+    assert (out[:, :4, 1] == 11).all()  # left blocks: group 0 green
+    assert (out[:, 4:, 1] == 77).all()  # right blocks: group 1 green
+    assert (out[:, :, 0] == 5).all() and (out[:, :, 2] == 9).all()
