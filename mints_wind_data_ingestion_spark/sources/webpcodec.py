@@ -709,7 +709,13 @@ def _huffman_lengths_impl(freqs: dict[int, int], max_len: int = 15):
             depth[s] += 1
         tb += 1
         heapq.heappush(heap, (f1 + f2, tb, s1 + s2))
-    # clamp-and-repair to max_len (Kraft sum must return to 1)
+    # clamp-and-repair to max_len. The code must end COMPLETE (Kraft
+    # sum exactly 1): zstd Huffman weights must total a power of two
+    # and libwebp rejects incomplete VP8L codes, so after fixing
+    # over-subscription we also repair UNDER-completeness by promoting
+    # the deepest symbols whose gain fits the remaining deficit (the
+    # deficit is always divisible by the deepest symbol's gain, so the
+    # greedy step always finds a candidate).
     over = [s for s in syms if depth[s] > max_len]
     if over:
         for s in over:
@@ -724,6 +730,17 @@ def _huffman_lengths_impl(freqs: dict[int, int], max_len: int = 15):
                 kraft -= 1 << (max_len - depth[s] - 1)
                 depth[s] += 1
             i += 1
+        while kraft < budget:
+            need = budget - kraft
+            best = None
+            for s in syms:
+                if depth[s] > 1 and (1 << (max_len - depth[s])) <= need:
+                    if best is None or depth[s] > depth[best]:
+                        best = s
+            if best is None:  # unreachable by the divisibility argument
+                raise ValueError("huffman completion failed")
+            kraft += 1 << (max_len - depth[best])
+            depth[best] -= 1
     return depth
 
 

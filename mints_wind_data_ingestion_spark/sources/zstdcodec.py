@@ -466,7 +466,7 @@ def _read_huffman_description(data: bytes) -> tuple[_HuffTable, int]:
         if bb.pos <= 0:
             listed.append(table.symbols[s1])
             break
-        if len(listed) > 253:
+        if len(listed) > 255:
             raise ZstdError("zstd: too many Huffman weights")
     return _HuffTable(_complete_last_weight(listed)), 1 + header
 
@@ -997,6 +997,8 @@ def _huff_encode_info(freqs: dict[int, int]):
             codes[sym] = (pos >> (max_bits - nbits), nbits)
             pos += 1 << (w - 1)
     listed = full[:-1]  # last present symbol's weight is implied
+    if len(listed) > 128:  # direct form caps at headerByte 255
+        return full, codes, None
     desc = bytearray([127 + len(listed)])
     for j in range(0, len(listed), 2):
         hi = listed[j] << 4
@@ -1047,52 +1049,76 @@ def _find_sequences(data: bytes, min_match: int = 4):
     return seqs, bytes(lits)
 
 
+def _compressed_lit_header(n: int, comp: int, four: bool) -> bytes | None:
+    """Literals-section header for Compressed type: Size_Format 00
+    (1 stream, 10+10 bits), 01 (4 streams, 10+10), 10 (4, 14+14),
+    11 (4, 18+18)."""
+    if not four and n <= 1023 and comp <= 1023:
+        b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
+        return bytes([b0, (n >> 4) | ((comp & 3) << 6), comp >> 2])
+    if four and n <= 1023 and comp <= 1023:
+        b0 = 2 | (1 << 2) | ((n & 0xF) << 4)
+        return bytes([b0, (n >> 4) | ((comp & 3) << 6), comp >> 2])
+    if four and n <= 16383 and comp <= 16383:
+        b0 = 2 | (2 << 2) | ((n & 0xF) << 4)
+        return bytes(
+            [b0, (n >> 4) & 0xFF, ((n >> 12) & 3) | ((comp & 0x3F) << 2),
+             comp >> 6]
+        )
+    if four and n <= 262143 and comp <= 262143:
+        b0 = 2 | (3 << 2) | ((n & 0xF) << 4)
+        return bytes(
+            [b0, (n >> 4) & 0xFF, ((n >> 12) & 0x3F) | ((comp & 3) << 6),
+             (comp >> 2) & 0xFF, comp >> 10]
+        )
+    return None
+
+
 def _literals_section(
     literals: bytes, mode: str
 ) -> bytes:
+    """`mode`: raw | huffman (1-stream, direct weights where the
+    alphabet allows, FSE-compressed weights otherwise) | huffman_fse
+    (force the FSE-weights description) | huffman4 (4-stream layout
+    with the jump table). Falls back to raw whenever the compressed
+    form wouldn't fit or win."""
     n = len(literals)
-    # the direct-weights description lists at most 128 weights
-    # (headerByte = 127 + N ≤ 255), i.e. max symbol ≤ 128 — ASCII-ish
-    # corpora qualify; byte-diverse payloads fall back to raw (the
-    # FSE-weights form is decoder-only, per the module docstring)
-    if (
-        mode == "huffman"
-        and n >= 2
-        and len(set(literals)) >= 2
-        and max(literals) <= 128
-    ):
+    want_huff = mode in ("huffman", "huffman_fse", "huffman4")
+    if want_huff and n >= 8 and len(set(literals)) >= 2:
         freqs: dict[int, int] = {}
         for b in literals:
             freqs[b] = freqs.get(b, 0) + 1
-        _, codes, desc = _huff_encode_info(freqs)
-        reads = [codes[b] for b in literals]
-        stream = _pack_backward(reads)
-        comp = len(desc) + len(stream)
-        if comp < n:  # only worth it when actually smaller
-            if n <= 1023 and comp <= 1023:
-                b0 = 2 | (0 << 2) | ((n & 0xF) << 4)
-                hdr = bytes(
-                    [b0, (n >> 4) | ((comp & 3) << 6), comp >> 2]
-                )
-            elif n <= 16383 and comp <= 16383:
-                b0 = 2 | (2 << 2) | ((n & 0xF) << 4)
-                hdr = bytes(
-                    [
-                        b0, (n >> 4) & 0xFF,
-                        ((n >> 12) & 3) | ((comp & 0x3F) << 2),
-                        comp >> 6,
-                    ]
+        full, codes, direct_desc = _huff_encode_info(freqs)
+        desc = None
+        if mode == "huffman_fse" or direct_desc is None:
+            desc = _fse_encode_weights(full[:-1])
+        if desc is None:
+            desc = direct_desc
+        if desc is not None:
+            four = mode == "huffman4"
+            if four:
+                per = (n + 3) // 4
+                chunks = [
+                    literals[i * per : (i + 1) * per] for i in range(3)
+                ]
+                chunks.append(literals[3 * per :])
+                streams = [
+                    _pack_backward([codes[b] for b in c]) for c in chunks
+                ]
+                body = (
+                    desc
+                    + struct.pack(
+                        "<HHH", len(streams[0]), len(streams[1]),
+                        len(streams[2]),
+                    )
+                    + b"".join(streams)
                 )
             else:
-                b0 = 2 | (3 << 2) | ((n & 0xF) << 4)
-                hdr = bytes(
-                    [
-                        b0, (n >> 4) & 0xFF,
-                        ((n >> 12) & 0x3F) | ((comp & 3) << 6),
-                        (comp >> 2) & 0xFF, comp >> 10,
-                    ]
-                )
-            return hdr + desc + stream
+                body = desc + _pack_backward([codes[b] for b in literals])
+            comp = len(body)
+            hdr = _compressed_lit_header(n, comp, four)
+            if hdr is not None and comp < n:
+                return hdr + body
     # raw literals
     if n <= 31:
         return bytes([0 | (n << 3)]) + literals
@@ -1279,3 +1305,93 @@ def compress_zstd(
     if checksum:
         out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
+
+
+def _fse_encode_weights(listed: list[int]) -> bytes | None:
+    """FSE-compressed Huffman-weight description (headerByte < 128):
+    the two-state interleaved stream of `_read_huffman_description`,
+    built by the same decode-table inversion as the sequence encoder.
+    Chain split: state1 emits even-indexed weights, state2 odd; the
+    final weight is the terminating peek of whichever state did NOT
+    perform the exhausting update, whose own terminal update must read
+    ≥ 1 bit (otherwise the decoder's `pos <= 0` break cannot land
+    there). Returns None when the shape can't be encoded (degenerate
+    single-symbol distribution, no ≥1-bit terminal state, or a
+    description that doesn't fit the 127-byte header budget)."""
+    k = len(listed)
+    if k < 2:
+        return None
+    freqs: dict[int, int] = {}
+    for w in listed:
+        freqs[w] = freqs.get(w, 0) + 1
+    if len(freqs) < 2:
+        return None  # single distinct weight: RLE-shaped, not FSE
+    accuracy = min(6, max(5, (len(freqs) - 1).bit_length() + 1))
+    counts = _normalize_counts(freqs, accuracy)
+    table = _FseTable(counts, accuracy)
+    by_symbol: dict[int, list[int]] = {}
+    for st in range(1 << accuracy):
+        by_symbol.setdefault(table.symbols[st], []).append(st)
+
+    chain_a = listed[0::2]  # state1's emitted symbols
+    chain_b = listed[1::2]  # state2's
+    # the terminating update belongs to the chain whose last emit is
+    # weight index k-2; the OTHER chain's final state is peeked as
+    # the last weight and is never updated
+    if (k - 1) % 2 == 0:  # last weight peeked from state1
+        peek_chain, upd_chain = chain_a, chain_b
+        peek_is_a = True
+    else:
+        peek_chain, upd_chain = chain_b, chain_a
+        peek_is_a = False
+
+    def invert(symbols, terminal_min_bits):
+        """Backward inversion; for the updating chain, the state
+        emitting its LAST symbol needs nbits ≥ terminal_min_bits."""
+        candidates = [
+            st for st in by_symbol.get(symbols[-1], ())
+            if table.nbits[st] >= terminal_min_bits
+        ]
+        if not candidates:
+            return None
+        cur = candidates[0]
+        last_state = cur
+        transitions = []
+        for sym in reversed(symbols[:-1]):
+            for st in by_symbol[sym]:
+                lo = table.baseline[st]
+                if lo <= cur < lo + (1 << table.nbits[st]):
+                    transitions.append((cur - lo, table.nbits[st]))
+                    cur = st
+                    break
+            else:
+                return None
+        transitions.reverse()
+        return cur, transitions, last_state
+
+    got_peek = invert(peek_chain, 0)
+    got_upd = invert(upd_chain, 1)
+    if got_peek is None or got_upd is None:
+        return None
+    init_p, tr_p, _ = got_peek
+    init_u, tr_u, last_u = got_upd
+    # terminal update of the updating chain: any value, ≥1 bit wide
+    tr_u = tr_u + [(0, table.nbits[last_u])]
+    init_a, tr_a = (init_p, tr_p) if peek_is_a else (init_u, tr_u)
+    init_b, tr_b = (init_u, tr_u) if peek_is_a else (init_p, tr_p)
+
+    reads = [(init_a, accuracy), (init_b, accuracy)]
+    na = nb = 0
+    for i in range(k - 1):  # update i follows emit i; s1 on even
+        if i % 2 == 0:
+            reads.append(tr_a[na])
+            na += 1
+        else:
+            reads.append(tr_b[nb])
+            nb += 1
+    if na != len(tr_a) or nb != len(tr_b):
+        return None
+    desc = _write_fse_counts(counts, accuracy) + _pack_backward(reads)
+    if len(desc) >= 128 or len(desc) >= k:  # must beat direct form-ish
+        return None
+    return bytes([len(desc)]) + desc

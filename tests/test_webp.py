@@ -289,3 +289,27 @@ def test_meta_prefix_codes_hand_vector():
     assert (out[:, :4, 1] == 11).all()  # left blocks: group 0 green
     assert (out[:, 4:, 1] == 77).all()  # right blocks: group 1 green
     assert (out[:, :, 0] == 5).all() and (out[:, :, 2] == 9).all()
+
+
+def test_huffman_lengths_always_complete():
+    """The clamp-and-repair must end with Kraft sum EXACTLY 1: zstd
+    weights must total a power of two and libwebp rejects incomplete
+    VP8L codes. Skewed wide histograms force the clamp path."""
+    import random as _r
+
+    from mints_wind_data_ingestion_spark.sources.webpcodec import (
+        _huffman_lengths_impl,
+    )
+
+    rng = _r.Random(4)
+    for max_len in (11, 15):
+        for trial in range(40):
+            n = rng.randint(2, 280)
+            freqs = {
+                s: rng.choice([1, 1, 1, 2, 10, 1000, 100000])
+                for s in rng.sample(range(280), n)
+            }
+            lengths = _huffman_lengths_impl(freqs, max_len=max_len)
+            kraft = sum(1 << (max_len - l) for l in lengths.values())
+            assert kraft == 1 << max_len, (max_len, trial)
+            assert max(lengths.values()) <= max_len

@@ -312,3 +312,48 @@ def test_huffman_weight_roundtrip_via_description():
         _pack_backward([codes[b] for b in lits]), len(lits)
     )
     assert bytes(out) == lits
+
+
+def test_fse_weights_and_four_stream_encoder_roundtrip():
+    """r14b: the encoder closes the decoder-only gaps — FSE-compressed
+    Huffman weights (two-chain interleaved tANS) and 4-stream
+    literals round-trip through the decoder."""
+    data = _corpus(8000, seed=21)
+    for kw in (
+        {"literals": "huffman_fse"},
+        {"literals": "huffman4"},
+        {"literals": "huffman_fse", "seq_mode": "fse"},
+        {"literals": "huffman4", "use_sequences": False},
+    ):
+        blob = compress_zstd(data, **kw)
+        assert decompress_zstd(blob) == data, kw
+
+    # byte-diverse literals (max symbol 255): the direct-weights form
+    # can't express them — mode 'huffman' auto-upgrades to FSE weights
+    import random as _r
+
+    rng = _r.Random(5)
+    diverse = bytes(rng.randrange(256) for _ in range(300)) * 30
+    blob = compress_zstd(diverse, literals="huffman")
+    assert decompress_zstd(blob) == diverse
+
+
+def test_fse_weights_description_self_decodes():
+    from mints_wind_data_ingestion_spark.sources.zstdcodec import (
+        _fse_encode_weights,
+        _huff_encode_info,
+        _read_huffman_description,
+    )
+
+    freqs = {i: (i % 7) + 1 for i in range(200)}  # 200-symbol alphabet
+    full, codes, direct = _huff_encode_info(freqs)
+    assert direct is None  # 199 listed weights: direct form can't
+    desc = _fse_encode_weights(full[:-1])
+    assert desc is not None and desc[0] < 128
+    table, used = _read_huffman_description(desc)
+    assert used == len(desc)
+    lits = bytes([0, 5, 150, 199, 42, 42, 0])
+    out = table.decode_stream(
+        _pack_backward([codes[b] for b in lits]), len(lits)
+    )
+    assert bytes(out) == lits
