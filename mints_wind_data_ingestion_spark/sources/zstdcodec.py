@@ -33,13 +33,15 @@ Decoder scope (ValueError outside it — the quarantine contract):
 
 Encoder scope (deterministic fixture half): frame writer with
 options covering every decoder path that can be round-tripped —
-raw/RLE/compressed blocks, raw or Huffman(direct-weights) literals,
+raw/RLE/compressed blocks, Huffman literals with DIRECT or
+FSE-COMPRESSED weight descriptions (the two-state interleaved weight
+stream, built by decode-table inversion) in 1- or 4-stream layouts,
 a real greedy hash-chain LZ77 match finder emitting sequences under
 any of Predefined / RLE / FSE_Compressed (real normalized-count
 serialization + tANS encoding by decode-table inversion) modes,
 single-segment or windowed headers, optional XXH64 content checksum.
-FSE-compressed Huffman WEIGHTS and 4-stream literals are
-decoder-only (exercised by hand-built vectors in tests/test_zstd.py).
+Only the Repeat/Treeless cross-block reuse modes remain decoder-only
+(hand-built vectors in tests/test_zstd.py cover them).
 """
 
 from __future__ import annotations
