@@ -159,17 +159,32 @@ def test_repeated_composite_builds_do_not_grow_cache(spark):
     sf_dir = os.environ.get(
         "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
     )
+    import time
+
     jsc = spark.sparkContext._jsc.sc()
 
     def n_persistent() -> int:
-        return jsc.getPersistentRDDs().size()
+        # managed_cache replacement unpersists asynchronously; under a
+        # full-suite session the raw count can transiently show both
+        # the old and new entry — poll until it stops moving (r14: the
+        # equality assertion flaked on exactly that race)
+        prev = -1
+        for _ in range(40):
+            cur = jsc.getPersistentRDDs().size()
+            if cur == prev:
+                return cur
+            prev = cur
+            time.sleep(0.25)
+        return prev
 
     counts = []
     for _ in range(3):
         REGISTRY["x_layout_mm_suite"].build(spark, sf_dir).count()
         counts.append(n_persistent())
-    # first build establishes the steady state; rebuilds must not grow
-    assert counts[1] == counts[2] == counts[0], counts
+    # first build establishes the steady state; rebuilds must not GROW
+    # the live set (equality modulo the async-unpersist settle)
+    assert counts[1] <= counts[0] and counts[2] <= counts[1], counts
+    assert counts[0] - counts[2] <= 1, counts
 
 
 def test_ivfpq_matches_exact_ivf_and_prunes(spark):
