@@ -27,9 +27,15 @@ and pinned by tests.
 
 from __future__ import annotations
 
+import zlib
 from html.parser import HTMLParser
 
 __all__ = ["html_to_text", "parse_http_response"]
+
+#: decompression-bomb guard for Content-Encoding bodies — a response
+#: body never legitimately inflates past this (matches the WARC
+#: member guard's order of magnitude; deflate can run ~1000:1)
+_MAX_BODY_BYTES = 64 * 1024 * 1024
 
 #: subtrees dropped wholesale — non-content by construction
 _DROP = {"script", "style", "template", "noscript", "iframe", "svg",
@@ -140,10 +146,68 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2  # trailing CRLF
 
 
+def _zlib_bounded(body: bytes, wbits: int) -> bytes:
+    """One zlib-family decompress bounded by _MAX_BODY_BYTES;
+    ValueError past the cap or on a corrupt/truncated stream."""
+    d = zlib.decompressobj(wbits)
+    out = d.decompress(body, _MAX_BODY_BYTES)
+    if d.unconsumed_tail:
+        raise ValueError("content-encoding: body exceeds the bomb guard")
+    if not d.eof:
+        raise ValueError("content-encoding: truncated stream")
+    return out
+
+
+def _decode_content(body: bytes, coding: str) -> bytes:
+    """Decode one Content-Encoding coding. ValueError on a corrupt /
+    truncated / oversized stream; ImportError when the coding needs a
+    library this container doesn't ship (brotli)."""
+    if coding in ("gzip", "x-gzip"):
+        return _zlib_bounded(body, 47)  # 32+15: gzip or zlib header
+    if coding == "deflate":
+        # RFC says zlib-wrapped, but raw-deflate senders are common
+        # in the wild — try the spec form first, then raw
+        try:
+            return _zlib_bounded(body, 15)
+        except (ValueError, zlib.error):
+            return _zlib_bounded(body, -15)
+    if coding == "zstd":
+        from ..sources.zstdcodec import ZstdError, decompress_zstd
+
+        try:
+            out = decompress_zstd(body)
+        except ZstdError as exc:
+            raise ValueError(f"content-encoding: zstd: {exc}") from exc
+        if len(out) > _MAX_BODY_BYTES:
+            raise ValueError("content-encoding: body exceeds the bomb guard")
+        return out
+    if coding == "br":
+        import brotli  # typed import gate: not baked into the container
+
+        try:
+            out = brotli.decompress(body)
+        except Exception as exc:  # brotli.error: lib-private type
+            raise ValueError(f"content-encoding: br: {exc}") from exc
+        if len(out) > _MAX_BODY_BYTES:
+            raise ValueError("content-encoding: body exceeds the bomb guard")
+        return out
+    raise ValueError(f"content-encoding: unknown coding {coding!r}")
+
+
 def parse_http_response(payload: bytes) -> dict:
     """HTTP/1.x response → {"status": int, "headers": {lower: value},
-    "body": bytes, "charset": str}. ValueError on unparseable framing
-    (no status line / header block)."""
+    "body": bytes, "charset": str, "content_encoding": str | None,
+    "body_decoded": bool}. ValueError on unparseable framing (no
+    status line / header block).
+
+    Body handling is lossy-tolerant, framing-strict: chunked
+    transfer-decoding then Content-Encoding decoding (gzip/x-gzip and
+    both deflate flavors via zlib, zstd via the native RFC 8878
+    codec, br behind an import gate). `body_decoded` is False when an
+    encoding was declared but could not be undone (corrupt stream,
+    bomb-guard hit, brotli absent) — callers treating the body as
+    text MUST check it, else a still-compressed body reads as binary
+    garbage; `identity`/absent encodings are trivially True."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("HTTP: missing header terminator")
@@ -167,6 +231,18 @@ def parse_http_response(payload: bytes) -> dict:
             body = _dechunk(body)
         except ValueError:
             pass  # messy crawl data: keep the raw body
+    coding = headers.get("content-encoding", "").strip().lower() or None
+    body_decoded = True
+    if coding and coding != "identity":
+        # multiple codings (e.g. "gzip, br") are applied in order, so
+        # undone right-to-left; any failure keeps the raw body
+        try:
+            decoded = body
+            for c in reversed([t.strip() for t in coding.split(",")]):
+                decoded = _decode_content(decoded, c)
+            body = decoded  # only on full success: never a half-undone body
+        except (ValueError, zlib.error, ImportError):
+            body_decoded = False
     charset = "utf-8"
     ctype = headers.get("content-type", "")
     for token in ctype.split(";")[1:]:
@@ -178,4 +254,6 @@ def parse_http_response(payload: bytes) -> dict:
         "headers": headers,
         "body": bytes(body),
         "charset": charset,
+        "content_encoding": coding,
+        "body_decoded": body_decoded,
     }

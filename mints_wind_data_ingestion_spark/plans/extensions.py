@@ -5525,13 +5525,30 @@ def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + html_mod.escape(t)
                     + "</pre></body></html>"
                 )
+                if i % 22 == 4:
+                    # r14d: every other response record ships its
+                    # body Content-Encoding: gzip — real crawls
+                    # store responses as-received, so the native
+                    # content-decoding step (functions/html.py
+                    # _decode_content) is driver-hash-load-bearing:
+                    # skip it and these rows extract NULL/garbage
+                    import gzip as gzip_mod
+
+                    enc = gzip_mod.compress(page.encode("utf-8"))
+                    http = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: "
+                        b"text/html; charset=utf-8\r\n"
+                        b"Content-Encoding: gzip\r\n\r\n" + enc
+                    )
+                else:
+                    http = (
+                        "HTTP/1.1 200 OK\r\nContent-Type: "
+                        "text/html; charset=utf-8\r\n\r\n" + page
+                    ).encode("utf-8")
                 recs.append(
                     {
                         "target_uri": f"https://example.org/doc/{i}",
-                        "text": (
-                            "HTTP/1.1 200 OK\r\nContent-Type: "
-                            "text/html; charset=utf-8\r\n\r\n" + page
-                        ),
+                        "text": http,
                         "record_id": f"<urn:uuid:resp-{i}>",
                         "warc_type": "response",
                         "content_type": "application/http; msgtype=response",

@@ -304,6 +304,12 @@ def _extract_text(warc_type: str | None, ctype: str | None,
             resp = parse_http_response(payload)
         except ValueError:
             return None
+        if not resp["body_decoded"]:
+            # declared Content-Encoding the parse could not undo
+            # (corrupt stream / bomb guard / brotli absent): a
+            # still-compressed body would read as binary garbage —
+            # NULL text, metadata kept (the lossy-tolerant contract)
+            return None
         inner = resp["headers"].get("content-type", "")
         inner_base = inner.split(";")[0].strip().lower()
         try:
@@ -496,10 +502,12 @@ def encode_wet(records: list[dict], compress: bool = True) -> bytes:
     """Serialize records as a WET file — one gzip member per record
     when `compress` (the CommonCrawl layout), else a plain WARC
     stream. Each record: {"target_uri", "text", optional "date",
-    "record_id", "warc_type", "content_type"}."""
+    "record_id", "warc_type", "content_type"}. `text` may be bytes
+    for binary payloads (e.g. a Content-Encoding'd HTTP response)."""
     out = bytearray()
     for r in records:
-        payload = r["text"].encode("utf-8")
+        t = r["text"]
+        payload = t if isinstance(t, bytes) else t.encode("utf-8")
         headers = [
             ("WARC-Type", r.get("warc_type", "conversion")),
             ("WARC-Target-URI", r["target_uri"]),

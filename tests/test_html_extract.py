@@ -157,3 +157,146 @@ def test_extraction_fuzz_never_raises():
             s[rng.randrange(len(s))] = chr(rng.randrange(32, 127))
         out = html_to_text("".join(s))  # must never raise
         assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# Content-Encoding (r14e): crawls store responses as-received, so the
+# HTTP parse must undo gzip/deflate/zstd bodies natively (brotli is
+# import-gated) and flag what it could not undo — a still-compressed
+# body must read as NULL text downstream, never as binary garbage.
+# ---------------------------------------------------------------------------
+
+
+def _http(headers: bytes, body: bytes) -> bytes:
+    return b"HTTP/1.1 200 OK\r\n" + headers + b"\r\n" + body
+
+
+def _raw_deflate(data: bytes) -> bytes:
+    import zlib
+
+    c = zlib.compressobj(wbits=-15)
+    return c.compress(data) + c.flush()
+
+
+def test_content_encoding_gzip_and_deflate():
+    import gzip as gzip_mod
+    import zlib
+
+    page = "<p>compressed body</p>".encode("utf-8")
+    for hdr, enc in [
+        (b"Content-Encoding: gzip\r\n", gzip_mod.compress(page)),
+        (b"Content-Encoding: x-gzip\r\n", gzip_mod.compress(page)),
+        # spec deflate (zlib-wrapped) and wild raw-deflate both
+        (b"Content-Encoding: deflate\r\n", zlib.compress(page)),
+        (b"Content-Encoding: deflate\r\n", _raw_deflate(page)),
+    ]:
+        r = parse_http_response(
+            _http(b"Content-Type: text/html\r\n" + hdr, enc)
+        )
+        assert r["body_decoded"] is True
+        assert r["body"] == page
+
+
+def test_content_encoding_zstd_native():
+    from mints_wind_data_ingestion_spark.sources.zstdcodec import (
+        compress_zstd,
+    )
+
+    page = b"zstd-coded response body " * 10
+    r = parse_http_response(_http(
+        b"Content-Type: text/plain\r\nContent-Encoding: zstd\r\n",
+        compress_zstd(page),
+    ))
+    assert r["body_decoded"] is True and r["body"] == page
+
+
+def test_content_encoding_failure_modes_keep_raw_body():
+    page = b"<p>x</p>"
+    # corrupt gzip stream
+    r = parse_http_response(_http(
+        b"Content-Encoding: gzip\r\n", b"\x1f\x8b garbage"
+    ))
+    assert r["body_decoded"] is False
+    # truncated gzip stream
+    import gzip as gzip_mod
+
+    r = parse_http_response(_http(
+        b"Content-Encoding: gzip\r\n", gzip_mod.compress(page)[:-4]
+    ))
+    assert r["body_decoded"] is False
+    # unknown coding
+    r = parse_http_response(_http(
+        b"Content-Encoding: snappy\r\n", page
+    ))
+    assert r["body_decoded"] is False and r["body"] == page
+    # identity / absent are trivially decoded
+    assert parse_http_response(_http(b"", page))["body_decoded"] is True
+    r = parse_http_response(_http(b"Content-Encoding: identity\r\n", page))
+    assert r["body_decoded"] is True and r["body"] == page
+
+
+def test_content_encoding_chunked_then_gzip():
+    """Transfer-Encoding is undone first, Content-Encoding second —
+    the wire order reversed."""
+    import gzip as gzip_mod
+
+    page = b"chunk-then-unzip"
+    enc = gzip_mod.compress(page)
+    chunked = (
+        hex(len(enc))[2:].encode() + b"\r\n" + enc + b"\r\n0\r\n\r\n"
+    )
+    r = parse_http_response(_http(
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        chunked,
+    ))
+    assert r["body_decoded"] is True and r["body"] == page
+
+
+def test_content_encoding_bomb_guard():
+    import gzip as gzip_mod
+
+    from mints_wind_data_ingestion_spark.functions import html as html_mod
+
+    big = gzip_mod.compress(b"\0" * 4096)
+    old = html_mod._MAX_BODY_BYTES
+    html_mod._MAX_BODY_BYTES = 1024
+    try:
+        r = parse_http_response(_http(b"Content-Encoding: gzip\r\n", big))
+        assert r["body_decoded"] is False
+    finally:
+        html_mod._MAX_BODY_BYTES = old
+
+
+def test_encoded_response_record_extracts_through_scan():
+    """End-to-end: a gzip-bodied response record yields extracted
+    text through the WARC scan; an undecodable one yields NULL."""
+    import gzip as gzip_mod
+
+    html = "<body><p>encoded &amp; extracted</p></body>"
+    good = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n"
+        + gzip_mod.compress(html.encode("utf-8"))
+    )
+    bad = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\n" + b"\x00\x01brotli-ish"
+    )
+    recs = [
+        {
+            "target_uri": "https://example.org/a",
+            "text": good,
+            "warc_type": "response",
+            "content_type": "application/http; msgtype=response",
+        },
+        {
+            "target_uri": "https://example.org/b",
+            "text": bad,
+            "warc_type": "response",
+            "content_type": "application/http; msgtype=response",
+        },
+    ]
+    rows = scan_warc_bytes("f.warc.gz", encode_wet(recs))
+    assert rows[0]["error"] is None
+    assert rows[0]["text"] == "encoded & extracted"
+    assert rows[1]["error"] is None and rows[1]["text"] is None
