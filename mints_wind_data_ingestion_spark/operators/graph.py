@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "page_rank"]
 
 #: edge-count above which the large-star round materializes m(u) so
 #: AQE's skew rule can split a hot star-center key (see _cc_rounds).
@@ -66,6 +66,12 @@ SKEW_CHECKPOINT_EDGES = 50_000
 #: shuffles + checkpoint + probe. Above it, the shuffle rounds are
 #: the only shape that scales.
 LOCAL_SOLVE_EDGES = 1_000_000
+
+#: raw-edge count at or below which PageRank is solved driver-side
+#: (one bounded probe-pull + the exact integer recurrence over edge
+#: endpoints only — see _pr_local). 5 iterations x 1M edges is a few
+#: seconds of dict arithmetic, cheaper than 5 rounds x 3 shuffles.
+PR_LOCAL_SOLVE_EDGES = 1_000_000
 
 
 def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -306,5 +312,191 @@ def dedup_clusters(
         )
         .withColumn(
             "is_representative", (F.col(id_col) == F.col("cluster_id"))
+        )
+    )
+
+
+def page_rank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    checkpoint_every: int | None = None,
+    local_solve_edges: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed link graph — the
+    link-level quality prior real crawl-curation pipelines weight
+    documents by (the CommonCrawl host/link-graph ranking slot). No
+    reference analogue; part of the mandated LLM-pipeline surface.
+
+    EXACT INTEGER ARITHMETIC: ranks live in units of `1/scale`
+    (BIGINT), every division is integral (`div`), every sum is a
+    BIGINT sum — so the result is bit-identical across engines,
+    partition counts, and aggregation orders, and an ANSI-SQL oracle
+    can replay it hash-exactly. Float PageRank cannot make that
+    promise (sum order perturbs the low bits). The truncation error
+    is ≤ iterations/scale per node — noise at scale=1e12 — and mass
+    lost to truncation is never redistributed (deterministic by
+    construction).
+
+    Per iteration (the power-method step, all positive BIGINTs):
+
+        base      = scale div N
+        contrib(u)= r(u) div outdeg(u)            [outdeg > 0]
+        agg(v)    = sum of contrib(u) over u→v
+        dang      = sum of r(u) where outdeg(u) = 0
+        r'(v)     = (15·base) div 100
+                    + (85·(agg(v) + dang div N)) div 100
+
+    Scale posture: `edges` and the degree table are computed once and
+    re-joined every iteration (callers at scale should persist them
+    pre-partitioned by `src`); the per-iteration shuffles are the
+    contrib join on src and the groupBy(dst) — the latter is
+    partial-aggregated map-side, so in-degree hubs (the skew case of
+    real web graphs) combine before the shuffle; the dangling mass is
+    a broadcast-1-row scalar join, never a collect. `checkpoint_every`
+    truncates lineage via localCheckpoint for deep iteration counts
+    (lazy plans stack otherwise); None keeps the whole plan lazy for
+    oracle-replayed fixed small iteration counts.
+
+    Size-gated local solve (the connected_components doctrine): edge
+    sets at or below `local_solve_edges` (default
+    PR_LOCAL_SOLVE_EDGES) take ONE bounded probe-pull — the CORPUS is
+    never pulled: only edge endpoints evolve individually, while
+    every edge-untouched node (no out-links, no in-links by
+    construction) shares one closed-form rank, emitted as a literal
+    in a broadcast-join pass over `nodes` with zero shuffles. Both
+    paths replay the identical integer recurrence — pinned by
+    tests/test_pagerank.py. Pass 0 to force the distributed rounds.
+    Caller contract (as with connected_components): the probe counts
+    RAW edge rows, and out-degree counts RAW rows too — feed a
+    deduplicated edge list.
+
+    Returns (id_col, rank_e, out_deg, in_deg): the final scaled rank
+    and the degree columns the curation filters typically want.
+    """
+    n = nodes.select(F.col(id_col).alias("__pr_id"))
+    e = edges.select(F.col(src).alias("__pr_s"), F.col(dst).alias("__pr_d"))
+    gate = PR_LOCAL_SOLVE_EDGES if local_solve_edges is None else local_solve_edges
+    if gate > 0:
+        pdf = e.limit(gate + 1).toPandas()
+        if len(pdf) <= gate:
+            return _pr_local(n, pdf, id_col, iterations, scale)
+    out_deg = e.groupBy("__pr_s").agg(F.count(F.lit(1)).alias("__pr_od"))
+    in_deg = e.groupBy("__pr_d").agg(F.count(F.lit(1)).alias("__pr_idg"))
+    cnt = n.agg(F.count(F.lit(1)).cast("long").alias("__pr_n"))
+
+    ranks = (
+        n.crossJoin(F.broadcast(cnt))
+        .select(
+            "__pr_id",
+            F.expr(f"CAST({scale} AS BIGINT) div __pr_n").alias("__pr_r"),
+        )
+    )
+    for it in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["__pr_id"] == out_deg["__pr_s"], "left"
+        )
+        dang = with_deg.filter(F.col("__pr_od").isNull()).agg(
+            F.coalesce(F.sum("__pr_r"), F.lit(0)).cast("long").alias("__pr_dang")
+        )
+        contrib = with_deg.filter(F.col("__pr_od").isNotNull()).select(
+            F.col("__pr_id").alias("__pr_cid"),
+            F.expr("__pr_r div __pr_od").alias("__pr_c"),
+        )
+        agg = (
+            e.join(contrib, e["__pr_s"] == contrib["__pr_cid"])
+            .groupBy("__pr_d")
+            .agg(F.sum("__pr_c").cast("long").alias("__pr_agg"))
+        )
+        ranks = (
+            n.join(agg, n["__pr_id"] == agg["__pr_d"], "left")
+            .crossJoin(F.broadcast(cnt))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "__pr_id",
+                F.expr(
+                    f"(15 * (CAST({scale} AS BIGINT) div __pr_n)) div 100"
+                    " + (85 * (coalesce(__pr_agg, CAST(0 AS BIGINT))"
+                    " + (__pr_dang div __pr_n))) div 100"
+                ).alias("__pr_r"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.join(out_deg, ranks["__pr_id"] == out_deg["__pr_s"], "left")
+        .join(in_deg, ranks["__pr_id"] == in_deg["__pr_d"], "left")
+        .select(
+            F.col("__pr_id").alias(id_col),
+            F.col("__pr_r").alias("rank_e"),
+            F.coalesce(F.col("__pr_od"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce(F.col("__pr_idg"), F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def _pr_local(n_df: DataFrame, pdf, id_col: str, iterations: int,
+              scale: int) -> DataFrame:
+    """Driver-side replay of the exact integer recurrence over a
+    bounded edge pull. Only edge endpoints get individual ranks; the
+    (possibly enormous) set of edge-untouched nodes — all dangling
+    with no in-links by construction — evolves as ONE closed-form
+    scalar, so the output pass over `nodes` is a broadcast left join,
+    no shuffle, and the corpus never reaches the driver."""
+    from collections import defaultdict
+
+    sess = n_df.sparkSession
+    total = n_df.count()
+    schema = f"__pr_lid long, rank_e long, out_deg long, in_deg long"
+    if total == 0:
+        return sess.createDataFrame([], schema).select(
+            F.col("__pr_lid").alias(id_col), "rank_e", "out_deg", "in_deg"
+        )
+    srcs = [int(x) for x in pdf["__pr_s"]]
+    dsts = [int(x) for x in pdf["__pr_d"]]
+    out: dict[int, int] = defaultdict(int)
+    idg: dict[int, int] = defaultdict(int)
+    for s in srcs:
+        out[s] += 1
+    for t in dsts:
+        idg[t] += 1
+    touched = sorted(set(out) | set(idg))
+    n_untouched = total - len(touched)
+    base = scale // total
+    r = {u: base for u in touched}
+    r_u = base  # the shared rank of every edge-untouched node
+    for _ in range(iterations):
+        dang = sum(v for u, v in r.items() if u not in out)
+        dang += n_untouched * r_u
+        agg: dict[int, int] = defaultdict(int)
+        for s, t in zip(srcs, dsts):
+            agg[t] += r[s] // out[s]
+        const = (15 * base) // 100
+        dshare = dang // total
+        r = {
+            u: const + (85 * (agg[u] + dshare)) // 100 for u in touched
+        }
+        r_u = const + (85 * dshare) // 100
+    rows = [(u, r[u], out.get(u, 0), idg.get(u, 0)) for u in touched]
+    local = sess.createDataFrame(rows, schema)
+    return (
+        n_df.join(
+            F.broadcast(local),
+            n_df["__pr_id"] == local["__pr_lid"],
+            "left",
+        )
+        .select(
+            F.col("__pr_id").alias(id_col),
+            F.coalesce(F.col("rank_e"), F.lit(r_u).cast("long"))
+            .alias("rank_e"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long")
+            .alias("out_deg"),
+            F.coalesce(F.col("in_deg"), F.lit(0)).cast("long")
+            .alias("in_deg"),
         )
     )

@@ -2500,7 +2500,11 @@ _D_DEDUP_CLUSTERS = f"""
 """
 
 
-@query("x_dedup_cluster", oracle=_D_DEDUP_CLUSTERS, tags=("ext", "dedup", "graph"))
+@query("x_dedup_cluster",
+       # lazy: composes _D_DEDUP_CLUSTERS with the r14 pagerank part
+       # (defined later in the module)
+       oracle=lambda sf_dir: _dedup_cluster_oracle(),
+       tags=("ext", "dedup", "graph"))
 def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CLUSTERING: near-dup pairs (exact n-gram Jaccard >= 0.5,
     the x_dedup_jaccard pair set) -> connected components via
@@ -2532,7 +2536,18 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
     )
-    return clusters.withColumn("split", split_col(F.col("cluster_id")))
+    cl = clusters.withColumn("split", split_col(F.col("cluster_id")))
+    # r14 fold: the link-graph PageRank part (x_pagerank) rides this
+    # suite's hash — rank in the cluster_id slot, degrees in split
+    pr = REGISTRY["x_pagerank"].build(spark, sf_dir).select(
+        "doc_id",
+        F.col("rank_e").alias("cluster_id"),
+        (F.col("out_deg") > 0).alias("is_representative"),
+        F.concat(
+            F.lit("pr:"), F.col("out_deg"), F.lit(":"), F.col("in_deg")
+        ).alias("split"),
+    )
+    return cl.unionByName(pr)
 
 
 # ---------------------------------------------------------------------------
@@ -5664,3 +5679,146 @@ def x_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("error", "[0-9]+", "#").alias("txt"),
     )
     return stats.unionByName(errs)
+
+
+# ---------------------------------------------------------------------------
+# x_pagerank — link-graph quality prior (r14f). Folded into
+# x_dedup_cluster (the graph suite) for the driver gate.
+# ---------------------------------------------------------------------------
+
+#: power-method iterations for the driver-verified fixed-point; the
+#: oracle unrolls the same count
+_PR_ITERS = 5
+
+#: rank unit = 1/_PR_SCALE (see operators.graph.page_rank — exact
+#: BIGINT arithmetic is what makes a hash-exact SQL oracle possible)
+_PR_SCALE = 10**12
+
+
+def _pr_edge_sql() -> str:
+    """The deterministic link graph, SQL side: doc i fans out to
+    (i*7 + j*13) mod N for j = 1..(i mod 4) — so i ≡ 0 (mod 4) docs
+    are DANGLING — plus every i ≡ 0 (mod 3) doc links the hub N//2
+    (the in-degree skew of a real web graph); self-loops dropped,
+    duplicates collapsed."""
+    return """
+    n AS (SELECT COUNT(*) AS nn FROM documents),
+    e AS (
+        SELECT DISTINCT s, t FROM (
+            SELECT doc_id AS s,
+                   (doc_id * 7 + j * 13) % n.nn AS t
+            FROM (SELECT doc_id,
+                         unnest(generate_series(1, CAST(doc_id % 4 AS BIGINT)))
+                         AS j
+                  FROM documents) CROSS JOIN n
+            UNION ALL
+            SELECT doc_id AS s, n.nn // 2 AS t
+            FROM documents CROSS JOIN n WHERE doc_id % 3 = 0
+        ) WHERE s <> t
+    ),
+    od AS (SELECT s, COUNT(*) AS odc FROM e GROUP BY s)"""
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        "WITH" + _pr_edge_sql() + ",",
+        f"""
+    r0 AS (SELECT doc_id AS id, {_PR_SCALE} // n.nn AS r
+           FROM documents CROSS JOIN n)""",
+    ]
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+    r{k} AS (
+        SELECT d.doc_id AS id,
+               (15 * ({_PR_SCALE} // n.nn)) // 100
+               + (85 * (COALESCE(a.agg, 0) + (dg.dang // n.nn))) // 100
+               AS r
+        FROM documents d
+        CROSS JOIN n
+        CROSS JOIN (SELECT COALESCE(SUM(p.r), 0) AS dang
+                    FROM {prev} p LEFT JOIN od ON od.s = p.id
+                    WHERE od.s IS NULL) dg
+        LEFT JOIN (SELECT e.t, SUM(p.r // od.odc) AS agg
+                   FROM e JOIN {prev} p ON e.s = p.id
+                   JOIN od ON od.s = e.s
+                   GROUP BY e.t) a ON a.t = d.doc_id
+    )""")
+        prev = f"r{k}"
+    parts.append(f"""
+    SELECT d.doc_id AS doc_id, CAST({prev}.r AS BIGINT) AS rank_e,
+           CAST(COALESCE(od.odc, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(idg.idc, 0) AS BIGINT) AS in_deg
+    FROM documents d
+    JOIN {prev} ON {prev}.id = d.doc_id
+    LEFT JOIN od ON od.s = d.doc_id
+    LEFT JOIN (SELECT t, COUNT(*) AS idc FROM e GROUP BY t) idg
+           ON idg.t = d.doc_id""")
+    return "".join(parts)
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str):
+    """The deterministic link graph, Spark side — must stay in
+    lockstep with _pr_edge_sql. Note the explicit empty-array guard:
+    Spark's sequence(1, 0) yields a DESCENDING [1, 0] where DuckDB's
+    generate_series(1, 0) is empty."""
+    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    base = docs.crossJoin(F.broadcast(cnt))
+    fanout = (
+        base.select(
+            "doc_id",
+            "nn",
+            F.explode(
+                F.when(
+                    F.col("doc_id") % 4 > 0,
+                    F.sequence(F.lit(1).cast("long"), F.col("doc_id") % 4),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("j"),
+        )
+        .select(
+            F.col("doc_id").alias("s"),
+            ((F.col("doc_id") * 7 + F.col("j") * 13) % F.col("nn")).alias("t"),
+        )
+    )
+    hub = base.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("s"), F.expr("nn div 2").alias("t")
+    )
+    return (
+        fanout.unionByName(hub).filter(F.col("s") != F.col("t")).distinct(),
+        docs,
+    )
+
+
+@query("x_pagerank", oracle=_pagerank_oracle(),
+       tags=("ext", "graph"), driver=False)
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (r14): a deterministic web-shaped link
+    graph over `documents` (fan-out by doc id, dangling nodes, one
+    in-degree hub) ranked by `operators.graph.page_rank` — 5
+    power-method iterations in EXACT scaled-BIGINT arithmetic, so the
+    unrolled-SQL oracle reproduces every rank bit-for-bit (a float
+    PageRank could never hash-match across engines). The link-level
+    quality prior of crawl curation pipelines."""
+    from ..operators.graph import page_rank
+
+    edges, docs = _pr_edges(spark, sf_dir)
+    return page_rank(
+        docs, edges, id_col="doc_id", src="s", dst="t",
+        iterations=_PR_ITERS, scale=_PR_SCALE,
+    )
+
+
+def _dedup_cluster_oracle() -> str:
+    """x_dedup_cluster's composed oracle: the recursive-CTE cluster
+    closure plus the harmonized PageRank part (rank in the cluster_id
+    slot, degrees packed into split) — both as parenthesized
+    WITH-subqueries so the union needs no shared CTE scope."""
+    return f"""
+    SELECT * FROM ({_D_DEDUP_CLUSTERS})
+    UNION ALL
+    SELECT doc_id, rank_e AS cluster_id,
+           out_deg > 0 AS is_representative,
+           'pr:' || out_deg || ':' || in_deg AS split
+    FROM ({_pagerank_oracle()})
+    """
