@@ -112,6 +112,14 @@ QUERIES = [
     # member walk + record parse over 10× documents; pure per-doc
     # work, the embarrassingly-parallel linear case
     "x_warc_ingest",
+    # round-14 addition: link-graph PageRank at 10× — edge synthesis,
+    # probe-pull, and the exact-integer local solve over 10× docs.
+    # Shape note: sf1 doc ids are replica-offset (non-contiguous), so
+    # the modulo-N targets mostly miss the id space — the graph
+    # degenerates toward all-dangling (deterministic, oracle-identical
+    # by construction); the spot row measures the machinery's scaling,
+    # not a web-shaped rank distribution.
+    "x_pagerank",
 ]
 
 
