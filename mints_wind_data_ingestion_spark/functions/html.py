@@ -160,8 +160,8 @@ def _zlib_bounded(body: bytes, wbits: int) -> bytes:
 
 def _decode_content(body: bytes, coding: str) -> bytes:
     """Decode one Content-Encoding coding. ValueError on a corrupt /
-    truncated / oversized stream; ImportError when the coding needs a
-    library this container doesn't ship (brotli)."""
+    truncated / oversized / unknown-coding stream (br decodes through
+    the native RFC 7932 codec since r14h)."""
     if coding in ("gzip", "x-gzip"):
         return _zlib_bounded(body, 47)  # 32+15: gzip or zlib header
     if coding == "deflate":
@@ -182,15 +182,12 @@ def _decode_content(body: bytes, coding: str) -> bytes:
             raise ValueError("content-encoding: body exceeds the bomb guard")
         return out
     if coding == "br":
-        import brotli  # typed import gate: not baked into the container
+        from ..sources.brotlicodec import BrotliError, decompress_brotli
 
         try:
-            out = brotli.decompress(body)
-        except Exception as exc:  # brotli.error: lib-private type
+            return decompress_brotli(body, max_output=_MAX_BODY_BYTES)
+        except BrotliError as exc:
             raise ValueError(f"content-encoding: br: {exc}") from exc
-        if len(out) > _MAX_BODY_BYTES:
-            raise ValueError("content-encoding: body exceeds the bomb guard")
-        return out
     raise ValueError(f"content-encoding: unknown coding {coding!r}")
 
 
@@ -203,9 +200,9 @@ def parse_http_response(payload: bytes) -> dict:
     Body handling is lossy-tolerant, framing-strict: chunked
     transfer-decoding then Content-Encoding decoding (gzip/x-gzip and
     both deflate flavors via zlib, zstd via the native RFC 8878
-    codec, br behind an import gate). `body_decoded` is False when an
-    encoding was declared but could not be undone (corrupt stream,
-    bomb-guard hit, brotli absent) — callers treating the body as
+    codec, br via the native RFC 7932 codec). `body_decoded` is False
+    when an encoding was declared but could not be undone (corrupt
+    stream, bomb-guard hit) — callers treating the body as
     text MUST check it, else a still-compressed body reads as binary
     garbage; `identity`/absent encodings are trivially True."""
     sep = payload.find(b"\r\n\r\n")
@@ -241,7 +238,7 @@ def parse_http_response(payload: bytes) -> dict:
             for c in reversed([t.strip() for t in coding.split(",")]):
                 decoded = _decode_content(decoded, c)
             body = decoded  # only on full success: never a half-undone body
-        except (ValueError, zlib.error, ImportError):
+        except (ValueError, zlib.error):
             body_decoded = False
     charset = "utf-8"
     ctype = headers.get("content-type", "")

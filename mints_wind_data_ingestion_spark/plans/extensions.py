@@ -5542,18 +5542,30 @@ def _wet_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if i % 22 == 4:
                     # r14d: every other response record ships its
-                    # body Content-Encoding: gzip — real crawls
-                    # store responses as-received, so the native
+                    # body Content-Encoding'd — real crawls store
+                    # responses as-received, so the native
                     # content-decoding step (functions/html.py
                     # _decode_content) is driver-hash-load-bearing:
-                    # skip it and these rows extract NULL/garbage
-                    import gzip as gzip_mod
+                    # skip it and these rows extract NULL/garbage.
+                    # r14h: alternate gzip / br so the native
+                    # RFC 7932 brotli decode is under the hash too
+                    if i % 44 == 4:
+                        import gzip as gzip_mod
 
-                    enc = gzip_mod.compress(page.encode("utf-8"))
+                        enc = gzip_mod.compress(page.encode("utf-8"))
+                        coding = b"gzip"
+                    else:
+                        from ..sources.brotlicodec import (
+                            compress_brotli,
+                        )
+
+                        enc = compress_brotli(page.encode("utf-8"))
+                        coding = b"br"
                     http = (
                         b"HTTP/1.1 200 OK\r\nContent-Type: "
                         b"text/html; charset=utf-8\r\n"
-                        b"Content-Encoding: gzip\r\n\r\n" + enc
+                        b"Content-Encoding: " + coding + b"\r\n\r\n"
+                        + enc
                     )
                 else:
                     http = (

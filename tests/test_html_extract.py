@@ -160,10 +160,11 @@ def test_extraction_fuzz_never_raises():
 
 
 # ---------------------------------------------------------------------------
-# Content-Encoding (r14e): crawls store responses as-received, so the
-# HTTP parse must undo gzip/deflate/zstd bodies natively (brotli is
-# import-gated) and flag what it could not undo — a still-compressed
-# body must read as NULL text downstream, never as binary garbage.
+# Content-Encoding (r14e/r14h): crawls store responses as-received,
+# so the HTTP parse must undo gzip/deflate/zstd/br bodies natively
+# (br through the RFC 7932 codec since r14h) and flag what it could
+# not undo — a still-compressed body must read as NULL text
+# downstream, never as binary garbage.
 # ---------------------------------------------------------------------------
 
 
@@ -300,3 +301,27 @@ def test_encoded_response_record_extracts_through_scan():
     assert rows[0]["error"] is None
     assert rows[0]["text"] == "encoded & extracted"
     assert rows[1]["error"] is None and rows[1]["text"] is None
+
+
+def test_br_response_record_decodes_natively():
+    """r14h: Content-Encoding: br bodies decode through the native
+    RFC 7932 codec inside the WARC scan — no import gate left in the
+    text first-mile."""
+    from mints_wind_data_ingestion_spark.sources.brotlicodec import (
+        compress_brotli,
+    )
+
+    html = "<body><p>brotli &amp; native</p></body>"
+    rec = {
+        "target_uri": "https://example.org/br",
+        "text": (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: br\r\n\r\n"
+            + compress_brotli(html.encode("utf-8"))
+        ),
+        "warc_type": "response",
+        "content_type": "application/http; msgtype=response",
+    }
+    rows = scan_warc_bytes("f.warc.gz", encode_wet([rec]))
+    assert rows[0]["error"] is None
+    assert rows[0]["text"] == "brotli & native"
