@@ -372,6 +372,10 @@ def page_rank(
     in a broadcast-join pass over `nodes` with zero shuffles. Both
     paths replay the identical integer recurrence — pinned by
     tests/test_pagerank.py. Pass 0 to force the distributed rounds.
+    NOTE the laziness change on the local path: the probe-pull, the
+    node count, and the solve all run at DataFrame-CONSTRUCTION time
+    (the jaccard_join_adaptive posture) — callers that build but
+    never execute plans pay them anyway.
     Caller contract (as with connected_components): the probe counts
     RAW edge rows, and out-degree counts RAW rows too — feed a
     deduplicated edge list.

@@ -40,13 +40,17 @@ Every malformed-stream path raises `BrotliError` (a ValueError), so
 the multimodal/WARC quarantine boundary converts corrupt payloads to
 evidence rows; decompression is bomb-guarded by `max_output`.
 
-Encoder (the fixture half): deterministic single-tree meta-blocks —
-one insert-only command per meta-block with a real canonical-Huffman
-literal code serialized through the complex code-length descriptor
-(or a simple descriptor when <= 4 distinct bytes). No LZ matches, no
-dictionary references — framing-complete and spec-legal (the
-reference library decodes its output bit-exactly), sized for
-deterministic driver-hash corpora rather than ratio.
+Encoder (the fixture half): deterministic greedy-LZ77 meta-blocks —
+hash-chained 4-byte matches emitting explicit distance codes,
+short-code-0 distance reuse, and implicit-last-distance command
+cells, with canonical-Huffman literal/command/distance codes
+serialized through the complex code-length descriptor (or a simple
+descriptor when <= 4 distinct symbols); the distance ring carries
+across meta-blocks exactly as the decoder's does. No dictionary
+references. Framing-complete and spec-legal (the reference library
+decodes its output bit-exactly), built for deterministic driver-hash
+corpora that exercise the decoder's command machinery — not for
+ratio, though repetitive corpora compress well (the LZ path).
 """
 
 from __future__ import annotations
@@ -826,13 +830,73 @@ _CELL_OF = {
 }
 
 
+def _cpy_code_for(n: int) -> tuple[int, int, int]:
+    """(cpy_code, extra_value, extra_bits) encoding copy length n."""
+    for code, (e, b) in enumerate(_CPY):
+        if b <= n < b + (1 << e) or (e == 0 and n == b):
+            return code, n - b, e
+    raise BrotliError(f"copy length {n} out of range")
+
+
+def _dist_code_for(d: int) -> tuple[int, int, int]:
+    """(dcode, extra_value, extra_bits) for an explicit distance
+    under NPOSTFIX=0 / NDIRECT=0 — the inverse of the section 4
+    formula."""
+    for n in range(1, 25):
+        for h in (0, 1):
+            off = ((2 + h) << n) - 4
+            extra = d - 1 - off
+            if 0 <= extra < (1 << n):
+                return 16 + 2 * (n - 1) + h, extra, n
+    raise BrotliError(f"distance {d} out of range")
+
+
+#: greedy matcher parameters: 4-byte hash heads, bounded chain walk
+_MIN_MATCH = 4
+_HASH_SHIFT = 18
+
+
+def _parse_commands(chunk: bytes, max_dist: int):
+    """Greedy LZ parse → [(literal_run, copy_len, distance)], the
+    final command carrying (tail_literals, None, None)."""
+    n = len(chunk)
+    heads: dict[int, int] = {}
+    cmds = []
+    lit_start = 0
+    pos = 0
+    while pos + _MIN_MATCH <= n:
+        key = chunk[pos : pos + _MIN_MATCH]
+        cand = heads.get(key)
+        heads[key] = pos
+        if cand is not None and pos - cand <= max_dist:
+            # verified by construction; extend
+            m = _MIN_MATCH
+            limit = n - pos
+            while m < limit and chunk[cand + m] == chunk[pos + m]:
+                m += 1
+            cmds.append((chunk[lit_start:pos], m, pos - cand))
+            # index a few positions inside the match so later
+            # overlapping matches stay findable (sparse: every 3rd)
+            end = pos + m
+            for p2 in range(pos + 1, min(end, n - _MIN_MATCH + 1), 3):
+                heads[chunk[p2 : p2 + _MIN_MATCH]] = p2
+            pos = end
+            lit_start = end
+        else:
+            pos += 1
+    cmds.append((chunk[lit_start:], None, None))
+    return cmds
+
+
 def compress_brotli(
     data: bytes, wbits: int = 22, block_size: int = 1 << 20
 ) -> bytes:
-    """Deterministic brotli stream: one insert-only command per
-    meta-block, single block types, canonical-Huffman literals (no LZ
-    matches, no dictionary references). Spec-legal and reference-
-    decodable; built for reproducible fixtures, not ratio."""
+    """Deterministic brotli stream: greedy-LZ77 commands (explicit,
+    implicit-last-distance, and short-code-0 distances; no dictionary
+    references) with canonical-Huffman literal/command/distance codes
+    over single block types. Spec-legal and reference-decodable;
+    built for reproducible fixtures and driver-hash coverage of the
+    decoder's command machinery, not for ratio."""
     w = _BitWriter()
     # WBITS: emit the 16 shortcut or the 17+n form
     if wbits == 16:
@@ -844,6 +908,8 @@ def compress_brotli(
             w.write(0, 3)
     else:
         raise BrotliError(f"encoder supports WBITS 16..24, not {wbits}")
+    window = (1 << wbits) - 16
+    ring_last = 4  # decoder's initial last distance
     for off in range(0, len(data), block_size):
         chunk = data[off : off + block_size]
         mlen = len(chunk)
@@ -859,21 +925,85 @@ def compress_brotli(
         w.write(0, 2)  # context mode LSB6
         w.write(0, 1)  # NTREESL = 1
         w.write(0, 1)  # NTREESD = 1
+
+        # plan the command stream first (trees need histograms).
+        # NOTE: matches must never reach across the meta-block
+        # boundary into the previous block's window — the parse is
+        # per-chunk, so distances are chunk-local and always valid.
+        cmds = _parse_commands(chunk, min(window, mlen))
+        plan = []  # (cmd_sym, ins e/eb, cpy e/eb, dcode|None, d e/eb)
+        rl = ring_last
+        for lits, cpy, dist in cmds:
+            if cpy is None and not lits and plan:
+                # data ended exactly at a match: the decoder exits at
+                # MLEN and never reads another command — emitting one
+                # would be parsed as the NEXT meta-block's header
+                continue
+            ins_code, ie, ieb = _ins_code_for(len(lits))
+            if cpy is None:
+                # final insert-only command: copy part ignored at MLEN
+                cpy_code, ce, ceb = 0, 0, 0
+                cell = _CELL_OF[(ins_code & 0x18, 0)]
+                plan.append((
+                    (cell << 6) | ((ins_code & 7) << 3), lits,
+                    ie, ieb, ce, ceb, None, 0, 0,
+                ))
+                continue
+            cpy_code, ce, ceb = _cpy_code_for(cpy)
+            if dist == rl and ins_code <= 7 and cpy_code <= 15:
+                # implicit last-distance cell: no distance symbol at
+                # all; ring untouched
+                cell = 0 if cpy_code <= 7 else 1
+                plan.append((
+                    (cell << 6) | ((ins_code & 7) << 3) | (cpy_code & 7),
+                    lits, ie, ieb, ce, ceb, None, 0, 0,
+                ))
+                continue
+            cell = _CELL_OF[(ins_code & 0x18, cpy_code & 0x18)]
+            sym = (cell << 6) | ((ins_code & 7) << 3) | (cpy_code & 7)
+            if dist == rl:
+                plan.append((sym, lits, ie, ieb, ce, ceb, 0, 0, 0))
+                # short code 0: ring not updated
+            else:
+                dcode, de, deb = _dist_code_for(dist)
+                plan.append((sym, lits, ie, ieb, ce, ceb, dcode, de, deb))
+                rl = dist
+        # the decoder's distance ring persists across meta-blocks
+        ring_last = rl
+
         lit_freq: dict[int, int] = {}
-        for b in chunk:
-            lit_freq[b] = lit_freq.get(b, 0) + 1
-        lit_tab = _emit_tree(w, lit_freq, 256)
-        ins_code, extra, ebits = _ins_code_for(mlen)
-        cell = _CELL_OF[(ins_code & 0x18, 0)]
-        cmd_sym = (cell << 6) | ((ins_code & 7) << 3) | 0
-        _emit_simple(w, [cmd_sym], 704)
-        _emit_simple(w, [0], 64)  # one (never-read) distance tree
-        # the single command: symbol costs 0 bits, then extras
-        w.write(extra, ebits)
-        # copy code 0 carries 0 extra bits; copy part ignored at MLEN
-        for b in chunk:
-            c, l = lit_tab[b]
+        cmd_freq: dict[int, int] = {}
+        dist_freq: dict[int, int] = {}
+        for sym, lits, *_rest in plan:
+            cmd_freq[sym] = cmd_freq.get(sym, 0) + 1
+            for b in lits:
+                lit_freq[b] = lit_freq.get(b, 0) + 1
+        for *_head, dcode, _de, _deb in plan:
+            if dcode is not None:
+                dist_freq[dcode] = dist_freq.get(dcode, 0) + 1
+        lit_tab = (
+            _emit_tree(w, lit_freq, 256)
+            if lit_freq
+            else _emit_simple(w, [0], 256)
+        )
+        cmd_tab = _emit_tree(w, cmd_freq, 704)
+        dist_tab = (
+            _emit_tree(w, dist_freq, 64)
+            if dist_freq
+            else _emit_simple(w, [0], 64)
+        )
+        for sym, lits, ie, ieb, ce, ceb, dcode, de, deb in plan:
+            c, l = cmd_tab[sym]
             w.write_code(c, l)
+            w.write(ie, ieb)
+            w.write(ce, ceb)
+            for b in lits:
+                c, l = lit_tab[b]
+                w.write_code(c, l)
+            if dcode is not None:
+                c, l = dist_tab[dcode]
+                w.write_code(c, l)
+                w.write(de, deb)
     w.write(1, 1)  # ISLAST
     w.write(1, 1)  # ISLASTEMPTY
     return w.finish()

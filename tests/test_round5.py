@@ -517,7 +517,14 @@ def test_cluster_split_is_leakage_safe(spark, sf_dir):
     assignment is the shared 80/10/10 rule keyed on cluster_id."""
     from mints_wind_data_ingestion_spark.plans import REGISTRY
 
-    clusters = REGISTRY["x_dedup_cluster"].build(spark, sf_dir).cache()
+    clusters = (
+        REGISTRY["x_dedup_cluster"].build(spark, sf_dir)
+        # r14: the suite also carries the PageRank part (split =
+        # 'pr:<out>:<in>'); the leakage property is about the cluster
+        # rows only
+        .filter(~F.col("split").startswith("pr:"))
+        .cache()
+    )
     pairs = REGISTRY["x_dedup_jaccard"].build(spark, sf_dir)
     a = clusters.select(
         F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
