@@ -30,7 +30,7 @@ from urllib.parse import urlsplit, urlunsplit
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url_col", "canonicalize_url", "TRACKING_PARAMS"]
+__all__ = ["canonical_url_col", "canonicalize_url", "surt", "surt_col", "TRACKING_PARAMS"]
 
 #: query parameters that never identify content
 TRACKING_PARAMS = (
@@ -111,3 +111,33 @@ def canonical_url_col(col: Column | str) -> Column:
     return F.when(
         F.length(qsorted) > 0, F.concat(base, F.lit("?"), qsorted)
     ).otherwise(base)
+
+
+def surt(url: str) -> str:
+    """Python twin of `surt_col` — the Sort-friendly URI Reordering
+    Transform key the CommonCrawl index (CDXJ) is sorted by:
+    canonicalize, drop the scheme, reverse the host's dot-segments
+    joined by commas, then ')' + path[?query].
+    `https://www.example.org/doc/5?b=2&a=1&utm_source=x` →
+    `org,example)/doc/5?a=1&b=2`."""
+    canon = canonicalize_url(url)
+    rest = canon.split("://", 1)[1] if "://" in canon else canon
+    slash = rest.find("/")
+    host, pathq = (rest, "/") if slash < 0 else (rest[:slash], rest[slash:])
+    return ",".join(reversed(host.split("."))) + ")" + pathq
+
+
+def surt_col(col: Column | str) -> Column:
+    """`surt` as pure codegen'd Spark expressions over
+    `canonical_url_col` — no UDF, applies at scan rate (the shape a
+    petabyte cc-index join needs)."""
+    canon = canonical_url_col(col)
+    rest = F.regexp_replace(canon, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.split(rest, "/").getItem(0)
+    pathq = F.substring(rest, F.length(host) + 1, 1 << 20)
+    pathq = F.when(F.length(pathq) == 0, F.lit("/")).otherwise(pathq)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        pathq,
+    )

@@ -927,6 +927,9 @@ def _docpipe_oracle() -> str:
     UNION ALL
     SELECT part, doc_id, n1, n2, n3, txt
     FROM {_oracle("x_warc_ingest")}
+    UNION ALL
+    SELECT part, doc_id, n1, n2, n3, txt
+    FROM ({_oracle("x_cdx_select")})
     """
 
 
@@ -941,15 +944,19 @@ def x_doc_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table; r14 adds the WARC/WET container-ingestion e2e
     (x_warc_ingest: documents → gzip-member-per-record WET shards →
     member walk → WARC record parse → per-record text stats, planted
-    truncated members surfacing as 'warc_err' quarantine rows). A
+    truncated members surfacing as 'warc_err' quarantine rows) and
+    the cc-index selection e2e (x_cdx_select: CDXJ shards →
+    latest-capture-per-SURT-urlkey with the key recomputed by the
+    codegen'd surt_col, malformed lines as 'cdx_err' rows). A
     regression in any stage or composition flips the driver hash."""
     dt = REGISTRY["x_doc_transform"].build(spark, sf_dir)
     cu = REGISTRY["x_curation_pipeline"].build(spark, sf_dir)
     wa = REGISTRY["x_warc_ingest"].build(spark, sf_dir)
+    cdx = REGISTRY["x_cdx_select"].build(spark, sf_dir)
     return dt.unionByName(
         _part(cu, "curation", doc_id=_b("doc_id"), n1=_b("chunk_id"),
               n2=_nb(), n3=_nb(), txt=_s("chunk_text"))
-    ).unionByName(wa)
+    ).unionByName(wa).unionByName(cdx)
 
 
 # ---------------------------------------------------------------------------

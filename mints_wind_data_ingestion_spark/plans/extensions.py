@@ -5834,3 +5834,150 @@ def _dedup_cluster_oracle() -> str:
            'pr:' || out_deg || ':' || in_deg AS split
     FROM ({_pagerank_oracle()})
     """
+
+
+# ---------------------------------------------------------------------------
+# x_cdx_select — cc-index (CDXJ) selection, the step BEFORE WARC
+# ingestion in a real crawl pipeline (r14j). Folded into
+# x_doc_pipeline_suite for the driver gate.
+# ---------------------------------------------------------------------------
+
+#: cc-index shard count for the fixture corpus (shard 3 ships PLAIN
+#: .cdxj so the uncompressed path rides the hash too)
+_CDX_FILES = 4
+
+
+def _cdx_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, content) — a deterministic cc-index over `documents`:
+    one capture per doc (two for doc_id ≡ 0 mod 3, so latest-capture
+    selection is load-bearing), urlkeys SURT-computed from raw URLs
+    that exercise every canonicalization rule (www + default port +
+    double-slash + trailing-slash + tracking params + unsorted
+    query), and one planted malformed line per doc_id ≡ 7 mod 89
+    (non-14-digit timestamp → typed quarantine row)."""
+    import pandas as pd
+
+    from ..functions.url import surt
+    from ..sources.cdxj import encode_cdxj
+    from ..sources.warc import _gzip_member
+
+    docs = (
+        tables(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .withColumn("__file", F.col("doc_id") % _CDX_FILES)
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fno = int(pdf["__file"].iloc[0])
+        caps = []
+        bad = b""
+        for i in sorted(int(x) for x in pdf["doc_id"]):
+            url = (
+                f"https://www.example.org:443/doc/{i}//x/"
+                "?utm_source=t&b=2&a=1"
+            )
+            key = surt(url)
+            base = 20260101000000 + (i % 97)
+            caps.append(
+                {
+                    "urlkey": key, "ts": str(base), "url": url,
+                    "status": "200", "mime": "text/html",
+                    "digest": f"sha1:{i:040d}",
+                    "filename": f"crawl-{fno:02d}.warc.gz",
+                    "offset": i * 1000 + 7, "length": 900 + i % 50,
+                }
+            )
+            if i % 3 == 0:
+                caps.append(
+                    {
+                        "urlkey": key, "ts": str(base + 5), "url": url,
+                        "status": "200", "mime": "text/html",
+                        "digest": f"sha1:{i:040d}",
+                        "filename": f"crawl-{fno:02d}.warc.gz",
+                        "offset": i * 1000 + 20, "length": 900 + i % 50,
+                    }
+                )
+            if i % 89 == 7:
+                bad += b"org,corrupt)/x 2026 {bad\n"
+        if fno == 3:  # the uncompressed-index path, hash-load-bearing
+            blob = encode_cdxj(caps, compress=False) + bad
+            ext = "cdxj"
+        else:
+            blob = encode_cdxj(caps)
+            if bad:
+                blob += _gzip_member(bad)
+            ext = "cdxj.gz"
+        return pd.DataFrame(
+            {"path": [f"mem://cdx/{fno:02d}.{ext}"], "content": [blob]}
+        )
+
+    return docs.groupBy("__file").applyInPandas(
+        build, "path string, content binary"
+    )
+
+
+def _cdx_oracle() -> str:
+    return """
+    SELECT 'cdx' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(20260101000000 + (doc_id % 97)
+                + CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END
+                AS BIGINT) AS n1,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n2,
+           CAST(doc_id * 1000
+                + CASE WHEN doc_id % 3 = 0 THEN 20 ELSE 7 END
+                AS BIGINT) AS n3,
+           'org,example)/doc/' || doc_id || '/x?a=1&b=2' AS txt
+    FROM documents
+    UNION ALL
+    SELECT 'cdx_err', CAST(NULL AS BIGINT), CAST(1 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           'cdxj: bad timestamp ''#'''
+    FROM documents WHERE doc_id % 89 = 7
+    """
+
+
+@query("x_cdx_select", oracle=_cdx_oracle(),
+       tags=("ext", "text", "source"), driver=False)
+def x_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cc-index SELECTION e2e (r14): documents → deterministic CDXJ
+    shards (sorted urlkeys, gzip + one plain shard) →
+    `sources.cdxj.scan_cdxj_df` → latest-capture-per-urlkey (the
+    reference's A1 latest-wins argmax, applied to the crawl index)
+    with the group key RECOMPUTED from each capture's raw URL by the
+    codegen'd `surt_col` — so SURT + the full URL canonicalization
+    chain (www/port/tracking/sort) ride the driver hash against the
+    oracle's literal key construction. Malformed index lines surface
+    as digit-normalized 'cdx_err' quarantine rows."""
+    from ..functions.url import surt_col
+    from ..sources.cdxj import scan_cdxj_df
+
+    # one corpus-synthesis + scan feeds both the selection and the
+    # quarantine branch (managed: re-builds replace, apps sweep)
+    scanned = managed_cache(
+        scan_cdxj_df(_cdx_corpus(spark, sf_dir)), owner="x_cdx_select"
+    )
+    good = scanned.filter("error IS NULL").withColumn(
+        "__key", surt_col(F.col("url"))
+    )
+    latest = good.groupBy("__key").agg(
+        F.max(F.col("ts").cast("bigint")).alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        F.max_by("warc_offset", F.col("ts")).cast("bigint").alias("n3"),
+    )
+    sel = latest.select(
+        F.lit("cdx").alias("part"),
+        F.regexp_extract("__key", r"doc/([0-9]+)", 1)
+        .cast("bigint").alias("doc_id"),
+        "n1", "n2", "n3",
+        F.col("__key").alias("txt"),
+    )
+    errs = scanned.filter("error IS NOT NULL").select(
+        F.lit("cdx_err").alias("part"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(1).cast("bigint").alias("n1"),
+        F.lit(None).cast("bigint").alias("n2"),
+        F.lit(None).cast("bigint").alias("n3"),
+        F.regexp_replace("error", "[0-9]+", "#").alias("txt"),
+    )
+    return sel.unionByName(errs)

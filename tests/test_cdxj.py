@@ -1,0 +1,91 @@
+"""CDXJ (cc-index) scanner + SURT urlkeys — sources/cdxj and
+functions/url.surt/surt_col (r14). The crawl SELECTION step: filter
+the index, then ranged-fetch only the selected WARC spans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mints_wind_data_ingestion_spark.functions.url import surt, surt_col
+from mints_wind_data_ingestion_spark.sources.cdxj import (
+    encode_cdxj,
+    scan_cdxj_bytes,
+    scan_cdxj_df,
+)
+
+
+def _cap(key, ts, **kw):
+    base = {"urlkey": key, "ts": ts, "url": "https://x.org/",
+            "status": "200", "mime": "text/html",
+            "filename": "c.warc.gz", "offset": 0, "length": 10}
+    base.update(kw)
+    return base
+
+
+def test_roundtrip_sorted_and_plain():
+    caps = [_cap("org,b)/", "20260101000001", offset=5),
+            _cap("org,a)/", "20260101000000")]
+    for compress in (True, False):
+        rows = scan_cdxj_bytes("i", encode_cdxj(caps, compress=compress))
+        assert [r["urlkey"] for r in rows] == ["org,a)/", "org,b)/"]
+        assert rows[1]["warc_offset"] == 5
+        assert all(r["error"] is None for r in rows)
+
+
+def test_quarantine_classes():
+    blob = (
+        b"org,a)/ 20260101000000 {\"url\":\"u\"}\n"
+        b"only-two-fields 20260101000000\n"          # field count
+        b"org,b)/ 2026 {\"url\":\"u\"}\n"            # bad timestamp
+        b"org,c)/ 20260101000000 not-json\n"         # bad json
+        b"org,d)/ 20260101000000 [1,2]\n"            # json non-object
+        b"org,e)/ 20260101000001 {\"offset\":\"9\"}\n"
+    )
+    rows = scan_cdxj_bytes("i.cdxj", blob)
+    errs = [r for r in rows if r["error"]]
+    good = [r for r in rows if not r["error"]]
+    assert len(errs) == 4 and len(good) == 2
+    assert good[1]["warc_offset"] == 9
+    assert "timestamp" in errs[1]["error"]
+    # container corruption: truncated gzip → one file-level error row
+    member = encode_cdxj([_cap("org,a)/", "20260101000000")])
+    rows = scan_cdxj_bytes("i.gz", member[:-4])
+    assert len(rows) == 1 and "gzip" in rows[0]["error"]
+
+
+def test_surt_twin_matches_column(spark):
+    urls = [
+        "https://www.example.org:443/doc/5//x/?utm_source=t&b=2&a=1",
+        "http://sub.domain.co.uk:80/path/",
+        "https://example.org",
+        "https://host.net/a?z=1&y=2&utm_id=9",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r.k for r in df.select(surt_col("url").alias("k")).collect()]
+    assert got == [surt(u) for u in urls]
+    assert got[0] == "org,example)/doc/5/x?a=1&b=2"
+
+
+def test_e2e_binaryfile_scan_and_selection(spark, tmp_path):
+    caps = []
+    for i in range(6):
+        key = f"org,site)/p/{i}"
+        caps.append(_cap(key, "20260101000000", offset=i * 10))
+        if i % 2 == 0:
+            caps.append(_cap(key, "20260101000009", offset=i * 10 + 1))
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "00.cdxj.gz").write_bytes(encode_cdxj(caps))
+    scanned = scan_cdxj_df(
+        spark.read.format("binaryFile").load(str(d))
+    )
+    latest = (
+        scanned.filter("error IS NULL")
+        .groupBy("urlkey")
+        .agg(F.max_by("warc_offset", "ts").alias("off"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_key = {r.urlkey: (r.off, r.n) for r in latest}
+    assert by_key["org,site)/p/2"] == (21, 2)
+    assert by_key["org,site)/p/3"] == (30, 1)

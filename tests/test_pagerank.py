@@ -116,3 +116,39 @@ def test_local_equals_distributed(spark):
     assert loc == dist
     ref = _pr_reference(n, edges)
     assert {t[0]: t[1] for t in loc} == ref
+
+
+def test_hypothesis_random_graphs_match_reference(spark):
+    """Property: on arbitrary random digraphs the distributed-free
+    local solve equals the pure-Python reference replay exactly —
+    the integer recurrence leaves no rounding freedom."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n=st.integers(2, 25),
+        edges=st.lists(
+            st.tuples(st.integers(0, 24), st.integers(0, 24)),
+            max_size=60, unique=True,
+        ),
+        iters=st.integers(0, 4),
+    )
+    def prop(n, edges, iters):
+        e = [(s, t) for s, t in edges if s < n and t < n and s != t]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = (
+            spark.createDataFrame(e, "src long, dst long")
+            if e
+            else spark.createDataFrame([], "src long, dst long")
+        )
+        got = {
+            r.id: r.rank_e
+            for r in page_rank(nodes, edf, iterations=iters).collect()
+        }
+        assert got == _pr_reference(n, e, iterations=iters)
+
+    prop()
