@@ -89,3 +89,54 @@ def test_e2e_binaryfile_scan_and_selection(spark, tmp_path):
     by_key = {r.urlkey: (r.off, r.n) for r in latest}
     assert by_key["org,site)/p/2"] == (21, 2)
     assert by_key["org,site)/p/3"] == (30, 1)
+
+
+def test_index_to_ranged_fetch_to_record(tmp_path):
+    """The full CommonCrawl selection workflow, offline: a WET file
+    with one gzip member per record + a CDXJ index carrying each
+    member's REAL (offset, length) → select one capture from the
+    index → ranged-fetch exactly that byte span
+    (operators.fetch._fetch_range_one, the .idx path) → the sliced
+    member parses STANDALONE into exactly the selected record."""
+    from mints_wind_data_ingestion_spark.operators.fetch import (
+        _fetch_range_one,
+    )
+    from mints_wind_data_ingestion_spark.sources.warc import (
+        encode_wet,
+        iter_gzip_members,
+        scan_warc_bytes,
+    )
+
+    recs = [
+        {"target_uri": f"https://site.example/p/{i}",
+         "text": f"record number {i} text", "record_id": f"<urn:uuid:{i}>"}
+        for i in range(5)
+    ]
+    blob = encode_wet(recs)
+    warc_path = tmp_path / "crawl-00.warc.gz"
+    warc_path.write_bytes(blob)
+    # index with real member offsets/lengths
+    offsets = [off for off, _ in iter_gzip_members(blob)]
+    ends = offsets[1:] + [len(blob)]
+    caps = [
+        _cap(
+            surt(recs[i]["target_uri"]), f"2026010100000{i}",
+            url=recs[i]["target_uri"], filename=warc_path.name,
+            offset=offsets[i], length=ends[i] - offsets[i],
+        )
+        for i in range(5)
+    ]
+    idx = scan_cdxj_bytes("idx", encode_cdxj(caps))
+    # select capture 3 by its urlkey
+    sel = [r for r in idx if r["urlkey"] == "example,site)/p/3"]
+    assert len(sel) == 1
+    body, err = _fetch_range_one(
+        str(warc_path), sel[0]["warc_offset"],
+        sel[0]["warc_offset"] + sel[0]["warc_length"],
+        timeout=5, retries=1,
+    )
+    assert err is None
+    rows = scan_warc_bytes("frag", body)
+    assert len(rows) == 1 and rows[0]["error"] is None
+    assert rows[0]["text"] == "record number 3 text"
+    assert rows[0]["target_uri"] == "https://site.example/p/3"
