@@ -30,7 +30,7 @@ from __future__ import annotations
 import zlib
 from html.parser import HTMLParser
 
-__all__ = ["html_to_text", "parse_http_response"]
+__all__ = ["extract_links", "html_to_text", "parse_http_response"]
 
 #: decompression-bomb guard for Content-Encoding bodies — a response
 #: body never legitimately inflates past this (matches the WARC
@@ -254,3 +254,78 @@ def parse_http_response(payload: bytes) -> dict:
         "content_encoding": coding,
         "body_decoded": body_decoded,
     }
+
+
+#: subtrees that never contribute crawl edges — unlike the TEXT
+#: drop set this keeps `head`, because `<base href>` lives there
+_LINK_DROP = _DROP - {"head"}
+
+
+class _LinkExtractor(HTMLParser):
+    """href harvester: <a href> outside dropped subtrees, base-href
+    aware."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+        self.base: str | None = None
+        self.drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _LINK_DROP:
+            self.drop_depth += 1
+            return
+        if self.drop_depth:
+            return
+        if tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.base = v
+        elif tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+
+    def handle_endtag(self, tag):
+        if tag in _LINK_DROP and self.drop_depth:
+            self.drop_depth -= 1
+
+
+def extract_links(html: str, page_url: str | None = None) -> list[str]:
+    """Outbound links of a page: every `<a href>` outside dropped
+    subtrees, resolved against `<base href>` (first wins) or
+    `page_url` per RFC 3986 reference resolution, in document order,
+    duplicates preserved (the caller dedups — a link graph may want
+    multiplicity). Fragment-only, javascript:, mailto:, tel:, and
+    data: references are dropped — they are not crawl edges. The
+    feeder of the link-graph quality prior
+    (`operators.graph.page_rank`): WARC response → `html_to_text`'s
+    sibling pass → edges."""
+    from urllib.parse import urljoin
+
+    ex = _LinkExtractor()
+    try:
+        ex.feed(html)
+        ex.close()
+    except Exception:  # html.parser is resilient; belt-and-braces
+        pass
+    root = ex.base or page_url
+    if root and page_url:
+        root = urljoin(page_url, root)  # relative <base> resolves too
+    out: list[str] = []
+    for href in ex.links:
+        h = href.strip()
+        if not h or h.startswith("#"):
+            continue
+        low = h.lower()
+        if low.startswith(("javascript:", "mailto:", "tel:", "data:")):
+            continue
+        if root:
+            try:
+                h = urljoin(root, h)
+            except ValueError:
+                continue
+        h = h.split("#", 1)[0]  # fragments are not crawl edges
+        if h:
+            out.append(h)
+    return out

@@ -5981,3 +5981,103 @@ def x_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("error", "[0-9]+", "#").alias("txt"),
     )
     return sel.unionByName(errs)
+
+
+# ---------------------------------------------------------------------------
+# x_linkgraph_rank — HTML link extraction feeding PageRank (r14k).
+# pytest-differential surface (driver cap full): the extracted graph
+# is constructed to equal x_pagerank's synthetic one, so the SAME
+# unrolled-SQL oracle verifies the whole extract→resolve→rank chain —
+# any extraction slip (a script-embedded href counted, a fragment
+# kept, a relative resolution error) flips the rank table.
+# ---------------------------------------------------------------------------
+
+
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, page): one HTML page per doc whose REAL `<a
+    href>` set encodes the x_pagerank edge formula — relative hrefs
+    (resolved against the page URL), a duplicate link every 5th doc
+    (the edge-distinct must collapse it), and distractors that must
+    NOT become edges: a script-embedded anchor, a fragment-only href,
+    a mailto:, and a dropped-subtree (template) anchor."""
+    import pandas as pd
+
+    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    base = docs.crossJoin(F.broadcast(cnt))
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for i, nn in zip(pdf["doc_id"], pdf["nn"]):
+                i, nn = int(i), int(nn)
+                hrefs = [
+                    f"/doc/{(i * 7 + j * 13) % nn}"
+                    for j in range(1, (i % 4) + 1)
+                ]
+                if i % 3 == 0:
+                    hrefs.append(f"/doc/{nn // 2}")
+                if i % 5 == 0 and hrefs:
+                    hrefs.append(hrefs[0])  # duplicate: distinct-collapsed
+                body = "".join(
+                    f'<a href="{h}">l</a>' for h in hrefs
+                )
+                page = (
+                    "<html><head><script>var x = '<a href=\"/doc/999\">'"
+                    "</script></head><body>"
+                    '<a href="#top">t</a><a href="mailto:x@y.z">m</a>'
+                    "<template><a href=\"/doc/1\">no</a></template>"
+                    + body
+                    + "</body></html>"
+                )
+                rows.append(
+                    (i, f"https://example.org/doc/{i}", page)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "page"]
+            )
+
+    return base.mapInPandas(
+        build, "doc_id long, url string, page string"
+    )
+
+
+@query("x_linkgraph_rank", oracle=_pagerank_oracle(),
+       tags=("ext", "graph", "text"), driver=False)
+def x_linkgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-shaped link-graph ranking e2e (r14): HTML pages →
+    `functions.html.extract_links` (base/fragment/scheme rules,
+    dropped subtrees) → RFC 3986 resolution against each page's URL →
+    doc-id edges → `operators.graph.page_rank`. The page corpus
+    encodes x_pagerank's exact edge formula, so the unrolled
+    exact-integer SQL oracle replays every rank bit-for-bit through
+    the extraction chain."""
+    import pandas as pd
+
+    from ..functions.html import extract_links
+    from ..operators.graph import page_rank
+
+    pages = _link_pages(spark, sf_dir)
+
+    def edges_of(batches):
+        for pdf in batches:
+            s, t = [], []
+            for i, url, page in zip(
+                pdf["doc_id"], pdf["url"], pdf["page"]
+            ):
+                for link in extract_links(str(page), str(url)):
+                    if link.startswith("https://example.org/doc/"):
+                        s.append(int(i))
+                        t.append(int(link.rsplit("/", 1)[1]))
+            yield pd.DataFrame({"s": s, "t": t})
+
+    edges = (
+        pages.mapInPandas(edges_of, "s long, t long")
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+    return page_rank(
+        docs, edges, id_col="doc_id", src="s", dst="t",
+        iterations=_PR_ITERS, scale=_PR_SCALE,
+    )

@@ -325,3 +325,32 @@ def test_br_response_record_decodes_natively():
     rows = scan_warc_bytes("f.warc.gz", encode_wet([rec]))
     assert rows[0]["error"] is None
     assert rows[0]["text"] == "brotli & native"
+
+
+def test_extract_links_rules():
+    from mints_wind_data_ingestion_spark.functions.html import (
+        extract_links,
+    )
+
+    h = (
+        '<html><head><base href="/sub/"><script>var a = \'<a '
+        'href="/no">\' </script></head><body>'
+        '<a href="p1">x</a><a href="../p2#frag">y</a>'
+        '<a href="#only">z</a><a href="mailto:a@b">m</a>'
+        '<a href="JAVASCRIPT:void(0)">j</a>'
+        '<template><a href="/tpl">t</a></template>'
+        '<a href="https://other.org/q">q</a></body></html>'
+    )
+    assert extract_links(h, "https://site.example/dir/page") == [
+        "https://site.example/sub/p1",
+        "https://site.example/p2",
+        "https://other.org/q",
+    ]
+    # no page URL: relative links stay relative, document order kept
+    assert extract_links('<a href="a">1</a><a href="a">2</a>') == [
+        "a", "a",
+    ]
+    # resilient on mangled markup
+    assert isinstance(
+        extract_links("<a href='x" + "\x00<" * 20, "http://h/"), list
+    )
