@@ -6081,3 +6081,84 @@ def x_linkgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, edges, id_col="doc_id", src="s", dst="t",
         iterations=_PR_ITERS, scale=_PR_SCALE,
     )
+
+
+# ---------------------------------------------------------------------------
+# x_robots_filter — robots.txt politeness filter (r14l). Pytest-
+# differential surface (driver cap full), the linkgraph posture.
+# ---------------------------------------------------------------------------
+
+#: the politeness file under test — exercises group selection
+#: (specific token / longest prefix / * fallback), the wildcard and
+#: $-anchor matchers, and longest-match precedence
+_ROBOTS_TXT = """
+User-agent: otherbot
+Disallow: /
+
+User-agent: windflow
+Disallow: /doc/
+Allow: /doc/*0
+Allow: /doc/17$
+Disallow: /priv*
+
+User-agent: *
+Disallow:
+"""
+
+
+@query("x_robots_filter", oracle="""
+    -- /doc/*0 is UNanchored: it matches any path containing a '0'
+    -- after the /doc/ prefix; /doc/17$ is the exact-id escape hatch
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           '/doc/' || doc_id AS path,
+           (instr(CAST(doc_id AS VARCHAR), '0') > 0 OR doc_id = 17)
+               AS allow_windflow,
+           FALSE AS allow_otherbot,
+           TRUE AS allow_unknown
+    FROM documents
+""", tags=("ext", "text"), driver=False)
+def x_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation over the corpus URL space (r14,
+    functions/robots — RFC 9309 group selection, wildcard/$ patterns,
+    longest-match precedence, Allow-wins ties): every doc path judged
+    for three agents against a fixed politeness file; the closed-form
+    oracle states the intended decisions, so a matcher or precedence
+    slip flips the hash. Scale shape: the parsed ruleset is a
+    broadcast-sized Python object evaluated in one Arrow pass — per
+    ~host rulesets at crawl scale ride a broadcast join keyed on
+    host."""
+    import pandas as pd
+
+    from ..functions.robots import parse_robots, robots_allowed
+
+    rules = parse_robots(_ROBOTS_TXT)
+    docs = tables(spark, sf_dir)["documents"].select("doc_id")
+
+    def judge(batches):
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            paths = [f"/doc/{i}" for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "path": paths,
+                    "allow_windflow": [
+                        robots_allowed(rules, "windflow/1.0", p)
+                        for p in paths
+                    ],
+                    "allow_otherbot": [
+                        robots_allowed(rules, "otherbot", p)
+                        for p in paths
+                    ],
+                    "allow_unknown": [
+                        robots_allowed(rules, "somebody", p)
+                        for p in paths
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        judge,
+        "doc_id long, path string, allow_windflow boolean,"
+        " allow_otherbot boolean, allow_unknown boolean",
+    )
