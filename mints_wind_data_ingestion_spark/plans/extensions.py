@@ -6162,3 +6162,143 @@ def x_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, path string, allow_windflow boolean,"
         " allow_otherbot boolean, allow_unknown boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# x_sitemap_frontier — sitemap/sitemap-index discovery (r14m), the
+# half robots.txt's Sitemap: lines point at. Pytest-differential
+# surface (driver cap full).
+# ---------------------------------------------------------------------------
+
+
+def _sitemap_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, content): a sitemap INDEX naming three child sitemaps;
+    child k carries the doc_id ≡ k (mod 3) URLs (child 2 gzip'd, the
+    sitemap.xml.gz convention), child 1 plants one entry without
+    <loc>, and a fourth file is malformed XML — both quarantine
+    classes load-bearing."""
+    import pandas as pd
+
+    from ..sources.cdxj import encode_sitemap
+
+    docs = (
+        tables(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .withColumn("__file", F.col("doc_id") % 3)
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        fno = int(pdf["__file"].iloc[0])
+        entries = [
+            {
+                "loc": f"https://example.org/doc/{i}",
+                "lastmod": f"2026-01-{(i % 28) + 1:02d}",
+                "priority": f"0.{i % 10}",
+            }
+            for i in sorted(int(x) for x in pdf["doc_id"])
+        ]
+        blob = encode_sitemap(entries, compress=(fno == 2))
+        if fno == 1:
+            # an entry with an empty <loc>: one typed error row
+            blob = blob.replace(
+                b"</urlset>",
+                b"  <url><loc> </loc></url>\n</urlset>",
+            )
+        ext = "xml.gz" if fno == 2 else "xml"
+        return pd.DataFrame(
+            {
+                "path": [f"mem://sitemaps/sitemap-{fno}.{ext}"],
+                "content": [blob],
+            }
+        )
+
+    children = docs.groupBy("__file").applyInPandas(
+        build, "path string, content binary"
+    )
+
+    def extras(batches):
+        from ..sources.cdxj import encode_sitemap as enc
+
+        import pandas as pd  # noqa: F811
+
+        idx = enc(
+            [
+                {"loc": f"https://example.org/sitemap-{k}.xml"}
+                for k in range(3)
+            ],
+            index=True,
+        )
+        yield pd.DataFrame(
+            {
+                "path": [
+                    "mem://sitemaps/index.xml",
+                    "mem://sitemaps/broken.xml",
+                ],
+                "content": [idx, b"<urlset><url><loc>x"],
+            }
+        )
+
+    one = spark.range(1).repartition(1)
+    return children.unionByName(one.mapInPandas(
+        extras, "path string, content binary"
+    ))
+
+
+@query("x_sitemap_frontier", oracle="""
+    SELECT 'url' AS kind, CAST(doc_id AS BIGINT) AS doc_id,
+           'https://example.org/doc/' || doc_id AS loc,
+           '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+               AS lastmod,
+           '0.' || (doc_id % 10) AS priority
+    FROM documents
+    UNION ALL
+    SELECT 'sitemap', CAST(k AS BIGINT),
+           'https://example.org/sitemap-' || k || '.xml',
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM (SELECT unnest(generate_series(0, 2)) AS k)
+    UNION ALL
+    SELECT 'err', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), 'sitemap: entry without <loc>'
+    UNION ALL
+    SELECT 'err', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           'sitemap: no element found: line #, column #'
+""", tags=("ext", "text", "source"), driver=False)
+def x_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery e2e (r14): documents → sitemap-index + three
+    child sitemaps (one gzip'd) → `sources.cdxj.scan_sitemap_df` →
+    url entries (loc/lastmod/priority per doc), the index's child
+    pointers, and both quarantine classes (entry without <loc>,
+    malformed XML — digit-normalized) under one differential hash.
+    The frontier loop a crawler runs is scan index → fetch children →
+    scan urls; here both levels land in one binary scan."""
+    from ..sources.cdxj import scan_sitemap_df
+
+    scanned = managed_cache(
+        scan_sitemap_df(_sitemap_corpus(spark, sf_dir)),
+        owner="x_sitemap_frontier",
+    )
+    urls = scanned.filter("error IS NULL AND kind = 'url'").select(
+        F.lit("url").alias("kind"),
+        F.regexp_extract("loc", r"doc/([0-9]+)$", 1)
+        .cast("bigint").alias("doc_id"),
+        "loc", "lastmod", "priority",
+    )
+    children = scanned.filter(
+        "error IS NULL AND kind = 'sitemap'"
+    ).select(
+        F.lit("sitemap").alias("kind"),
+        F.regexp_extract("loc", r"sitemap-([0-9]+)", 1)
+        .cast("bigint").alias("doc_id"),
+        "loc",
+        F.lit(None).cast("string").alias("lastmod"),
+        F.lit(None).cast("string").alias("priority"),
+    )
+    errs = scanned.filter("error IS NOT NULL").select(
+        F.lit("err").alias("kind"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("loc"),
+        F.lit(None).cast("string").alias("lastmod"),
+        F.regexp_replace("error", "[0-9]+", "#").alias("priority"),
+    )
+    return urls.unionByName(children).unionByName(errs)

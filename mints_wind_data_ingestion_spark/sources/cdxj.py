@@ -35,9 +35,14 @@ from .warc import _MAX_MEMBER_BYTES, iter_gzip_members
 
 __all__ = [
     "CDX_SCAN_SCHEMA",
+    "SITEMAP_SCAN_SCHEMA",
     "scan_cdxj_bytes",
     "scan_cdxj_df",
     "read_cdxj_dir",
+    "scan_sitemap_bytes",
+    "scan_sitemap_df",
+    "encode_cdxj",
+    "encode_sitemap",
 ]
 
 #: scan output — quarantine columns + the typed capture record
@@ -176,6 +181,126 @@ def encode_cdxj(captures: list[dict], compress: bool = True) -> bytes:
             + json.dumps(meta, sort_keys=True, separators=(",", ":"))
         )
     blob = ("\n".join(lines) + "\n").encode("utf-8")
+    if compress:
+        from .warc import _gzip_member
+
+        return _gzip_member(blob)
+    return blob
+
+
+# ---------------------------------------------------------------------------
+# sitemaps — the discovery half robots.txt points at (Sitemap: lines)
+# ---------------------------------------------------------------------------
+
+SITEMAP_SCAN_SCHEMA = StructType(
+    [
+        StructField("source_path", StringType()),
+        StructField("entry_no", LongType()),
+        StructField("error", StringType()),
+        StructField("kind", StringType()),     # 'url' | 'sitemap'
+        StructField("loc", StringType()),
+        StructField("lastmod", StringType()),
+        StructField("changefreq", StringType()),
+        StructField("priority", StringType()),
+    ]
+)
+
+_SM_COLUMNS = [f.name for f in SITEMAP_SCAN_SCHEMA.fields]
+
+#: sitemaps.org namespace (the only one the format defines)
+_SM_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def scan_sitemap_bytes(path: str, content: bytes) -> list[dict]:
+    """One sitemap / sitemap-index document (XML, optionally a gzip
+    member — the sitemap.xml.gz convention) → entry rows; a malformed
+    document yields ONE typed error row (quarantine-not-corrupt).
+    `<urlset>` yields kind='url' rows (loc/lastmod/changefreq/
+    priority); `<sitemapindex>` yields kind='sitemap' rows pointing
+    at child sitemaps — the caller's frontier loop fetches those."""
+    import xml.etree.ElementTree as ET
+
+    if content[:2] == b"\x1f\x8b":
+        try:
+            content = b"".join(
+                m for _, m in iter_gzip_members(content)
+            )
+        except ValueError as exc:
+            return [_sm_err(path, str(exc))]
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as exc:
+        return [_sm_err(path, f"sitemap: {exc}")]
+    tag = root.tag
+    if tag == f"{_SM_NS}urlset":
+        child, kind = f"{_SM_NS}url", "url"
+    elif tag == f"{_SM_NS}sitemapindex":
+        child, kind = f"{_SM_NS}sitemap", "sitemap"
+    else:
+        return [_sm_err(path, f"sitemap: unexpected root {tag[:80]!r}")]
+    rows = []
+    for i, el in enumerate(root.findall(child)):
+        loc = el.findtext(f"{_SM_NS}loc")
+        if loc is None or not loc.strip():
+            rows.append(_sm_err(path, "sitemap: entry without <loc>", i))
+            continue
+        rows.append(
+            {
+                "source_path": path,
+                "entry_no": i,
+                "error": None,
+                "kind": kind,
+                "loc": loc.strip(),
+                "lastmod": (el.findtext(f"{_SM_NS}lastmod") or None),
+                "changefreq": (el.findtext(f"{_SM_NS}changefreq") or None),
+                "priority": (el.findtext(f"{_SM_NS}priority") or None),
+            }
+        )
+    return rows
+
+
+def _sm_err(path: str, err: str, entry_no: int = -1) -> dict:
+    row = {c: None for c in _SM_COLUMNS}
+    row.update(source_path=path, entry_no=entry_no, error=err)
+    return row
+
+
+def scan_sitemap_df(binary: DataFrame) -> DataFrame:
+    """Quarantine-not-corrupt sitemap scan over (path, content)."""
+    import pandas as pd
+
+    def scan_batches(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(scan_sitemap_bytes(path, bytes(content)))
+            yield pd.DataFrame(rows, columns=_SM_COLUMNS)
+
+    return binary.select("path", "content").mapInPandas(
+        scan_batches, schema=SITEMAP_SCAN_SCHEMA
+    )
+
+
+def encode_sitemap(
+    entries: list[dict], index: bool = False, compress: bool = False
+) -> bytes:
+    """Deterministic sitemap / sitemap-index document; the fixture
+    twin of `scan_sitemap_bytes`. Entries: {"loc", optional
+    "lastmod"/"changefreq"/"priority"}."""
+    root = "sitemapindex" if index else "urlset"
+    child = "sitemap" if index else "url"
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        f'<{root} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n',
+    ]
+    for e in entries:
+        parts.append(f"  <{child}>\n    <loc>{e['loc']}</loc>\n")
+        for k in ("lastmod", "changefreq", "priority"):
+            if e.get(k) is not None:
+                parts.append(f"    <{k}>{e[k]}</{k}>\n")
+        parts.append(f"  </{child}>\n")
+    parts.append(f"</{root}>\n")
+    blob = "".join(parts).encode("utf-8")
     if compress:
         from .warc import _gzip_member
 

@@ -140,3 +140,49 @@ def test_index_to_ranged_fetch_to_record(tmp_path):
     assert len(rows) == 1 and rows[0]["error"] is None
     assert rows[0]["text"] == "record number 3 text"
     assert rows[0]["target_uri"] == "https://site.example/p/3"
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (r14m)
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_roundtrip_and_kinds():
+    from mints_wind_data_ingestion_spark.sources.cdxj import (
+        encode_sitemap,
+        scan_sitemap_bytes,
+    )
+
+    sm = encode_sitemap(
+        [{"loc": "https://x.org/a", "lastmod": "2026-01-02",
+          "changefreq": "daily", "priority": "0.8"},
+         {"loc": "https://x.org/b"}],
+        compress=True,
+    )
+    rows = scan_sitemap_bytes("s.xml.gz", sm)
+    assert [r["loc"] for r in rows] == ["https://x.org/a", "https://x.org/b"]
+    assert rows[0]["changefreq"] == "daily" and rows[0]["priority"] == "0.8"
+    assert rows[1]["lastmod"] is None
+    idx = encode_sitemap([{"loc": "https://x.org/s1.xml"}], index=True)
+    assert scan_sitemap_bytes("i.xml", idx)[0]["kind"] == "sitemap"
+
+
+def test_sitemap_quarantine_classes():
+    from mints_wind_data_ingestion_spark.sources.cdxj import (
+        encode_sitemap,
+        scan_sitemap_bytes,
+    )
+
+    assert "sitemap:" in scan_sitemap_bytes("b.xml", b"<oops")[0]["error"]
+    assert "unexpected root" in scan_sitemap_bytes(
+        "w.xml", b"<rss version='2.0'></rss>"
+    )[0]["error"]
+    # entry without <loc>: one error row, siblings survive
+    blob = encode_sitemap([{"loc": "https://x.org/a"}]).replace(
+        b"</urlset>", b"<url><loc> </loc></url></urlset>"
+    )
+    rows = scan_sitemap_bytes("p.xml", blob)
+    assert rows[0]["error"] is None and "without <loc>" in rows[1]["error"]
+    # truncated gzip container
+    gz = encode_sitemap([{"loc": "https://x.org/a"}], compress=True)
+    assert "gzip" in scan_sitemap_bytes("t.gz", gz[:-4])[0]["error"]
