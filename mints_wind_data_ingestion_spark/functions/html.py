@@ -14,9 +14,11 @@ deterministic, testable posture as the codecs:
   handling), whitespace collapsed outside `<pre>`, comments and
   doctype dropped.
 - `parse_http_response`: HTTP/1.x response framing — status line,
-  headers, chunked transfer-decoding, charset from the Content-Type
-  header (defaulting to UTF-8 with replacement — extraction is
-  lossy-tolerant; framing is not).
+  headers, chunked transfer-decoding, Content-Encoding undone
+  natively, charset from the Content-Type header — or, when the
+  header names none, WHATWG-style sniffing (BOM, then `<meta
+  charset>` within the first 1024 bytes), defaulting to UTF-8 with
+  replacement (extraction is lossy-tolerant; framing is not).
 
 The sophistication ceiling is deliberate: this is the trafilatura /
 jusText PROBLEM slot, solved at the readability-heuristic level a
@@ -27,6 +29,7 @@ and pinned by tests.
 
 from __future__ import annotations
 
+import re as _re
 import zlib
 from html.parser import HTMLParser
 
@@ -191,6 +194,43 @@ def _decode_content(body: bytes, coding: str) -> bytes:
     raise ValueError(f"content-encoding: unknown coding {coding!r}")
 
 
+#: <meta charset=...> / <meta http-equiv content charset= patterns,
+#: scanned over the first 1024 DECODED-body bytes (WHATWG-style)
+_META_CHARSET = _re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""",
+    _re.IGNORECASE,
+)
+
+
+def _sniff_charset(head: bytes) -> str | None:
+    """Charset for a response whose Content-Type names none: BOM
+    first (UTF-8 / UTF-16 LE/BE), then a `<meta charset>` /
+    `<meta http-equiv Content-Type>` declaration within the first
+    1024 bytes — the WHATWG sniffing ladder a crawler needs because
+    header-less pages are common in the wild. None = no signal
+    (caller falls back to UTF-8-with-replacement)."""
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    if head.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if head.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    m = _META_CHARSET.search(head)
+    if m:
+        try:
+            name = m.group(1).decode("ascii").lower()
+        except UnicodeDecodeError:
+            return None
+        import codecs
+
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            return None
+        return name
+    return None
+
+
 def parse_http_response(payload: bytes) -> dict:
     """HTTP/1.x response → {"status": int, "headers": {lower: value},
     "body": bytes, "charset": str, "content_encoding": str | None,
@@ -240,12 +280,15 @@ def parse_http_response(payload: bytes) -> dict:
             body = decoded  # only on full success: never a half-undone body
         except (ValueError, zlib.error):
             body_decoded = False
-    charset = "utf-8"
+    charset = None
     ctype = headers.get("content-type", "")
     for token in ctype.split(";")[1:]:
         k, _, v = token.strip().partition("=")
         if k.lower() == "charset" and v:
-            charset = v.strip("\"' ").lower() or "utf-8"
+            charset = v.strip("\"' ").lower() or None
+    if charset is None and body_decoded:
+        charset = _sniff_charset(bytes(body[:1024]))
+    charset = charset or "utf-8"
     return {
         "status": status,
         "headers": headers,

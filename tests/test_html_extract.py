@@ -354,3 +354,37 @@ def test_extract_links_rules():
     assert isinstance(
         extract_links("<a href='x" + "\x00<" * 20, "http://h/"), list
     )
+
+
+def test_meta_charset_sniffing():
+    """r14n: header-less pages sniff BOM then <meta charset> within
+    the first KB; header charset always wins; no signal → utf-8."""
+    body = "<meta charset=latin-1><p>café</p>".encode("latin-1")
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    assert r["charset"] == "latin-1"
+    assert "café" in r["body"].decode(r["charset"])
+    # header declaration beats the meta
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+        b"charset=utf-8\r\n\r\n" + body
+    )
+    assert r["charset"] == "utf-8"
+    # BOM beats meta; unknown names are ignored
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"\xef\xbb\xbf<meta charset=latin-1>"
+    )
+    assert r["charset"] == "utf-8"
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<meta charset=bogus-name-xyz><p>x</p>"
+    )
+    assert r["charset"] == "utf-8"
+    # meta outside the first 1024 bytes is not consulted
+    r = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + b" " * 1030 + b"<meta charset=latin-1>"
+    )
+    assert r["charset"] == "utf-8"
