@@ -93,8 +93,9 @@ def _pattern_matches(pattern: str, path: str) -> bool:
             pos = found + len(part)
     if anchored:
         # the last literal part must END the path; with a trailing
-        # '*' before '$' any tail matches
-        if parts[-1] == "":
+        # '*' before '$' any tail matches (len(parts) > 1 ⇔ a real
+        # '*' preceded — a lone '$' still requires the exact end)
+        if len(parts) > 1 and parts[-1] == "":
             return True
         return pos == len(path)
     return True

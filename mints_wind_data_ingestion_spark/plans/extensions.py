@@ -6302,3 +6302,54 @@ def x_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("error", "[0-9]+", "#").alias("priority"),
     )
     return urls.unionByName(children).unionByName(errs)
+
+
+# ---------------------------------------------------------------------------
+# x_recrawl_set — the frontier decision (r14n): which URLs need
+# refetching? sitemap lastmod vs cc-index latest capture. Pytest-
+# differential surface (driver cap full).
+# ---------------------------------------------------------------------------
+
+
+@query("x_recrawl_set", oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'org,example)/doc/' || doc_id || '/x?a=1&b=2' AS urlkey,
+           '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+               AS lastmod,
+           CAST(20260101000000 + (doc_id % 97)
+                + CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END
+                AS BIGINT) AS latest_ts,
+           (doc_id % 28 <> 0) AS refetch
+    FROM documents
+""", tags=("ext", "text"), driver=False)
+def x_recrawl_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier decision a recrawl loop runs (r14): join the
+    sitemap's declared lastmod against the cc-index's latest capture
+    per URL and flag what changed since it was last fetched —
+    composed entirely from the two discovery queries' outputs (one
+    broadcast join, both sides already hash-verified). refetch =
+    sitemap lastmod date strictly after the capture's date."""
+    sm = (
+        REGISTRY["x_sitemap_frontier"].build(spark, sf_dir)
+        .filter("kind = 'url'")
+        .select("doc_id", "lastmod")
+    )
+    cdx = (
+        REGISTRY["x_cdx_select"].build(spark, sf_dir)
+        .filter("part = 'cdx'")
+        .select(
+            "doc_id",
+            F.col("n1").alias("latest_ts"),
+            F.col("txt").alias("urlkey"),
+        )
+    )
+    return (
+        cdx.join(F.broadcast(sm), "doc_id")
+        .select(
+            "doc_id", "urlkey", "lastmod", "latest_ts",
+            (
+                F.regexp_replace("lastmod", "-", "")
+                > F.substring(F.col("latest_ts").cast("string"), 1, 8)
+            ).alias("refetch"),
+        )
+    )

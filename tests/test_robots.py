@@ -84,3 +84,39 @@ def test_matcher_edge_cases():
     r = parse_robots("User-agent: *\nDisallow: /tail*$\n")
     assert robots_allowed(r, "x", "/tail-anything") is False
     assert robots_allowed(r, "x", "/tai") is True
+
+
+def test_hypothesis_matcher_vs_regex_reference():
+    """Property: the iterative wildcard matcher agrees with a
+    regex-translated reference on random pattern/path pairs."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mints_wind_data_ingestion_spark.functions.robots import (
+        _pattern_matches,
+    )
+
+    alphabet = "ab/*.$%"
+
+    def ref(pattern: str, path: str) -> bool:
+        anchored = pattern.endswith("$")
+        core = pattern[:-1] if anchored else pattern
+        rx = "".join(
+            ".*" if c == "*" else re.escape(c) for c in core
+        )
+        rx = "^" + rx + ("$" if anchored else "")
+        return re.match(rx, path) is not None
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        pattern=st.text(alphabet, max_size=12),
+        path=st.text("ab/.%", max_size=16),
+    )
+    def prop(pattern, path):
+        # '$' only terminal in robots patterns; interior '$' is
+        # literal for BOTH implementations, so compare raw
+        assert _pattern_matches(pattern, path) == ref(pattern, path)
+
+    prop()
