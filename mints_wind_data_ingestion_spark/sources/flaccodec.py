@@ -466,6 +466,29 @@ class _BitWriter:
         if self.nbits:
             self.write(0, 8 - self.nbits)
 
+    def write_bitarr(self, bits) -> None:
+        """Append a 0/1 uint8 array of bits (MSB-first order), honoring
+        the writer's current sub-byte position — the vectorized batch
+        counterpart of per-bit `write` (numpy packbits does the byte
+        assembly; the ≤7 leftover bits return to the scalar
+        accumulator)."""
+        import numpy as np
+
+        if self.nbits:
+            pre = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):
+                pre[i] = (self.acc >> (self.nbits - 1 - i)) & 1
+            bits = np.concatenate([pre, bits])
+        rem = len(bits) & 7
+        main = bits[: len(bits) - rem] if rem else bits
+        self.buf += np.packbits(main).tobytes()
+        acc = 0
+        if rem:
+            for b in bits[len(bits) - rem :]:
+                acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = rem
+
     def bytes(self) -> bytes:
         assert self.nbits == 0
         return bytes(self.buf)
@@ -485,30 +508,55 @@ def _utf8_number(n: int) -> bytes:
     return bytes([lead] + out)
 
 
-def _best_rice_param(resid: list[int]) -> tuple[int, int]:
+def _zigzag(resid) -> "object":
+    """int64 zigzag codes of a residual array: 2r for r ≥ 0,
+    2|r| − 1 for r < 0 — identical to the scalar encoder's mapping."""
+    import numpy as np
+
+    r = np.asarray(resid, dtype=np.int64)
+    return np.abs(r << 1) - (r < 0)
+
+
+def _best_rice_param(resid) -> tuple[int, int]:
     """(k, total bits) of the smallest-size rice parameter (4-bit
-    method, k ≤ 14)."""
-    best = (0, None)
+    method, k ≤ 14) — vectorized: one (z >> k).sum() per candidate k,
+    first minimum wins (ties keep the smallest k, as the scalar loop
+    did)."""
+    z = _zigzag(resid)
+    n = len(z)
+    best_k, best_bits = 0, None
     for k in range(15):
-        bits = sum(((abs(2 * r) - (r < 0)) >> k) + 1 + k for r in resid)
-        if best[1] is None or bits < best[1]:
-            best = (k, bits)
-    return best
+        bits = int((z >> k).sum()) + n * (1 + k)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k, best_bits
 
 
-def _write_residual(w: _BitWriter, resid: list[int]) -> None:
-    """Method 0 (4-bit rice), partition order 0."""
+def _write_residual(w: _BitWriter, resid) -> None:
+    """Method 0 (4-bit rice), partition order 0 — the rice codes are
+    assembled as one bit array (unary terminators scattered at their
+    cumulative offsets, the k remainder bit-planes each placed with
+    one vectorized store) and appended in a single packbits pass;
+    bit-identical to the per-residual loop it replaces."""
+    import numpy as np
+
     w.write(0, 2)
     w.write(0, 4)
     k, _bits = _best_rice_param(resid)
     w.write(k, 4)
-    for rv in resid:
-        z = (rv << 1) if rv >= 0 else ((-rv) << 1) - 1
-        q = z >> k
-        for _ in range(q):
-            w.write(0, 1)
-        w.write(1, 1)
-        w.write(z, k)
+    z = _zigzag(resid)
+    q = z >> k
+    lens = q + 1 + k
+    total = int(lens.sum())
+    off = np.zeros(len(z), dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[off + q] = 1
+    if k:
+        base = off + q + 1
+        for t in range(k):
+            bits[base + t] |= ((z >> (k - 1 - t)) & 1).astype(np.uint8)
+    w.write_bitarr(bits)
 
 
 _LPC_ORDER = 8
@@ -555,59 +603,64 @@ def _lpc_quantized(s: list[int], order: int):
     return [int(v) for v in q], shift
 
 
-def _encode_subframe(w: _BitWriter, s: list[int], bps: int) -> None:
-    if all(v == s[0] for v in s):
+def _encode_subframe(w: _BitWriter, s, bps: int) -> None:
+    import numpy as np
+
+    s = np.asarray(s, dtype=np.int64)
+    if bool((s == s[0]).all()):
         w.write(0, 1)
         w.write(0, 6)  # CONSTANT
         w.write(0, 1)
-        w.write(s[0], bps)
+        w.write(int(s[0]), bps)
         return
     # candidates: fixed predictors 0-2 and one Levinson-Durbin LPC,
     # all judged by ACTUAL coded size (header + warmup + optimal-k
-    # rice bits), against the verbatim floor
+    # rice bits), against the verbatim floor. Residuals are array
+    # slices (order-j shifted differences) — bit-identical to the
+    # per-sample predictor loop this replaces.
+    n = len(s)
     cands = []
     for order, coefs in list(_FIXED_COEFS.items())[:3]:
-        if len(s) <= order:
+        if n <= order:
             continue
-        resid = [
-            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
-            for i in range(order, len(s))
-        ]
+        resid = s[order:].copy()
+        for j, c in enumerate(coefs):
+            resid -= c * s[order - 1 - j : n - 1 - j]
         _k, rice_bits = _best_rice_param(resid)
         cands.append((order * bps + rice_bits, ("fixed", order, None), resid))
     lpc = _lpc_quantized(s, _LPC_ORDER)
     if lpc is not None:
         qc, shift = lpc
         o = len(qc)
-        resid = [
-            s[i] - (sum(c * s[i - 1 - j] for j, c in enumerate(qc)) >> shift)
-            for i in range(o, len(s))
-        ]
+        acc = np.zeros(n - o, dtype=np.int64)
+        for j, c in enumerate(qc):
+            acc += c * s[o - 1 - j : n - 1 - j]
+        resid = s[o:] - (acc >> shift)
         _k, rice_bits = _best_rice_param(resid)
         hdr = o * bps + 4 + 5 + o * _LPC_PRECISION
         cands.append((hdr + rice_bits, ("lpc", o, (qc, shift)), resid))
     bits, (kind, order, extra), resid = min(
         cands, key=lambda c: (c[0], c[1][0], c[1][1])
     )
-    if bits >= len(s) * bps:
+    if bits >= n * bps:
         w.write(0, 1)
         w.write(1, 6)  # VERBATIM
         w.write(0, 1)
         for v in s:
-            w.write(v, bps)
+            w.write(int(v), bps)
         return
     w.write(0, 1)
     if kind == "fixed":
         w.write(8 + order, 6)  # FIXED
         w.write(0, 1)
         for v in s[:order]:
-            w.write(v, bps)
+            w.write(int(v), bps)
     else:
         qc, shift = extra
         w.write(31 + order, 6)  # LPC, order-1 = order-1 … type 1xxxxx
         w.write(0, 1)
         for v in s[:order]:
-            w.write(v, bps)
+            w.write(int(v), bps)
         w.write(_LPC_PRECISION - 1, 4)
         w.write(shift, 5)
         for c in qc:
@@ -662,7 +715,7 @@ def encode_flac(
         # UTF-8 bytes + 2×16); CRC-8 covers every header byte so far
         w.write(_crc8(bytes(w.buf)), 8)
         for c in range(ch):
-            _encode_subframe(w, [int(v) for v in blk[:, c]], 16)
+            _encode_subframe(w, blk[:, c].astype(np.int64), 16)
         w.align()
         body = bytes(w.buf)
         frames += body + struct.pack(">H", _crc16(body))

@@ -1,0 +1,184 @@
+"""Round-14 optimization pins: vectorized kernels must stay
+bit-identical to the scalar reference implementations they replaced
+(the encoder bytes feed driver-hashed corpora — a one-bit drift would
+flip suite hashes downstream)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+# ---------------------------------------------------------------------------
+# FLAC encoder: numpy rice search / residuals / packbits rice writer
+# vs the original per-sample scalar encoder (r13 code, inlined here as
+# the reference)
+# ---------------------------------------------------------------------------
+
+
+def _ref_best_rice_param(resid):
+    best = (0, None)
+    for k in range(15):
+        bits = sum(((abs(2 * r) - (r < 0)) >> k) + 1 + k for r in resid)
+        if best[1] is None or bits < best[1]:
+            best = (k, bits)
+    return best
+
+
+def _ref_write_residual(w, resid):
+    w.write(0, 2)
+    w.write(0, 4)
+    k, _bits = _ref_best_rice_param(resid)
+    w.write(k, 4)
+    for rv in resid:
+        z = (rv << 1) if rv >= 0 else ((-rv) << 1) - 1
+        q = z >> k
+        for _ in range(q):
+            w.write(0, 1)
+        w.write(1, 1)
+        w.write(z, k)
+
+
+def _ref_encode_subframe(w, s, bps):
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        _FIXED_COEFS,
+        _LPC_ORDER,
+        _LPC_PRECISION,
+        _lpc_quantized,
+    )
+
+    s = [int(v) for v in s]
+    if all(v == s[0] for v in s):
+        w.write(0, 1)
+        w.write(0, 6)
+        w.write(0, 1)
+        w.write(s[0], bps)
+        return
+    cands = []
+    for order, coefs in list(_FIXED_COEFS.items())[:3]:
+        if len(s) <= order:
+            continue
+        resid = [
+            s[i] - sum(c * s[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(s))
+        ]
+        _k, rice_bits = _ref_best_rice_param(resid)
+        cands.append((order * bps + rice_bits, ("fixed", order, None), resid))
+    lpc = _lpc_quantized(s, _LPC_ORDER)
+    if lpc is not None:
+        qc, shift = lpc
+        o = len(qc)
+        resid = [
+            s[i] - (sum(c * s[i - 1 - j] for j, c in enumerate(qc)) >> shift)
+            for i in range(o, len(s))
+        ]
+        _k, rice_bits = _ref_best_rice_param(resid)
+        hdr = o * bps + 4 + 5 + o * _LPC_PRECISION
+        cands.append((hdr + rice_bits, ("lpc", o, (qc, shift)), resid))
+    bits, (kind, order, extra), resid = min(
+        cands, key=lambda c: (c[0], c[1][0], c[1][1])
+    )
+    if bits >= len(s) * bps:
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in s:
+            w.write(v, bps)
+        return
+    w.write(0, 1)
+    if kind == "fixed":
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for v in s[:order]:
+            w.write(v, bps)
+    else:
+        qc, shift = extra
+        w.write(31 + order, 6)
+        w.write(0, 1)
+        for v in s[:order]:
+            w.write(v, bps)
+        w.write(_LPC_PRECISION - 1, 4)
+        w.write(shift, 5)
+        for c in qc:
+            w.write(c, _LPC_PRECISION)
+    _ref_write_residual(w, resid)
+
+
+def _cases():
+    from mints_wind_data_ingestion_spark.plans.extensions import (
+        synth_audio_segments,
+    )
+
+    rng = np.random.default_rng(20260817)
+    yield "synth5", synth_audio_segments(5, 0)
+    yield "synth45", synth_audio_segments(45, 0)
+    yield "synth2485", synth_audio_segments(2485, 1)
+    yield "noise", rng.integers(-32768, 32767, size=5000, dtype=np.int16)
+    yield "quiet", rng.integers(-40, 40, size=9001, dtype=np.int16)
+    yield "stereo", rng.integers(-32768, 32767, size=(4097, 2), dtype=np.int16)
+    yield "const", np.full(300, -7, dtype=np.int16)
+    yield "ramp", np.arange(-4000, 4000, dtype=np.int16)
+    yield "tiny", np.array([1, -1, 3], dtype=np.int16)
+    t = np.arange(8000)
+    yield "tone", (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+
+
+@pytest.mark.parametrize("name,samples", list(_cases()))
+def test_flac_subframes_bit_identical_to_scalar_reference(name, samples):
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        _BitWriter,
+        _encode_subframe,
+    )
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    for c in range(s.shape[1]):
+        for blk in (s[:4096, c], s[4096:8192, c]):
+            if not len(blk):
+                continue
+            wv, wr = _BitWriter(), _BitWriter()
+            _encode_subframe(wv, blk.astype(np.int64), 16)
+            _ref_encode_subframe(wr, list(blk), 16)
+            wv.align()
+            wr.align()
+            assert wv.bytes() == wr.bytes(), name
+
+
+@pytest.mark.parametrize("name,samples", list(_cases()))
+def test_flac_stream_roundtrips_and_decodes(name, samples):
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    s = np.asarray(samples, dtype=np.int16)
+    out = decode_flac(encode_flac(s))
+    n = s.shape[0] if s.ndim else len(s)
+    assert out["n_samples"] == n
+    dec = np.round(out["waveform"] * 32768.0).astype(np.int64)
+    ref = (s if s.ndim == 2 else s[:, None]).astype(np.int64)
+    assert np.array_equal(dec, ref), name
+
+
+def test_rice_writer_matches_scalar_on_edge_values():
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        _BitWriter,
+        _write_residual,
+    )
+
+    cases = [
+        [0],
+        [0, 0, 0],
+        [-1, 1, -2, 2],
+        [40000, -40000, 1, 0],
+        list(range(-100, 100, 7)),
+    ]
+    for resid in cases:
+        wv, wr = _BitWriter(), _BitWriter()
+        wv.write(5, 3)  # unaligned start exercises write_bitarr carry
+        wr.write(5, 3)
+        _write_residual(wv, np.asarray(resid, dtype=np.int64))
+        _ref_write_residual(wr, resid)
+        wv.align()
+        wr.align()
+        assert wv.bytes() == wr.bytes(), resid
