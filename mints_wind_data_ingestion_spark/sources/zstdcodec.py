@@ -955,22 +955,31 @@ def _fse_encode_states(
     """tANS encoding by decode-table inversion: returns (init_state,
     [(bits, nbits) per transition in SEQUENCE order]). For each
     backward step, the state whose [baseline, baseline+2^nbits) range
-    contains the successor state is unique."""
+    contains the successor state is unique — the per-symbol ranges
+    partition the state space, so a bisect over baselines finds the
+    SAME state the linear scan did, in O(log) instead of O(states)."""
+    import bisect as _bisect
+
     size = 1 << table.accuracy
     by_symbol: dict[int, list[int]] = {}
     for st in range(size):
         by_symbol.setdefault(table.symbols[st], []).append(st)
+    # per symbol: state list sorted by baseline + the baseline keys
+    # (ranges partition [0, size), so containment == bisect hit)
+    inv: dict[int, tuple[list[int], list[int]]] = {}
+    for sym, sts in by_symbol.items():
+        srt = sorted(sts, key=lambda st: table.baseline[st])
+        inv[sym] = ([table.baseline[st] for st in srt], srt)
     cur = by_symbol[symbols[-1]][0]  # any state emitting the last symbol
     transitions: list = []
     for sym in reversed(symbols[:-1]):
-        for st in by_symbol[sym]:
-            lo = table.baseline[st]
-            if lo <= cur < lo + (1 << table.nbits[st]):
-                transitions.append((cur - lo, table.nbits[st]))
-                cur = st
-                break
-        else:
+        lows, sts = inv[sym]
+        st = sts[_bisect.bisect_right(lows, cur) - 1]
+        lo = table.baseline[st]
+        if not (lo <= cur < lo + (1 << table.nbits[st])):
             raise AssertionError("FSE inversion: no covering state")
+        transitions.append((cur - lo, table.nbits[st]))
+        cur = st
     transitions.reverse()
     return cur, transitions
 
