@@ -47,6 +47,7 @@ __all__ = [
     "hyperplane_buckets",
     "topk_lsh",
     "build_ivf_index",
+    "load_ivf_centroids",
     "topk_ivf_indexed",
     "build_ivfpq_codes",
     "topk_ivfpq",
@@ -725,6 +726,82 @@ def dequant_sq_error(vec: Column, q: Column, scale: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+#: (applicationId, kind, path, marker_text) → driver-side index
+#: artifacts (centroid / codebook ndarrays) read back from a PERSISTED
+#: index. A serving process keeps its index resident — re-reading the
+#: same tiny parquet every probe batch is a job per batch for bytes
+#: that cannot have changed while the content marker is unchanged
+#: (r14 opt: the x_sim_ivf_suite build paid 3-4 such read-back jobs
+#: per run). Keyed on the MARKER TEXT, so any rebuild (which rewrites
+#: the marker last) invalidates the memo; dead-application keys are
+#: swept on insert (the managed_cache convention). This memoizes
+#: INPUT artifacts of a persisted index, never query results.
+_ARTIFACT_MEMO: dict = {}
+
+
+def _memo_artifact(spark: SparkSession, kind: str, path: str,
+                   marker_text: str, load):
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, kind, path, marker_text)
+    hit = _ARTIFACT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    value = load()
+    for dead in [k for k in _ARTIFACT_MEMO if k[0] != app_id]:
+        del _ARTIFACT_MEMO[dead]
+    _ARTIFACT_MEMO[key] = value
+    return value
+
+
+def _corpus_fingerprint(df: DataFrame, id_col: str, vec_col: str) -> dict:
+    """Data-version fields for an index marker (reuse-or-rebuild
+    check). File-backed sources fingerprint the input FILE LISTING —
+    driver-side metadata only, no Spark job; Spark writes unique part
+    names, so any overwrite/append changes it (the
+    `_ADAPTIVE_ROUTES` data-version convention). In-memory sources
+    (no input files) keep the one-pass count + xxhash64-over-values
+    aggregation: there the values are only reachable by a job, and
+    the value fold is what catches re-embedding with unchanged ids
+    (tests/test_round5.py)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — fall through to the agg
+        files = []
+    if files:
+        import hashlib
+
+        digest = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+        return {"data": f"{len(files)}:{digest}"}
+    fp = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"bit_xor(xxhash64({id_col}, cast({vec_col} as string)))"
+        ).alias("h"),
+    ).first()
+    return {"n_rows": fp["n"], "id_hash": fp["h"]}
+
+
+def load_ivf_centroids(spark: SparkSession, index_path: str):
+    """The persisted index's centroid table as a cell-ascending
+    float64 ndarray — session-memoized on the index marker, so
+    repeated probe batches against an unchanged index skip the
+    read-back job (`_ARTIFACT_MEMO`)."""
+    import numpy as np
+
+    marker = _hadoop_read_text(
+        spark, index_path.rstrip("/") + "/_INDEX_META.json"
+    ) or ""
+
+    def load():
+        cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
+        cpdf = cpdf.sort_values("cell")
+        return np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+
+    if not marker:
+        return load()  # unmarked/partial index: never memoize
+    return _memo_artifact(spark, "ivf_centroids", index_path, marker, load)
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -754,16 +831,11 @@ def build_ivf_index(
     # never passes the check. Marker I/O goes through the Hadoop
     # FileSystem API (works on file:/, HDFS, or any object store whose
     # connector is on the classpath), not plain open().
-    fp = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            f"bit_xor(xxhash64({id_col}, cast({vec_col} as string)))"
-        ).alias("h"),
-    ).first()
     spark = df.sparkSession
     marker = path.rstrip("/") + "/_INDEX_META.json"
     meta = {"n_cells": n_cells, "iters": iters, "id_col": id_col,
-            "vec_col": vec_col, "n_rows": fp["n"], "id_hash": fp["h"]}
+            "vec_col": vec_col,
+            **_corpus_fingerprint(df, id_col, vec_col)}
     prior = _hadoop_read_text(spark, marker)
     if prior is not None:
         try:
@@ -848,12 +920,8 @@ def topk_ivf_indexed(
     for the same centroids (pinned in tests). A caller that already
     holds the trained centroids (cell-ascending ndarray, e.g. right
     after build_ivf_index) may pass them to skip the read-back job."""
-    import numpy as np
-
     if centroids is None:
-        cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
-        cpdf = cpdf.sort_values("cell")
-        centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+        centroids = load_ivf_centroids(spark, index_path)
 
     q_probe = _assign_cells_pandas(
         queries.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
@@ -1448,9 +1516,7 @@ def ivfpq_shortlist(
 
     books = np.asarray(codebooks, dtype=np.float64)
     if centroids is None:
-        cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
-        cpdf = cpdf.sort_values("cell")
-        centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+        centroids = load_ivf_centroids(spark, index_path)
 
     q_probe = _assign_cells_pandas(
         probes.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
@@ -1524,26 +1590,30 @@ def build_pq_books(
     import pandas as pd
 
     spark = df.sparkSession
-    fp = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(
-            f"bit_xor(xxhash64({id_col}, cast({vec_col} as string)))"
-        ).alias("h"),
-    ).first()
     marker = path.rstrip("/") + "/_PQ_META.json"
     meta = {"m": m, "ks": ks, "iters": iters, "sample": sample,
             "id_col": id_col, "vec_col": vec_col,
-            "n_rows": fp["n"], "id_hash": fp["h"]}
+            **_corpus_fingerprint(df, id_col, vec_col)}
     prior = _hadoop_read_text(spark, marker)
     if prior is not None:
         try:
             if json.loads(prior) == meta:
-                pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
-                pdf = pdf.sort_values(["sub", "code"], ignore_index=True)
-                dsub = len(pdf["centroid"].iloc[0])
-                return np.array(
-                    pdf["centroid"].tolist(), dtype=np.float64
-                ).reshape(m, ks, dsub)
+
+                def load():
+                    pdf = spark.read.parquet(
+                        f"{path}/codebooks"
+                    ).toPandas()
+                    pdf = pdf.sort_values(
+                        ["sub", "code"], ignore_index=True
+                    )
+                    dsub = len(pdf["centroid"].iloc[0])
+                    return np.array(
+                        pdf["centroid"].tolist(), dtype=np.float64
+                    ).reshape(m, ks, dsub)
+
+                return _memo_artifact(
+                    spark, "pq_books", path, prior, load
+                )
         except ValueError:
             pass
     books = train_pq_codebooks(df, id_col, vec_col, m, ks, iters, sample)

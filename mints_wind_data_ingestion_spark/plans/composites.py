@@ -1822,15 +1822,14 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay registered and pytest-verified individually."""
     import numpy as np
 
-    from ..operators.similarity import build_ivf_index
+    from ..operators.similarity import build_ivf_index, load_ivf_centroids
 
     from .extensions import _ivf_index_path, _spread
 
     emb = _spread(tables(spark, sf_dir)["embeddings"])
     idx = _ivf_index_path(sf_dir)
     build_ivf_index(emb, idx, n_cells=16, iters=5)
-    cpdf = spark.read.parquet(f"{idx}/centroids").toPandas().sort_values("cell")
-    centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+    centroids = load_ivf_centroids(spark, idx)
     probes = emb.filter(F.col("vec_id") < 8)
     # ONE cell scan answers BOTH IVF parts (r12): the session part is
     # the nprobe=8 probe through the index (== in-session topk_ivf for

@@ -96,26 +96,34 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # Execution is NOT cached: every action re-runs the full plan (AQE,
 # shuffles, scans) — only the Python-side plan construction is skipped.
 #
-# Safety rules, self-enforced on the first build of each query:
-# (1) a build that launches Spark JOBS while constructing (iterative CC
-#     rounds, BPE merge training, IVF index fitting — their build()
-#     does real cluster work) is excluded, so cached reuse can never
-#     hide real execution from a timer or reuse checkpoint-truncated
-#     lineage that skips it;
-# (2) a build whose plan registers MID-PLAN CACHES (.cache()/.persist()
-#     of a posting list consumed by both sides of a self-join) is
-#     excluded: cache registration is a side effect of the build call,
-#     and a reused DataFrame after a catalog.clearCache() would execute
-#     WITHOUT the materialization point — silently recomputing the
-#     shared subtree per consumer. Detected via InMemoryRelation in the
-#     cache-substituted plan.
+# Safety rule, self-enforced on EVERY build of each query (r14 opt —
+# previously a first-build-forever verdict):
+# a build that launches Spark JOBS while constructing (iterative CC
+# rounds, BPE merge training, IVF index fitting — their build() does
+# real cluster work) is not cached, so cached reuse can never hide
+# real execution from a timer or reuse checkpoint-truncated lineage
+# that skips it. The probe runs per build rather than blacklisting
+# the name: builders whose ONLY eager work is a memoized first-touch
+# (an adaptive-route stats pull, a persisted-index freshness check)
+# construct lazily from the second build on and become cacheable then,
+# while always-eager builders (CC, BPE, trainers) re-detect their jobs
+# every time and stay excluded in practice.
+#
+# Mid-plan caches (.cache()/.persist() of a posting list consumed by
+# both sides of a self-join) no longer exclude a plan (r14 opt): an
+# InMemoryRelation inside a reused handle RE-MATERIALIZES after
+# catalog.clearCache() — Spark re-populates the cache buffers on the
+# next action, it does not silently recompute the shared subtree per
+# consumer (pinned by test_plan_cache.test_midplan_persist_handle_
+# rematerializes, measured: re-run-after-clearCache == first-run
+# cost, subsequent run back at cached cost). Exclusion cost the bench
+# ~2.5 s of pure plan reconstruction per sweep across seven suites.
 #
 # OFF by default: tests and the driver correctness gate always build
 # fresh (monkeypatched internals must take effect); bench.py enables it
 # to measure steady-state repeated execution.
 
 _plan_cache: dict[tuple[str, str, str], DataFrame] = {}
-_never_cache: set[str] = set()
 _plan_cache_on = False
 
 
@@ -124,14 +132,13 @@ def enable_plan_cache(on: bool = True) -> None:
     global _plan_cache_on
     _plan_cache_on = on
     _plan_cache.clear()
-    _never_cache.clear()
 
 
 def _cacheable_build(
     name: str, fn: Callable[[SparkSession, str], DataFrame]
 ) -> Callable[[SparkSession, str], DataFrame]:
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        if not _plan_cache_on or name in _never_cache:
+        if not _plan_cache_on:
             return fn(spark, sf_dir)
         key = (spark.sparkContext.applicationId, name, sf_dir)
         hit = _plan_cache.get(key)
@@ -150,16 +157,8 @@ def _cacheable_build(
         df = fn(spark, sf_dir)
         after = set(list(tracker.getJobIdsForGroup(group)))
         if after - before:
-            _never_cache.add(name)  # eager build — must re-run every time
-            return df
-        try:
-            cached_plan = df._jdf.queryExecution().withCachedData().toString()
-        except Exception:  # noqa: BLE001 — detection only; build is valid
-            cached_plan = "InMemoryRelation"  # can't prove safe → don't cache
-        if "InMemoryRelation" in cached_plan:
-            _never_cache.add(name)  # relies on mid-plan materialization
-        else:
-            _plan_cache[key] = df
+            return df  # eager THIS build — re-probe on the next one
+        _plan_cache[key] = df
         return df
 
     return build

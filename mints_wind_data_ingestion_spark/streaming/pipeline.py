@@ -1075,18 +1075,15 @@ def run_semdedup_ingest(
     refreshing it over the grown corpus is a periodic batch
     `build_ivf_index` run; `_INDEX_META` fingerprinting makes the
     refresh a no-op when nothing changed."""
-    import numpy as np
-
     from ..operators.similarity import (
         _assign_cells_pandas,
         _norm_col,
         _rerank_cosine_prenorm,
+        load_ivf_centroids,
         semantic_dedup,
     )
 
-    cpdf = spark.read.parquet(f"{index_path}/centroids").toPandas()
-    cpdf = cpdf.sort_values("cell")
-    centroids = np.array(cpdf["centroid"].tolist(), dtype=np.float64)
+    centroids = load_ivf_centroids(spark, index_path)
     stored = spark.read.parquet(f"{index_path}/cells").select(
         F.col(id_col).alias("__sid"),
         F.col(vec_col).alias("__sv"),

@@ -77,10 +77,14 @@ def test_eager_build_never_cached(spark, sf_dir, plan_cache):
     assert builds["n"] == 2  # self-excluded, built fresh both times
 
 
-def test_midplan_persist_never_cached(spark, sf_dir, plan_cache):
-    """A build whose plan registers a mid-plan .cache() must re-run:
-    a reused handle after catalog.clearCache() would execute without
-    its materialization point."""
+def test_midplan_persist_handle_rematerializes(spark, sf_dir, plan_cache):
+    """r14 opt: a build whose plan registers a mid-plan .cache() IS
+    plan-cached — the InMemoryRelation inside the reused handle
+    re-populates after catalog.clearCache() (Spark re-materializes the
+    cache buffers on the next action), so the handle keeps both its
+    correctness and its materialize-once-per-run semantics. The old
+    rule rebuilt these plans every run, charging the bench ~2.5 s of
+    pure plan reconstruction per sweep."""
     builds = {"n": 0}
 
     @query("zz_test_persist_build", tags=("test",), driver=False)
@@ -93,9 +97,14 @@ def test_midplan_persist_never_cached(spark, sf_dir, plan_cache):
 
     q = REGISTRY["zz_test_persist_build"]
     a = q.build(spark, sf_dir)
-    a.unpersist = getattr(a, "unpersist", None)  # no-op guard
-    q.build(spark, sf_dir)
-    assert builds["n"] == 2
+    r1 = sorted(map(tuple, a.collect()))
+    b = q.build(spark, sf_dir)
+    assert builds["n"] == 1 and b is a  # reused, one construction
+    spark.catalog.clearCache()
+    # the reused handle still executes correctly after its cache entry
+    # is dropped — identical rows, cache re-registered on this action
+    r2 = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    assert r1 == r2
     spark.catalog.clearCache()
 
 
