@@ -141,14 +141,25 @@ class _Bits:
         self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        end = self.pos + n
+        # byte-indexed accumulation: no per-call slice + from_bytes
+        # (the old form allocated a bytes object per read — this
+        # reader runs once per prefix-code bit in the decode loop)
+        pos = self.pos
+        end = pos + n
         if end > self.nbits:
             raise BrotliError("truncated stream")
-        b0 = self.pos >> 3
-        chunk = int.from_bytes(self.d[b0 : (end + 7) >> 3], "little")
-        v = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        if not n:
+            return 0
+        d = self.d
+        b0 = pos >> 3
+        v = d[b0] >> (pos & 7)
+        have = 8 - (pos & 7)
+        while have < n:
+            b0 += 1
+            v |= d[b0] << have
+            have += 8
         self.pos = end
-        return v
+        return v & ((1 << n) - 1)
 
     def align(self) -> None:
         pad = (-self.pos) % 8
@@ -195,11 +206,22 @@ class _Prefix:
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
+        # inline per-bit walk on locals — one `br.read(1)` call per
+        # code bit dominated the whole decompress profile
+        d = br.d
+        pos = br.pos
+        total = br.nbits
+        first = self.first
+        count = self.count
         code = 0
         for l in range(1, self.maxlen + 1):
-            code = (code << 1) | br.read(1)
-            idx = code - self.first[l]
-            if 0 <= idx < self.count[l]:
+            if pos >= total:
+                raise BrotliError("truncated stream")
+            code = (code << 1) | ((d[pos >> 3] >> (pos & 7)) & 1)
+            pos += 1
+            idx = code - first[l]
+            if 0 <= idx < count[l]:
+                br.pos = pos
                 return self.syms[l][idx]
         raise BrotliError("invalid prefix code word")
 
@@ -641,9 +663,20 @@ class _BitWriter:
             self.n -= 8
 
     def write_code(self, code: int, length: int) -> None:
-        """Emit a prefix code word MSB-first (the walk order)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Emit a prefix code word MSB-first (the walk order) — the
+        bit reversal is one table-free loop over the value, then a
+        single accumulator store instead of `length` 1-bit writes."""
+        rev = 0
+        c = code
+        for _ in range(length):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        self.acc |= rev << self.n
+        self.n += length
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
 
     def finish(self) -> bytes:
         if self.n:

@@ -85,16 +85,27 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     n = len(data)
     i = 0
     if n >= 32:
-        v1 = (seed + _P1 + _P2) & _M64
-        v2 = (seed + _P2) & _M64
+        # hot loop: _round/_rotl inlined (the per-lane call pair cost
+        # more than the arithmetic on long inputs), locals bound
+        P1, P2, M = _P1, _P2, _M64
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
         v3 = seed
-        v4 = (seed - _P1) & _M64
+        v4 = (seed - P1) & M
         while i + 32 <= n:
-            (a, b, c, d) = struct.unpack_from("<QQQQ", data, i)
-            v1, v2, v3, v4 = (
-                _round(v1, a), _round(v2, b), _round(v3, c), _round(v4, d),
-            )
-            i += 32
+            # bounded bulk unpack: one struct call per 64 KiB chunk
+            stripes = min((n - i) >> 5, 2048)
+            lanes = struct.unpack_from(f"<{stripes * 4}Q", data, i)
+            i += stripes << 5
+            for j in range(0, stripes * 4, 4):
+                v1 = (v1 + lanes[j] * P2) & M
+                v1 = (((v1 << 31) | (v1 >> 33)) & M) * P1 & M
+                v2 = (v2 + lanes[j + 1] * P2) & M
+                v2 = (((v2 << 31) | (v2 >> 33)) & M) * P1 & M
+                v3 = (v3 + lanes[j + 2] * P2) & M
+                v3 = (((v3 << 31) | (v3 >> 33)) & M) * P1 & M
+                v4 = (v4 + lanes[j + 3] * P2) & M
+                v4 = (((v4 << 31) | (v4 >> 33)) & M) * P1 & M
         h = (
             _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
         ) & _M64
@@ -344,6 +355,22 @@ _ML_CODE = [(i + 3, 0) for i in range(32)] + [
 
 _MAX_ACCURACY = {"ll": 9, "of": 8, "ml": 9}
 _MAX_SYMBOL = {"ll": 35, "of": 31, "ml": 52}
+
+
+def _np_code_tables():
+    """(base, bits) int64 column arrays of _LL_CODE/_ML_CODE for the
+    vectorized encoder (lazy: numpy import stays off the decode-only
+    path until first use)."""
+    global _LL_BASE, _LL_BITS, _ML_BASE, _ML_BITS
+    import numpy as np
+
+    _LL_BASE = np.array([b for b, _ in _LL_CODE], dtype=np.int64)
+    _LL_BITS = np.array([n for _, n in _LL_CODE], dtype=np.int64)
+    _ML_BASE = np.array([b for b, _ in _ML_CODE], dtype=np.int64)
+    _ML_BITS = np.array([n for _, n in _ML_CODE], dtype=np.int64)
+
+
+_LL_BASE = _LL_BITS = _ML_BASE = _ML_BITS = None
 
 
 def _ll_value(code: int) -> tuple[int, int]:
@@ -763,20 +790,121 @@ def _decode_sequences(
     if bb.pos < 0:
         raise ZstdError("zstd: sequence bitstream underflow at init")
 
+    # hot loop: the backward bit reader runs inlined on locals (the
+    # six `bb.read` method calls per sequence dominated the decode
+    # profile); per-channel mode flags and FSE table columns are
+    # hoisted out of the loop. Semantics (including the over-read
+    # zero-fill and every error message) are unchanged — pinned by the
+    # spec-vector and fuzz tests.
+    bdata = bb.data
+    byte_pos = bb.byte_pos
+    acc = bb.acc
+    bits_avail = bb.nbits
+    bpos = bb.pos
+
+    of_fse = of[0] == "fse"
+    ml_fse = ml[0] == "fse"
+    ll_fse = ll[0] == "fse"
+    of_rle_code = None if of_fse else of[1]
+    ml_rle_code = None if ml_fse else ml[1]
+    ll_rle_code = None if ll_fse else ll[1]
+    if of_fse:
+        of_symbols, of_nb, of_base = (
+            of[1].symbols, of[1].nbits, of[1].baseline
+        )
+    if ml_fse:
+        ml_symbols, ml_nb, ml_base_t = (
+            ml[1].symbols, ml[1].nbits, ml[1].baseline
+        )
+    if ll_fse:
+        ll_symbols, ll_nb, ll_base_t = (
+            ll[1].symbols, ll[1].nbits, ll[1].baseline
+        )
+    ml_code_table = _ML_CODE
+    ll_code_table = _LL_CODE
+    n_ml_codes = len(ml_code_table)
+    n_ll_codes = len(ll_code_table)
+
     rep = ctx["rep"]
     lit_pos = 0
+    lit_n = len(literals)
+    last = nseq - 1
+    out_len = len(out)
     for i in range(nseq):
-        of_code = of[1] if of[0] == "rle" else of[1].symbols[of_state]
-        ml_code = ml[1] if ml[0] == "rle" else ml[1].symbols[ml_state]
-        ll_code = ll[1] if ll[0] == "rle" else ll[1].symbols[ll_state]
+        of_code = of_symbols[of_state] if of_fse else of_rle_code
+        ml_code = ml_symbols[ml_state] if ml_fse else ml_rle_code
+        ll_code = ll_symbols[ll_state] if ll_fse else ll_rle_code
         if of_code > 31:
             raise ZstdError(f"zstd: offset code {of_code} out of range")
-        offset_value = (1 << of_code) + bb.read(of_code)
-        ml_base, ml_bits = _ml_value(ml_code)
-        match_len = ml_base + bb.read(ml_bits)
-        ll_base, ll_bits = _ll_value(ll_code)
-        lit_len = ll_base + bb.read(ll_bits)
-        if bb.pos < 0:
+        # inline read(of_code)
+        if of_code:
+            while bits_avail < of_code and byte_pos > 0:
+                byte_pos -= 1
+                acc = (acc << 8) | bdata[byte_pos]
+                bits_avail += 8
+            bpos -= of_code
+            if bits_avail >= of_code:
+                bits_avail -= of_code
+                v = (acc >> bits_avail) & ((1 << of_code) - 1)
+                acc &= (1 << bits_avail) - 1
+            else:
+                v = (acc << (of_code - bits_avail)) & ((1 << of_code) - 1)
+                acc = 0
+                bits_avail = 0
+                if bpos <= -of_code:
+                    v = 0
+            offset_value = (1 << of_code) + v
+        else:
+            offset_value = 1
+        if ml_code >= n_ml_codes:
+            raise ZstdError(
+                f"zstd: match-length code {ml_code} out of range"
+            )
+        ml_base, nb = ml_code_table[ml_code]
+        if nb:
+            while bits_avail < nb and byte_pos > 0:
+                byte_pos -= 1
+                acc = (acc << 8) | bdata[byte_pos]
+                bits_avail += 8
+            bpos -= nb
+            if bits_avail >= nb:
+                bits_avail -= nb
+                v = (acc >> bits_avail) & ((1 << nb) - 1)
+                acc &= (1 << bits_avail) - 1
+            else:
+                v = (acc << (nb - bits_avail)) & ((1 << nb) - 1)
+                acc = 0
+                bits_avail = 0
+                if bpos <= -nb:
+                    v = 0
+            match_len = ml_base + v
+        else:
+            match_len = ml_base
+        if ll_code >= n_ll_codes:
+            raise ZstdError(
+                f"zstd: literals-length code {ll_code} out of range"
+            )
+        ll_base, nb = ll_code_table[ll_code]
+        if nb:
+            while bits_avail < nb and byte_pos > 0:
+                byte_pos -= 1
+                acc = (acc << 8) | bdata[byte_pos]
+                bits_avail += 8
+            bpos -= nb
+            if bits_avail >= nb:
+                bits_avail -= nb
+                v = (acc >> bits_avail) & ((1 << nb) - 1)
+                acc &= (1 << bits_avail) - 1
+            else:
+                v = (acc << (nb - bits_avail)) & ((1 << nb) - 1)
+                acc = 0
+                bits_avail = 0
+                if bpos <= -nb:
+                    v = 0
+            lit_len = ll_base + v
+        else:
+            lit_len = ll_base
+        if bpos < 0:
             raise ZstdError("zstd: sequence bitstream underflow")
 
         if offset_value > 3:
@@ -798,37 +926,93 @@ def _decode_sequences(
                     raise ZstdError("zstd: repeat offset underflows to 0")
                 rep[0], rep[1], rep[2] = offset, rep[0], rep[1]
 
-        if lit_pos + lit_len > len(literals):
+        if lit_pos + lit_len > lit_n:
             raise ZstdError("zstd: sequence literals overrun")
         out += literals[lit_pos : lit_pos + lit_len]
         lit_pos += lit_len
-        if offset > len(out):
+        out_len += lit_len
+        if offset > out_len:
             raise ZstdError("zstd: match offset before output start")
         if offset >= match_len:  # non-overlapping: one slice copy
-            start = len(out) - offset
+            start = out_len - offset
             out += out[start : start + match_len]
         else:  # overlapping run: the repeat is the point
             for _ in range(match_len):
                 out.append(out[-offset])
+        out_len += match_len
 
-        if i != nseq - 1:
-            if ll[0] == "fse":
-                ll_state = ll[1].baseline[ll_state] + bb.read(
-                    ll[1].nbits[ll_state]
-                )
-            if ml[0] == "fse":
-                ml_state = ml[1].baseline[ml_state] + bb.read(
-                    ml[1].nbits[ml_state]
-                )
-            if of[0] == "fse":
-                of_state = of[1].baseline[of_state] + bb.read(
-                    of[1].nbits[of_state]
-                )
-            if bb.pos < 0:
+        if i != last:
+            if ll_fse:
+                nb = ll_nb[ll_state]
+                base = ll_base_t[ll_state]
+                if nb:
+                    while bits_avail < nb and byte_pos > 0:
+                        byte_pos -= 1
+                        acc = (acc << 8) | bdata[byte_pos]
+                        bits_avail += 8
+                    bpos -= nb
+                    if bits_avail >= nb:
+                        bits_avail -= nb
+                        v = (acc >> bits_avail) & ((1 << nb) - 1)
+                        acc &= (1 << bits_avail) - 1
+                    else:
+                        v = (acc << (nb - bits_avail)) & ((1 << nb) - 1)
+                        acc = 0
+                        bits_avail = 0
+                        if bpos <= -nb:
+                            v = 0
+                    ll_state = base + v
+                else:
+                    ll_state = base
+            if ml_fse:
+                nb = ml_nb[ml_state]
+                base = ml_base_t[ml_state]
+                if nb:
+                    while bits_avail < nb and byte_pos > 0:
+                        byte_pos -= 1
+                        acc = (acc << 8) | bdata[byte_pos]
+                        bits_avail += 8
+                    bpos -= nb
+                    if bits_avail >= nb:
+                        bits_avail -= nb
+                        v = (acc >> bits_avail) & ((1 << nb) - 1)
+                        acc &= (1 << bits_avail) - 1
+                    else:
+                        v = (acc << (nb - bits_avail)) & ((1 << nb) - 1)
+                        acc = 0
+                        bits_avail = 0
+                        if bpos <= -nb:
+                            v = 0
+                    ml_state = base + v
+                else:
+                    ml_state = base
+            if of_fse:
+                nb = of_nb[of_state]
+                base = of_base[of_state]
+                if nb:
+                    while bits_avail < nb and byte_pos > 0:
+                        byte_pos -= 1
+                        acc = (acc << 8) | bdata[byte_pos]
+                        bits_avail += 8
+                    bpos -= nb
+                    if bits_avail >= nb:
+                        bits_avail -= nb
+                        v = (acc >> bits_avail) & ((1 << nb) - 1)
+                        acc &= (1 << bits_avail) - 1
+                    else:
+                        v = (acc << (nb - bits_avail)) & ((1 << nb) - 1)
+                        acc = 0
+                        bits_avail = 0
+                        if bpos <= -nb:
+                            v = 0
+                    of_state = base + v
+                else:
+                    of_state = base
+            if bpos < 0:
                 raise ZstdError("zstd: sequence state update underflow")
-    if bb.pos != 0:
+    if bpos != 0:
         raise ZstdError(
-            f"zstd: {bb.pos} unconsumed sequence bits"
+            f"zstd: {bpos} unconsumed sequence bits"
         )
     out += literals[lit_pos:]
 
@@ -862,6 +1046,37 @@ def _pack_backward(reads: list) -> bytes:
         out.append(acc & 0xFF)
         acc >>= 8
     return bytes(out)
+
+
+def _pack_backward_arrays(v_arr, n_arr) -> bytes:
+    """Vectorized `_pack_backward` over (values, widths) int64 arrays
+    in decoder-read order — byte-identical output (pinned in tests).
+    The stream little-endian-reversed is an MSB-first bit string:
+    leading pad zeros, the sentinel 1, then each field's bits
+    MSB-first in read order — assembled as one 0/1 array (the FLAC
+    `write_bitarr` recipe) and byte-packed in a single packbits pass.
+    Fields wider than 62 bits never occur (offsets cap near 2^31)."""
+    import numpy as np
+
+    v = np.asarray(v_arr, dtype=np.int64)
+    n = np.asarray(n_arr, dtype=np.int64)
+    keep = n > 0  # zero-width fields contribute no bits
+    v, n = v[keep], n[keep]
+    total = int(n.sum())
+    nbytes = (total >> 3) + 1
+    lead = nbytes * 8 - total - 1
+    if len(n):
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        pos_in_field = np.arange(total) - np.repeat(starts, n)
+        shift = np.repeat(n, n) - 1 - pos_in_field
+        field_bits = ((np.repeat(v, n) >> shift) & 1).astype(np.uint8)
+    else:
+        field_bits = np.empty(0, dtype=np.uint8)
+    bits = np.empty(nbytes * 8, dtype=np.uint8)
+    bits[:lead] = 0
+    bits[lead] = 1
+    bits[lead + 1 :] = field_bits
+    return np.packbits(bits).tobytes()[::-1]
 
 
 class _FwdBitsWriter:
@@ -1039,13 +1254,44 @@ def _find_sequences(data: bytes, min_match: int = 4):
     n = len(data)
     seqs = []
     lits = bytearray()
-    table: dict[bytes, int] = {}
     i = 0
     lit_start = 0
+    if min_match == 4 and n >= 4:
+        # hot path: precompute every position's 4-byte window as one
+        # little-endian uint32 (vectorized) — key equality IS bytes
+        # equality, so the dict probe needs no slice + no re-compare
+        import numpy as np
+
+        a = np.frombuffer(data, dtype=np.uint8).astype(np.uint32)
+        keys = (
+            a[: n - 3]
+            | (a[1 : n - 2] << np.uint32(8))
+            | (a[2 : n - 1] << np.uint32(16))
+            | (a[3:] << np.uint32(24))
+        ).tolist()
+        table: dict[int, int] = {}
+        get = table.get
+        while i + 4 <= n:
+            key = keys[i]
+            j = get(key)
+            table[key] = i
+            if j is not None:
+                length = 4
+                while i + length < n and data[j + length] == data[i + length]:
+                    length += 1
+                lits += data[lit_start:i]
+                seqs.append((i - lit_start, length, i - j))
+                i += length
+                lit_start = i
+            else:
+                i += 1
+        lits += data[lit_start:]
+        return seqs, bytes(lits)
+    btable: dict[bytes, int] = {}
     while i + min_match <= n:
         key = data[i : i + min_match]
-        j = table.get(key)
-        table[key] = i
+        j = btable.get(key)
+        btable[key] = i
         if j is not None and data[j : j + min_match] == key:
             length = min_match
             while i + length < n and data[j + length] == data[i + length]:
@@ -1093,12 +1339,14 @@ def _literals_section(
     (force the FSE-weights description) | huffman4 (4-stream layout
     with the jump table). Falls back to raw whenever the compressed
     form wouldn't fit or win."""
+    import numpy as np
+
     n = len(literals)
     want_huff = mode in ("huffman", "huffman_fse", "huffman4")
     if want_huff and n >= 8 and len(set(literals)) >= 2:
-        freqs: dict[int, int] = {}
-        for b in literals:
-            freqs[b] = freqs.get(b, 0) + 1
+        lit_arr = np.frombuffer(literals, dtype=np.uint8)
+        binc = np.bincount(lit_arr, minlength=256)
+        freqs = {int(s): int(c) for s, c in enumerate(binc) if c}
         full, codes, direct_desc = _huff_encode_info(freqs)
         desc = None
         if mode == "huffman_fse" or direct_desc is None:
@@ -1106,15 +1354,24 @@ def _literals_section(
         if desc is None:
             desc = direct_desc
         if desc is not None:
+            # per-byte code/width gather tables → one vectorized
+            # backward pack per stream (byte-identical to the
+            # per-literal append loop)
+            code_v = np.zeros(256, dtype=np.int64)
+            code_n = np.zeros(256, dtype=np.int64)
+            for s, (c, nb) in codes.items():
+                code_v[s] = c
+                code_n[s] = nb
             four = mode == "huffman4"
             if four:
                 per = (n + 3) // 4
                 chunks = [
-                    literals[i * per : (i + 1) * per] for i in range(3)
+                    lit_arr[i * per : (i + 1) * per] for i in range(3)
                 ]
-                chunks.append(literals[3 * per :])
+                chunks.append(lit_arr[3 * per :])
                 streams = [
-                    _pack_backward([codes[b] for b in c]) for c in chunks
+                    _pack_backward_arrays(code_v[c], code_n[c])
+                    for c in chunks
                 ]
                 body = (
                     desc
@@ -1125,7 +1382,9 @@ def _literals_section(
                     + b"".join(streams)
                 )
             else:
-                body = desc + _pack_backward([codes[b] for b in literals])
+                body = desc + _pack_backward_arrays(
+                    code_v[lit_arr], code_n[lit_arr]
+                )
             comp = len(body)
             hdr = _compressed_lit_header(n, comp, four)
             if hdr is not None and comp < n:
@@ -1140,7 +1399,50 @@ def _literals_section(
     ) + literals
 
 
+def _fse_encode_states_arr(table: _FseTable, syms):
+    """Array `_fse_encode_states`: same inversion, same output bits
+    (byte-identity pinned in tests). Per symbol, the covering state
+    for every successor is precomputed as a full size-length row —
+    the per-symbol [baseline, baseline+2^nbits) ranges partition the
+    state space, so `np.repeat(states_by_baseline, spans)` builds each
+    row in one shot and the sequential chain walk becomes three list
+    indexings per step instead of a bisect + tuple build."""
+    import numpy as np
+
+    size = 1 << table.accuracy
+    symbols = np.asarray(table.symbols, dtype=np.int64)
+    nbits = np.asarray(table.nbits, dtype=np.int64)
+    baseline = np.asarray(table.baseline, dtype=np.int64)
+    order = np.lexsort((baseline, symbols))
+    cover_flat = np.repeat(order, (1 << nbits)[order])
+    present = np.unique(symbols)
+    row_of = {int(s): r for r, s in enumerate(present)}
+    cover_rows = [
+        cover_flat[r * size : (r + 1) * size].tolist()
+        for r in range(len(present))
+    ]
+    base_l = table.baseline
+    nbits_l = table.nbits
+    sym_l = table.symbols
+    s_list = syms.tolist() if hasattr(syms, "tolist") else list(syms)
+    n = len(s_list)
+    # init state: the LOWEST state index emitting the last symbol
+    # (the dict-build order of the scalar version)
+    last = s_list[-1]
+    cur = next(st for st in range(size) if sym_l[st] == last)
+    tv = [0] * (n - 1)
+    tn = [0] * (n - 1)
+    for i in range(n - 2, -1, -1):
+        st = cover_rows[row_of[s_list[i]]][cur]
+        tv[i] = cur - base_l[st]
+        tn[i] = nbits_l[st]
+        cur = st
+    return cur, tv, tn
+
+
 def _sequences_section(seqs: list, seq_mode: str) -> bytes:
+    import numpy as np
+
     if not seqs:
         return b"\x00"
     nseq = len(seqs)
@@ -1152,32 +1454,36 @@ def _sequences_section(seqs: list, seq_mode: str) -> bytes:
         rest = nseq - 0x7F00
         count = bytes([255, rest & 0xFF, rest >> 8])
 
-    ll_syms, of_syms, ml_syms = [], [], []
-    of_extra, ml_extra, ll_extra = [], [], []
-    for lit_len, match_len, offset in seqs:
-        ov = offset + 3  # absolute offsets only (> 3 skips rep logic)
-        oc = ov.bit_length() - 1
-        of_syms.append(oc)
-        of_extra.append((ov - (1 << oc), oc))
-        mc = _code_of(match_len, "ml")
-        ml_syms.append(mc)
-        base, bits = _ML_CODE[mc]
-        ml_extra.append((match_len - base, bits))
-        lc = _code_of(lit_len, "ll")
-        ll_syms.append(lc)
-        base, bits = _LL_CODE[lc]
-        ll_extra.append((lit_len - base, bits))
+    # vectorized symbol/extra-bits derivation (byte-identical to the
+    # per-sequence loop): offset code = floor(log2) via frexp (exact —
+    # offsets stay far under 2^52), ll/ml codes by searchsorted over
+    # the RFC tables' ascending baselines
+    if _LL_BASE is None:
+        _np_code_tables()
+    arr = np.asarray(seqs, dtype=np.int64)
+    lit_len, match_len = arr[:, 0], arr[:, 1]
+    ov = arr[:, 2] + 3  # absolute offsets only (> 3 skips rep logic)
+    of_syms = np.frexp(ov.astype(np.float64))[1] - 1
+    of_extra_v = ov - (np.int64(1) << of_syms)
+    ml_syms = np.searchsorted(_ML_BASE, match_len, side="right") - 1
+    ml_extra_v = match_len - _ML_BASE[ml_syms]
+    ml_extra_n = _ML_BITS[ml_syms]
+    ll_syms = np.searchsorted(_LL_BASE, lit_len, side="right") - 1
+    ll_extra_v = lit_len - _LL_BASE[ll_syms]
+    ll_extra_n = _LL_BITS[ll_syms]
 
-    def channel(kind: str, syms: list[int]):
+    def channel(kind: str, syms):
         """→ (mode, table_payload, fse_table_or_None). RLE only ever
         applies to a genuinely uniform channel; a `seq_mode='rle'`
         request on a mixed channel falls back to FSE."""
-        if len(set(syms)) == 1:
-            return 1, bytes([syms[0]]), None
+        first = int(syms[0])
+        if bool((syms == first).all()):
+            return 1, bytes([first]), None
+        binc = np.bincount(syms)
+        freqs = {
+            int(s): int(c) for s, c in enumerate(binc) if c
+        }
         if seq_mode in ("fse", "rle"):
-            freqs: dict[int, int] = {}
-            for s in syms:
-                freqs[s] = freqs.get(s, 0) + 1
             acc = min(
                 _MAX_ACCURACY[kind],
                 max(5, (len(freqs) - 1).bit_length() + 1),
@@ -1189,10 +1495,7 @@ def _sequences_section(seqs: list, seq_mode: str) -> bytes:
         default = {
             "ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT
         }[kind]
-        if max(syms) >= len(default[0]):
-            freqs = {}
-            for s in syms:
-                freqs[s] = freqs.get(s, 0) + 1
+        if len(binc) > len(default[0]):
             acc = _MAX_ACCURACY[kind]
             counts = _normalize_counts(freqs, acc)
             return 2, _write_fse_counts(counts, acc), _FseTable(counts, acc)
@@ -1203,36 +1506,47 @@ def _sequences_section(seqs: list, seq_mode: str) -> bytes:
     ml_mode, ml_pay, ml_tab = channel("ml", ml_syms)
     modes = (ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)
 
-    ll_init = of_init = ml_init = None
-    ll_tr = of_tr = ml_tr = []
-    if ll_tab is not None:
-        ll_init, ll_tr = _fse_encode_states(ll_tab, ll_syms)
-    if of_tab is not None:
-        of_init, of_tr = _fse_encode_states(of_tab, of_syms)
-    if ml_tab is not None:
-        ml_init, ml_tr = _fse_encode_states(ml_tab, ml_syms)
-
-    reads: list = []
-    if ll_init is not None:
-        reads.append((ll_init, ll_tab.accuracy))
-    if of_init is not None:
-        reads.append((of_init, of_tab.accuracy))
-    if ml_init is not None:
-        reads.append((ml_init, ml_tab.accuracy))
-    for i in range(nseq):
-        reads.append(of_extra[i])
-        reads.append(ml_extra[i])
-        reads.append(ll_extra[i])
-        if i != nseq - 1:
-            if ll_tab is not None:
-                reads.append(ll_tr[i])
-            if ml_tab is not None:
-                reads.append(ml_tr[i])
-            if of_tab is not None:
-                reads.append(of_tr[i])
+    # assemble the read stream as (nseq, ≤6) value/width matrices and
+    # ravel — the interleaving the decoder expects: per sequence
+    # of/ml/ll extras then ll/ml/of state transitions (none after the
+    # final sequence: their widths are zeroed and the packer drops
+    # zero-width fields exactly like the scalar append loop skipped
+    # them)
+    zeros = np.zeros(nseq, dtype=np.int64)
+    v_cols = [of_extra_v, ml_extra_v, ll_extra_v]
+    n_cols = [of_syms, ml_extra_n, ll_extra_n]
+    init_reads: list = []
+    for tab, syms in (
+        (ll_tab, ll_syms), (ml_tab, ml_syms), (of_tab, of_syms)
+    ):
+        if tab is None:
+            v_cols.append(zeros)
+            n_cols.append(zeros)
+            continue
+        init, tv, tn = _fse_encode_states_arr(tab, syms)
+        init_reads.append((init, tab.accuracy))
+        v_cols.append(np.append(np.asarray(tv, dtype=np.int64), 0))
+        n_cols.append(np.append(np.asarray(tn, dtype=np.int64), 0))
+    v_mat = np.column_stack(v_cols)
+    n_mat = np.column_stack(n_cols)
+    # decoder init-state reads come first, in ll, of, ml order
+    # (init_reads was collected in ll, ml, of transition-column order)
+    by_tag = {}
+    idx = 0
+    for tag, tab in (("ll", ll_tab), ("ml", ml_tab), ("of", of_tab)):
+        if tab is not None:
+            by_tag[tag] = init_reads[idx]
+            idx += 1
+    iv, inn = [], []
+    for tag in ("ll", "of", "ml"):
+        if tag in by_tag:
+            iv.append(by_tag[tag][0])
+            inn.append(by_tag[tag][1])
+    v_all = np.concatenate([np.asarray(iv, dtype=np.int64), v_mat.ravel()])
+    n_all = np.concatenate([np.asarray(inn, dtype=np.int64), n_mat.ravel()])
     return (
         count + bytes([modes]) + ll_pay + of_pay + ml_pay
-        + _pack_backward(reads)
+        + _pack_backward_arrays(v_all, n_all)
     )
 
 
