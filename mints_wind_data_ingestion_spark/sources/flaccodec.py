@@ -87,7 +87,7 @@ def _crc16(data: bytes) -> int:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "bit", "bits", "ones")
+    __slots__ = ("data", "pos", "bit", "bits", "ones", "next_one")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
@@ -95,18 +95,29 @@ class _BitReader:
         self.bit = 0
         self.bits = None  # lazy np.unpackbits view (decode fast path)
         self.ones = None  # sorted positions of set bits, Python list
+        self.next_one = None  # per-position next-set-bit jump list
 
     def _ensure_bits(self):
         """Materialize the whole payload as a bit array + set-bit
-        index ONCE per stream — the vectorized rice path's backing
-        store (8× payload bytes; a FLAC frame is KBs)."""
+        index + next-set-bit jump list ONCE per stream — the
+        vectorized rice path's backing store (≈17× payload bytes; a
+        FLAC frame is KBs). `next_one[x]` is the position of the first
+        set bit at or after x (−1 past the last one), so the unary
+        terminator chain is one list indexing per value."""
         if self.bits is None:
             import numpy as np
 
             self.bits = np.unpackbits(
                 np.frombuffer(self.data, dtype=np.uint8)
             )
-            self.ones = np.flatnonzero(self.bits).tolist()
+            on = np.flatnonzero(self.bits)
+            self.ones = on.tolist()
+            before = np.zeros(len(self.bits) + 1, dtype=np.int64)
+            np.cumsum(self.bits, dtype=np.int64, out=before[1:])
+            jump = np.full(len(self.bits) + 1, -1, dtype=np.int64)
+            covered = before < len(on)
+            jump[covered] = on[before[covered]]
+            self.next_one = jump.tolist()
         return self.bits, self.ones
 
     def read(self, n: int) -> int:
@@ -167,35 +178,39 @@ def _read_utf8_number(r: _BitReader) -> int:
 
 def _rice_block_fast(r: _BitReader, n: int, k: int):
     """Vectorized rice decode of `n` values with parameter `k`:
-    terminator positions come from the precomputed set-bit index
-    (bisect per value — remainder fields may contain 1s, so the next
-    set bit at/after the cursor is exactly the unary terminator), the
-    k-bit remainders gather as ONE (n × k) matrix. ~5× the per-bit
-    reader; advances the reader past the block. Returns an int64
+    unary terminator positions walk the stream-wide next-set-bit jump
+    list (one list indexing per value — remainder fields may contain
+    1s, so the next set bit at/after the cursor is exactly the
+    terminator), then the k-bit remainders gather as ONE (n × k)
+    matrix. Advances the reader past the block. Returns an int64
     array of zigzag-DECODED residuals."""
-    import bisect
-
     import numpy as np
 
-    bits, ones = r._ensure_bits()
+    bits, _ones = r._ensure_bits()
+    jump = r.next_one
     cur = r.pos * 8 + r.bit
-    starts = np.empty(n, dtype=np.int64)
-    ptr = bisect.bisect_left(ones, cur)
-    n_ones = len(ones)
-    for i in range(n):
-        if ptr >= n_ones:
-            raise ValueError("FLAC: bitstream truncated in unary")
-        p = ones[ptr]
-        if p < cur:  # inside a previous remainder — find the next
-            ptr = bisect.bisect_left(ones, cur, ptr)
-            if ptr >= n_ones:
-                raise ValueError("FLAC: bitstream truncated in unary")
-            p = ones[ptr]
-        starts[i] = p
-        cur = p + 1 + k
-        ptr += 1
+    dk = 1 + k
+    terms: list[int] = []
+    app = terms.append
+    p = 0
+    try:
+        for _ in range(n):
+            # one jump-list indexing per value: jump[cur] IS the unary
+            # terminator (the first set bit at/after cur; remainder
+            # fields are skipped by advancing cur past them)
+            p = jump[cur]
+            app(p)
+            cur = p + dk
+    except IndexError:
+        p = -1
+    if p < 0 or (terms and min(terms) < 0):
+        # −1 sentinel anywhere in the chain = no terminator left; the
+        # min() sweep keeps corrupt streams on the error path instead
+        # of silently decoding garbage values after the sentinel
+        raise ValueError("FLAC: bitstream truncated in unary")
+    starts = np.array(terms, dtype=np.int64)
     q = starts.copy()
-    q[1:] -= starts[:-1] + 1 + k
+    q[1:] -= starts[:-1] + dk
     q[0] -= r.pos * 8 + r.bit
     if cur > len(bits):
         raise ValueError("FLAC: bitstream truncated in rice remainder")
@@ -211,7 +226,13 @@ def _rice_block_fast(r: _BitReader, n: int, k: int):
     return (z >> 1) ^ -(z & 1)
 
 
-def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
+def _decode_residual(r: _BitReader, blocksize: int, order: int):
+    """Residual block as ONE int64 ndarray (the callers either feed
+    numpy directly — fixed-predictor integration — or `tolist()` once
+    for the LPC recurrence; the old per-value `int()` generator over
+    every rice value was a visible slice of the decode profile)."""
+    import numpy as np
+
     method = r.read(2)
     if method > 1:
         raise ValueError(f"FLAC: reserved residual method {method}")
@@ -221,7 +242,7 @@ def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
     n_part = 1 << porder
     if blocksize % n_part:
         raise ValueError("FLAC: partition does not divide block size")
-    out: list[int] = []
+    parts: list = []
     for p in range(n_part):
         n = (blocksize >> porder) - (order if p == 0 else 0)
         if n < 0:
@@ -229,11 +250,15 @@ def _decode_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
         param = r.read(pbits)
         if param == escape:
             raw = r.read(5)
-            for _ in range(n):
-                out.append(r.read_signed(raw) if raw else 0)
+            parts.append(np.array(
+                [r.read_signed(raw) if raw else 0 for _ in range(n)],
+                dtype=np.int64,
+            ))
         elif n:
-            out.extend(int(v) for v in _rice_block_fast(r, n, param))
-    return out
+            parts.append(_rice_block_fast(r, n, param))
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def _read_fixed_width_block(r: _BitReader, n: int, width: int) -> list[int]:
@@ -304,19 +329,25 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
         coefs = [r.read_signed(prec) for _ in range(order)]
         resid = _decode_residual(r, blocksize, order)
         # hot loop: the IIR recurrence is inherently serial, so keep
-        # it scalar but cheap — reversed coefficients let zip pair
-        # each coef with the right lag over a sliding window slice,
-        # and local bindings drop the per-sample attribute lookups
-        # (measured ~3x over the enumerate/genexpr form; exact
-        # integer arithmetic unchanged)
+        # it scalar but cheap — reversed coefficients walked by index
+        # over the growing sample list (no per-sample window slice
+        # allocation; measured over the zip-slice form), residuals
+        # converted to Python ints ONCE via tolist (numpy scalar
+        # arithmetic in the recurrence is far slower than int);
+        # exact integer arithmetic unchanged
         rcoefs = coefs[::-1]
-        app = samples.append
+        sa = samples
+        app = sa.append
         o = order
-        for res in resid:
+        nloc = len(sa)
+        for res in resid.tolist():
             acc = 0
-            for c, s in zip(rcoefs, samples[-o:]):
-                acc += c * s
+            t = nloc - o
+            for c in rcoefs:
+                acc += c * sa[t]
+                t += 1
             app(res + (acc >> shift))
+            nloc += 1
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
     if wasted:

@@ -101,6 +101,11 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+#: LZW root table (256 single-byte entries + clear/EOI placeholders),
+#: built once — per-call reconstruction showed up in the decode profile
+_LZW_BASE_TABLE = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
 def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
     """TIFF-variant LZW: MSB-first bit packing, 8-bit symbols,
     clear = 256, EOI = 257, EARLY-CHANGE widening (the width grows
@@ -108,55 +113,64 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
     the GIF boundary — TIFF 6.0 §13 as implemented by every shipping
     writer)."""
     clear, eoi = 256, 257
-    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    base = _LZW_BASE_TABLE
     table = list(base)
+    tlen = 258
     width = 9
     out = bytearray()
+    out_len = 0
     acc = 0
     nbits = 0
     pos = 0
     n = len(data)
     prev: bytes | None = None
-    while len(out) < expected:
+    while out_len < expected:
         while nbits < width:
             if pos >= n:
                 raise ValueError("TIFF: LZW stream exhausted")
             acc = (acc << 8) | data[pos]
             nbits += 8
             pos += 1
-        code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        # trim consumed bits: without this the accumulator grows into
+        # an unbounded bigint and every shift goes O(stream length)
+        acc &= (1 << nbits) - 1
         if code == clear:
             table = list(base)
+            tlen = 258
             width = 9
             prev = None
             continue
         if code == eoi:
             break
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError(f"TIFF: first LZW code {code} invalid")
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
             # 12-bit cap (ADVICE r13): a compliant writer CLEARs before
             # code 4096; growing past it lets a CLEAR-free corrupt
             # stream build unboundedly long entries before any error
-            if len(table) < 4096:
+            if tlen < 4096:
                 table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4096:
+                tlen += 1
+        elif code == tlen and tlen < 4096:
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
             raise ValueError(f"TIFF: LZW code {code} beyond table")
         out += entry
+        out_len += len(entry)
         prev = entry
         # early change: widen one code EARLIER than the table-full
         # boundary (writers emit the next code already wide)
-        if len(table) == (1 << width) - 1 and width < 12:
+        if tlen == (1 << width) - 1 and width < 12:
             width += 1
-    if len(out) < expected:
-        raise ValueError(f"TIFF: LZW produced {len(out)} of {expected}")
+    if out_len < expected:
+        raise ValueError(f"TIFF: LZW produced {out_len} of {expected}")
     return bytes(out[:expected])
 
 
@@ -312,6 +326,9 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        # trim flushed bits (the accumulator otherwise grows into an
+        # unbounded bigint and every shift goes O(stream length))
+        acc &= (1 << nbits) - 1
 
     table: dict = {}
     next_code = 258
