@@ -76,9 +76,7 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
-def _crc16(data: bytes) -> int:
-    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
-    table-driven."""
+def _crc16_scalar(data: bytes) -> int:
     crc = 0
     t = _CRC16_TABLE
     for b in data:
@@ -86,38 +84,101 @@ def _crc16(data: bytes) -> int:
     return crc
 
 
+#: vectorized-CRC16 table cache: "shift state by k zero bytes" as a
+#: pair of 256-entry uint16 tables (new = hi[s>>8] ^ lo[s&0xFF] — CRC
+#:  is GF(2)-linear, so the two byte halves superpose), built by
+#: doubling from k=1; plus the per-column tables of the 8-byte fold.
+_CRC16_SHIFT: dict = {}
+_CRC16_COLS: list | None = None
+
+
+def _crc16_shift_tables(k: int):
+    t = _CRC16_SHIFT.get(k)
+    if t is None:
+        import numpy as np
+
+        if k == 1:
+            # state v<<8 after one zero byte: table[v]; state v: v<<8
+            hi = np.array(_CRC16_TABLE, dtype=np.uint16)
+            lo = (np.arange(256, dtype=np.uint32) << 8).astype(
+                np.uint16
+            )
+        else:
+            h1, l1 = _crc16_shift_tables(k // 2)
+            hs, ls = h1.copy(), l1.copy()
+            hi = h1[hs >> 8] ^ l1[hs & 0xFF]
+            lo = h1[ls >> 8] ^ l1[ls & 0xFF]
+        t = _CRC16_SHIFT[k] = (hi, lo)
+    return t
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0.
+    Short inputs run the table-driven byte loop; frame-sized inputs
+    fold 8 bytes per vectorized step (per-column contribution tables)
+    and then combine the fold states by doubling — ~4× the byte loop
+    at FLAC frame sizes, bit-identical (pinned against the scalar in
+    tests)."""
+    n = len(data)
+    if n < 128:
+        return _crc16_scalar(data)
+    import numpy as np
+
+    global _CRC16_COLS
+    if _CRC16_COLS is None:
+        cols = []
+        for j in range(8):
+            v = np.array(_CRC16_TABLE, dtype=np.uint16)
+            hi1, lo1 = _crc16_shift_tables(1)
+            for _ in range(7 - j):  # column j sits 7-j bytes from end
+                v = hi1[v >> 8] ^ lo1[v & 0xFF]
+            cols.append(v)
+        _CRC16_COLS = cols
+    arr = np.frombuffer(data, dtype=np.uint8)
+    m = -(-n // 8)
+    size = 1 << (m - 1).bit_length()
+    # pad with LEADING zeros (CRC-neutral at init 0) to 8·2^j bytes
+    buf = np.zeros(size * 8, dtype=np.uint8)
+    buf[size * 8 - n :] = arr
+    g = buf.reshape(size, 8)
+    C = _CRC16_COLS
+    v = (
+        C[0][g[:, 0]] ^ C[1][g[:, 1]] ^ C[2][g[:, 2]] ^ C[3][g[:, 3]]
+        ^ C[4][g[:, 4]] ^ C[5][g[:, 5]] ^ C[6][g[:, 6]] ^ C[7][g[:, 7]]
+    )
+    k = 8
+    while len(v) > 1:
+        left, right = v[0::2], v[1::2]
+        hi, lo = _crc16_shift_tables(k)
+        v = hi[left >> 8] ^ lo[left & 0xFF] ^ right
+        k *= 2
+    return int(v[0])
+
+
 class _BitReader:
-    __slots__ = ("data", "pos", "bit", "bits", "ones", "next_one")
+    __slots__ = ("data", "pos", "bit", "bits", "ones")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.pos = pos
         self.bit = 0
         self.bits = None  # lazy np.unpackbits view (decode fast path)
-        self.ones = None  # sorted positions of set bits, Python list
-        self.next_one = None  # per-position next-set-bit jump list
+        self.ones = None  # sorted positions of set bits, int64 ndarray
 
     def _ensure_bits(self):
         """Materialize the whole payload as a bit array + set-bit
-        index + next-set-bit jump list ONCE per stream — the
-        vectorized rice path's backing store (≈17× payload bytes; a
-        FLAC frame is KBs). `next_one[x]` is the position of the first
-        set bit at or after x (−1 past the last one), so the unary
-        terminator chain is one list indexing per value."""
+        index ONCE per stream — the vectorized rice path's backing
+        store (≈9× payload bytes; a FLAC frame is KBs). Both stay
+        ndarrays: each rice block slices out just its own window of
+        set bits (a stream-wide Python list cost more to build than
+        every chain walk it served)."""
         if self.bits is None:
             import numpy as np
 
             self.bits = np.unpackbits(
                 np.frombuffer(self.data, dtype=np.uint8)
             )
-            on = np.flatnonzero(self.bits)
-            self.ones = on.tolist()
-            before = np.zeros(len(self.bits) + 1, dtype=np.int64)
-            np.cumsum(self.bits, dtype=np.int64, out=before[1:])
-            jump = np.full(len(self.bits) + 1, -1, dtype=np.int64)
-            covered = before < len(on)
-            jump[covered] = on[before[covered]]
-            self.next_one = jump.tolist()
+            self.ones = np.flatnonzero(self.bits).astype(np.int64)
         return self.bits, self.ones
 
     def read(self, n: int) -> int:
@@ -178,36 +239,39 @@ def _read_utf8_number(r: _BitReader) -> int:
 
 def _rice_block_fast(r: _BitReader, n: int, k: int):
     """Vectorized rice decode of `n` values with parameter `k`:
-    unary terminator positions walk the stream-wide next-set-bit jump
-    list (one list indexing per value — remainder fields may contain
-    1s, so the next set bit at/after the cursor is exactly the
-    terminator), then the k-bit remainders gather as ONE (n × k)
-    matrix. Advances the reader past the block. Returns an int64
-    array of zigzag-DECODED residuals."""
+    unary terminator positions walk a block-local window of the
+    stream's set-bit index (remainder fields may contain 1s, so the
+    next set bit at/after the cursor is exactly the terminator), then
+    the k-bit remainders gather as ONE (n × k) matrix. Advances the
+    reader past the block. Returns an int64 array of zigzag-DECODED
+    residuals."""
     import numpy as np
 
-    bits, _ones = r._ensure_bits()
-    jump = r.next_one
+    bits, ones = r._ensure_bits()
     cur = r.pos * 8 + r.bit
     dk = 1 + k
+    # bound the set-bit window for THIS block: each value consumes
+    # exactly one terminator and skips at most k set bits inside its
+    # remainder, so ≤ n·(k+1) entries — a few-KB local list instead of
+    # a stream-wide index
+    idx0 = int(np.searchsorted(ones, cur))
+    o = ones[idx0 : idx0 + n * dk].tolist()
     terms: list[int] = []
     app = terms.append
-    p = 0
+    ptr = 0
     try:
         for _ in range(n):
-            # one jump-list indexing per value: jump[cur] IS the unary
-            # terminator (the first set bit at/after cur; remainder
-            # fields are skipped by advancing cur past them)
-            p = jump[cur]
+            p = o[ptr]
+            while p < cur:  # set bit inside a remainder field: skip
+                ptr += 1
+                p = o[ptr]
             app(p)
             cur = p + dk
+            ptr += 1
     except IndexError:
-        p = -1
-    if p < 0 or (terms and min(terms) < 0):
-        # −1 sentinel anywhere in the chain = no terminator left; the
-        # min() sweep keeps corrupt streams on the error path instead
-        # of silently decoding garbage values after the sentinel
-        raise ValueError("FLAC: bitstream truncated in unary")
+        # ran off the window: with the ≤ n·(k+1) consumption bound,
+        # only a truncated/corrupt stream gets here
+        raise ValueError("FLAC: bitstream truncated in unary") from None
     starts = np.array(terms, dtype=np.int64)
     q = starts.copy()
     q[1:] -= starts[:-1] + dk
@@ -261,10 +325,10 @@ def _decode_residual(r: _BitReader, blocksize: int, order: int):
     return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
-def _read_fixed_width_block(r: _BitReader, n: int, width: int) -> list[int]:
+def _read_fixed_width_block(r: _BitReader, n: int, width: int):
     """Vectorized read of `n` signed `width`-bit fields (the VERBATIM
     subframe body): one (n × width) bit gather instead of n per-bit
-    reads."""
+    reads. Returns an int64 ndarray."""
     import numpy as np
 
     bits, _ones = r._ensure_bits()
@@ -276,14 +340,15 @@ def _read_fixed_width_block(r: _BitReader, n: int, width: int) -> list[int]:
     vals = bits[cur:end].reshape(n, width).astype(np.int64) @ w
     vals = np.where(vals >= (1 << (width - 1)), vals - (1 << width), vals)
     r.pos, r.bit = end >> 3, end & 7
-    return [int(v) for v in vals]
+    return vals
 
 
-def _integrate_fixed(warmup: list[int], resid, order: int) -> list[int]:
+def _integrate_fixed(warmup: list[int], resid, order: int):
     """Inverse of the order-`order` fixed predictor, vectorized: the
     residual IS the order-th finite difference of the signal, so the
     signal is `order` cumulative sums, each seeded from the matching
-    difference level of the warmup samples."""
+    difference level of the warmup samples. Returns an int64 ndarray
+    (warmup included)."""
     import numpy as np
 
     cur = np.asarray(resid, dtype=np.int64)
@@ -292,10 +357,52 @@ def _integrate_fixed(warmup: list[int], resid, order: int) -> list[int]:
         levels.append(np.diff(levels[-1]))
     for j in range(order - 1, -1, -1):
         cur = levels[j][-1] + np.cumsum(cur)
-    return warmup + [int(v) for v in cur]
+    return np.concatenate([levels[0], cur])
 
 
-def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
+#: compiled LPC restoration kernels keyed on (order, shift). The IIR
+#: recurrence is inherently serial (each sample feeds the next
+#: prediction through an exact integer >> shift), so the hot loop is
+#: generated source with the lag window held in LOCAL variables
+#: (s1..sN shift register) and the dot product unrolled — measured
+#: ~1.5× over the list-indexing walk, exact integer arithmetic
+#: unchanged.
+_LPC_KERNELS: dict = {}
+
+
+def _lpc_kernel(order: int, shift: int):
+    f = _LPC_KERNELS.get((order, shift))
+    if f is None:
+        cvars = ", ".join(f"c{j}" for j in range(order))
+        svars = [f"s{order - j}" for j in range(order)]  # oldest first
+        init = ", ".join(svars) + " = " + ", ".join(
+            f"w[{j}]" for j in range(order)
+        )
+        expr = " + ".join(f"c{j}*{svars[j]}" for j in range(order))
+        rot_lhs = ", ".join(f"s{i}" for i in range(order, 0, -1))
+        rot_rhs = (
+            ", ".join(f"s{i}" for i in range(order - 1, 0, -1)) + ", v"
+            if order > 1
+            else "v"
+        )
+        src = (
+            f"def _k(resid, w, {cvars}):\n"
+            f"    {init}\n"
+            f"    out = list(w)\n"
+            f"    app = out.append\n"
+            f"    for r in resid:\n"
+            f"        v = r + (({expr}) >> {shift})\n"
+            f"        app(v)\n"
+            f"        {rot_lhs} = {rot_rhs}\n"
+            f"    return out\n"
+        )
+        ns: dict = {}
+        exec(src, ns)  # noqa: S102 — source assembled from ints only
+        f = _LPC_KERNELS[(order, shift)] = ns["_k"]
+    return f
+
+
+def _decode_subframe(r: _BitReader, blocksize: int, bps: int):
     if r.read(1):
         raise ValueError("FLAC: subframe padding bit set")
     stype = r.read(6)
@@ -306,9 +413,11 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
     if eff <= 0:
         raise ValueError("FLAC: wasted bits exceed sample size")
 
+    import numpy as np
+
     if stype == 0:  # CONSTANT
         v = r.read_signed(eff)
-        samples = [v] * blocksize
+        samples = np.full(blocksize, v, dtype=np.int64)
     elif stype == 1:  # VERBATIM
         samples = _read_fixed_width_block(r, blocksize, eff)
     elif 8 <= stype <= 12:  # FIXED, order 0-4
@@ -318,7 +427,7 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
         samples = _integrate_fixed(warmup, resid, order)
     elif stype >= 32:  # LPC, order 1-32
         order = stype - 31
-        samples = [r.read_signed(eff) for _ in range(order)]
+        warmup = [r.read_signed(eff) for _ in range(order)]
         prec = r.read(4)
         if prec == 0xF:
             raise ValueError("FLAC: invalid LPC precision")
@@ -328,30 +437,23 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
             raise ValueError("FLAC: negative LPC shift")
         coefs = [r.read_signed(prec) for _ in range(order)]
         resid = _decode_residual(r, blocksize, order)
-        # hot loop: the IIR recurrence is inherently serial, so keep
-        # it scalar but cheap — reversed coefficients walked by index
-        # over the growing sample list (no per-sample window slice
-        # allocation; measured over the zip-slice form), residuals
-        # converted to Python ints ONCE via tolist (numpy scalar
-        # arithmetic in the recurrence is far slower than int);
-        # exact integer arithmetic unchanged
-        rcoefs = coefs[::-1]
-        sa = samples
-        app = sa.append
-        o = order
-        nloc = len(sa)
-        for res in resid.tolist():
-            acc = 0
-            t = nloc - o
-            for c in rcoefs:
-                acc += c * sa[t]
-                t += 1
-            app(res + (acc >> shift))
-            nloc += 1
+        # serial integer IIR: run the compiled shift-register kernel
+        # (exact Python-int arithmetic — c0 pairs with the OLDEST lag)
+        out = _lpc_kernel(order, shift)(
+            resid.tolist(), warmup, *coefs[::-1]
+        )
+        try:
+            samples = np.array(out, dtype=np.int64)
+        except OverflowError:
+            # a corrupt stream can make the recurrence explode past
+            # int64; keep exact Python ints (object dtype) so the
+            # frame reaches its CRC check and fails THERE, exactly as
+            # the pre-vectorized list pipeline did
+            samples = np.array(out, dtype=object)
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
@@ -394,7 +496,7 @@ def decode_flac(payload: bytes) -> dict:
     bps_si = si.read(5) + 1
     total = si.read(36)
 
-    channels_out: list[list[int]] = [[] for _ in range(ch_si)]
+    channels_out: list[list] = [[] for _ in range(ch_si)]
     r = _BitReader(payload, pos)
     while r.pos < len(payload):
         frame_start = r.pos
@@ -453,16 +555,12 @@ def decode_flac(payload: bytes) -> dict:
             a = _decode_subframe(r, blocksize, bps_a)
             b = _decode_subframe(r, blocksize, bps_b)
             if ch_code == 8:  # left/side
-                subs = [a, [x - s for x, s in zip(a, b)]]
+                subs = [a, a - b]
             elif ch_code == 9:  # right/side
-                subs = [[s + x for s, x in zip(a, b)], b]
+                subs = [a + b, b]
             else:  # mid/side
-                left, right = [], []
-                for m, s in zip(a, b):
-                    m2 = (m << 1) | (s & 1)
-                    left.append((m2 + s) >> 1)
-                    right.append((m2 - s) >> 1)
-                subs = [left, right]
+                m2 = (a << 1) | (b & 1)
+                subs = [(m2 + b) >> 1, (m2 - b) >> 1]
         else:
             raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
         r.align()
@@ -470,10 +568,14 @@ def decode_flac(payload: bytes) -> dict:
         if _crc16(payload[frame_start:body_end]) != r.read(16):
             raise ValueError("FLAC: frame CRC-16 mismatch")
         for c in range(ch_si):
-            channels_out[c].extend(subs[c])
+            channels_out[c].append(subs[c])
 
-    n = min(len(channels_out[0]), total) if total else len(channels_out[0])
-    arr = np.array([c[:n] for c in channels_out], dtype=np.float64).T
+    chans = [
+        np.concatenate(c) if c else np.empty(0, dtype=np.int64)
+        for c in channels_out
+    ]
+    n = min(len(chans[0]), total) if total else len(chans[0])
+    arr = np.stack([c[:n] for c in chans], axis=1).astype(np.float64)
     wave = arr / float(1 << (bps_si - 1))
     return {
         "sample_rate": sr_si,

@@ -182,3 +182,44 @@ def test_rice_writer_matches_scalar_on_edge_values():
         wv.align()
         wr.align()
         assert wv.bytes() == wr.bytes(), resid
+
+
+def test_crc16_vectorized_fold_matches_byte_loop():
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        _crc16,
+        _crc16_scalar,
+    )
+
+    rng = np.random.default_rng(21)
+    # spans the scalar cutoff (128), non-pow2 group counts, frame-ish
+    # and stream-ish sizes
+    for n in (0, 1, 7, 127, 128, 129, 255, 1000, 4097, 65537):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _crc16(data) == _crc16_scalar(data), n
+    assert _crc16(b"\x00" * 4096) == _crc16_scalar(b"\x00" * 4096)
+    assert _crc16(b"\xff" * 4096) == _crc16_scalar(b"\xff" * 4096)
+
+
+def test_lpc_kernel_matches_naive_recurrence():
+    from mints_wind_data_ingestion_spark.sources.flaccodec import (
+        _lpc_kernel,
+    )
+
+    rng = np.random.default_rng(22)
+    for order in (1, 2, 3, 8, 12, 32):
+        for shift in (0, 5, 14):
+            coefs = rng.integers(-(1 << 14), 1 << 14, order).tolist()
+            warm = rng.integers(-32768, 32768, order).tolist()
+            resid = rng.integers(-4000, 4000, 777).tolist()
+            # naive reference: spec recurrence, coefs[0] pairs with
+            # the most recent lag
+            ref = list(warm)
+            for r in resid:
+                acc = sum(
+                    c * ref[-1 - j] for j, c in enumerate(coefs)
+                )
+                ref.append(r + (acc >> shift))
+            got = _lpc_kernel(order, shift)(
+                resid, warm, *coefs[::-1]
+            )
+            assert got == ref, (order, shift)
