@@ -65,70 +65,93 @@ def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
+#: LZW root tables keyed on the CLEAR code (= 1 << min_code_size):
+#: per-call reconstruction was a visible slice of the decode profile
+_LZW_BASES: dict = {}
+
+
+def _lzw_base(clear: int) -> list:
+    t = _LZW_BASES.get(clear)
+    if t is None:
+        t = _LZW_BASES[clear] = (
+            [bytes([i]) for i in range(clear)] + [b"", b""]
+        )
+    return t
+
+
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     """GIF-variant LZW: little-endian bit packing, dynamic code width
     up to 12 bits, CLEAR resets the table, END terminates. Emits at
     most n_pixels indices (trailing junk tolerated per spec; running
-    OUT of codes before n_pixels is corruption)."""
+    OUT of codes before n_pixels is corruption). Hot loop on locals:
+    table/output lengths tracked in ints, width mask and growth
+    boundary precomputed, the common existing-code path tested first
+    (12-bit table cap per ADVICE r13 unchanged)."""
     if not 2 <= min_code_size <= 11:
         raise ValueError(f"GIF: bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
 
     out = bytearray()
-    # the decode table: code → byte string; rebuilt on CLEAR
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out_len = 0
+    base = _lzw_base(clear)
     table = list(base)
+    tlen = clear + 2
     width = min_code_size + 1
+    mask = (1 << width) - 1
+    grow_at = 1 << width
     prev: bytes | None = None
 
     acc = 0
     nbits = 0
     pos = 0
     n = len(data)
-    while len(out) < n_pixels:
+    while out_len < n_pixels:
         while nbits < width:
             if pos >= n:
                 raise ValueError("GIF: LZW stream exhausted before image")
             acc |= data[pos] << nbits
             nbits += 8
             pos += 1
-        code = acc & ((1 << width) - 1)
+        code = acc & mask
         acc >>= width
         nbits -= width
 
-        if code == clear:
-            table = list(base)
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == end:
-            break
-        if prev is None:
-            if code >= len(table):
-                raise ValueError(f"GIF: first LZW code {code} out of range")
+        if code < tlen:
+            if code == clear:
+                table = list(base)
+                tlen = clear + 2
+                width = min_code_size + 1
+                mask = (1 << width) - 1
+                grow_at = 1 << width
+                prev = None
+                continue
+            if code == end:
+                break
             entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            # 12-bit codes cap the table at 4096 entries (spec: the
-            # encoder must CLEAR before exceeding it). Growing past the
-            # boundary — as pre-r14 did — lets a corrupt stream with no
-            # CLEAR codes build unboundedly long entries (ADVICE r13:
-            # multi-GB allocations before any exception fires).
-            if len(table) < 4096:
+            if prev is not None and tlen < 4096:
                 table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4096:
+                tlen += 1
+        elif code == tlen and prev is not None and tlen < 4096:
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
+            if prev is None:
+                raise ValueError(
+                    f"GIF: first LZW code {code} out of range"
+                )
             raise ValueError(f"GIF: LZW code {code} beyond table")
         out += entry
+        out_len += len(entry)
         prev = entry
-        if len(table) == (1 << width) and width < 12:
+        if tlen == grow_at and width < 12:
             width += 1
-    if len(out) < n_pixels:
+            mask = (1 << width) - 1
+            grow_at = 1 << width
+    if out_len < n_pixels:
         raise ValueError(
-            f"GIF: LZW produced {len(out)} of {n_pixels} pixels"
+            f"GIF: LZW produced {out_len} of {n_pixels} pixels"
         )
     return out[:n_pixels]
 

@@ -117,6 +117,10 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
     table = list(base)
     tlen = 258
     width = 9
+    mask = (1 << width) - 1
+    # early change: widen one code EARLIER than the table-full
+    # boundary (writers emit the next code already wide)
+    grow_at = (1 << width) - 1
     out = bytearray()
     out_len = 0
     acc = 0
@@ -132,43 +136,43 @@ def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
             nbits += 8
             pos += 1
         nbits -= width
-        code = (acc >> nbits) & ((1 << width) - 1)
+        code = (acc >> nbits) & mask
         # trim consumed bits: without this the accumulator grows into
         # an unbounded bigint and every shift goes O(stream length)
         acc &= (1 << nbits) - 1
-        if code == clear:
-            table = list(base)
-            tlen = 258
-            width = 9
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            if code >= tlen:
-                raise ValueError(f"TIFF: first LZW code {code} invalid")
-            entry = table[code]
-        elif code < tlen:
+        if code < tlen:
+            if code == clear:
+                table = list(base)
+                tlen = 258
+                width = 9
+                mask = (1 << width) - 1
+                grow_at = (1 << width) - 1
+                prev = None
+                continue
+            if code == eoi:
+                break
             entry = table[code]
             # 12-bit cap (ADVICE r13): a compliant writer CLEARs before
             # code 4096; growing past it lets a CLEAR-free corrupt
             # stream build unboundedly long entries before any error
-            if tlen < 4096:
+            if prev is not None and tlen < 4096:
                 table.append(prev + entry[:1])
                 tlen += 1
-        elif code == tlen and tlen < 4096:
+        elif code == tlen and prev is not None and tlen < 4096:
             entry = prev + prev[:1]
             table.append(entry)
             tlen += 1
         else:
+            if prev is None:
+                raise ValueError(f"TIFF: first LZW code {code} invalid")
             raise ValueError(f"TIFF: LZW code {code} beyond table")
         out += entry
         out_len += len(entry)
         prev = entry
-        # early change: widen one code EARLIER than the table-full
-        # boundary (writers emit the next code already wide)
-        if tlen == (1 << width) - 1 and width < 12:
+        if tlen == grow_at and width < 12:
             width += 1
+            mask = (1 << width) - 1
+            grow_at = (1 << width) - 1
     if out_len < expected:
         raise ValueError(f"TIFF: LZW produced {out_len} of {expected}")
     return bytes(out[:expected])
@@ -313,27 +317,27 @@ def _packbits(row: bytes) -> bytes:
 
 def _lzw_encode_tiff(data: bytes) -> bytes:
     """TIFF-variant LZW encode (MSB-first, early change) — the
-    inverse of `_lzw_decode_tiff`."""
+    inverse of `_lzw_decode_tiff`. The bit emitter is INLINED in the
+    symbol loop (the closure call per emitted code was a visible
+    slice of the encode profile); the accumulator is trimmed after
+    every flush so it never grows into a bigint."""
     clear, eoi = 256, 257
     out = bytearray()
+    append = out.append
     acc = 0
     nbits = 0
 
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << width) | code
-        nbits += width
-        while nbits >= 8:
-            out.append((acc >> (nbits - 8)) & 0xFF)
-            nbits -= 8
-        # trim flushed bits (the accumulator otherwise grows into an
-        # unbounded bigint and every shift goes O(stream length))
-        acc &= (1 << nbits) - 1
-
     table: dict = {}
+    get = table.get
     next_code = 258
     width = 9
-    emit(clear, width)
+    # emit CLEAR
+    acc = (acc << width) | clear
+    nbits += width
+    while nbits >= 8:
+        nbits -= 8
+        append((acc >> nbits) & 0xFF)
+    acc &= (1 << nbits) - 1
     it = iter(data)
     cur = -1
     for v in it:
@@ -341,11 +345,16 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
         break
     for v in it:
         key = (cur << 8) | v
-        hit = table.get(key)
+        hit = get(key)
         if hit is not None:
             cur = hit
             continue
-        emit(cur, width)
+        acc = (acc << width) | cur
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
         table[key] = next_code
         # early change: widen when the JUST-ASSIGNED value is
         # 2^width − 1 — one entry earlier than the GIF variant, so
@@ -356,16 +365,32 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
             width += 1
         next_code += 1
         if next_code > 4093:
-            emit(clear, width)
+            acc = (acc << width) | clear
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
             table = {}
+            get = table.get
             next_code = 258
             width = 9
         cur = v
     if cur >= 0:
-        emit(cur, width)
-    emit(eoi, width)
+        acc = (acc << width) | cur
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+    acc = (acc << width) | eoi
+    nbits += width
+    while nbits >= 8:
+        nbits -= 8
+        append((acc >> nbits) & 0xFF)
+    acc &= (1 << nbits) - 1
     if nbits:
-        out.append((acc << (8 - nbits)) & 0xFF)
+        append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
 
 
