@@ -645,6 +645,19 @@ def _unpack_complex(msg: bytes, o5: int, o7: int, slen7: int) -> np.ndarray:
     len_ref, len_inc = _u(msg, o5 + 37, 4), msg[o5 + 41]
     last_len = _u(msg, o5 + 42, 4)
     lbits = msg[o5 + 46]
+    # O(1) corrupt-descriptor rejection: group lengths are
+    # len_ref + linc·len_inc with linc ≥ 0, so the minimum possible
+    # sum is (ng−1)·len_ref + last_len. A descriptor set whose floor
+    # already exceeds n can never pass the exact sum check below, and
+    # expanding its O(ng) descriptor arrays first is wasted work with
+    # pathological latency under host memory pressure (observed: a
+    # 267-byte corrupt message claiming 1.9M groups cost 0.15-5.7 s
+    # before this guard, microseconds after).
+    if ng > 0 and (ng - 1) * len_ref + last_len > n:
+        raise ValueError(
+            f"group lengths sum to at least "
+            f"{(ng - 1) * len_ref + last_len}, expected {n}"
+        )
 
     payload = msg[o7 + 5 : o7 + slen7]
     pos = 0

@@ -223,3 +223,51 @@ def test_lpc_kernel_matches_naive_recurrence():
                 resid, warm, *coefs[::-1]
             )
             assert got == ref, (order, shift)
+
+
+def test_complex_packing_corrupt_group_floor_rejects_in_o1():
+    """A corrupt 5.2/5.3 descriptor set whose minimum possible group-
+    length sum already exceeds n must quarantine BEFORE the O(ng)
+    descriptor expansion (observed 0.15-5.7 s on a 267-byte message
+    claiming 1.9M groups; the guard makes it microseconds)."""
+    import time
+
+    from mints_wind_data_ingestion_spark.sources.grib2codec import (
+        decode_grib2_bytes,
+        encode_grib2_message,
+        scan_grib2_bytes,
+    )
+
+    from datetime import datetime, timezone
+
+    kw = dict(
+        parameter_number=2,
+        ref_time=datetime(2026, 8, 1, tzinfo=timezone.utc),
+        nx=30,
+        ny=20,
+        packing="complex",
+    )
+    rng = np.random.default_rng(14)
+    vals = (
+        np.sin(np.arange(600) / 9.0) * 10 + rng.normal(0, 0.8, 600)
+    )
+    msg = bytearray(encode_grib2_message(vals, **kw))
+    # locate section 5 (walk from octet 16) and corrupt ng upward
+    o = 16
+    while True:
+        slen = int.from_bytes(msg[o : o + 4], "big")
+        if msg[o + 4] == 5:
+            break
+        o += slen
+    # octet o+31..34: number of groups -> absurdly large but < n, so
+    # only the length-floor check can reject it cheaply
+    msg[o + 31 : o + 35] = (550).to_bytes(4, "big")
+    t0 = time.perf_counter()
+    out = scan_grib2_bytes(bytes(msg))
+    dt = time.perf_counter() - t0
+    assert len(out) == 1 and out[0]["record"] is None
+    assert "group lengths sum to at least" in out[0]["error"]
+    assert dt < 0.1, f"floor rejection took {dt:.3f}s"
+    # the untouched original still decodes
+    ok = decode_grib2_bytes(bytes(encode_grib2_message(vals, **kw)))
+    assert len(ok) == 1
