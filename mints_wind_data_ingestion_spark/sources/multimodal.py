@@ -558,10 +558,15 @@ def _luma_plane(px):
 
     px = np.asarray(px)
     if px.ndim == 3:
-        r = px[..., 0].astype(np.int64)
-        g = px[..., 1].astype(np.int64)
-        b = px[..., 2].astype(np.int64)
-        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        # one contiguous pass: (N,3) @ weights runs ~5x faster than
+        # three strided channel astypes and allocates one temporary
+        # instead of four — the fresh-page first-touch cost of big
+        # transients dominates wide frames on this host (alpha, if
+        # any, ignored). Identical integers: max 255*1000 < 2^31.
+        flat = np.ascontiguousarray(px[..., :3]).reshape(-1, 3)
+        acc = flat @ np.array([299, 587, 114], dtype=np.int32)
+        acc //= 1000
+        return acc.astype(np.uint8).reshape(px.shape[:2])
     return px.astype(np.uint8, copy=False)
 
 
@@ -982,14 +987,18 @@ def dhash64(pixels) -> int:
     import numpy as np
 
     px = np.asarray(pixels)
-    if px.ndim == 3:
-        r = px[..., 0].astype(np.int64)
-        g = px[..., 1].astype(np.int64)
-        b = px[..., 2].astype(np.int64)  # alpha (if any) ignored
-        px = (r * 299 + g * 587 + b * 114) // 1000
-    else:
-        px = px.astype(np.int64)
+    # nearest-neighbor resize is a pure per-cell gather and the
+    # luminance map is pointwise, so they commute EXACTLY: resizing
+    # first runs the integer luma on 72 cells instead of W*H and
+    # skips the full-plane int64 astype (O(W*H) temporaries whose
+    # first-touch page cost dominated wide frames on this host).
     small = resize_image(px, 9, 8)
+    if small.ndim == 3:
+        s = small.astype(np.int64)
+        # alpha (if any) ignored
+        small = (s[..., 0] * 299 + s[..., 1] * 587 + s[..., 2] * 114) // 1000
+    else:
+        small = small.astype(np.int64)
     bits = small[:, :-1] > small[:, 1:]
     weights = (1 << np.arange(63, -1, -1, dtype=np.uint64))
     return int(bits.reshape(-1).astype(np.uint64) @ weights)

@@ -271,3 +271,42 @@ def test_complex_packing_corrupt_group_floor_rejects_in_o1():
     # the untouched original still decodes
     ok = decode_grib2_bytes(bytes(encode_grib2_message(vals, **kw)))
     assert len(ok) == 1
+
+
+def test_dhash_and_luma_rewrites_bit_identical():
+    """dhash64 now resizes BEFORE the luma map (nearest-neighbor gather
+    and a pointwise map commute exactly); _luma_plane runs one (N,3)
+    matmul pass. Both must stay bit-identical to the r13 forms."""
+    from mints_wind_data_ingestion_spark.sources import multimodal as mm
+
+    def luma_ref(px):
+        px = np.asarray(px)
+        if px.ndim == 3:
+            r = px[..., 0].astype(np.int64)
+            g = px[..., 1].astype(np.int64)
+            b = px[..., 2].astype(np.int64)
+            return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        return px.astype(np.uint8, copy=False)
+
+    def dhash_ref(pixels):
+        px = np.asarray(pixels)
+        if px.ndim == 3:
+            r = px[..., 0].astype(np.int64)
+            g = px[..., 1].astype(np.int64)
+            b = px[..., 2].astype(np.int64)
+            px = (r * 299 + g * 587 + b * 114) // 1000
+        else:
+            px = px.astype(np.int64)
+        small = mm.resize_image(px, 9, 8)
+        bits = small[:, :-1] > small[:, 1:]
+        weights = 1 << np.arange(63, -1, -1, dtype=np.uint64)
+        return int(bits.reshape(-1).astype(np.uint64) @ weights)
+
+    rng = np.random.default_rng(7)
+    for t in range(200):
+        h, w = rng.integers(1, 90, 2)
+        c = int(rng.choice([0, 3, 4]))
+        shape = (h, w) if c == 0 else (h, w, c)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(mm._luma_plane(img), luma_ref(img)), shape
+        assert mm.dhash64(img) == dhash_ref(img), shape
