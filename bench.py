@@ -113,6 +113,30 @@ def wf_median(factors: dict[str, float]) -> float | None:
     return round(med, 3)
 
 
+def worst_first(
+    names: list[str],
+    timings: dict[str, float],
+    prior_min: dict[str, float],
+) -> list[str]:
+    """Re-sweep order: descending window factor (observed / ledger
+    min), unledgered names first (their recorded min is most likely
+    burst-poisoned). Every recovery loop below iterates in this order
+    so that when the budget runs out MID-LOOP — the defining property
+    of a collapsed window — the budget went to the queries whose
+    recordings are most inflated. The r14 observation that forced
+    this: a 229 s first pass (ledger 44.8 s) exhausted the budget
+    before ANY recovery machinery ran, leaving x_dsir_sample recorded
+    at 34.5× its ledger min when a single later re-run read 1.4×;
+    in-name-order loops would spend the first 40 s of salvage budget
+    re-timing a3_o1_suite..f_filter at wf≈1.2."""
+    return sorted(
+        names,
+        key=lambda n: -(
+            timings[n] / prior_min[n] if prior_min.get(n) else float("inf")
+        ),
+    )
+
+
 def read_load1() -> float | None:
     try:
         with open("/proc/loadavg") as fh:
@@ -293,13 +317,19 @@ def main() -> None:
     if (
         first_pass_wf is not None
         and first_pass_wf > degraded_at
-        and elapsed() + 90 + sum(timings.values()) < budget
+        # entry only needs room for the cool-down plus SOME re-runs
+        # (worst-first order + the per-query budget check spend
+        # whatever is left where it sheds the most inflation); the
+        # old full-sweep entry gate priced recovery out of exactly
+        # the collapsed windows it exists for (r13; r14: a 229 s
+        # first pass recorded with recovery_passes 0)
+        and elapsed() + 90 + min(timings.values()) < budget
     ):
         t_rs = time.time()
         time.sleep(60)  # cooling recovers ~10% even after load decays
         settle_host(120, target_load1=2.0)
         resettle_sec = round(time.time() - t_rs, 1)
-        for name in names:
+        for name in worst_first(names, timings, prior_min):
             timings[name] = round(min(timings[name], run_once(name)), 4)
             if elapsed() > budget:
                 break
@@ -311,8 +341,8 @@ def main() -> None:
     # every query; min-over-two-sweeps is the cheapest estimator that
     # defeats window-correlated noise (the r5 recording's 6.7 s
     # recorded-vs-ledger gap was exactly this failure mode).
-    if elapsed() + sum(timings.values()) < budget:
-        for name in names:
+    if elapsed() + min(timings.values()) < budget:
+        for name in worst_first(names, timings, prior_min):
             timings[name] = round(min(timings[name], run_once(name)), 4)
             if elapsed() > budget:
                 break
@@ -383,10 +413,10 @@ def main() -> None:
     while (
         sum(timings.values()) > trigger
         and recovery < 5
-        and elapsed() + sum(timings.values()) < budget
+        and elapsed() + min(timings.values()) < budget
     ):
         recovery += 1
-        for name in names:
+        for name in worst_first(names, timings, prior_min):
             timings[name] = round(min(timings[name], run_once(name)), 4)
             if elapsed() > budget:
                 break

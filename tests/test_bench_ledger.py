@@ -176,3 +176,14 @@ def test_promoted_slots_are_driver_rows_backed_by_driver_composites():
         assert composite in timed, (
             f"{slot}'s composite {composite} is not a timed driver row"
         )
+
+
+def test_worst_first_orders_by_window_factor():
+    import bench
+
+    timings = {"a": 1.0, "b": 4.0, "c": 0.5, "new": 2.0}
+    prior = {"a": 1.0, "b": 1.0, "c": 1.0}  # wf: a=1, b=4, c=0.5
+    order = bench.worst_first(sorted(timings), timings, prior)
+    # unledgered names first (most likely burst-poisoned), then by
+    # descending observed/ledger factor
+    assert order == ["new", "b", "a", "c"]
