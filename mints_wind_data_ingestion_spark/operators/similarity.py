@@ -928,7 +928,7 @@ def topk_ivf_indexed(
     ).withColumnRenamed("__v", "__qv").withColumn(
         "__qn", _norm_col("__qv", dim)
     )
-    cells = spark.read.parquet(f"{index_path}/cells").select(
+    cells = _read_index_parquet(spark, index_path, "cells").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         "cell",
@@ -1259,6 +1259,71 @@ def _pull_probes_bounded(probes: DataFrame, id_col: str, vec_col: str):
     return pulled.sort_values(id_col, ignore_index=True)
 
 
+def _read_index_parquet(
+    spark: SparkSession,
+    index_path: str,
+    sub: str,
+    marker_name: str = "_INDEX_META.json",
+) -> DataFrame:
+    """Lazily-read parquet handle for a persisted-index table,
+    session-memoized on the index marker: `spark.read.parquet(dir)`
+    launches a partition-discovery/schema-inference JOB per call, so
+    re-reading the directory on every plan build both costs that job
+    and keeps the calling query out of the prepared-plan cache
+    (registry eager-build detection). A rebuild rewrites the marker
+    and invalidates the memo; an unmarked index never memoizes."""
+    marker = _hadoop_read_text(
+        spark, index_path.rstrip("/") + "/" + marker_name
+    ) or ""
+    path = f"{index_path.rstrip('/')}/{sub}"
+    if not marker:
+        return spark.read.parquet(path)
+    return _memo_artifact(
+        spark, f"read:{sub}", index_path, marker,
+        lambda: spark.read.parquet(path),
+    )
+
+
+def _pull_probes_memo(
+    spark: SparkSession,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+):
+    """Bounded probe pull memoized per session (the `_ARTIFACT_MEMO`
+    convention): repeated plan builds against an unchanged index
+    re-pull the same bounded probe set on every build, and that eager
+    job is what keeps the composite out of the prepared-plan cache.
+    Key = index marker text (data version of the corpus the probes
+    are answered against) + the probe plan's semantic hash + the
+    probe table's input file listing — a rebuilt index, a different
+    probe query, or an overwritten probe source each re-pull. Probes
+    with no file-backed lineage (in-memory frames) never memoize:
+    their values can change under an identical plan."""
+    marker = _hadoop_read_text(
+        spark, index_path.rstrip("/") + "/_INDEX_META.json"
+    ) or ""
+    try:
+        files = probes.inputFiles()
+    except Exception:  # noqa: BLE001 — lineage probe only
+        files = []
+    if not marker or not files:
+        return _pull_probes_bounded(probes, id_col, vec_col)
+    import hashlib
+
+    sem = (
+        probes.select(id_col, vec_col)
+        ._jdf.queryExecution().analyzed().semanticHash()
+    )
+    digest = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+    return _memo_artifact(
+        spark, "probe_pull", index_path,
+        f"{marker}|{sem}|{len(files)}:{digest}",
+        lambda: _pull_probes_bounded(probes, id_col, vec_col),
+    )
+
+
 def topk_pq(
     probes: DataFrame,
     codes: DataFrame,
@@ -1266,6 +1331,7 @@ def topk_pq(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes_pdf=None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: queries (a bounded
     probe set) build their (m × ks) inner-product LUTs driver-side,
@@ -1284,7 +1350,10 @@ def topk_pq(
     # contract every other mapInPandas here honors — a string vec_id
     # must not be silently cast to long)
     id_type = codes.schema[id_col].dataType.simpleString()
-    qpdf = _pull_probes_bounded(probes, id_col, vec_col)
+    qpdf = (
+        probes_pdf if probes_pdf is not None
+        else _pull_probes_bounded(probes, id_col, vec_col)
+    )
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     lut = _pq_lut(Q, books)
@@ -1507,6 +1576,7 @@ def ivfpq_shortlist(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    probes_pdf=None,
 ) -> DataFrame:
     """The (query_id, neighbor_id) ADC shortlist half of `topk_ivfpq`
     — exposed so a composite can union several variants' shortlists
@@ -1522,13 +1592,18 @@ def ivfpq_shortlist(
         probes.select(id_col, vec_col), centroids, nprobe, "query_id", vec_col
     ).select("query_id", "cell")
 
-    qpdf = _pull_probes_bounded(probes, id_col, vec_col)
+    qpdf = (
+        probes_pdf if probes_pdf is not None
+        else _pull_probes_bounded(probes, id_col, vec_col)
+    )
     Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     lut = _pq_lut(Q, books)
     qrow = {qid: i for i, qid in enumerate(qpdf[id_col])}
 
-    codes = spark.read.parquet(f"{index_path}/pqcells")
+    codes = _read_index_parquet(
+        spark, index_path, "pqcells", "_IVFPQ_META.json"
+    )
     id_type = codes.schema[id_col].dataType.simpleString()
     # broadcast the bounded probe table; the join's cell filter
     # partition-prunes the codes scan to the probed directories. Each

@@ -1841,11 +1841,19 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate sets and cosine values are bit-identical to two
     # independent topk_ivf_indexed calls (equality pinned at two sfs)
     # at ~2/3 the scan+rerank cost (interleaved A/B: 1.04 → 0.81 s).
-    from ..operators.similarity import _norm_col, _rerank_cosine_prenorm
-
-    qpdf = probes.select("vec_id", "embedding").toPandas().sort_values(
-        "vec_id", ignore_index=True
+    from ..operators.similarity import (
+        _norm_col,
+        _pull_probes_memo,
+        _rerank_cosine_prenorm,
     )
+
+    # ONE bounded probe pull serves the cell-order table here AND both
+    # PQ legs below (r14 opt: three identical 8-row toPandas jobs per
+    # build), memoized on the index marker + probe lineage so repeated
+    # builds against an unchanged index launch ZERO eager jobs — which
+    # also makes the whole composite admissible to the prepared-plan
+    # cache (registry eager-build re-probe) from its second build.
+    qpdf = _pull_probes_memo(spark, probes, "vec_id", "embedding", idx)
     Q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ centroids.T), axis=1, kind="stable")[:, :8]
@@ -1862,7 +1870,9 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("__qv"),
         _norm_col("embedding", 64).alias("__qn"),
     )
-    cells_t = spark.read.parquet(f"{idx}/cells").select(
+    from ..operators.similarity import _read_index_parquet
+
+    cells_t = _read_index_parquet(spark, idx, "cells").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("__cv"),
         "cell",
@@ -1935,11 +1945,12 @@ def x_sim_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitions on (tag, query), so each variant ranks alone).
     build_ivfpq_codes(spark, idx, books)
     short_pq = topk_pq(
-        probes, pq_codes, books, k=_PQ_SHORTLIST
+        probes, pq_codes, books, k=_PQ_SHORTLIST, probes_pdf=qpdf
     ).select("query_id", "neighbor_id")
     short_iv = ivfpq_shortlist(
         spark, idx, probes, books,
         nprobe=_IVFPQ_NPROBE, shortlist=_PQ_SHORTLIST, centroids=centroids,
+        probes_pdf=qpdf,
     )
     tagged = short_pq.withColumn("__t", F.lit("pq")).unionByName(
         short_iv.withColumn("__t", F.lit("iv"))

@@ -310,3 +310,38 @@ def test_dhash_and_luma_rewrites_bit_identical():
         img = rng.integers(0, 256, shape, dtype=np.uint8)
         assert np.array_equal(mm._luma_plane(img), luma_ref(img)), shape
         assert mm.dhash64(img) == dhash_ref(img), shape
+
+
+def test_ivf_suite_rebuild_launches_zero_jobs_and_plan_caches(spark):
+    """r14 opt: the composite's probe pulls and persisted-index parquet
+    reads are session-memoized on the index markers, so a rebuild
+    against an unchanged index launches ZERO jobs — which makes the
+    suite admissible to the prepared-plan cache from its second build.
+    Values must stay identical to a fresh (cache-off) build."""
+    from mints_wind_data_ingestion_spark.plans import (
+        REGISTRY,
+        enable_plan_cache,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tracker = spark._jsc.sc().statusTracker()
+    group = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+
+    def njobs():
+        return len(list(tracker.getJobIdsForGroup(group)))
+
+    enable_plan_cache(True)
+    try:
+        REGISTRY["x_sim_ivf_suite"].build(spark, sf)
+        j1 = njobs()
+        b2 = REGISTRY["x_sim_ivf_suite"].build(spark, sf)
+        assert njobs() == j1, "rebuild launched eager jobs"
+        b3 = REGISTRY["x_sim_ivf_suite"].build(spark, sf)
+        assert b2 is b3, "suite did not enter the prepared-plan cache"
+        rows = sorted(map(tuple, b3.collect()))
+    finally:
+        enable_plan_cache(False)
+    fresh = sorted(
+        map(tuple, REGISTRY["x_sim_ivf_suite"].build(spark, sf).collect())
+    )
+    assert rows == fresh
