@@ -70,22 +70,48 @@ def load_prior_min(here: str, hist: dict[str, float]) -> dict[str, float]:
 
 
 def roll_ledger(
-    hist_path: str, hist: dict[str, float], timings: dict[str, float]
+    hist_path: str, hist: dict[str, float], timings: dict[str, float],
+    split: dict | None = None,
 ) -> None:
     """Merge this run's minimums INTO the ledger (a
     SPARK_GRAFT_BENCH_ONLY subset run must not drop other queries'
     history). mins are taken against the LEDGER value only — never the
     recorded artifacts — so a reseed sticks; `plan_cache` marks the
     measurement regime the entries were taken under (ADVICE r6:
-    cross-round comparisons must stay like-for-like)."""
+    cross-round comparisons must stay like-for-like).
+
+    `split`: the most recent SUCCESSFUL plan-cache-off sweep (VERDICT
+    r14 #2) — persisted so that a later run whose own split is priced
+    out by a degraded window still ships an artifact carrying the
+    latest recorded build-vs-execution split (clearly marked as
+    ledger-carried, never as the current run's). None preserves
+    whatever split the ledger already holds."""
     merged = dict(hist)
     for k, v in timings.items():
         merged[k] = round(min(v, hist.get(k, v)), 4)
+    out = {"queries": merged, "plan_cache": True}
+    prev_split = load_ledger_split(hist_path)
+    keep = split if split is not None else prev_split
+    if keep is not None:
+        out["plan_cache_off_last"] = keep
     with open(hist_path, "w") as fh:
-        json.dump(
-            {"queries": merged, "plan_cache": True}, fh, indent=1,
-            sort_keys=True,
-        )
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+
+def load_ledger_split(hist_path: str) -> dict | None:
+    """The ledger-persisted most-recent plan-cache-off split, or None."""
+    try:
+        with open(hist_path) as fh:
+            loaded = json.load(fh)
+        sp = loaded.get("plan_cache_off_last")
+        if (
+            isinstance(sp, dict)
+            and isinstance(sp.get("total"), (int, float))
+        ):
+            return sp
+    except (OSError, ValueError, AttributeError, TypeError):
+        pass
+    return None
 
 
 def window_factors(
@@ -300,6 +326,43 @@ def main() -> None:
         min(budget_cap, elapsed() + 5.0 * sum(timings.values())),
     )
 
+    # plan_cache=off A/B sweep (VERDICT r6 #3 / r14 #2): one full
+    # uncached pass pins the build-vs-execution split per round. The
+    # split is the audit guard for the plan-cache/memoization regime,
+    # so it must actually RECORD: r13 and r14 both shipped artifacts
+    # with the split null because it ran last and degraded windows
+    # priced it out. It now runs EARLY (right after the first pass)
+    # whenever that pass was calm — a calm window is exactly when the
+    # split is cheap AND meaningful — and falls back to the old late
+    # slot otherwise. Per-query predictive budget gate (ADVICE r14):
+    # stop BEFORE an over-budget run, using the observed cached time
+    # scaled by the ~1.7× uncached/cached ratio (BASELINE.md); a
+    # partial sweep is discarded — a partial sum would read as a
+    # (wrong) full-surface split.
+    def run_split() -> dict[str, float] | None:
+        if elapsed() + 1.7 * sum(timings.values()) >= budget:
+            return None
+        enable_plan_cache(False)
+        nc: dict[str, float] = {}
+        try:
+            for name in names:
+                if elapsed() + 1.7 * timings[name] > budget:
+                    break
+                nc[name] = round(run_once(name), 4)
+        except Exception:  # noqa: BLE001 — the A/B is advisory
+            pass
+        finally:
+            enable_plan_cache(True)
+        return nc if len(nc) == len(names) else None
+
+    first_pass_wf = wf_median(window_factors(timings, prior_min))
+    split_calm_at = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SPLIT_CALM_FACTOR", "1.3")
+    )
+    nocache: dict[str, float] | None = None
+    if first_pass_wf is None or first_pass_wf <= split_calm_at:
+        nocache = run_split()
+
     # degraded-first-pass early retry (VERDICT r13 #1): when the first
     # pass's MEDIAN window factor exceeds the degraded threshold, the
     # whole pass — including every adjacent retry — sampled a collapsed
@@ -309,7 +372,6 @@ def main() -> None:
     # penalty persisted. So: one fixed cool-down + a stricter load
     # settle, then a full re-sweep min-merged into the timings. The
     # metric is sum-of-mins, so this only sheds noise.
-    first_pass_wf = wf_median(window_factors(timings, prior_min))
     degraded_at = float(
         os.environ.get("SPARK_GRAFT_BENCH_DEGRADED_FACTOR", "1.5")
     )
@@ -322,17 +384,24 @@ def main() -> None:
         # whatever is left where it sheds the most inflation); the
         # old full-sweep entry gate priced recovery out of exactly
         # the collapsed windows it exists for (r13; r14: a 229 s
-        # first pass recorded with recovery_passes 0)
-        and elapsed() + 90 + min(timings.values()) < budget
+        # first pass recorded with recovery_passes 0). Priced at the
+        # true worst-case cool-down cost — sleep 60 + settle up to
+        # 120 — not the 90 s the r14 branch assumed (ADVICE r14).
+        and elapsed() + 180 + min(timings.values()) < budget
     ):
         t_rs = time.time()
         time.sleep(60)  # cooling recovers ~10% even after load decays
         settle_host(120, target_load1=2.0)
         resettle_sec = round(time.time() - t_rs, 1)
         for name in worst_first(names, timings, prior_min):
+            # predictive per-query gate (ADVICE r14): skip a re-run the
+            # remaining budget cannot cover and CONTINUE to cheaper
+            # names, instead of discovering the overshoot after paying
+            # for it — the old break-after-over-budget pattern overran
+            # the cap by up to one worst-query runtime
+            if elapsed() + timings[name] > budget:
+                continue
             timings[name] = round(min(timings[name], run_once(name)), 4)
-            if elapsed() > budget:
-                break
 
     # second full sweep, unconditional (r5 verdict #5): a query's
     # initial runs are ADJACENT in time, so one multi-minute burst
@@ -343,9 +412,9 @@ def main() -> None:
     # recorded-vs-ledger gap was exactly this failure mode).
     if elapsed() + min(timings.values()) < budget:
         for name in worst_first(names, timings, prior_min):
+            if elapsed() + timings[name] > budget:
+                continue
             timings[name] = round(min(timings[name], run_once(name)), 4)
-            if elapsed() > budget:
-                break
 
     # burst recovery: host-side CPU bursts last minutes and can poison
     # EVERY per-query retry inside one pass (observed: an 86 s sweep
@@ -370,67 +439,68 @@ def main() -> None:
         + sum(min(timings[n], 2.0) for n in names if n not in prior_min),
     )
 
-    # plan_cache=off A/B pass (VERDICT r6 #3): one full uncached sweep
-    # so the artifact pins the build-vs-execution split per round and
-    # cross-round totals stay comparable across the r6 metric change.
-    # Single pass (not best-of): it's a split estimate, not the
-    # headline — the headline stays sum-of-mins under the cache.
-    # Runs BEFORE the burst-recovery passes (VERDICT r10 #5): recovery
-    # can legitimately eat the whole remaining budget in a noisy
-    # window, and r10's recorded artifact lost the split exactly that
-    # way (recovery_passes 5, total_plan_cache_off null). The split is
-    # per-round evidence; recovery only sharpens a sum-of-mins that is
-    # already burst-resistant — so the split gets the budget first.
-    # Failure-isolated and budget-checked per query: the headline
-    # metric line MUST print even if one uncached run dies or the
-    # sweep overruns (uncached runs are strictly slower than the
-    # cached total the entry guard estimates with).
-    # Entry guard scaled by the observed uncached/cached ratio (~1.7×,
-    # BASELINE.md): the uncached sweep is strictly slower than the
-    # cached sum, and the in-loop check only fires between queries —
-    # entering with merely `sum(timings)` of headroom routinely
-    # overran the advisory budget by a full slow query (ADVICE r7).
-    # 2× headroom keeps the overrun rare without demanding a
-    # pathological calm window.
-    nocache: dict[str, float] | None = None
-    if elapsed() + 2.0 * sum(timings.values()) < budget:
-        enable_plan_cache(False)
-        nocache = {}
-        try:
-            for name in names:
-                nocache[name] = round(run_once(name), 4)
-                if elapsed() > budget:
-                    break
-        except Exception:  # noqa: BLE001 — the A/B is advisory
-            pass
-        finally:
-            enable_plan_cache(True)
-        if len(nocache) < len(names):
-            nocache = None  # partial sweep: a partial sum would read
-            # as a (wrong) full-surface split
+    # late split slot: when the first pass was degraded the early call
+    # above was skipped (its numbers would be window garbage anyway);
+    # retry here — after the resettle and second sweep the window may
+    # have recovered — and still BEFORE the burst-recovery passes
+    # (VERDICT r10 #5), which can legitimately eat the rest of the
+    # budget.
+    if nocache is None:
+        nocache = run_split()
 
+    # at least one recovery pass whenever budget remains (VERDICT r14
+    # #1: recorded artifacts shipped recovery_passes 0 two rounds
+    # running): the metric is sum-of-mins, so an extra worst-first
+    # pass only ever sheds noise, and the per-query predictive gate
+    # bounds its cost. Beyond the first pass, entry still requires the
+    # 12%-over-ledger burst signature.
     recovery = 0
     while (
-        sum(timings.values()) > trigger
+        (sum(timings.values()) > trigger or recovery == 0)
         and recovery < 5
         and elapsed() + min(timings.values()) < budget
     ):
         recovery += 1
         for name in worst_first(names, timings, prior_min):
+            if elapsed() + timings[name] > budget:
+                continue
             timings[name] = round(min(timings[name], run_once(name)), 4)
-            if elapsed() > budget:
-                break
 
     total = round(sum(timings.values()), 4)
+    # the split that rolls into the ledger: only a full-surface sf0.1
+    # success (a subset split is not a full-surface total). The ledger
+    # fallback below is what keeps the artifact carrying a split even
+    # when THIS run's window priced the uncached sweep out.
+    split_rec = None
+    if nocache is not None and not only:
+        split_rec = {
+            "total": round(sum(nocache.values()), 4),
+            "recorded_unix": int(time.time()),
+            "wf_median": wf_median(window_factors(timings, prior_min)),
+            "queries": nocache,
+        }
+    ledger_split = load_ledger_split(hist_path) if nocache is None else None
     # roll the min ledger forward so the NEXT run (same session's
     # re-bench or the driver's recorded pass) has burst-retry targets
     # for every current query name. sf-gated: the ledger is an sf0.1
     # artifact — a dev-time sf0.001 run would roll in minimums an order
     # of magnitude below anything an sf0.1 sweep can reach, making the
     # 1.35× burst-retry trigger fire forever on unreachable targets.
-    if sf == 0.1:
+    # core-gated too (r15): the ledger's regime is the machine's full
+    # core count — a reduced-core leg (the driver's scaling run, the
+    # interleaved scaling script) must not reseed minimums for the
+    # suites that run FASTER on fewer cores at sf0.1 (the r14 scaling
+    # table showed 29/41 such ratios), or the wf audit starts comparing
+    # cross-regime.
+    try:
+        run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+            os.cpu_count() or 0
+        )
+    except ValueError:
+        run_cpus = os.cpu_count() or 0
+    if sf == 0.1 and run_cpus == (os.cpu_count() or 0):
         try:
-            roll_ledger(hist_path, hist, timings)
+            roll_ledger(hist_path, hist, timings, split=split_rec)
         except Exception:  # noqa: BLE001 — the ledger must never eat the metric line
             pass
 
@@ -467,6 +537,16 @@ def main() -> None:
         "queries_plan_cache_off": nocache,
         "total_plan_cache_off": (
             round(sum(nocache.values()), 4) if nocache else None
+        ),
+        # ledger-carried fallback (VERDICT r14 #2): when THIS run's
+        # split was priced out, the artifact still carries the most
+        # recent successful one — clearly marked with its own
+        # timestamp, never substituted into total_plan_cache_off
+        "total_plan_cache_off_ledger": (
+            ledger_split.get("total") if ledger_split else None
+        ),
+        "plan_cache_off_ledger_unix": (
+            ledger_split.get("recorded_unix") if ledger_split else None
         ),
         # promoted correctness slots excluded from the timed sweep —
         # each one's plan is built and timed inside the composite named
@@ -524,6 +604,12 @@ def headline_line(result: dict) -> str:
         "load1_end": result.get("load1_end"),
         "plan_cache": result["plan_cache"],
         "total_plan_cache_off": result["total_plan_cache_off"],
+        "total_plan_cache_off_ledger": result.get(
+            "total_plan_cache_off_ledger"
+        ),
+        "plan_cache_off_ledger_unix": result.get(
+            "plan_cache_off_ledger_unix"
+        ),
         "n_promoted_excluded": len(result.get("promotions") or {}),
         "sf": result["sf"],
     }

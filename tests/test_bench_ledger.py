@@ -73,6 +73,54 @@ def test_roll_ledger_mins_against_ledger_only(tmp_path):
     assert json.load(open(hist_path))["queries"]["q"] == 1.8  # real gain rolls
 
 
+def test_roll_ledger_persists_and_preserves_split(tmp_path):
+    """VERDICT r14 #2: the most recent SUCCESSFUL plan-cache-off split
+    persists in the ledger; a later run without one preserves it, and
+    a newer success replaces it."""
+    from bench import load_ledger_split
+
+    d = str(tmp_path)
+    hist_path = os.path.join(d, "BENCH_HISTORY.json")
+    assert load_ledger_split(hist_path) is None  # absent file
+    sp = {"total": 80.5, "recorded_unix": 123, "wf_median": 1.1,
+          "queries": {"q": 80.5}}
+    roll_ledger(hist_path, {}, {"q": 2.0}, split=sp)
+    assert load_ledger_split(hist_path)["total"] == 80.5
+    # split=None (this run's split priced out): stored split survives,
+    # while query minimums still roll
+    roll_ledger(hist_path, load_history(hist_path), {"q": 1.8})
+    assert load_ledger_split(hist_path)["recorded_unix"] == 123
+    assert load_history(hist_path)["q"] == 1.8
+    # a newer success replaces it
+    roll_ledger(hist_path, load_history(hist_path), {"q": 1.9},
+                split={"total": 77.0, "recorded_unix": 456,
+                       "wf_median": 1.0, "queries": {"q": 77.0}})
+    assert load_ledger_split(hist_path)["total"] == 77.0
+    # malformed stored split reads as absent, never raises
+    _write(d, "BENCH_HISTORY.json",
+           {"queries": {"q": 1.0}, "plan_cache_off_last": {"total": "x"}})
+    assert load_ledger_split(hist_path) is None
+
+
+def test_headline_carries_ledger_split_fallback():
+    """When this run's split is null, the headline still carries the
+    ledger's most recent split under its own clearly-marked keys."""
+    from bench import headline_line
+
+    result = {
+        "metric": "total_query_sec", "value": 50.0, "unit": "sec",
+        "queries": {"q": 1.0}, "recovery_passes": 1, "plan_cache": True,
+        "total_plan_cache_off": None,
+        "total_plan_cache_off_ledger": 81.2,
+        "plan_cache_off_ledger_unix": 1755400000,
+        "sf": 0.1,
+    }
+    parsed = json.loads(headline_line(result))
+    assert parsed["total_plan_cache_off"] is None
+    assert parsed["total_plan_cache_off_ledger"] == 81.2
+    assert parsed["plan_cache_off_ledger_unix"] == 1755400000
+
+
 def test_headline_line_fits_driver_tail_capture():
     """VERDICT r8 #2: the driver records only the last ~2000 chars of
     bench stdout; r7 AND r8 shipped lines that outgrew it (parsed:
@@ -95,6 +143,8 @@ def test_headline_line_fits_driver_tail_capture():
         "recovery_passes": 2,
         "plan_cache": True,
         "total_plan_cache_off": 99.8877,
+        "total_plan_cache_off_ledger": 101.2345,
+        "plan_cache_off_ledger_unix": 1755400000,
         "promotions": dict(PROMOTED_SLOTS),
         "sf": 0.1,
     }
