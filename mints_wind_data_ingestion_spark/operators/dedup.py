@@ -707,28 +707,49 @@ def _verify_pairs_by_count(
     pb_src = posting if posting_b is None else posting_b
     ids_a = cands.select(F.col("id_a").alias("__id")).distinct()
     ids_b = cands.select(F.col("id_b").alias("__id")).distinct()
-    pa = (
-        posting.join(F.broadcast(ids_a), "__id")
-        .dropDuplicates(["__id", "__h"])
-        .select(F.col("__id").alias("id_a"), "__h")
-    )
-    pb = (
-        pb_src.join(F.broadcast(ids_b), "__id")
-        .dropDuplicates(["__id", "__h"])
-        .select(F.col("__id").alias("id_b"), "__h")
-    )
-    sizes_a = pa.groupBy("id_a").agg(F.count(F.lit(1)).alias("__n"))
-    sizes_b = pb.groupBy("id_b").agg(F.count(F.lit(1)).alias("__n"))
+
+    # r15 exchange-merging (guide §2.4; VERDICT r14 next-round #3): the
+    # old chain computed each side's restricted posting TWICE (once for
+    # the overlap join, once for a separate set-size aggregate) and
+    # paid per side a dedup exchange on (id, h), a size exchange on id,
+    # and a re-exchange for the overlap join — plus two final
+    # size-joins. One explicit repartition(id) per side now serves all
+    # three consumers: HashPartitioning(id) satisfies the dedup
+    # aggregate's ClusteredDistribution(id, h) (subset rule), the
+    # set-size window's ClusteredDistribution(id), and the overlap
+    # join's id-key requirement — so |A| / |B| ride ALONG each posting
+    # row as a window count and the size-join tier disappears. Verify
+    # plan: 12 exchanges + 3 SMJs → 6 exchanges + 2 SMJs, and each
+    # side's posting restriction executes once instead of twice.
+    # Skew envelope unchanged: the window partitions by candidate id,
+    # bounded by a document's distinct-shingle count.
+    def _restricted(src: DataFrame, ids: DataFrame, out_id: str,
+                    n_name: str) -> DataFrame:
+        w = Window.partitionBy("__id")
+        return (
+            src.join(F.broadcast(ids), "__id")
+            .repartition("__id")
+            .dropDuplicates(["__id", "__h"])
+            .withColumn(n_name, F.count(F.lit(1)).over(w))
+            .select(F.col("__id").alias(out_id), "__h", n_name)
+        )
+
+    pa = _restricted(posting, ids_a, "id_a", "__na")
+    pb = _restricted(pb_src, ids_b, "id_b", "__nb")
     overlap = (
         cands.join(pa, "id_a")
         .join(pb, ["id_b", "__h"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__ni"))
+        .agg(
+            F.count(F.lit(1)).alias("__ni"),
+            # constant within a (id_a, id_b) group — min is the
+            # deterministic pick
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
+        )
     )
     return (
-        overlap.join(sizes_a.withColumnRenamed("__n", "__na"), "id_a")
-        .join(sizes_b.withColumnRenamed("__n", "__nb"), "id_b")
-        .select(
+        overlap.select(
             "id_a",
             "id_b",
             (F.col("__ni")
