@@ -280,6 +280,8 @@ def bm25_topk_table(
     validated at plan time, so the invalid-term contract is "ignored,
     by construction matches nothing" instead of ValueError.
     """
+    from ..caching import managed_cache
+
     qterms = (
         queries.select(
             F.col(qid_col).alias("query_id"), F.col(term_col).alias("term")
@@ -288,17 +290,29 @@ def bm25_topk_table(
         .filter(F.col("term").rlike(r"^\S+$"))
         .distinct()
     )
-    terms = qterms.select("term").distinct()
     toked = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col),
         token_count(text_col).alias("dl"),
     )
-    posting = (
+    # r15 pass-merging (guide §2.3/§2.4; VERDICT r14 next-round #2):
+    # - the prune is a broadcast SEMI join against qterms directly — the
+    #   old inner join needed its own distinct-terms aggregation (one
+    #   more exchange + stage) purely to avoid row duplication, which
+    #   the semi join rules out by construction;
+    # - the pruned per-(doc, term) tf table is CACHED and df comes from
+    #   a tiny groupBy(term) + broadcast join back. The old plan ran df
+    #   as a window count over the full posting — every tf row of a
+    #   term through ONE reducer (the hot-term funnel: at corpus scale
+    #   "the"-class terms serialize millions of rows through a single
+    #   task). Now only per-term partial counts cross the df exchange,
+    #   nothing funnels, and the cache keeps the corpus explode at
+    #   exactly one execution (the reason the window was chosen in r6).
+    posting = managed_cache(
         toked.select(
             "id", "dl", F.explode(tokens(text_col)).alias("term")
         )
-        .join(F.broadcast(terms), "term")
+        .join(F.broadcast(qterms), "term", "semi")
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
@@ -306,12 +320,8 @@ def bm25_topk_table(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    # df as a window count over the PRUNED posting (tiny after the
-    # term prune) — a separate groupBy+broadcast-join would re-execute
-    # the whole corpus explode subtree a second time (the plan audit
-    # showed 3 corpus scans before this; 2 after, matching bm25_topk)
-    dfw = Window.partitionBy("term")
-    with_df = posting.withColumn("df", F.count(F.lit(1)).over(dfw))
+    dfreq = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    with_df = posting.join(F.broadcast(dfreq), "term")
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
@@ -321,16 +331,23 @@ def bm25_topk_table(
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
-    scored = (
-        with_df.crossJoin(F.broadcast(stats))
-        .join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "id")
-        .agg(
-            F.round(
-                F.sum(term_score.cast("decimal(28,12)")).cast("double")
-                * F.lit(1000000.0),
-                0,
-            ).cast("long").alias("score_e6")
-        )
+    pre_agg = with_df.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(qterms), "term"
+    )
+    if salt_buckets <= 1:
+        # small-corpus gate (same gate that disables the salted
+        # pruning phase): one explicit repartition(query_id) serves
+        # BOTH the score aggregation (HashPartitioning(query_id)
+        # satisfies ClusteredDistribution(query_id, id)) and the final
+        # top-k window — the two exchanges collapse into one. Above
+        # the gate the (query_id, id)-keyed aggregation keeps hot
+        # queries spread, which is what the salted path needs.
+        pre_agg = pre_agg.repartition("query_id")
+    scored = pre_agg.groupBy("query_id", "id").agg(
+        F.round(
+            F.sum(term_score.cast("decimal(28,12)")).cast("double")
+            * F.lit(1000000.0),
+            0,
+        ).cast("long").alias("score_e6")
     )
     return _salted_topk(scored, id_col, k, salt_buckets)
