@@ -350,10 +350,21 @@ def score_stupid_backoff(
     add_k = float(add_k)
 
     def trigrams(it):
+        # docs with < 3 tokens emit ONE all-null sentinel row (the
+        # explode_outer pattern score_perplexity already uses): null
+        # gram keys match nothing in the left joins and score a null
+        # nll, so the per-doc aggregate alone covers every document —
+        # no join back to the docs table (r15: that final join was the
+        # plan's only SortMergeJoin AND a second full scan of docs)
         for pdf in it:
             ids, tgs, ctxs, sufs, w2s, w3s = [], [], [], [], [], []
             for d, t in zip(pdf[id_col], pdf[text_col]):
                 toks = (t or "").split()
+                if len(toks) < 3:
+                    ids.append(d)
+                    for col in (tgs, ctxs, sufs, w2s, w3s):
+                        col.append(None)
+                    continue
                 for a, b, c in zip(toks, toks[1:], toks[2:]):
                     ids.append(d)
                     tgs.append(a + " " + b + " " + c)
@@ -407,28 +418,25 @@ def score_stupid_backoff(
     )
     scored = j.select(
         "doc_id",
-        F.round(-F.log(s) * F.lit(1_000_000.0)).cast("bigint").alias(
-            "nll_e6"
-        ),
+        # sentinel rows (null tg) score null — count() skips them, so
+        # a short doc aggregates to (0, 0) exactly as the old
+        # base-left-join + coalesce tier did, without the join
+        F.when(F.col("tg").isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(-F.log(s) * F.lit(1_000_000.0)).cast("bigint")
+        ).alias("nll_e6"),
     )
-    base = docs.select(F.col(id_col).alias("doc_id"))
-    out = (
-        base.join(
-            scored.groupBy("doc_id").agg(
-                F.count("nll_e6").alias("n_trigrams"),
-                F.round(
-                    F.coalesce(F.sum("nll_e6"), F.lit(0))
-                    / F.greatest(F.count("nll_e6"), F.lit(1))
-                    / F.lit(100.0)
-                ).cast("bigint").alias("avg_nll_e4"),
-            ),
-            "doc_id", "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
-            F.coalesce("avg_nll_e4", F.lit(0)).alias("avg_nll_e4"),
-        )
+    # every doc_id reaches the aggregate (sentinel rows included), so
+    # the per-doc groupBy IS the output — one exchange, one docs scan.
+    # Note: like score_perplexity, this emits one row per DISTINCT
+    # doc_id; the operator contract assumes unique ids.
+    out = scored.groupBy("doc_id").agg(
+        F.count("nll_e6").alias("n_trigrams"),
+        F.round(
+            F.coalesce(F.sum("nll_e6"), F.lit(0))
+            / F.greatest(F.count("nll_e6"), F.lit(1))
+            / F.lit(100.0)
+        ).cast("bigint").alias("avg_nll_e4"),
     )
     return out.withColumn(
         "lm_pass", F.col("avg_nll_e4") <= F.lit(gate_nll_e4)
