@@ -29,6 +29,7 @@ Scale design (local[32] tests, 1000-executor posture):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -45,6 +46,7 @@ __all__ = [
     "quantize_int8_struct",
     "topk_bruteforce",
     "hyperplane_buckets",
+    "hyperplane_buckets_kernel",
     "topk_lsh",
     "build_ivf_index",
     "load_ivf_centroids",
@@ -561,6 +563,68 @@ def hyperplane_buckets(
     return col
 
 
+def hyperplane_buckets_kernel(
+    vec: str, dim: int, bits: int = 12, tables: int = 8, seed: int = 7
+) -> Column:
+    """Arrow-kernel form of `hyperplane_buckets` — the SAME bucket ids,
+    bit-for-bit, from a vectorized numpy pass instead of the ~6k-literal
+    interpreted HOF expression tree (r15; guide §4.2).
+
+    Exactness argument: each plane's dot product accumulates
+    DIMENSION-BY-DIMENSION from 0.0 in the exact left-to-right order of
+    the SQL fold (``0.0 + x0·w0 + x1·w1 + …``) — numpy elementwise
+    add/multiply are single IEEE-754 ops per element with no
+    reassociation, so every intermediate equals the fold's and the sign
+    (hence every bucket bit) can never differ. A plain matmul would be
+    faster still but reassociates the sum, flipping near-zero signs vs
+    the oracle's replay. Null / wrong-length vectors bucket to 0 per
+    table, matching the SQL form (null-padded zip_with → null dot →
+    ``IF(null >= 0)`` → 0 bit).
+
+    Why not the literal tree: its plan text is ~185 KB (driver
+    parse/analysis per uncached build), the HOF fold is interpreted
+    per element, and at 100 TB the plan size grows with dim×tables
+    while this kernel's closure ships the plane matrix once per task
+    (48 KB at 8×6×64)."""
+    import numpy as np
+
+    planes = np.asarray(
+        [_hyperplanes(dim, bits, t, seed) for t in range(tables)],
+        dtype=np.float64,
+    ).reshape(tables * bits, dim)
+    bitw = np.int64(1) << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        vals = vs.tolist()
+        n = len(vals)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        good = [
+            i for i, v in enumerate(vals)
+            if v is not None and len(v) == dim
+        ]
+        out: list = [[0] * tables] * n
+        if good:
+            X = np.asarray([vals[i] for i in good], dtype=np.float64)
+            m = len(good)
+            ids = np.empty((m, tables), dtype=np.int64)
+            # row-chunked so the accumulator stays cache-resident; the
+            # per-element op order is unaffected by chunking
+            for lo in range(0, m, 1024):
+                xc = X[lo:lo + 1024]
+                acc = np.zeros((xc.shape[0], tables * bits))
+                for j in range(dim):
+                    acc += xc[:, j:j + 1] * planes[:, j]
+                sb = (acc >= 0.0).reshape(-1, tables, bits)
+                ids[lo:lo + 1024] = (sb * bitw).sum(axis=2)
+            for row, i in zip(ids.tolist(), good):
+                out[i] = row
+        return pd.Series(out)
+
+    return _buckets(F.col(vec))
+
+
 def topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,
@@ -591,15 +655,13 @@ def topk_lsh(
     memory-vs-query-fanout trade of multi-probe LSH.
     """
 
-    # parse the (large) plane-literal SQL once and reuse the Column on
-    # both sides — the JVM-side parse/analysis of the ~6k-literal tree
-    # is the dominant build cost, not the Python loop
-    planes_col = hyperplane_buckets(vec_col, dim, bits, tables, seed)
-
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
         # norm attached in its OWN projection below the per-table
         # fan-out: a single select would put the sqrt above the
-        # Generate and re-evaluate it once per exploded row
+        # Generate and re-evaluate it once per exploded row.
+        # Buckets via the Arrow kernel (r15): bit-identical ids, one
+        # vectorized numpy pass per batch instead of the interpreted
+        # ~6k-literal HOF tree — see hyperplane_buckets_kernel
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_v"),
@@ -609,7 +671,9 @@ def topk_lsh(
             f"__{out_id}_v",
             f"__{out_id}_n",
             F.posexplode(
-                hyperplane_buckets(f"__{out_id}_v", dim, bits, tables, seed)
+                hyperplane_buckets_kernel(
+                    f"__{out_id}_v", dim, bits, tables, seed
+                )
             ).alias("table", "bucket"),
         )
 
@@ -877,6 +941,44 @@ def _hadoop_fs(spark: SparkSession, path_str: str):
     jpath = jvm.org.apache.hadoop.fs.Path(path_str)
     conf = spark._jsc.hadoopConfiguration()
     return jpath.getFileSystem(conf), jpath
+
+
+def _marker_stamp(spark: SparkSession, path_str: str) -> str:
+    """mtime:length of a marker file — the per-build nonce ADVICE r14
+    asked for: a same-content rebuild (delete + rebuild from the same
+    corpus/params) rewrites a byte-identical marker, so marker TEXT
+    alone would let a memoized DataFrame handle keep pinning deleted
+    part files. The modification time changes on every rewrite."""
+    try:
+        fs, jpath = _hadoop_fs(spark, path_str)
+        st = fs.getFileStatus(jpath)
+        return f"{st.getModificationTime()}:{st.getLen()}"
+    except Exception:  # noqa: BLE001 — stat is a nonce, not a gate
+        return "?"
+
+
+def _files_stamp(files: list[str]) -> str:
+    """Digest input for a file-backed source's data version: name +
+    size + mtime per file where the store exposes them (local paths;
+    one os.stat each, no Spark job), name-only otherwise. Catches the
+    in-place same-name overwrite that a pure listing digest misses
+    (ADVICE r14); Spark-written sources are already covered by unique
+    part names."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    parts = []
+    for f in sorted(files):
+        u = urlparse(f)
+        if u.scheme in ("file", ""):
+            try:
+                st = os.stat(unquote(u.path))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                continue
+            except OSError:
+                pass
+        parts.append(f)
+    return "\n".join(parts)
 
 
 def _hadoop_read_text(spark: SparkSession, path_str: str) -> str | None:
@@ -1271,15 +1373,18 @@ def _read_index_parquet(
     re-reading the directory on every plan build both costs that job
     and keeps the calling query out of the prepared-plan cache
     (registry eager-build detection). A rebuild rewrites the marker
-    and invalidates the memo; an unmarked index never memoizes."""
-    marker = _hadoop_read_text(
-        spark, index_path.rstrip("/") + "/" + marker_name
-    ) or ""
+    and invalidates the memo — including a SAME-CONTENT rebuild, via
+    the marker-mtime nonce in the key (ADVICE r14: marker text alone
+    would keep a handle whose InMemoryFileIndex pins deleted part
+    files); an unmarked index never memoizes."""
+    marker_path = index_path.rstrip("/") + "/" + marker_name
+    marker = _hadoop_read_text(spark, marker_path) or ""
     path = f"{index_path.rstrip('/')}/{sub}"
     if not marker:
         return spark.read.parquet(path)
     return _memo_artifact(
-        spark, f"read:{sub}", index_path, marker,
+        spark, f"read:{sub}", index_path,
+        f"{_marker_stamp(spark, marker_path)}|{marker}",
         lambda: spark.read.parquet(path),
     )
 
@@ -1297,31 +1402,39 @@ def _pull_probes_memo(
     job is what keeps the composite out of the prepared-plan cache.
     Key = index marker text (data version of the corpus the probes
     are answered against) + the probe plan's semantic hash + the
-    probe table's input file listing — a rebuilt index, a different
-    probe query, or an overwritten probe source each re-pull. Probes
-    with no file-backed lineage (in-memory frames) never memoize:
-    their values can change under an identical plan."""
+    probe table's input file listing with per-file size/mtime (ADVICE
+    r14: a same-name in-place overwrite changes the stat even when the
+    listing is identical) — a rebuilt index, a different probe query,
+    or an overwritten probe source each re-pull. Probes with no
+    file-backed lineage (in-memory frames), or any Spark API where the
+    private semantic-hash chain is unavailable (ADVICE r14: e.g.
+    Connect), never memoize: fall back to the plain bounded pull.
+
+    The returned frame is a SHALLOW COPY of the memoized one (ADVICE
+    r14): callers share the underlying ndarrays (near-zero cost) but a
+    caller renaming/reshaping its copy can no longer corrupt every
+    later memoized consumer."""
     marker = _hadoop_read_text(
         spark, index_path.rstrip("/") + "/_INDEX_META.json"
     ) or ""
     try:
         files = probes.inputFiles()
-    except Exception:  # noqa: BLE001 — lineage probe only
-        files = []
-    if not marker or not files:
+        sem = (
+            probes.select(id_col, vec_col)
+            ._jdf.queryExecution().analyzed().semanticHash()
+        )
+    except Exception:  # noqa: BLE001 — lineage/semantic probe only
+        files, sem = [], None
+    if not marker or not files or sem is None:
         return _pull_probes_bounded(probes, id_col, vec_col)
     import hashlib
 
-    sem = (
-        probes.select(id_col, vec_col)
-        ._jdf.queryExecution().analyzed().semanticHash()
-    )
-    digest = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+    digest = hashlib.md5(_files_stamp(files).encode()).hexdigest()
     return _memo_artifact(
         spark, "probe_pull", index_path,
         f"{marker}|{sem}|{len(files)}:{digest}",
         lambda: _pull_probes_bounded(probes, id_col, vec_col),
-    )
+    ).copy(deep=False)
 
 
 def topk_pq(
