@@ -176,9 +176,17 @@ class _Bits:
 
 
 class _Prefix:
-    """Canonical prefix decoder: walk bits MSB-of-code-first."""
+    """Canonical prefix decoder: 8-bit root-table lookup with a
+    per-bit MSB-first walk as the long-code fallback (r15, guide §4.2:
+    the per-bit walk ran once per code bit and dominated the decode
+    profile; most symbols resolve in ≤ 8 bits, which the table decides
+    in one peek)."""
 
-    __slots__ = ("single", "first", "count", "syms", "maxlen")
+    _ROOT_BITS = 8
+
+    __slots__ = (
+        "single", "first", "count", "syms", "maxlen", "root", "rmask",
+    )
 
     def __init__(self, lengths: list[int], single: int | None = None):
         self.single = single
@@ -202,14 +210,49 @@ class _Prefix:
         self.count = count
         self.syms = syms
         self.maxlen = maxlen
+        # Root table over the next `rbits` STREAM bits (LSB-first peek
+        # order): entry = (symbol << 4) | code_len for codes that fit,
+        # 0 = long code or invalid prefix (fallback walk decides
+        # which). A code c of length l matches peeks whose low l bits
+        # are bit-reversed(c) — the walk consumes stream bits as the
+        # code's MSB first — so filling is a stride-2^l slice. Total
+        # fill work is exactly 2^rbits entries, far below one decode
+        # pass over a typical block.
+        rbits = maxlen if maxlen < self._ROOT_BITS else self._ROOT_BITS
+        root = [0] * (1 << rbits)
+        for l in range(1, rbits + 1):
+            base = first[l]
+            step = 1 << l
+            for i, s in enumerate(syms[l]):
+                rev = int(format(base + i, f"0{l}b")[::-1], 2)
+                root[rev::step] = [(s << 4) | l] * (len(root[rev::step]))
+        self.root = root
+        self.rmask = (1 << rbits) - 1
 
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
-        # inline per-bit walk on locals — one `br.read(1)` call per
-        # code bit dominated the whole decompress profile
         d = br.d
         pos = br.pos
+        # one-peek root-table hit for codes ≤ rbits (zero "bits" past
+        # the physical end never fabricate a decode: a hit is only
+        # taken when the WHOLE codeword lies inside the stream)
+        b0 = pos >> 3
+        nd = len(d)
+        if b0 < nd:
+            v = d[b0] >> (pos & 7)
+            if b0 + 1 < nd:
+                v |= d[b0 + 1] << (8 - (pos & 7))
+            ent = self.root[v & self.rmask]
+            if ent:
+                l = ent & 15
+                end = pos + l
+                if end <= br.nbits:
+                    br.pos = end
+                    return ent >> 4
+                raise BrotliError("truncated stream")
+        # fallback: long codes, invalid prefixes, end-of-stream — the
+        # exact r14 per-bit walk, unchanged error classes
         total = br.nbits
         first = self.first
         count = self.count
@@ -634,8 +677,12 @@ def decompress_brotli(data: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
                 if produced > mlen:
                     raise BrotliError("copy past meta-block length")
                 start = len(out) - distance
-                for k in range(cpy_len):  # overlapping copies allowed
-                    out.append(out[start + k])
+                if distance >= cpy_len:
+                    # source range fully precedes the write: bulk slice
+                    out += out[start:start + cpy_len]
+                else:
+                    for k in range(cpy_len):  # overlapping copy
+                        out.append(out[start + k])
         if islast:
             break
     return bytes(out)
