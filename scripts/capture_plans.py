@@ -1,9 +1,9 @@
-"""Capture .explain("formatted") for named queries into plans/r14/.
+"""Capture .explain("formatted") for named queries into plans/r15/.
 
 Usage: python scripts/capture_plans.py before q1 q2 ...
        python scripts/capture_plans.py after  q1 q2 ...
 
-Writes plans/r14/<query>_<tag>.txt. Plan construction only — no
+Writes plans/r15/<query>_<tag>.txt. Plan construction only — no
 execution — so it is safe to run alongside nothing else without
 perturbing bench numbers.
 """
@@ -23,7 +23,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r14")
+    out_dir = os.path.join(HERE, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("windflow-plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
