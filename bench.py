@@ -355,9 +355,16 @@ def main() -> None:
             enable_plan_cache(True)
         return nc if len(nc) == len(names) else None
 
+    # calm gate default 1.6, not the 1.3 first proposed: a 32-core
+    # first pass HEATS THE HOST over its own duration, so even sweeps
+    # started at load1 < 0.1 read wf_first ≈ 1.5 on this machine
+    # (measured twice this round) — at 1.3 the early slot never fires
+    # and the split keeps getting priced out late, which is exactly
+    # the two-round failure this exists to end. True collapses read
+    # 2.3-2.5 (r13/r14) and still skip to the late slot.
     first_pass_wf = wf_median(window_factors(timings, prior_min))
     split_calm_at = float(
-        os.environ.get("SPARK_GRAFT_BENCH_SPLIT_CALM_FACTOR", "1.3")
+        os.environ.get("SPARK_GRAFT_BENCH_SPLIT_CALM_FACTOR", "1.6")
     )
     nocache: dict[str, float] | None = None
     if first_pass_wf is None or first_pass_wf <= split_calm_at:
