@@ -49,6 +49,21 @@ def configure(spark: SparkSession) -> SparkSession:
     # whole-stage codegen; the default maxFields=100 silently falls back
     # to the interpreted path (measured 40% slower on the minhash agg)
     conf.set("spark.sql.codegen.maxFields", "300")
+    # ONE Python worker pool, not two (r15, VERDICT r14 #7): SQL
+    # UDF/Arrow runners stamp SPARK_SIMPLIFIED_TRACEBACK=1 into their
+    # worker env when this conf is on (the default) while plain
+    # RDD-path runners (createDataFrame-from-local-rows scans) do not
+    # — and the worker factory is keyed on (pythonExec, module,
+    # envVars), so the two env shapes split into TWO daemons × N
+    # workers, each pool paying its own spawn + first-touch cost
+    # (~130 MB RSS per worker, ~70 ms/MB first-touch on this host).
+    # Turning the conf off unifies the env → one factory, one reused
+    # pool (probe: 2 root daemons → 1). Cost: Python UDF error
+    # tracebacks carry the full worker frames — debug cosmetics only.
+    conf.set(
+        "spark.sql.execution.pyspark.udf.simplifiedTraceback.enabled",
+        "false",
+    )
     # cached plans keep their pre-AQE output partitioning by default,
     # so a .cache() below an exchange materializes at the static
     # shuffle.partitions (200 under a driver-owned session) even with
